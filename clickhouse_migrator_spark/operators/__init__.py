@@ -1,0 +1,6 @@
+"""Operator packs. Importing this package registers every query in
+:mod:`clickhouse_migrator_spark.registry`."""
+
+from . import (  # noqa: F401
+    tpch,
+)

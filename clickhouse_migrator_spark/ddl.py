@@ -1,0 +1,170 @@
+"""ClickHouse-dialect DDL/DML → Spark translation.
+
+The reference passes user migration SQL verbatim to a ClickHouse server
+(`/root/reference/clickhouse_migrate/migrate.py:52,59`); Catalyst cannot
+parse ClickHouse DDL, so this module is the one string-level dialect
+shim the engine needs (SURVEY.md §2.C C1–C3, §4).  It is deliberately
+tiny and test-pinned:
+
+- ``CREATE TABLE``: map ClickHouse types → Spark types, strip/record
+  ``ENGINE``/``PARTITION BY``/``ORDER BY`` clauses, strip/record column
+  ``DEFAULT``s (Spark parquet tables don't support them natively; the
+  runner injects defaults at ADD COLUMN time instead).
+- ``ALTER TABLE … ADD COLUMN c T DEFAULT v``: copy-on-write
+  ``withColumn(lit(v).cast(T))`` + atomic table swap.
+- ``ALTER TABLE … UPDATE c=e WHERE p`` / ``… DELETE WHERE p``
+  (ClickHouse's asynchronous "mutations"): copy-on-write rewrite.
+  Spark execution is synchronous, which subsumes the reference's
+  ``pipelined`` mutation barrier (`migrate.py:56-71`) — statement N+1
+  can never observe statement N half-applied.
+
+Unsigned integers: Spark has no unsigned types; ``UInt8/16/32 → INT/
+BIGINT`` with *signed* semantics (documented divergence — SURVEY.md
+§1.2: ``UInt32 DEFAULT -1`` stays ``-1`` instead of wrapping to
+4294967295; all reference test outcomes are unaffected).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+TYPE_MAP = {
+    "UInt8": "SMALLINT",
+    "UInt16": "INT",
+    "UInt32": "BIGINT",
+    "UInt64": "BIGINT",
+    "Int8": "TINYINT",
+    "Int16": "SMALLINT",
+    "Int32": "INT",
+    "Int64": "BIGINT",
+    "Float32": "FLOAT",
+    "Float64": "DOUBLE",
+    "String": "STRING",
+    "FixedString": "STRING",
+    "Date": "DATE",
+    "DateTime64": "TIMESTAMP",
+    "DateTime": "TIMESTAMP",
+    "Bool": "BOOLEAN",
+    "UUID": "STRING",
+}
+
+_TYPE_RE = re.compile(
+    r"\b(" + "|".join(sorted(TYPE_MAP, key=len, reverse=True)) + r")\b(\(\d+\))?"
+)
+
+
+def map_types(sql: str) -> str:
+    """Rewrite ClickHouse type tokens to Spark DDL types."""
+    return _TYPE_RE.sub(lambda m: TYPE_MAP[m.group(1)], sql)
+
+
+@dataclass
+class Statement:
+    """A classified, translated statement ready for the runner."""
+
+    kind: str  # passthrough | create_table | add_column | cow_update | cow_delete
+    sql: str  # translated SQL (passthrough/create_table) or original text
+    table: str | None = None
+    column: str | None = None
+    col_type: str | None = None
+    default: str | None = None
+    assignments: list[tuple[str, str]] = field(default_factory=list)
+    predicate: str | None = None
+    order_by: str | None = None
+    partition_by: str | None = None
+
+
+_CREATE_RE = re.compile(r"^\s*CREATE\s+TABLE\s", re.I)
+_ADD_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.`]+)\s+ADD\s+COLUMN\s+"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?(?P<col>[\w`]+)\s+(?P<type>\w+(?:\(\d+\))?)"
+    r"(?:\s+DEFAULT\s+(?P<default>.+?))?\s*;?\s*$",
+    re.I | re.S,
+)
+_UPDATE_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.`]+)\s+UPDATE\s+(?P<assign>.+?)\s+"
+    r"WHERE\s+(?P<pred>.+?)\s*;?\s*$",
+    re.I | re.S,
+)
+_DELETE_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.`]+)\s+DELETE\s+WHERE\s+(?P<pred>.+?)\s*;?\s*$",
+    re.I | re.S,
+)
+_ENGINE_RE = re.compile(r"\bENGINE\s*=?\s*\w+(\(.*?\))?", re.I)
+_PARTITION_RE = re.compile(r"\bPARTITION\s+BY\s+(?P<e>[^;]*?)(?=\bORDER\s+BY|\bENGINE|;|$)", re.I)
+_ORDER_RE = re.compile(r"\bORDER\s+BY\s+(?P<e>[^;]*?)(?=\bPARTITION\s+BY|\bENGINE|;|$)", re.I)
+_DEFAULT_COL_RE = re.compile(r"\s+DEFAULT\s+[^,)]+", re.I)
+
+
+def _split_assignments(assign: str) -> list[tuple[str, str]]:
+    """Split ``a = e1, b = e2`` on top-level commas only."""
+    parts, depth, cur = [], 0, []
+    for ch in assign:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    out = []
+    for p in parts:
+        col, expr = p.split("=", 1)
+        out.append((col.strip().strip("`"), expr.strip()))
+    return out
+
+
+def translate(sql: str) -> Statement:
+    """Classify + translate one ClickHouse-dialect statement."""
+    m = _ADD_COL_RE.match(sql)
+    if m:
+        return Statement(
+            kind="add_column",
+            sql=sql,
+            table=m.group("table").strip("`"),
+            column=m.group("col").strip("`"),
+            col_type=map_types(m.group("type")),
+            default=m.group("default"),
+        )
+    m = _UPDATE_RE.match(sql)
+    if m:
+        return Statement(
+            kind="cow_update",
+            sql=sql,
+            table=m.group("table").strip("`"),
+            assignments=_split_assignments(m.group("assign")),
+            predicate=m.group("pred"),
+        )
+    m = _DELETE_RE.match(sql)
+    if m:
+        return Statement(
+            kind="cow_delete",
+            sql=sql,
+            table=m.group("table").strip("`"),
+            predicate=m.group("pred"),
+        )
+    if _CREATE_RE.match(sql):
+        out = map_types(sql)
+        order_by = partition_by = None
+        pm = _PARTITION_RE.search(out)
+        if pm:
+            partition_by = pm.group("e").strip()
+            out = _PARTITION_RE.sub(" ", out)
+        om = _ORDER_RE.search(out)
+        if om:
+            order_by = om.group("e").strip()
+            out = _ORDER_RE.sub(" ", out)
+        out = _ENGINE_RE.sub(" ", out)
+        out = _DEFAULT_COL_RE.sub(" ", out)
+        out = re.sub(r"\s+", " ", out).strip().rstrip(";")
+        if not re.search(r"\bUSING\s+\w+\s*$", out, re.I):
+            out += " USING PARQUET"
+        return Statement(
+            kind="create_table", sql=out, order_by=order_by, partition_by=partition_by
+        )
+    return Statement(kind="passthrough", sql=map_types(sql).strip().rstrip(";"))

@@ -1,0 +1,330 @@
+"""Versioned schema-migration runner on Spark catalog tables.
+
+A ground-up Spark-native rebuild of the reference's public surface
+(`/root/reference/clickhouse_migrate/migrate.py`, 8 functions — see
+SURVEY.md §2.A/§3): scan a directory of ``V<N>__name.sql`` /
+``V<N>_name.json`` migration files, md5-checksum them, diff against a
+``schema_versions`` ledger table via a full-outer join with integrity
+validation, and execute the pending scripts in version order,
+fail-stop, recording each success in the ledger.
+
+Spark-native deltas from the reference:
+
+- ClickHouse server → Spark catalog (parquet-backed warehouse);
+  ``clickhouse_driver.Client`` → ``SparkSession``.
+- pandas metadata frames → Spark DataFrames (the diff is a pure
+  DataFrame function: full_outer join + three filters + projection,
+  reference `migrate.py:26-41`).
+- ClickHouse async-mutation polling (``pipelined``, reference
+  `migrate.py:56-71`) → nothing: Spark actions are synchronous, so the
+  sequencing that ``queue_exec=True`` exists to enforce is automatic.
+  The flag is kept for API fidelity and is a documented no-op; both
+  flag values yield correct (identical) results.
+- ``ALTER TABLE UPDATE/DELETE/ADD COLUMN`` mutation DML → copy-on-write
+  rewrite with an atomic temp-table swap (:func:`_swap_overwrite`) —
+  the same write-new-then-swap pattern a 100 TB table rewrite needs
+  (never an in-place overwrite of a table being scanned).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Row, SparkSession, functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from .ddl import Statement, translate
+
+LEDGER = "schema_versions"
+
+LEDGER_SCHEMA = StructType(
+    [
+        StructField("version", LongType()),
+        StructField("md5", StringType()),
+        StructField("script", StringType()),
+        StructField("created_at", TimestampType()),
+    ]
+)
+
+MANIFEST_SCHEMA = StructType(
+    [
+        StructField("version", LongType()),
+        StructField("script", StringType()),
+        StructField("md5", StringType()),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class Migration:
+    version: int
+    script: str  # absolute path to the migration file
+    md5: str
+
+
+# ── bootstrap (reference migrate.py:18-23, 74-77) ────────────────────────────
+
+
+def create_db(spark: SparkSession, db_name: str) -> None:
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db_name}`")
+
+
+def init_db(spark: SparkSession, db_name: str) -> None:
+    """Idempotent ledger bootstrap (reference `migrate.py:22-23`:
+    ``version UInt32, md5 String, script String, created_at DateTime
+    DEFAULT now()`` — types mapped per SURVEY.md §1.2; the DEFAULT is
+    injected at insert time)."""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS `{db_name}`.`{LEDGER}` "
+        "(version BIGINT, md5 STRING, script STRING, created_at TIMESTAMP) "
+        "USING PARQUET"
+    )
+
+
+# ── manifest scan (reference migrate.py:84-86) ───────────────────────────────
+
+
+def scan_migrations(migrations_home: str) -> list[Migration]:
+    """Directory scan → (version, path, md5-of-bytes) manifest.
+
+    Filename grammar (reference `migrate.py:84`): version =
+    ``int(name.split('_')[0].replace('V',''))`` — accepts both
+    ``V1__x.sql`` and ``V1_x.json``.  Duplicate versions are rejected
+    explicitly (the reference leaves them unvalidated and its outer
+    merge would silently fan out — SURVEY.md §4 hazard)."""
+    out: list[Migration] = []
+    for e in os.scandir(migrations_home):
+        if not e.is_file() or not e.name.endswith((".sql", ".json")):
+            continue
+        version = int(e.name.split("_")[0].replace("V", ""))
+        with open(e.path, "rb") as f:
+            digest = hashlib.md5(f.read()).hexdigest()
+        out.append(Migration(version=version, script=e.path, md5=digest))
+    seen: dict[int, str] = {}
+    for m in out:
+        if m.version in seen:
+            raise AssertionError(
+                f"Duplicate migration version {m.version}: {seen[m.version]} vs {m.script}"
+            )
+        seen[m.version] = m.script
+    return sorted(out, key=lambda m: m.version)
+
+
+def manifest_df(spark: SparkSession, migrations: list[Migration]) -> DataFrame:
+    rows = [Row(version=m.version, script=m.script, md5=m.md5) for m in migrations]
+    return spark.createDataFrame(rows, MANIFEST_SCHEMA)
+
+
+# ── the diff planner (reference migrate.py:26-41) ────────────────────────────
+
+
+def migrations_to_apply(
+    spark: SparkSession, db_name: str, incoming: DataFrame
+) -> DataFrame:
+    """Pure DataFrame diff: ledger vs incoming manifest on ``version``.
+
+    Mirrors reference `migrate.py:26-41` exactly: full-outer join, then
+    three validations (missing-count guard, deleted-migration guard,
+    edited-migration guard), then the pending set = anti-join
+    projection.  All joins are on tiny metadata frames — Catalyst
+    broadcasts them automatically."""
+    ledger = spark.table(f"`{db_name}`.`{LEDGER}`").select(
+        F.col("version").cast("bigint").alias("version"),
+        F.col("script").alias("c_script"),
+        F.col("md5").alias("c_md5"),
+    )
+    n_ledger = ledger.count()
+    if n_ledger == 0:
+        return incoming
+    n_incoming = incoming.count()
+    if n_incoming == 0 or n_incoming < n_ledger:
+        raise AssertionError(
+            "Migrations have gone missing: "
+            f"ledger has {n_ledger}, incoming has {n_incoming}"
+        )
+    joined = ledger.join(
+        incoming.withColumn("version", F.col("version").cast("bigint")),
+        on="version",
+        how="full_outer",
+    )
+    deleted = joined.filter(F.col("c_md5").isNotNull() & F.col("md5").isNull())
+    if deleted.limit(1).count() > 0:
+        missing = [r.c_script for r in deleted.select("c_script").collect()]
+        raise AssertionError(f"Migrations deleted from codebase but already run: {missing}")
+    edited = joined.filter(
+        F.col("c_md5").isNotNull()
+        & F.col("md5").isNotNull()
+        & (F.col("md5") != F.col("c_md5"))
+    )
+    if edited.limit(1).count() > 0:
+        bad = [r.script for r in edited.select("script").collect()]
+        raise AssertionError(f"Do not edit migrations once run: {bad}")
+    return joined.filter(F.col("c_md5").isNull()).select("version", "script", "md5")
+
+
+# ── copy-on-write DML execution (SURVEY.md §2.C C2-C3) ───────────────────────
+
+
+def _qualify(spark: SparkSession, table: str) -> str:
+    if "." in table:
+        db, t = table.split(".", 1)
+    else:
+        db, t = spark.catalog.currentDatabase(), table
+    return f"`{db}`.`{t}`"
+
+
+def _swap_overwrite(spark: SparkSession, table: str, df: DataFrame) -> None:
+    """Write ``df`` as a new physical table, then atomically swap names.
+
+    Spark cannot overwrite a table it is currently reading; the
+    write-to-new-location + catalog-rename swap is also the only
+    pattern that scales (single full write, no driver materialization,
+    old data dropped only after the new table is durable)."""
+    qual = _qualify(spark, table)
+    db, t = qual.split(".", 1)
+    tmp = f"{db}.`__cow_{t.strip('`')}`"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    df.write.mode("overwrite").format("parquet").saveAsTable(tmp.replace("`", ""))
+    spark.sql(f"DROP TABLE {qual}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {qual}")
+
+
+def _exec_translated(spark: SparkSession, st: Statement) -> DataFrame | None:
+    if st.kind == "passthrough" or st.kind == "create_table":
+        return spark.sql(st.sql)
+    if st.kind == "add_column":
+        qual = _qualify(spark, st.table)
+        df = spark.table(qual)
+        default = F.expr(st.default).cast(st.col_type) if st.default is not None else F.lit(None).cast(st.col_type)
+        _swap_overwrite(spark, st.table, df.withColumn(st.column, default))
+        return None
+    if st.kind == "cow_update":
+        qual = _qualify(spark, st.table)
+        df = spark.table(qual)
+        pred = F.expr(st.predicate)
+        out = df
+        for col, expr in st.assignments:
+            out = out.withColumn(col, F.when(pred, F.expr(expr).cast(dict(df.dtypes).get(col, "string"))).otherwise(F.col(col)))
+        _swap_overwrite(spark, st.table, out)
+        return None
+    if st.kind == "cow_delete":
+        qual = _qualify(spark, st.table)
+        df = spark.table(qual)
+        _swap_overwrite(spark, st.table, df.filter(~F.expr(st.predicate)))
+        return None
+    raise ValueError(f"unknown statement kind: {st.kind}")  # pragma: no cover
+
+
+def execute_statement(spark: SparkSession, sql: str) -> DataFrame | None:
+    """Translate + execute one ClickHouse-dialect statement.
+
+    Synchronous by construction — by the time this returns, the
+    statement's effects are fully durable (this is what replaces the
+    reference's ``pipelined`` mutation barrier, `migrate.py:56-71`)."""
+    return _exec_translated(spark, translate(sql))
+
+
+# ── the runner (reference migrate.py:44-54, 79-88) ───────────────────────────
+
+
+def _parse_script(path: str) -> list[str]:
+    """``.json`` → array of statements; ``.sql`` → one whole-file
+    statement (reference `migrate.py:49-50`)."""
+    with open(path) as f:
+        if path.endswith(".json"):
+            return json.load(f)
+        return [f.read()]
+
+
+def apply_migration(
+    spark: SparkSession, db_name: str, migrations: DataFrame, queue_exec: bool = True
+) -> int:
+    """Apply pending migrations in version order, fail-stop.
+
+    Reference `migrate.py:44-54`: sort ascending, iterate on the
+    driver (ordering + fail-stop semantics require a sequential
+    driver-side loop — NOT ``foreach``), execute each script's
+    statements in order, and append to the ledger only after *all*
+    statements of that script succeed.  ``queue_exec`` is accepted for
+    API fidelity; Spark's synchronous execution makes both settings
+    correct (SURVEY.md §3.3).
+    """
+    applied = 0
+    for row in migrations.orderBy("version").collect():
+        for stmt in _parse_script(row.script):
+            execute_statement(spark, stmt)
+        entry = (
+            spark.createDataFrame(
+                [Row(version=int(row.version), md5=row.md5, script=row.script)],
+            )
+            .withColumn("created_at", F.current_timestamp())
+            .select("version", "md5", "script", "created_at")
+        )
+        entry.write.mode("append").insertInto(f"`{db_name}`.`{LEDGER}`")
+        print(f"Applied migration V{row.version}: {os.path.basename(row.script)}")
+        applied += 1
+    return applied
+
+
+def migrate(
+    spark: SparkSession,
+    db_name: str,
+    migrations_home: str,
+    create_db_if_no_exists: bool = True,
+    queue_exec: bool = True,
+) -> int:
+    """Top-level orchestrator (reference `migrate.py:79-88`): optional
+    db bootstrap → ledger init → scan → diff → apply.  Returns the
+    number of migrations applied."""
+    if create_db_if_no_exists:
+        create_db(spark, db_name)
+    prev_db = spark.catalog.currentDatabase()
+    spark.catalog.setCurrentDatabase(db_name)
+    try:
+        init_db(spark, db_name)
+        manifest = manifest_df(spark, scan_migrations(migrations_home))
+        pending = migrations_to_apply(spark, db_name, manifest)
+        return apply_migration(spark, db_name, pending, queue_exec=queue_exec)
+    finally:
+        spark.catalog.setCurrentDatabase(prev_db)
+
+
+# ── auxiliary surface exercised by the reference's tests ─────────────────────
+
+
+def show_tables(spark: SparkSession, db_name: str) -> list[str]:
+    """Name-sorted table list (ClickHouse's SHOW TABLES is sorted and
+    the reference tests index into it — SURVEY.md §2.C C7)."""
+    return sorted(
+        r.tableName for r in spark.sql(f"SHOW TABLES IN `{db_name}`").collect()
+    )
+
+
+def ingest_csv(
+    spark: SparkSession,
+    path: str,
+    table: str,
+    schema: str | StructType | None = None,
+    header: bool = True,
+) -> int:
+    """CSV (optionally gzipped) → existing catalog table (SURVEY.md
+    §2.C C8; replaces the reference tests' ``gunzip | clickhouse-client
+    --query='INSERT … FORMAT CSVWithNames'`` shell pipeline)."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        target = spark.table(table)
+        reader = reader.schema(target.schema)
+    df = reader.csv(path)
+    df.write.mode("append").insertInto(table)
+    return spark.table(table).count()

@@ -1,0 +1,201 @@
+"""Migration-runner behavior, mirroring the reference's 8-test suite
+(`/root/reference/tests/test_clickhouse_migration.py` — see SURVEY.md §5):
+4 diff-planner cases, 2 end-to-end runs, 2 sequential-DML count checks."""
+
+from __future__ import annotations
+
+import gzip
+import os
+import uuid
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from clickhouse_migrator_spark import migrate as M
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+@pytest.fixture()
+def db(spark):
+    name = "testdb_" + uuid.uuid4().hex[:8]
+    M.create_db(spark, name)
+    M.init_db(spark, name)
+    yield name
+    spark.sql(f"DROP DATABASE `{name}` CASCADE")
+
+
+def _ledger_insert(spark, db, version, md5, script):
+    spark.sql(
+        f"INSERT INTO `{db}`.schema_versions VALUES "
+        f"({version}, '{md5}', '{script}', current_timestamp())"
+    )
+
+
+def _manifest(spark, rows):
+    return spark.createDataFrame([Row(version=v, script=s, md5=m) for v, s, m in rows], M.MANIFEST_SCHEMA)
+
+
+# ── diff planner (reference tests :27-59) ───────────────────────────────────
+
+
+def test_empty_ledger_returns_all_incoming(spark, db):
+    inc = _manifest(spark, [(1, "a.sql", "m1"), (2, "b.sql", "m2")])
+    out = M.migrations_to_apply(spark, db, inc)
+    assert sorted(r.version for r in out.collect()) == [1, 2]
+
+
+def test_deleted_migration_raises(spark, db):
+    _ledger_insert(spark, db, 1, "m1", "a.sql")
+    _ledger_insert(spark, db, 2, "m2", "b.sql")
+    inc = _manifest(spark, [(1, "a.sql", "m1"), (3, "c.sql", "m3")])
+    with pytest.raises(AssertionError, match="deleted"):
+        M.migrations_to_apply(spark, db, inc)
+
+
+def test_missing_migration_count_raises(spark, db):
+    _ledger_insert(spark, db, 1, "m1", "a.sql")
+    _ledger_insert(spark, db, 2, "m2", "b.sql")
+    inc = _manifest(spark, [(1, "a.sql", "m1")])
+    with pytest.raises(AssertionError, match="missing"):
+        M.migrations_to_apply(spark, db, inc)
+
+
+def test_edited_migration_raises(spark, db):
+    _ledger_insert(spark, db, 1, "m1", "a.sql")
+    inc = _manifest(spark, [(1, "a.sql", "EDITED")])
+    with pytest.raises(AssertionError, match="edit"):
+        M.migrations_to_apply(spark, db, inc)
+
+
+def test_pending_set_is_anti_join(spark, db):
+    _ledger_insert(spark, db, 1, "m1", "a.sql")
+    inc = _manifest(spark, [(1, "a.sql", "m1"), (2, "b.sql", "m2"), (3, "c.sql", "m3")])
+    out = M.migrations_to_apply(spark, db, inc)
+    assert sorted(r.version for r in out.collect()) == [2, 3]
+    assert set(out.columns) == {"version", "script", "md5"}
+
+
+# ── end-to-end (reference tests :62-89) ─────────────────────────────────────
+
+
+def test_e2e_sql_only(spark, db):
+    n = M.migrate(spark, db, f"{FIXTURES}/migrations_sql", create_db_if_no_exists=False)
+    assert n == 1
+    assert M.show_tables(spark, db) == ["schema_versions", "widgets"]
+    # idempotent rerun: nothing pending
+    assert M.migrate(spark, db, f"{FIXTURES}/migrations_sql", create_db_if_no_exists=False) == 0
+
+
+def test_e2e_mixed_sql_and_json(spark, db):
+    n = M.migrate(spark, db, f"{FIXTURES}/migrations_mixed", create_db_if_no_exists=False)
+    assert n == 2
+    assert M.show_tables(spark, db) == [
+        "schema_versions",
+        "shapes1",
+        "shapes2",
+        "shapes3",
+        "widgets",
+    ]
+    ledger = spark.table(f"`{db}`.schema_versions")
+    assert [r.version for r in ledger.orderBy("version").collect()] == [1, 2]
+    assert ledger.filter(F.col("created_at").isNull()).count() == 0
+
+
+# ── sequential DML semantics (reference tests :91-138) ──────────────────────
+
+
+N_ROWS = 10_000
+
+
+def _score(i: int) -> int:
+    return (i * 7919) % 10_000
+
+
+@pytest.fixture()
+def seq_csv(tmp_path):
+    p = tmp_path / "metrics.csv.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("id,score\n")
+        for i in range(1, N_ROWS + 1):
+            f.write(f"{i},{_score(i)}\n")
+    return str(p)
+
+
+@pytest.mark.parametrize("queue_exec", [True, False])
+def test_sequential_dmls_via_runner(spark, db, seq_csv, queue_exec):
+    """Dependent UPDATE chain: enabled=0 WHERE score>3000, then guard
+    derived from enabled.  In the reference this is racy without the
+    mutation barrier (its `queue_exec=False` test asserts *divergence*);
+    Spark's synchronous execution makes BOTH paths correct — the
+    documented, intentional divergence (SURVEY.md §2.C C4)."""
+    expected_hi = sum(1 for i in range(1, N_ROWS + 1) if _score(i) > 3000)
+    home = f"{FIXTURES}/migrations_seq"
+    spark.catalog.setCurrentDatabase(db)
+    try:
+        manifest = M.manifest_df(spark, M.scan_migrations(home))
+        pending = M.migrations_to_apply(spark, db, manifest)
+        # stage 1: V1 creates the empty table
+        M.apply_migration(spark, db, pending.filter(F.col("version") == 1), queue_exec=queue_exec)
+        assert M.ingest_csv(spark, seq_csv, f"`{db}`.metrics", schema="id BIGINT, score BIGINT") == N_ROWS
+        # stage 2: the diff now sees only V2 pending → dependent DMLs
+        pending2 = M.migrations_to_apply(spark, db, manifest)
+        assert [r.version for r in pending2.collect()] == [2]
+        M.apply_migration(spark, db, pending2, queue_exec=queue_exec)
+        t = spark.table(f"`{db}`.metrics")
+        assert t.filter("enabled = 0").count() == expected_hi
+        assert t.filter("guard = 0").count() == expected_hi
+        assert t.filter("guard = 1").count() == N_ROWS - expected_hi
+        assert t.filter("guard = -1").count() == 0
+        ledger = spark.table(f"`{db}`.schema_versions")
+        assert [r.version for r in ledger.orderBy("version").collect()] == [1, 2]
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+
+
+def test_sequential_dmls_full_flow(spark, db, seq_csv):
+    """Reference flow order: create table → ingest CSV → run dependent
+    DMLs → assert exact counts (reference tests :91-118)."""
+    expected_hi = sum(1 for i in range(1, N_ROWS + 1) if _score(i) > 3000)
+    spark.catalog.setCurrentDatabase(db)
+    try:
+        M.execute_statement(
+            spark,
+            "CREATE TABLE IF NOT EXISTS metrics (id UInt32, score UInt32) "
+            "ENGINE = MergeTree PARTITION BY tuple() ORDER BY tuple(id)",
+        )
+        assert M.ingest_csv(spark, seq_csv, f"`{db}`.metrics", schema="id BIGINT, score BIGINT") == N_ROWS
+        for stmt in [
+            "ALTER TABLE metrics ADD COLUMN enabled UInt32 DEFAULT 1",
+            "ALTER TABLE metrics ADD COLUMN guard UInt32 DEFAULT -1",
+            "ALTER TABLE metrics UPDATE enabled = 0 WHERE score > 3000",
+            "ALTER TABLE metrics UPDATE guard = 0 WHERE enabled = 0",
+            "ALTER TABLE metrics UPDATE guard = 1 WHERE enabled = 1",
+        ]:
+            M.execute_statement(spark, stmt)
+        t = spark.table(f"`{db}`.metrics")
+        assert t.count() == N_ROWS
+        assert t.filter("enabled = 0").count() == expected_hi
+        assert t.filter("guard = 0").count() == expected_hi
+        assert t.filter("guard = 1").count() == N_ROWS - expected_hi
+        assert t.filter("guard = -1").count() == 0
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+
+
+def test_duplicate_versions_rejected(tmp_path):
+    (tmp_path / "V1__a.sql").write_text("SELECT 1")
+    (tmp_path / "V1_b.json").write_text('["SELECT 1"]')
+    with pytest.raises(AssertionError, match="Duplicate"):
+        M.scan_migrations(str(tmp_path))
+
+
+def test_cow_delete(spark, db):
+    spark.catalog.setCurrentDatabase(db)
+    try:
+        M.execute_statement(spark, "CREATE TABLE t (id UInt32) ENGINE = MergeTree ORDER BY tuple()")
+        spark.sql(f"INSERT INTO `{db}`.t VALUES (1), (2), (3), (4)")
+        M.execute_statement(spark, "ALTER TABLE t DELETE WHERE id > 2")
+        assert sorted(r.id for r in spark.table(f"`{db}`.t").collect()) == [1, 2]
+    finally:
+        spark.catalog.setCurrentDatabase("default")

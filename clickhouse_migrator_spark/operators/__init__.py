@@ -2,5 +2,10 @@
 :mod:`clickhouse_migrator_spark.registry`."""
 
 from . import (  # noqa: F401
+    aggregates,
+    joins,
+    scalars,
+    setops,
     tpch,
+    windows,
 )

@@ -1,0 +1,245 @@
+"""Aggregation operator pack (SURVEY.md §2.D).
+
+The reference's aggregation surface is COUNT(*) pass-through
+(SURVEY.md §2.C C6) plus pandas ``empty``/``len`` guards
+(`migrate.py:28-31`); this pack provides the full driver-mandated
+surface: grouped aggregates, distinct/approx-distinct, rollup/cube/
+grouping-sets, having, conditional aggregation, pivot, and order
+statistics.
+
+Scale notes: everything here is hash aggregation with map-side partial
+aggregation (automatic in Spark); `approx_count_distinct` is the
+100 TB path for cardinality (HLL++, constant memory) with exact
+`count_distinct` (expand + two-phase) next to it for small keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..tables import table, register_views
+
+
+@register(
+    "agg_orders_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*)                    AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           round(avg(o_totalprice), 4) AS avg_price,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+@register(
+    "agg_count_distinct_customers",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                   AS n_orders,
+           count(DISTINCT o_custkey)  AS n_customers
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+@register("agg_approx_count_distinct")  # rows-only: HLL estimates are engine-specific
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ cardinality — THE distinct-count at 100 TB
+    (constant memory, mergeable partials). No oracle: estimates are
+    implementation-specific; the exact twin above is the correctness
+    anchor."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.approx_count_distinct("o_custkey", 0.01).alias("n_customers_approx"))
+    )
+
+
+@register(
+    "agg_rollup_region_nation",
+    oracle="""
+    SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "agg_cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "agg_having_big_customers",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY o_custkey
+    HAVING count(*) >= 8 AND sum(o_totalprice) > 100000
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("_total"),
+        )
+        .filter((F.col("n_orders") >= 8) & (F.col("_total") > 100000))
+        .select("o_custkey", "n_orders", F.round("_total", 2).alias("total_price"))
+    )
+
+
+@register(
+    "agg_conditional_returnflag_mix",
+    oracle="""
+    SELECT l_linestatus,
+           count(*) AS n_items,
+           sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+           round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END), 2)
+               AS returned_value,
+           round(avg(CASE WHEN l_discount > 0.05 THEN l_extendedprice END), 4)
+               AS avg_discounted_price
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    is_r = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    return li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(is_r).alias("n_returned"),
+        F.round(
+            F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")).otherwise(0.0)),
+            2,
+        ).alias("returned_value"),
+        F.round(
+            F.avg(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))), 4
+        ).alias("avg_discounted_price"),
+    )
+
+
+@register(
+    "agg_pivot_returnflag",
+    oracle="""
+    SELECT l_linestatus,
+           round(coalesce(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 0), 2) AS qty_A,
+           round(coalesce(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 0), 2) AS qty_N,
+           round(coalesce(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 0), 2) AS qty_R
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: Spark's groupBy().pivot() with an explicit value list (the
+    explicit list keeps the plan single-pass; without it Spark runs a
+    distinct-scan first — avoid at scale)."""
+    li = table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("l_quantity"))
+    )
+    return out.select(
+        "l_linestatus",
+        F.round(F.coalesce(F.col("A"), F.lit(0.0)), 2).alias("qty_A"),
+        F.round(F.coalesce(F.col("N"), F.lit(0.0)), 2).alias("qty_N"),
+        F.round(F.coalesce(F.col("R"), F.lit(0.0)), 2).alias("qty_R"),
+    )
+
+
+@register(
+    "agg_order_statistics",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+           round(var_samp(l_extendedprice), 4)    AS price_var,
+           round(median(l_quantity), 4)           AS qty_median,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_order_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order statistics (sort-based percentile). At 100 TB use
+    `approx_percentile` (t-digest-style sketch) instead — exact
+    percentiles require a full per-group sort."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("l_extendedprice"), 4).alias("price_var"),
+        F.round(F.median("l_quantity"), 4).alias("qty_median"),
+        F.round(F.percentile("l_extendedprice", 0.9), 4).alias("price_p90"),
+    )

@@ -1,0 +1,226 @@
+"""Join operator pack (SURVEY.md §2.D).
+
+The reference's only joins are the metadata full-outer/anti joins of its
+diff planner (`/root/reference/clickhouse_migrate/migrate.py:34-41` —
+rebuilt in :mod:`..migrate`); this pack is the driver-mandated general
+join surface over the star schema: inner/left/right/full/semi/anti
+equi-joins, explicit broadcast, theta/range joins, and an as-of join.
+
+Scale notes: dimension sides are broadcast (`F.broadcast`) so fact
+tables never shuffle for dim joins; fact-fact joins shuffle on their
+keys and AQE handles skew.  The range join is a broadcast
+nested-loop against a tiny bucket dim — the only sane plan for
+interval containment.  The as-of join composes shuffle-on-key +
+per-key reduction (see also :mod:`.asof` for the applyInPandas
+merge_asof variant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..tables import table
+
+
+@register(
+    "join_inner_orders_customer",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = table(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_left_customer_orders",
+    oracle="""
+    SELECT c_custkey, c_name,
+           count(o_orderkey)                      AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "join_right_nation_supplier",
+    oracle="""
+    SELECT s_suppkey, s_name, n_name
+    FROM nation RIGHT JOIN supplier ON n_nationkey = s_nationkey
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    s = table(spark, sf_dir, "supplier")
+    return n.join(s, n.n_nationkey == s.s_nationkey, "right").select(
+        "s_suppkey", "s_name", "n_name"
+    )
+
+
+@register(
+    "join_full_outer_nation_presence",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nk, count(*) AS n_customers FROM customer GROUP BY 1),
+         sn AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers FROM supplier GROUP BY 1)
+    SELECT coalesce(cn.nk, sn.nk)        AS nationkey,
+           coalesce(n_customers, 0)      AS n_customers,
+           coalesce(n_suppliers, 0)      AS n_suppliers
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join of two aggregated sides — the same shape as the
+    migration diff planner (`/root/reference/.../migrate.py:34`), here
+    over data tables."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return c.join(s, c.nk == s.nk, "full_outer").select(
+        F.coalesce(c.nk, s.nk).alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@register(
+    "join_semi_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the committed-but-deleted detection shape of the
+    reference diff (`migrate.py:35-37`), over data tables."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_broadcast_geo_rollout",
+    oracle="""
+    SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two chained explicitly-broadcast dim joins — zero fact shuffles
+    before the aggregation."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "join_range_value_buckets",
+    oracle="""
+    SELECT lo, hi, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events
+    JOIN (VALUES (0, 50), (50, 100), (100, 200), (200, 500)) b(lo, hi)
+      ON value >= lo AND value < hi
+    GROUP BY lo, hi
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range (theta) join: events against a broadcast bucket dim
+    via interval containment — plans as BroadcastNestedLoopJoin, the
+    right physical choice when one side is tiny."""
+    e = table(spark, sf_dir, "events")
+    buckets = spark.createDataFrame(
+        [(0, 50), (50, 100), (100, 200), (200, 500)], "lo INT, hi INT"
+    )
+    return (
+        e.join(F.broadcast(buckets), (e.value >= buckets.lo) & (e.value < buckets.hi))
+        .groupBy("lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "join_asof_last_purchase_before_error",
+    oracle="""
+    SELECT e.event_id, e.ts, p.ts AS last_purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND p.ts <= e.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (declarative composition): for every error event, the
+    most recent purchase by the same user at or before it.
+
+    Spark lacks a native ASOF JOIN; this composes equi-join on the
+    ``by`` key + range predicate + per-left-row max — shuffles both
+    sides once on user_id.  For long right-side histories use
+    :mod:`.asof`'s applyInPandas merge_asof variant (linear merge
+    within co-partitioned groups instead of a fan-out join)."""
+    e = table(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        "event_id", "ts", F.col("user_id").alias("e_user")
+    )
+    pur = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    return (
+        err.join(pur, (err.e_user == pur.p_user) & (pur.p_ts <= err.ts), "left")
+        .groupBy("event_id", "ts")
+        .agg(F.max("p_ts").alias("last_purchase_ts"))
+    )

@@ -1,0 +1,284 @@
+"""Scalar-function pack: string / date / math / JSON / conditional /
+cast / array / null-handling (SURVEY.md §2.D).
+
+The reference's scalar vocabulary is exactly ``now()``, ``lower()``,
+``md5`` and ``tuple()`` (SURVEY.md §2.C C10); this pack provides the
+full driver-mandated surface.  Everything is built-in
+`pyspark.sql.functions` — JVM-side, whole-stage-codegen'd, no Python in
+the hot path.
+
+Cross-engine determinism rules (vs the DuckDB oracle):
+- day-of-week: DuckDB ``dow`` is 0=Sunday, Spark ``dayofweek`` is
+  1=Sunday → oracle adds 1;
+- timestamp→string goes through explicit format functions
+  (``date_format`` / ``strftime``), never bare casts;
+- double→int conversions use explicit ``floor``/``ceil`` (bare casts
+  truncate in Spark but round in DuckDB);
+- transcendental results are rounded (libm vs JVM ulp differences).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..tables import table
+
+
+@register(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name)                          AS name_lower,
+           upper(p_brand)                         AS brand_upper,
+           length(p_name)                         AS name_len,
+           substr(p_name, 1, 5)                   AS name_head,
+           concat(p_brand, ':', p_type)           AS brand_type,
+           replace(p_type, ' ', '_')              AS type_snake,
+           trim(p_name)                           AS name_trim,
+           reverse(p_brand)                       AS brand_rev,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')  AS size_padded,
+           strpos(p_type, 'ED')                   AS ed_pos,
+           regexp_extract(p_name, '^(\\w+)', 1)   AS first_word,
+           split_part(p_type, ' ', 1)             AS type_first_token
+    FROM part
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.trim("p_name").alias("name_trim"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.instr("p_type", "ED").alias("ed_pos"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_first_token"),
+    )
+
+
+@register(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)                          AS yr,
+           month(o_orderdate)                         AS mon,
+           day(o_orderdate)                           AS dom,
+           quarter(o_orderdate)                       AS qtr,
+           dayofweek(o_orderdate) + 1                 AS dow,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           datediff('day', DATE '1995-01-01', o_orderdate) AS days_since_epoch,
+           strftime(o_orderdate, '%Y-%m-%d')          AS iso_date,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m
+    FROM orders
+    """,
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mon"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_date"),
+        F.add_months("o_orderdate", 3).alias("plus3m"),
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_extendedprice - 50000), 2)  AS abs_centered,
+           CAST(ceil(l_quantity / 7) AS BIGINT)    AS qty_bucket,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
+           round(sqrt(l_extendedprice), 4)         AS price_sqrt,
+           round(ln(l_extendedprice + 1), 6)       AS price_ln,
+           round(log10(l_extendedprice + 1), 6)    AS price_log10,
+           round(pow(1 + l_discount, 2), 6)        AS disc_sq,
+           CAST(l_orderkey % 10 AS BIGINT)         AS key_mod,
+           CAST(sign(l_extendedprice - 50000) AS BIGINT) AS centered_sign,
+           round(greatest(l_discount, l_tax), 2)   AS max_rate,
+           round(least(l_discount, l_tax), 2)      AS min_rate
+    FROM lineitem
+    """,
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_extendedprice") - 50000), 2).alias("abs_centered"),
+        F.ceil(F.col("l_quantity") / 7).cast("bigint").alias("qty_bucket"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("bigint").alias("price_k"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.log10(F.col("l_extendedprice") + 1), 6).alias("price_log10"),
+        F.round(F.pow(1 + F.col("l_discount"), 2), 6).alias("disc_sq"),
+        (F.col("l_orderkey") % 10).cast("bigint").alias("key_mod"),
+        F.signum(F.col("l_extendedprice") - 50000).cast("bigint").alias("centered_sign"),
+        F.round(F.greatest("l_discount", "l_tax"), 2).alias("max_rate"),
+        F.round(F.least("l_discount", "l_tax"), 2).alias("min_rate"),
+    )
+
+
+@register(
+    "scalar_json_extract",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing_val
+    FROM events
+    """,
+)
+def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props string column — the
+    "opaque typed metadata" pattern for multimodal/semi-structured
+    columns.  At scale prefer `from_json` with an explicit schema once
+    per pipeline over repeated `get_json_object` calls."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        F.get_json_object("props", "$.missing").cast("bigint").alias("missing_val"),
+    )
+
+
+@register(
+    "scalar_json_schema_agg",
+    oracle="""
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT))           AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def scalar_json_schema_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`from_json` with an explicit schema (single parse, pruned,
+    vectorized) then plain aggregation — the scalable JSON pattern."""
+    e = table(spark, sf_dir, "events")
+    parsed = e.withColumn("p", F.from_json("props", "k BIGINT"))
+    return parsed.groupBy("event_type").agg(
+        F.round(F.avg(F.col("p.k")), 4).alias("avg_k"),
+        F.max(F.col("p.k")).alias("max_k"),
+    )
+
+
+@register(
+    "scalar_case_when_tiers",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal >= 7500 THEN 'platinum'
+                WHEN c_acctbal >= 5000 THEN 'gold'
+                WHEN c_acctbal >= 2000 THEN 'silver'
+                ELSE 'bronze' END AS tier,
+           CASE c_mktsegment WHEN 'BUILDING' THEN 'b2b' ELSE 'b2c' END AS channel
+    FROM customer
+    """,
+)
+def scalar_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") >= 7500, "platinum")
+        .when(F.col("c_acctbal") >= 5000, "gold")
+        .when(F.col("c_acctbal") >= 2000, "silver")
+        .otherwise("bronze")
+        .alias("tier"),
+        F.when(F.col("c_mktsegment") == "BUILDING", "b2b").otherwise("b2c").alias("channel"),
+    )
+
+
+@register(
+    "scalar_casts",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR)        AS key_str,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+           CAST(o_orderstatus = 'F' AS BOOLEAN) AS is_final,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+           round(CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE), 2) AS price_roundtrip
+    FROM orders
+    """,
+)
+def scalar_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.floor("o_totalprice").cast("bigint").alias("price_floor"),
+        (F.col("o_orderstatus") == "F").alias("is_final"),
+        F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
+        F.round(F.col("o_totalprice").cast("string").cast("double"), 2).alias(
+            "price_roundtrip"
+        ),
+    )
+
+
+@register(
+    "scalar_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                                   AS n_dims,
+           round(CAST(embedding[1] AS DOUBLE), 6)           AS first_val,
+           round(list_sum(CAST(embedding[1:8] AS DOUBLE[])), 6) AS head8_sum,
+           round(list_max(CAST(embedding AS DOUBLE[])), 6)  AS max_val,
+           round(list_min(CAST(embedding AS DOUBLE[])), 6)  AS min_val
+    FROM embeddings
+    """,
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array primitives over the embedding column (`F.aggregate` /
+    higher-order functions — JVM-side, no UDFs)."""
+    e = table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.round(F.element_at(F.col("embedding"), 1).cast("double"), 6).alias("first_val"),
+        F.round(
+            F.aggregate(F.slice(dbl, 1, 8), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("head8_sum"),
+        F.round(F.array_max(dbl), 6).alias("max_val"),
+        F.round(F.array_min(dbl), 6).alias("min_val"),
+    )
+
+
+@register(
+    "scalar_null_handling",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           coalesce(nullif(l_discount, 0.0), -1.0)      AS disc_or_flag,
+           (l_tax IS NULL)                              AS tax_missing,
+           ifnull(nullif(l_returnflag, 'N'), 'none')    AS flag_or_none
+    FROM lineitem
+    """,
+)
+def scalar_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(F.nullif(F.col("l_discount"), F.lit(0.0)), F.lit(-1.0)).alias(
+            "disc_or_flag"
+        ),
+        F.isnull("l_tax").alias("tax_missing"),
+        F.ifnull(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")).alias(
+            "flag_or_none"
+        ),
+    )

@@ -1,0 +1,205 @@
+"""Window-function operator pack (SURVEY.md §2.D).
+
+Not present anywhere in the reference (its exhaustiveness statement,
+SURVEY.md §2 — "no window functions"); driver-mandated surface.
+
+Scale notes: every window here partitions by a key (custkey/status) so
+the sort is per-partition after one shuffle — never a global
+single-partition window (the classic scale killer: `Window.orderBy`
+with no partitionBy).  The one global top-k uses orderBy().limit()
+instead, which Spark plans as TakeOrderedAndProject (per-partition
+heaps + driver merge, no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..registry import register
+from ..tables import table
+
+
+@register(
+    "window_top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def window_top3_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "window_rank_dense_by_date",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           rank()       OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate) AS rk,
+           dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate) AS drk
+    FROM orders
+    """,
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank with genuine ties (orderdate has day granularity)
+    — tie groups share ranks, so the output is deterministic."""
+    w = Window.partitionBy("o_orderstatus").orderBy("o_orderdate")
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+    )
+
+
+@register(
+    "window_lag_lead_order_values",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(lag(o_totalprice)  OVER w, 2) AS prev_price,
+           round(lead(o_totalprice) OVER w, 2) AS next_price,
+           round(o_totalprice - coalesce(lag(o_totalprice) OVER w, o_totalprice), 2) AS delta
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = table(spark, sf_dir, "orders")
+    lag = F.lag("o_totalprice").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(lag, 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.round(F.col("o_totalprice") - F.coalesce(lag, F.col("o_totalprice")), 2).alias(
+            "delta"
+        ),
+    )
+
+
+@register(
+    "window_running_customer_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@register(
+    "window_moving_avg_3",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+               AS moving_avg
+    FROM orders
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w), 4).alias("moving_avg"),
+    )
+
+
+@register(
+    "window_range_30d_order_density",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY epoch_day
+                          RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING) AS n_orders_60d
+    FROM (SELECT o_custkey, o_orderkey,
+                 datediff('day', DATE '1995-01-01', o_orderdate) AS epoch_day
+          FROM orders) t
+    """,
+)
+def window_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over an integer day offset (Spark range frames need a
+    numeric order column; the explicit epoch-day integer keeps both
+    engines on identical frame semantics)."""
+    o = table(spark, sf_dir, "orders").withColumn(
+        "epoch_day", F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("epoch_day").rangeBetween(-30, 30)
+    return o.select(
+        "o_custkey", "o_orderkey", F.count(F.lit(1)).over(w).alias("n_orders_60d")
+    )
+
+
+@register(
+    "window_ntile_percentiles",
+    oracle="""
+    SELECT c_custkey,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ntile/percent_rank — single-partition window, correct but
+    inherently serial; at 100 TB approximate with `percentile_approx`
+    cutpoints + a broadcast bucket join instead."""
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "topk_global_lineitems",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+    FROM lineitem
+    ORDER BY round(l_extendedprice, 2) DESC, l_orderkey, l_linenumber
+    LIMIT 15
+    """,
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy().limit(k) → TakeOrderedAndProject
+    (distributed heaps, no global sort) — THE top-k pattern at scale."""
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "price", F.round("l_extendedprice", 2)
+    )
+    return (
+        li.orderBy(F.desc("price"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .select("l_orderkey", "l_linenumber", "price")
+        .limit(15)
+    )

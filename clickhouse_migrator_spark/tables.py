@@ -37,12 +37,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ns epoch → µs timestamp_ntz (floor division matches DuckDB).
+        # ns epoch → µs timestamp_ntz.  Integer division (`DIV`), NOT
+        # `/1000`+floor: ns epochs ≈ 1.7e18 exceed double's 2^53 exact
+        # range, so float division drifts by ±1 µs.  DIV matches
+        # DuckDB's ns→µs truncation exactly.
         df = df.withColumn(
-            "ts",
-            F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")).cast(
-                "timestamp_ntz"
-            ),
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
         )
     return df
 

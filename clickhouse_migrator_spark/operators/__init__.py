@@ -3,9 +3,15 @@
 
 from . import (  # noqa: F401
     aggregates,
+    asof,
+    dedup,
+    events,
     joins,
+    multimodal,
     scalars,
     setops,
+    similarity,
+    text,
     tpch,
     windows,
 )

@@ -1,0 +1,89 @@
+"""As-of join as a reusable custom operator (SURVEY.md §2.D).
+
+Spark has no native ASOF JOIN.  Two implementations:
+
+1. :func:`clickhouse_migrator_spark.operators.joins.join_asof` —
+   declarative composition (range join + per-row max): best when the
+   right side per key is small.
+2. :func:`asof_join` here — co-partition both sides on the `by` key
+   and run a linear `pandas.merge_asof` per group via
+   ``applyInPandas``: best when histories are long (O(n log n) sort +
+   linear merge per key instead of an O(n·m) fan-out join).  Arrow
+   batches keep the Python boundary cheap.
+
+The registered query is the same semantics as
+``join_asof_last_purchase_before_error`` so the DuckDB ASOF JOIN
+oracle certifies BOTH implementations.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+from ..registry import register
+from ..tables import table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> DataFrame:
+    """Distributed merge_asof: for each left row, the nearest right row
+    with ``right.on <= left.on`` (backward) within the same ``by`` group.
+
+    Both sides are unioned with a side tag, shuffled ONCE on ``by``,
+    and merged linearly per group — the scalable as-of plan.
+    """
+    lcols = left.columns
+    rcols = [c for c in right.columns if c != by]
+    out_schema = StructType(
+        left.schema.fields
+        + [
+            type(f)(f.name + suffix if f.name in lcols else f.name, f.dataType, True)
+            for f in right.schema.fields
+            if f.name != by
+        ]
+    )
+    tagged = left.withColumn("__side", F.lit(0)).unionByName(
+        right.withColumn("__side", F.lit(1)), allowMissingColumns=True
+    )
+
+    def merge(key, pdf: pd.DataFrame):
+        l = pdf[pdf["__side"] == 0][lcols].sort_values(on)
+        r = (
+            pdf[pdf["__side"] == 1][[by, *rcols]]
+            .rename(columns={c: (c + suffix if c in lcols else c) for c in rcols})
+            .sort_values(on + suffix if on in lcols else on)
+        )
+        if l.empty:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        r_on = on + suffix if on in lcols else on
+        merged = pd.merge_asof(
+            l, r.drop(columns=[by]), left_on=on, right_on=r_on, direction=direction
+        )
+        return merged[[f.name for f in out_schema.fields]]
+
+    return tagged.groupBy(by).applyInPandas(merge, out_schema)
+
+
+@register(
+    "asof_pandas_last_purchase",
+    oracle="""
+    SELECT e.event_id, e.ts, p.ts AS ts_right
+    FROM (SELECT event_id, ts, user_id FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND p.ts <= e.ts
+    """,
+)
+def asof_pandas_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select("event_id", "ts", "user_id")
+    pur = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    out = asof_join(err, pur, on="ts", by="user_id")
+    return out.select("event_id", "ts", "ts_right")

@@ -1,0 +1,333 @@
+"""Deduplication pack over the documents table (driver north star:
+LLM-training-data pipelines; SURVEY.md §2.D M4).
+
+Five families, each the idiomatic Spark shape for its scale regime:
+
+- **exact**: hash groupBy on the full text / normalized fingerprint —
+  one shuffle, the 100 TB baseline.
+- **n-gram Jaccard**: exact pairwise similarity via a shingle
+  inverted-index self-join — correct but O(pairs-sharing-a-shingle);
+  the oracle-checkable ground truth for the approximate variants.
+- **MinHash + LSH**: 32 seeded xxhash64 min-hashes → 16 bands × 2 rows
+  → band-bucket join for candidates → exact-Jaccard verification.
+  THE scalable near-dup path: candidate generation touches only
+  hash-bucket collisions, never all pairs.  Deterministic (seeded
+  hashes), so it is oracle-checked against exact Jaccard: at τ=0.8 and
+  16×2 bands the per-pair miss probability is (1-j²)^16 ≤ 5e-11 — the
+  LSH output provably coincides with the exact result on this data.
+- **SimHash**: 60-bit signature from md5 (both engines can reproduce:
+  Spark ``conv(hex,16,10)``, DuckDB ``('0x'||hex)::UBIGINT``), pairs
+  within Hamming distance via signature self-join.
+- **embedding cosine**: brute-force pair cosine over float vectors
+  (JVM higher-order functions, no UDF); the LSH-bucketed scale path
+  for vectors lives in :mod:`.similarity`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..tables import table
+
+JACCARD_T = 0.8
+COSINE_T = 0.4
+N_HASHES = 32  # 16 bands × 2 rows
+N_BANDS = 16
+SIMHASH_BITS = 60
+HAMMING_T = 8
+
+
+def _tokens() -> Column:
+    return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+
+def shingles(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Distinct word-k-gram shingles per document (single scan +
+    explode; Catalyst prunes to (doc_id, text))."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return (
+        d.where(F.size(toks) >= k)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+
+
+_SHINGLE_SQL = """
+    toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+             FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                        i -> array_to_string(w[i:i+2], ' '))) AS shingle
+           FROM toks WHERE len(w) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pair_inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+    pair_jaccard AS (
+      SELECT doc_a, doc_b,
+             inter / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+      FROM pair_inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b)
+"""
+
+
+def _exact_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+    )
+
+
+@register(
+    "dedup_exact_summary",
+    oracle="""
+    SELECT count(*)                        AS n_docs,
+           count(DISTINCT text)            AS n_distinct_texts,
+           count(DISTINCT md5(lower(trim(text)))) AS n_normalized_distinct,
+           count(*) - count(DISTINCT text) AS n_exact_dups
+    FROM documents
+    """,
+)
+def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+        F.countDistinct(F.md5(F.lower(F.trim(F.col("text"))))).alias(
+            "n_normalized_distinct"
+        ),
+        (F.count(F.lit(1)) - F.countDistinct("text")).alias("n_exact_dups"),
+    )
+
+
+@register(
+    "dedup_exact_representatives",
+    oracle="""
+    SELECT lang, source, min(doc_id) AS representative_doc, count(*) AS group_size
+    FROM documents GROUP BY lang, source
+    """,
+)
+def dedup_exact_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by key: keep one representative per group (min id) —
+    `dropDuplicates` semantics made deterministic for the oracle."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.min("doc_id").alias("representative_doc"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_SQL}
+    SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+    FROM pair_jaccard WHERE jaccard >= {JACCARD_T}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (shingle inverted-index
+    self-join).  Scale warning: exact pairwise is the *verification*
+    stage; candidate generation at 100 TB is the MinHash-LSH variant
+    below."""
+    return (
+        _exact_jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_SQL}
+    SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+    FROM pair_jaccard WHERE jaccard >= {JACCARD_T}
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection, end to end:
+
+    shingle → 32 seeded-xxhash64 min-hash signature (one groupBy with
+    32 min() aggregates — a single shuffle) → 16 two-row bands →
+    band-bucket self-join (candidates only from hash collisions) →
+    exact-Jaccard verification of candidates.
+
+    Deterministic; oracle = exact Jaccard pairs (miss probability
+    ≤ (1-0.8²)^16 ≈ 5e-11 per qualifying pair, i.e. the outputs
+    coincide)."""
+    sh = shingles(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.concat(F.lit(f"seed{i}:"), F.col("shingle")))).alias(
+                f"h{i}"
+            )
+            for i in range(N_HASHES)
+        ]
+    )
+    rows_per_band = N_HASHES // N_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    candidates = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    exact = _exact_jaccard_pairs(spark, sf_dir)
+    return (
+        candidates.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_simhash_hamming",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ), tok AS (
+      SELECT DISTINCT doc_id, unnest(w) AS token FROM toks
+    ), tok_hash AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(token), 1, {SIMHASH_BITS // 4}))::UBIGINT AS BIGINT) AS h
+      FROM tok
+    ), bit_votes AS (
+      SELECT doc_id, b.bit,
+             sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM tok_hash CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BITS})) AS bit) b
+      GROUP BY doc_id, b.bit
+    ), sigs AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN vote > 0 THEN (1::UBIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bit_votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) <= {HAMMING_T}
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 60-bit signature = per-bit majority vote
+    of token hashes (md5-derived so both engines agree), pairs within
+    Hamming ≤ {HAMMING_T}.
+
+    Scale note: the pair join here is all-pairs on signatures (fine for
+    ≤ ~100k docs); at 100 TB block by simhash prefix bands (same LSH
+    trick as MinHash) so only same-prefix pairs are compared."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("token"))
+    h = F.conv(F.substring(F.md5("token"), 1, SIMHASH_BITS // 4), 16, 10).cast("bigint")
+    tok_hash = tok.select("doc_id", h.alias("h"))
+    bits = tok_hash.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+    ).select(
+        "doc_id",
+        "bit",
+        F.expr(
+            "CASE WHEN shiftright(h, CAST(bit AS INT)) & 1 = 1 THEN 1 ELSE -1 END"
+        ).alias("vote"),
+    )
+    sigs = (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("vote"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("vote") > 0,
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"),
+                ).otherwise(F.lit(0).cast("bigint"))
+            ).alias("simhash")
+        )
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_T)
+    )
+
+
+@register(
+    "dedup_embedding_cosine_pairs",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= {COSINE_T}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, brute force (all pairs).  The
+    dot product is `zip_with` + `aggregate` — JVM higher-order
+    functions, no Python.  Scale path: LSH bucketing
+    (:mod:`.similarity`) to restrict the pair space."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z)
+
+    norm = lambda x: F.sqrt(dot(x, x))  # noqa: E731
+    cos = dot(F.col("a.v"), F.col("b.v")) / (norm(F.col("a.v")) * norm(F.col("b.v")))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("_cos"),
+        )
+        .filter(F.col("_cos") >= COSINE_T)
+        .select("vec_a", "vec_b", F.round("_cos", 6).alias("cosine"))
+    )

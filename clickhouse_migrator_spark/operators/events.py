@@ -1,0 +1,158 @@
+"""Event-time windowing over the events table, batch-first
+(SURVEY.md §2.D M4; streaming mirrors live in
+:mod:`clickhouse_migrator_spark.streaming`).
+
+Scale notes: `F.window`/`F.session_window` group by (key, window) —
+partial aggregation applies, and the shuffle key includes the window so
+hot hours spread across tasks when combined with event_type/user_id.
+Session windows shuffle once on user_id then sort within partitions —
+the same plan a 100 TB sessionization wants (no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..tables import table
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_2h_1h",
+    oracle="""
+    SELECT date_trunc('hour', ts) - k * INTERVAL '1 hour' AS window_start,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) offsets
+    GROUP BY 1
+    """,
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h window, 1h slide — each event lands in 2 windows
+    (Spark materializes the window list per row; the oracle replicates
+    with an explicit offset cross join)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_session_30m",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def events_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap via
+    `F.session_window` (native stateful session assignment; the oracle
+    is the classic gaps-and-islands SQL).  session_end is max(ts), not
+    Spark's window end (which pads the gap)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "total_value")
+    )
+
+
+@register(
+    "events_type_share",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share
+    FROM events GROUP BY event_type
+    """,
+)
+def events_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-total: aggregate then a frame-less window over the tiny
+    aggregated result (never over the raw fact table)."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return agg.select(
+        "event_type",
+        "n_events",
+        F.round(
+            F.col("n_events") / F.sum("n_events").over(Window.partitionBy()).cast("double"),
+            6,
+        ).alias("share"),
+    )
+
+
+@register(
+    "events_user_daily_activity",
+    oracle="""
+    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(*) AS n_events,
+           count(DISTINCT event_type) AS n_types,
+           round(max(value), 2) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+    )

@@ -1,0 +1,145 @@
+"""Multimodal-column plumbing (driver north star; SURVEY.md §2.D M4).
+
+Pattern: media (image/audio/video) lives in opaque ``binary`` columns
+with typed metadata alongside; decode / feature-extract / frame-sample
+run as Arrow-batched ``mapInPandas`` stages.  The container has no
+image/audio libraries, so the *decoder* is stubbed two ways:
+
+- :func:`decode_image_real` — the real-library path, gated behind an
+  import-try and raising ``NotImplementedError`` without Pillow; and
+- :func:`fake_decode` — a deterministic arithmetic "decoder" used by the
+  registered queries so the Spark-side plumbing (binary payloads,
+  schema, partitioning, Arrow batch shape) is real and oracle-checked.
+
+The payloads here are the documents' text bytes standing in for media
+blobs; at 100 TB the same plan applies with parquet binary columns
+(keep `spark.sql.files.maxPartitionBytes` low enough that a batch of
+blobs fits executor memory; never collect blobs to the driver).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..tables import table
+
+DECODE_SCHEMA = (
+    "doc_id BIGINT, n_bytes BIGINT, width INT, height INT, n_frames INT, fmt STRING"
+)
+
+
+def decode_image_real(payload: bytes):  # pragma: no cover - no media libs in env
+    """Real decode path, import-gated.  Cited pattern: reference has no
+    media handling (SURVEY.md §1.1 — tables+SQL only); this is
+    driver-mandated new surface."""
+    try:
+        from PIL import Image  # type: ignore
+        import io
+
+        return Image.open(io.BytesIO(payload))
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decoding requires Pillow, which is not installed in this "
+            "environment; use fake_decode for plumbing tests"
+        ) from e
+
+
+def fake_decode(payload: bytes) -> tuple[int, int, int, str]:
+    """Deterministic stand-in decoder: metadata derived arithmetically
+    from the payload length (so oracles can replicate it)."""
+    n = len(payload)
+    return n % 640, (n * 31) % 480, (n % 16) + 1, "fake"
+
+
+def binary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with the text re-encoded as an opaque binary payload —
+    the multimodal column shape."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+
+@register(
+    "multimodal_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text)                  AS payload_md5,
+           substr(md5(text), 1, 8)    AS payload_md5_prefix
+    FROM documents
+    """,
+)
+def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque binary payloads — computed JVM-side
+    (no decode needed): size, checksum."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.octet_length(F.encode("text", "UTF-8")).cast("bigint").alias("n_bytes"),
+        F.md5(F.encode("text", "UTF-8")).alias("payload_md5"),
+        F.substring(F.md5(F.encode("text", "UTF-8")), 1, 8).alias("payload_md5_prefix"),
+    )
+
+
+@register(
+    "multimodal_decode_stub",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text))                    AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+           CAST((octet_length(encode(text)) * 31) % 480 AS INT) AS height,
+           CAST(octet_length(encode(text)) % 16 + 1 AS INT)     AS n_frames,
+           'fake'                                        AS fmt
+    FROM documents
+    """,
+)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal decode pipeline over ``mapInPandas``: binary
+    payloads stream through Arrow batches into a Python decoder that
+    emits typed metadata rows.  The decoder is the deterministic stub;
+    swap :func:`fake_decode` for :func:`decode_image_real` when media
+    libs exist — the Spark plan is identical."""
+    docs = binary_docs(spark, sf_dir)
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "width": [m[0] for m in meta],
+                    "height": [m[1] for m in meta],
+                    "n_frames": [m[2] for m in meta],
+                    "fmt": [m[3] for m in meta],
+                }
+            )
+
+    return docs.mapInPandas(decode_batches, DECODE_SCHEMA)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id, CAST(octet_length(encode(text)) % 16 + 1 AS INT) AS n_frames
+      FROM documents
+    )
+    SELECT doc_id, unnest(range(0, n_frames, 4)) AS frame_idx
+    FROM meta
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: every 4th frame index from the decoded stream —
+    explode over a generated sequence (video frame-sample plumbing
+    without the codec)."""
+    meta = multimodal_decode_stub(spark, sf_dir)
+    return meta.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(4))
+        ).alias("frame_idx"),
+    )

@@ -1,0 +1,276 @@
+"""Similarity-search pack over the embeddings table (driver north star;
+SURVEY.md §2.D M4).
+
+Three tiers, mirroring a production vector pipeline:
+
+- **brute-force top-k** (cosine / euclidean): broadcast the query set
+  against the corpus, per-query window top-k.  Exact; O(Q·N·d) — the
+  baseline and the verifier for the approximate tiers.
+- **sign-LSH bucketed top-k**: axis-aligned random-hyperplane signature
+  (sign of the leading dims) → candidates share the query's bucket →
+  top-k within bucket.  Deterministic, so fully oracle-checkable.
+- **IVF top-k**: k-means-style inverted file with the label field's
+  per-label centroids; the query probes its nearest centroid's
+  partition only.  At 100 TB: centroids broadcast, corpus partitioned
+  by list assignment → each query touches 1/nlist of the data.
+
+All vector math is `zip_with`/`aggregate` higher-order functions —
+JVM-side, codegen'd, no Python UDF in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from ..registry import register
+from ..tables import table
+
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 10
+LSH_DIMS = 8
+
+
+def _dot(x: Column, y: Column) -> Column:
+    return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda a, z: a + z)
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        "label",
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """Reusable exact top-k cosine: broadcast queries, score all corpus
+    rows, per-query top-k via window (the scalable exact plan: one pass
+    over the corpus, no corpus self-join)."""
+    q = queries.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    c = corpus.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+    cos = _dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cos.alias("_cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", F.round("_cos", 6).alias("cosine"))
+    )
+
+
+@register(
+    "sim_topk_cosine_bruteforce",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT query_id, e.vec_id AS cand_id,
+             list_cosine_similarity(qv, e.v) AS c
+      FROM q JOIN e ON e.vec_id != q.query_id
+    ), ranked AS (
+      SELECT query_id, cand_id, c,
+             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, cand_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, cand_id, rank, round(c, 6) AS cosine
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vecs(spark, sf_dir)
+    return cosine_topk(e, e.filter(F.col("vec_id") < N_QUERIES))
+
+
+@register(
+    "sim_topk_euclidean",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT query_id, e.vec_id AS cand_id, list_distance(qv, e.v) AS d
+      FROM q JOIN e ON e.vec_id != q.query_id
+    ), ranked AS (
+      SELECT query_id, cand_id, d,
+             row_number() OVER (PARTITION BY query_id ORDER BY d, cand_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, cand_id, rank, round(d, 6) AS distance
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_topk_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _vecs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("cv"), lambda p, q_: (p - q_) * (p - q_)),
+            F.lit(0.0),
+            lambda a, z: a + z,
+        )
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", dist.alias("_d"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("_d"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "cand_id", "rank", F.round("_d", 6).alias("distance"))
+    )
+
+
+@register(
+    "sim_lsh_bucket_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sigs AS (
+      SELECT vec_id, v,
+             array_to_string(list_transform(v[1:{LSH_DIMS}],
+                                            x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')
+                 AS bucket
+      FROM e
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM sigs WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, s.vec_id AS cand_id,
+             list_cosine_similarity(q.qv, s.v) AS c
+      FROM q JOIN sigs s ON s.bucket = q.bucket AND s.vec_id != q.query_id
+    ), ranked AS (
+      SELECT query_id, cand_id, c,
+             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, cand_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, cand_id, rank, round(c, 6) AS cosine
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH approximate top-k: {LSH_DIMS}-bit hyperplane signature →
+    equi-join on bucket (a hash join on the signature — no cross join
+    at all), top-5 within the query's bucket."""
+    e = _vecs(spark, sf_dir)
+    bucket = F.concat_ws(
+        "",
+        F.transform(
+            F.slice(F.col("v"), 1, LSH_DIMS),
+            lambda x: F.when(x >= 0, "1").otherwise("0"),
+        ),
+    )
+    sigs = e.select("vec_id", "v", bucket.alias("bucket"))
+    q = sigs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    scored = (
+        sigs.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"), cos.alias("_cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "cand_id", "rank", F.round("_cos", 6).alias("cosine"))
+    )
+
+
+@register(
+    "sim_ivf_label_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dims AS (
+      SELECT vec_id, label, unnest(v) AS val, unnest(range(1, 65)) AS dim FROM e
+    ),
+    centroids AS (
+      SELECT label, dim, avg(val) AS cval FROM dims GROUP BY label, dim
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    qdims AS (
+      SELECT vec_id AS query_id, unnest(v) AS qval, unnest(range(1, 65)) AS dim
+      FROM e WHERE vec_id < {N_QUERIES}
+    ),
+    q2c AS (
+      SELECT query_id, c.label, sum((qval - cval) * (qval - cval)) AS d2
+      FROM qdims JOIN centroids c USING (dim)
+      GROUP BY query_id, c.label
+    ),
+    probe AS (
+      SELECT query_id, label FROM q2c
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d2, label) = 1
+    ),
+    scored AS (
+      SELECT p.query_id, e.vec_id AS cand_id,
+             list_cosine_similarity(q.qv, e.v) AS c
+      FROM probe p
+      JOIN e ON e.label = p.label
+      JOIN q ON q.query_id = p.query_id
+      WHERE e.vec_id != p.query_id
+    ), ranked AS (
+      SELECT query_id, cand_id, c,
+             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, cand_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, cand_id, rank, round(c, 6) AS cosine
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style probe: per-label centroids (the label field stands in
+    for k-means list assignment), query probes only its nearest
+    centroid's partition, exact top-5 within it.  At scale: centroids
+    broadcast; corpus pre-partitioned by list id → 1/nlist scan."""
+    e = _vecs(spark, sf_dir)
+    dims = e.select("vec_id", "label", F.posexplode("v").alias("dim0", "val"))
+    centroids = (
+        dims.groupBy("label", (F.col("dim0") + 1).alias("dim"))
+        .agg(F.avg("val").alias("cval"))
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    qdims = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.posexplode("v").alias("dim0", "qval"))
+        .withColumn("dim", F.col("dim0") + 1)
+    )
+    q2c = (
+        qdims.join(F.broadcast(centroids), "dim")
+        .groupBy("query_id", "label")
+        .agg(F.sum((F.col("qval") - F.col("cval")) * (F.col("qval") - F.col("cval"))).alias("d2"))
+    )
+    wprobe = Window.partitionBy("query_id").orderBy("d2", "label")
+    probe = (
+        q2c.withColumn("rn", F.row_number().over(wprobe))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "label")
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    scored = (
+        e.join(F.broadcast(probe), "label")
+        .join(F.broadcast(q), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"), cos.alias("_cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "cand_id", "rank", F.round("_cos", 6).alias("cosine"))
+    )

@@ -1,0 +1,212 @@
+"""Text-analysis pack over the documents table (SURVEY.md §2.D M4;
+driver north star: language-ID, quality scoring, token counting,
+fingerprinting for LLM-training-data pipelines).
+
+Everything is built-in string/array/higher-order functions — JVM-side,
+no Python UDFs, so the ops vectorize and scale linearly with a single
+scan of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..tables import table
+
+# deliberately tiny stopword sets — enough for a deterministic n-gram/
+# stopword language heuristic on the synthetic corpus
+STOP_EN = ("the", "a", "of", "and", "to", "in", "is", "it")
+STOP_ES = ("el", "la", "de", "y", "en", "es", "un", "una")
+STOP_DE = ("der", "die", "das", "und", "zu", "ist", "ein", "eine")
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.lower(F.trim(F.col(col))), r"\s+")
+
+
+def _stop_hits(tokens: Column, stops: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(s) for s in stops])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def _sql_stop_hits(stops: tuple[str, ...]) -> str:
+    lst = "[" + ", ".join(f"'{s}'" for s in stops) + "]"
+    return f"len(list_filter(toks, t -> list_contains({lst}, t)))"
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split_regex(lower(trim(text)), '\\s+'))  AS n_tokens,
+           len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))     AS n_bpe_pieces,
+           length(text)                                        AS n_chars_computed,
+           round(length(text) / CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE), 4)
+               AS chars_per_token
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex piece count
+    (word-or-punctuation chunks — the standard pre-tokenizer shape)."""
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(_tokens())
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0)).alias(
+            "n_bpe_pieces"
+        ),
+        F.length("text").alias("n_chars_computed"),
+        F.round(F.length("text") / n_tok.cast("double"), 4).alias("chars_per_token"),
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           round({_sql_stop_hits(STOP_EN)} / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
+           round(len(regexp_extract_all(text, '[[:punct:]]')) / CAST(length(text) AS DOUBLE), 6)
+               AS punct_ratio,
+           round(length(text) / CAST(len(toks) AS DOUBLE), 4) AS avg_token_len,
+           (len(toks) >= 20 AND length(text) / CAST(len(toks) AS DOUBLE) BETWEEN 3 AND 12)
+               AS passes_quality
+    FROM t
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length, stopword ratio, punctuation
+    density, average token length + a pass/fail gate — the standard
+    cheap pre-filter before expensive dedup/model scoring."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tok = F.size(toks)
+    avg_len = F.length("text") / n_tok.cast("double")
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(_stop_hits(toks, STOP_EN) / n_tok.cast("double"), 6).alias(
+            "stopword_ratio"
+        ),
+        F.round(
+            F.size(F.regexp_extract_all("text", F.lit(r"[\p{Punct}]")))
+            / F.length("text").cast("double"),
+            6,
+        ).alias("punct_ratio"),
+        F.round(avg_len, 4).alias("avg_token_len"),
+        ((n_tok >= 20) & avg_len.between(3, 12)).alias("passes_quality"),
+    )
+
+
+@register(
+    "text_langid_heuristic",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+             {_sql_stop_hits(STOP_EN)} AS s_en,
+             {_sql_stop_hits(STOP_ES)} AS s_es,
+             {_sql_stop_hits(STOP_DE)} AS s_de
+      FROM t
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en > 0 THEN 'en'
+                WHEN s_es >= s_de AND s_es > 0 THEN 'es'
+                WHEN s_de > 0 THEN 'de'
+                ELSE 'unknown' END AS predicted_lang
+    FROM scored
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID (deterministic n-gram-style
+    heuristic; argmax with a fixed precedence order en > es > de)."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    s_en, s_es, s_de = (
+        _stop_hits(toks, STOP_EN),
+        _stop_hits(toks, STOP_ES),
+        _stop_hits(toks, STOP_DE),
+    )
+    pred = (
+        F.when((s_en >= s_es) & (s_en >= s_de) & (s_en > 0), "en")
+        .when((s_es >= s_de) & (s_es > 0), "es")
+        .when(s_de > 0, "de")
+        .otherwise("unknown")
+    )
+    return d.select("doc_id", F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang"))
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(lower(trim(text)), '\\s+'))), ' ')) AS fingerprint,
+           md5(lower(trim(text))) AS exact_hash
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: order-insensitive bag-of-words hash
+    (sorted distinct tokens → md5) + an exact normalized hash — the
+    keys exact/near dedup pipelines cluster on."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    return d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(toks)))).alias("fingerprint"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("exact_hash"),
+    )
+
+
+@register(
+    "text_ngram_top20",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(w), 1)),
+                                   i -> array_to_string(w[i:i+1], ' '))) AS gram
+      FROM toks WHERE len(w) >= 2
+    )
+    SELECT gram, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+    FROM grams
+    GROUP BY gram
+    ORDER BY n_occurrences DESC, gram
+    LIMIT 20
+    """,
+)
+def text_ngram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level word-bigram frequencies (explode → count → top-k).
+    Scale: partial aggregation absorbs the explode fan-out before the
+    shuffle; top-k via TakeOrderedAndProject."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    return (
+        d.where(F.size(toks) >= 2)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+        .limit(20)
+    )

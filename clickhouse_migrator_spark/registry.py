@@ -38,6 +38,6 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 def all_specs() -> dict[str, QuerySpec]:
     """Import all operator modules (side effect: registration) and return
     the full registry."""
-    from . import operators  # noqa: F401  (imports all submodules)
+    from . import operators, streaming  # noqa: F401  (imports register queries)
 
     return dict(_REGISTRY)

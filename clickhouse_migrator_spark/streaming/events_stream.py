@@ -1,0 +1,170 @@
+"""Structured Streaming over the events table (SURVEY.md §2.D / §7 M5).
+
+The reference has no streaming at all (its exhaustiveness statement —
+"no streaming (watermarks/windows/state)"); this is driver-mandated new
+surface.  Batch and streaming share the same event-time operators
+(`F.window` / `F.session_window`), so the batch oracles certify the
+streaming plans too: ``streaming_tumbling_hourly`` below runs a real
+``readStream → groupBy(window) → writeStream(memory)`` pipeline with an
+availableNow trigger and is checked against the same DuckDB oracle as
+the batch version.
+
+Scale notes: in production the source is a directory/Kafka stream; the
+aggregation state is partitioned by (window, key); watermarks bound
+state (`withWatermark`) so 100 TB/day of events doesn't accumulate
+unbounded sessions.  `applyInPandasWithState` (see
+:func:`sessionize_with_state`) is the custom-stateful-operator
+escape hatch.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..session import ensure_runtime_confs
+from ..tables import table
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the same ns→µs timestamp
+    normalization as the batch loader."""
+    ensure_runtime_confs(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # glob (not the bare file path): the file stream source requires a
+    # directory base path; the wildcard keeps the base at sf_dir.
+    s = spark.readStream.schema(raw_schema).parquet(f"{sf_dir}/events.*")
+    if dict(s.dtypes).get("ts") == "bigint":
+        s = s.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+        )
+    return s
+
+
+def run_to_memory(agg: DataFrame, mode: str = "complete", timeout_s: int = 120) -> str:
+    """Run a streaming aggregation to completion into a memory sink with
+    an availableNow trigger; returns the sink table name."""
+    name = "stream_out_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    q.stop()
+    return name
+
+
+@register(
+    "streaming_tumbling_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch `events_tumbling_hourly` computed by an actual
+    Structured Streaming pipeline (file stream source → windowed
+    aggregation → memory sink, availableNow)."""
+    agg = (
+        stream_events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return spark.table(run_to_memory(agg))
+
+
+def tumbling_with_watermark(spark: SparkSession, sf_dir: str, late: str = "2 hours") -> DataFrame:
+    """Watermarked append-mode tumbling aggregation — the late-data
+    policy variant (events later than ``late`` are dropped; only
+    finalized windows emit).  Returned as the streaming DataFrame for
+    callers/tests to run."""
+    return (
+        stream_events(spark, sf_dir)
+        # watermarks require TIMESTAMP (LTZ); identical wall-time under
+        # the engine's UTC session timezone
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", late)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "n_events")
+    )
+
+
+SESSION_STATE_SCHEMA = "start TIMESTAMP, last TIMESTAMP, n BIGINT, total DOUBLE"
+SESSION_OUT_SCHEMA = (
+    "user_id BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, "
+    "n_events BIGINT, total_value DOUBLE"
+)
+
+
+def sessionize_with_state(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful sessionizer via ``applyInPandasWithState`` — the
+    pattern for session logic `session_window` can't express (e.g.
+    value-dependent gaps).  Emits a session whenever a new event
+    arrives past the gap; flushes the open session on state timeout.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        rows = pd.concat(list(pdfs)).sort_values("ts") if not state.hasTimedOut else None
+        out = []
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n, total = state.get
+                out.append((user_id, start, last, n, total))
+                state.remove()
+        else:
+            if state.exists:
+                start, last, n, total = state.get
+            else:
+                start, last, n, total = None, None, 0, 0.0
+            for ts, value in zip(rows["ts"], rows["value"]):
+                if last is not None and ts - last > gap:
+                    out.append((user_id, start, last, n, total))
+                    start, last, n, total = ts, ts, 1, float(value)
+                else:
+                    start = ts if start is None else start
+                    last, n, total = ts, n + 1, total + float(value)
+            state.update((start, last, n, total))
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 60_000)
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "session_start", "session_end", "n_events", "total_value"],
+        )
+
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 minute")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

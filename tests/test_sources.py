@@ -1,0 +1,52 @@
+"""Readers/sinks: CSV+gzip roundtrip, JSON, partitioned parquet write,
+JDBC error surface."""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+import pytest
+
+from clickhouse_migrator_spark.sources import (
+    read_csv,
+    read_json,
+    read_parquet,
+    write_clickhouse_jdbc,
+    write_parquet,
+)
+
+
+def test_csv_gzip_roundtrip(spark, tmp_path):
+    p = tmp_path / "data.csv.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("id,name\n1,100\n2,200\n")
+    df = read_csv(spark, str(p), schema="id BIGINT, name BIGINT")
+    assert sorted((r.id, r.name) for r in df.collect()) == [(1, 100), (2, 200)]
+
+
+def test_json_reader(spark, tmp_path):
+    p = tmp_path / "data.jsonl"
+    with open(p, "w") as f:
+        for i in range(3):
+            f.write(json.dumps({"id": i, "tag": f"t{i}"}) + "\n")
+    df = read_json(spark, str(p), schema="id BIGINT, tag STRING")
+    assert df.count() == 3
+
+
+def test_partitioned_parquet_write_prunes(spark, sf_dir, tmp_path):
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    out = str(tmp_path / "orders_part")
+    write_parquet(orders, out, partition_by=["o_orderstatus"], sort_by=["o_orderdate"])
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    # partition pruning: reading one status must touch only its directory
+    plan = back.filter("o_orderstatus = 'F'")._jdf.queryExecution().executedPlan().toString()
+    assert "o_orderstatus" in plan
+
+
+def test_jdbc_missing_driver_raises_actionable(spark):
+    df = spark.range(3)
+    with pytest.raises(Exception) as ei:
+        write_clickhouse_jdbc(df, "jdbc:clickhouse://localhost:8123/db", "t")
+    assert "ClassNotFound" in str(ei.value) or "classpath" in str(ei.value)

@@ -26,6 +26,9 @@ from ..registry import register
 from ..tables import table
 
 
+ASOF_BUCKETS = 64
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -37,9 +40,12 @@ def asof_join(
     """Distributed merge_asof: for each left row, the nearest right row
     with ``right.on <= left.on`` (backward) within the same ``by`` group.
 
-    Both sides are unioned with a side tag, shuffled ONCE on ``by``,
-    and merged linearly per group — the scalable as-of plan.
-    """
+    Both sides are unioned with a side tag and shuffled ONCE on
+    ``hash(by) % ASOF_BUCKETS`` — bucketing (instead of one Python group
+    per key) keeps the number of Arrow round-trips constant as key
+    cardinality grows; within a bucket one ``pd.merge_asof(..., by=)``
+    handles every key linearly.  This is the scalable as-of plan: no
+    fan-out join, per-task memory bounded by its bucket."""
     lcols = left.columns
     rcols = [c for c in right.columns if c != by]
     out_schema = StructType(
@@ -50,8 +56,12 @@ def asof_join(
             if f.name != by
         ]
     )
-    tagged = left.withColumn("__side", F.lit(0)).unionByName(
-        right.withColumn("__side", F.lit(1)), allowMissingColumns=True
+    out_names = [f.name for f in out_schema.fields]
+    r_on = on + suffix if on in lcols else on
+    tagged = (
+        left.withColumn("__side", F.lit(0))
+        .unionByName(right.withColumn("__side", F.lit(1)), allowMissingColumns=True)
+        .withColumn("__bucket", F.pmod(F.hash(F.col(by)), F.lit(ASOF_BUCKETS)))
     )
 
     def merge(key, pdf: pd.DataFrame):
@@ -59,17 +69,16 @@ def asof_join(
         r = (
             pdf[pdf["__side"] == 1][[by, *rcols]]
             .rename(columns={c: (c + suffix if c in lcols else c) for c in rcols})
-            .sort_values(on + suffix if on in lcols else on)
+            .sort_values(r_on)
         )
         if l.empty:
-            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
-        r_on = on + suffix if on in lcols else on
+            return pd.DataFrame(columns=out_names)
         merged = pd.merge_asof(
-            l, r.drop(columns=[by]), left_on=on, right_on=r_on, direction=direction
+            l, r, left_on=on, right_on=r_on, by=by, direction=direction
         )
-        return merged[[f.name for f in out_schema.fields]]
+        return merged[out_names]
 
-    return tagged.groupBy(by).applyInPandas(merge, out_schema)
+    return tagged.groupBy("__bucket").applyInPandas(merge, out_schema)
 
 
 @register(

@@ -151,11 +151,14 @@ def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns.  At scale prefer `from_json` with an explicit schema once
     per pipeline over repeated `get_json_object` calls."""
     e = table(spark, sf_dir, "events")
+    # one from_json parse for all paths (get_json_object would re-parse
+    # the document per extraction — 2× the CPU here, worse with more keys)
+    p = F.from_json("props", "k BIGINT, missing BIGINT")
     return e.select(
         "event_id",
         "event_type",
-        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
-        F.get_json_object("props", "$.missing").cast("bigint").alias("missing_val"),
+        p.getField("k").alias("k_val"),
+        p.getField("missing").alias("missing_val"),
     )
 
 

@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     scalars,
     setops,
     similarity,
+    subqueries,
     text,
     tpch,
     windows,

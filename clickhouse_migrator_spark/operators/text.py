@@ -171,6 +171,48 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_tfidf_top20",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term,
+           round(tf.tf * ln(n.n_docs / CAST(df.df AS DOUBLE)), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    ORDER BY tfidf DESC, doc_id, term
+    LIMIT 20
+    """,
+)
+def text_tfidf_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scoring (tokenize → term frequencies → document
+    frequencies → join).  Scale: tf and df are two aggregations over
+    one exploded scan; df is tiny (vocabulary-sized) → broadcast back;
+    ln-idf computed JVM-side."""
+    d = table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    toks = d.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")), 6
+            ).alias("tfidf"),
+        )
+        .orderBy(F.desc("tfidf"), F.asc("doc_id"), F.asc("term"))
+        .limit(20)
+    )
+
+
+@register(
     "text_ngram_top20",
     oracle="""
     WITH toks AS (

@@ -1,0 +1,64 @@
+"""Physical-plan regression tests — the 100 TB design point made
+executable: pushdown reaches scans, dims broadcast, top-k avoids global
+sorts, and no operator collapses to a single-partition plan."""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_migrator_spark.operators import tpch, windows, joins, similarity
+from clickhouse_migrator_spark.plans import (
+    count_shuffles,
+    pushed_filters,
+    scan_columns,
+)
+from clickhouse_migrator_spark.plans.inspect import _plan_string, count_broadcasts
+
+
+def test_q1_filter_pushed_and_columns_pruned(spark, sf_dir):
+    df = tpch.q1_pricing_summary(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed, f"shipdate filter not pushed: {pushed}"
+    cols = " ".join(scan_columns(df))
+    assert cols, "no ReadSchema found in formatted plan"
+    assert "l_orderkey" not in cols, f"column pruning failed, scan reads: {cols}"
+    # one hash shuffle for the group-by + one range shuffle for the
+    # final ORDER BY (6 rows) — nothing else
+    assert count_shuffles(df) <= 2
+
+
+def test_q3_broadcasts_filtered_dimension(spark, sf_dir):
+    df = tpch.q3_shipping_priority(spark, sf_dir)
+    assert count_broadcasts(df) >= 1
+    assert "BroadcastHashJoin" in _plan_string(df)
+
+
+def test_q5_broadcasts_all_dims_single_fact_shuffle(spark, sf_dir):
+    df = tpch.q5_local_supplier_volume(spark, sf_dir)
+    plan = _plan_string(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    # lineitem⨝orders may itself broadcast at test SF; the invariant is
+    # that no more than the fact join + final agg need hash exchanges
+    assert count_shuffles(df) <= 3
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
+    df = windows.topk_global(spark, sf_dir)
+    assert "TakeOrderedAndProject" in _plan_string(df)
+
+
+def test_range_join_is_broadcast_nested_loop(spark, sf_dir):
+    df = joins.join_range(spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" in _plan_string(df)
+
+
+def test_windows_partition_by_key(spark, sf_dir):
+    df = windows.window_top3_per_customer(spark, sf_dir)
+    # partitioned window → hashpartitioning exchange on the key, never a
+    # single-partition global sort
+    assert "hashpartitioning(o_custkey" in _plan_string(df)
+
+
+def test_similarity_broadcasts_queries(spark, sf_dir):
+    df = similarity.sim_topk_cosine(spark, sf_dir)
+    assert count_broadcasts(df) >= 1

@@ -298,6 +298,30 @@ def migrate(
         spark.catalog.setCurrentDatabase(prev_db)
 
 
+# ── reference API-parity shims (SURVEY.md §2.A) ──────────────────────────────
+
+
+def execute_and_inflate(spark: SparkSession, query: str) -> DataFrame:
+    """Reference `migrate.py:12-15`: SELECT → row dicts → pandas frame.
+    Spark-native: `spark.sql` already returns a DataFrame — there is
+    nothing to inflate; kept for API parity."""
+    return spark.sql(query)
+
+
+def pipelined(
+    spark: SparkSession, migration_script: str, db_name: str | None = None,
+    timeout: int = 60 * 60,
+) -> None:
+    """Reference `migrate.py:56-71`: execute a statement, then poll
+    `system.mutations` every 5 s (up to ``timeout``) until its
+    asynchronous mutations finish.  Spark-native: `spark.sql`/DataFrame
+    writes are synchronous — by the time :func:`execute_statement`
+    returns, the statement is durable, so the barrier is the call
+    itself.  ``db_name``/``timeout`` are accepted for signature parity;
+    no polling loop exists to time out."""
+    execute_statement(spark, migration_script)
+
+
 # ── auxiliary surface exercised by the reference's tests ─────────────────────
 
 

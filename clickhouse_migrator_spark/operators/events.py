@@ -135,6 +135,34 @@ def events_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_dedup_first_occurrence",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts FROM (
+      SELECT event_id, user_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+)
+def events_dedup_first_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-style dedup in batch: keep the first occurrence per
+    (user, event_type) — `dropDuplicates` made deterministic via
+    row_number.  The streaming twin is
+    `dropDuplicatesWithinWatermark` (state bounded by the watermark
+    horizon instead of unbounded key memory)."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+@register(
     "events_user_daily_activity",
     oracle="""
     SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,

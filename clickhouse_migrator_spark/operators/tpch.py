@@ -195,6 +195,107 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q18_large_volume_customers",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY round(o_totalprice, 2) DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: HAVING-subquery membership → semi-join on the fact key.
+
+    Scale: the qualifying-orders set is produced by one aggregation of
+    lineitem and semi-joined back on l_orderkey — both sides partition
+    on the same key, so AQE can reuse the exchange; top-k via
+    TakeOrderedAndProject."""
+    li = table(spark, sf_dir, "lineitem")
+    big_orders = (
+        li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q")).filter(F.col("q") > 150)
+    )
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        li.join(big_orders.select("l_orderkey"), "l_orderkey", "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc(F.round(F.col("totalprice"), 2)), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name,
+             min(s_acctbal) OVER (PARTITION BY p_partkey) AS min_bal
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE' AND p_size >= 30
+    )
+    SELECT DISTINCT p_partkey, s_suppkey, s_name,
+           round(s_acctbal, 2) AS acctbal, n_name
+    FROM costs WHERE s_acctbal = min_bal
+    ORDER BY p_partkey, s_suppkey
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part argmin over a dimension join (the
+    correlated-subquery formulation rewritten as a window min — one
+    shuffle on p_partkey instead of a per-row subquery)."""
+    from pyspark.sql import Window
+
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") >= 30)
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        joined.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select(
+            "p_partkey",
+            "s_suppkey",
+            "s_name",
+            F.round("s_acctbal", 2).alias("acctbal"),
+            "n_name",
+        )
+        .distinct()
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+@register(
     "tpch_q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name,

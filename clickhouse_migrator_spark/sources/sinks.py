@@ -41,6 +41,26 @@ def overwrite_table(df: DataFrame, table: str) -> None:
     df.write.mode("overwrite").format("parquet").saveAsTable(table)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed catalog table (hash-bucketed by ``bucket_cols``).
+
+    The co-located-join primitive: two tables bucketed the same way
+    join WITHOUT any exchange — at 100 TB this turns the fact⨝fact
+    shuffle (the single most expensive stage) into a local zip of
+    pre-sorted buckets.  Asserted in tests/test_bucketing.py."""
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 CLICKHOUSE_JDBC_DRIVER = "com.clickhouse.jdbc.ClickHouseDriver"
 
 

@@ -222,6 +222,30 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_collect_sorted_values",
+    oracle="""
+    SELECT o_orderpriority,
+           array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+               AS statuses,
+           array_to_string(list_sort(list_distinct(list(year(o_orderdate)))), ',')
+               AS years
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set → sorted → string (array aggregation made
+    deterministic; collect order is nondeterministic in both engines, so
+    the sort is mandatory for stable output)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus"))).alias("statuses"),
+        F.concat_ws(
+            ",", F.sort_array(F.collect_set(F.year("o_orderdate").cast("string")))
+        ).alias("years"),
+    )
+
+
+@register(
     "agg_order_statistics",
     oracle="""
     SELECT l_returnflag,

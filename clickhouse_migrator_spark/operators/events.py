@@ -135,6 +135,56 @@ def events_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_funnel_signup_to_purchase",
+    oracle="""
+    WITH signup AS (
+      SELECT user_id, min(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), conv AS (
+      SELECT s.user_id, s.signup_ts, min(e.ts) AS first_purchase_ts
+      FROM signup s
+      LEFT JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      GROUP BY s.user_id, s.signup_ts
+    )
+    SELECT user_id, signup_ts, first_purchase_ts,
+           (first_purchase_ts IS NOT NULL) AS converted
+    FROM conv
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase funnel: first signup per user, earliest
+    subsequent purchase, conversion flag.  Scale: both stages shuffle
+    on user_id once; the signup side is aggregated (tiny) before the
+    join → broadcast."""
+    e = table(spark, sf_dir, "events")
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    return (
+        F.broadcast(signup)
+        .join(
+            purchases,
+            (F.col("user_id") == F.col("p_user")) & (F.col("p_ts") >= F.col("signup_ts")),
+            "left",
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("p_ts").alias("first_purchase_ts"))
+        .select(
+            "user_id",
+            "signup_ts",
+            "first_purchase_ts",
+            F.col("first_purchase_ts").isNotNull().alias("converted"),
+        )
+    )
+
+
+@register(
     "events_dedup_first_occurrence",
     oracle="""
     SELECT event_id, user_id, event_type, ts FROM (

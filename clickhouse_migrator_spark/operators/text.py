@@ -241,13 +241,19 @@ def text_ngram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.size(toks) - 1),
         lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
     )
+    # two-level aggregation: per-(doc,gram) counts first, then per-gram
+    # sum + count — replaces COUNT(DISTINCT doc_id)'s expand with two
+    # cheap hash aggregates (the distinct-agg rewrite that matters when
+    # the exploded gram stream is billions of rows)
     return (
         d.where(F.size(toks) >= 2)
         .select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .groupBy("gram")
         .agg(
-            F.count(F.lit(1)).alias("n_occurrences"),
-            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("cnt").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_docs"),
         )
         .orderBy(F.desc("n_occurrences"), F.asc("gram"))
         .limit(20)

@@ -52,10 +52,26 @@ TYPE_MAP = {
 _TYPE_RE = re.compile(
     r"\b(" + "|".join(sorted(TYPE_MAP, key=len, reverse=True)) + r")\b(\(\d+\))?"
 )
+# wrapper types: Nullable(T) → T (Spark columns are nullable by default),
+# LowCardinality(T) → T (a ClickHouse storage hint; Spark's parquet
+# dictionary encoding is the equivalent and automatic)
+_WRAPPER_RE = re.compile(r"\b(?:Nullable|LowCardinality)\(\s*([^()]*?)\s*\)")
+_ENUM_RE = re.compile(r"\bEnum(?:8|16)?\s*\([^)]*\)")
+_DECIMAL_RE = re.compile(r"\bDecimal(?:32|64|128)?\s*\(")
+_ARRAY_RE = re.compile(r"\bArray\(\s*([^()]*?)\s*\)")
 
 
 def map_types(sql: str) -> str:
-    """Rewrite ClickHouse type tokens to Spark DDL types."""
+    """Rewrite ClickHouse type tokens to Spark DDL types (including the
+    wrapper types real-world DDL uses: Nullable / LowCardinality /
+    Enum / Decimal / Array)."""
+    prev = None
+    while prev != sql:  # unwrap nested wrappers to fixpoint
+        prev = sql
+        sql = _WRAPPER_RE.sub(lambda m: m.group(1), sql)
+        sql = _ARRAY_RE.sub(lambda m: f"ARRAY<{m.group(1)}>", sql)
+    sql = _ENUM_RE.sub("STRING", sql)  # enums → their string labels
+    sql = _DECIMAL_RE.sub("DECIMAL(", sql)
     return _TYPE_RE.sub(lambda m: TYPE_MAP[m.group(1)], sql)
 
 
@@ -76,9 +92,13 @@ class Statement:
 
 
 _CREATE_RE = re.compile(r"^\s*CREATE\s+TABLE\s", re.I)
+_RENAME_RE = re.compile(
+    r"^\s*RENAME\s+TABLE\s+(?P<src>[\w.`]+)\s+TO\s+(?P<dst>[\w.`]+)\s*;?\s*$", re.I
+)
+_OPTIMIZE_RE = re.compile(r"^\s*OPTIMIZE\s+TABLE\s+(?P<table>[\w.`]+)", re.I)
 _ADD_COL_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.`]+)\s+ADD\s+COLUMN\s+"
-    r"(?:IF\s+NOT\s+EXISTS\s+)?(?P<col>[\w`]+)\s+(?P<type>\w+(?:\(\d+\))?)"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?(?P<col>[\w`]+)\s+(?P<type>\w+(?:\([^)]*\))?)"
     r"(?:\s+DEFAULT\s+(?P<default>.+?))?\s*;?\s*$",
     re.I | re.S,
 )
@@ -121,6 +141,16 @@ def _split_assignments(assign: str) -> list[tuple[str, str]]:
 
 def translate(sql: str) -> Statement:
     """Classify + translate one ClickHouse-dialect statement."""
+    m = _RENAME_RE.match(sql)
+    if m:  # ClickHouse RENAME TABLE → Spark ALTER TABLE … RENAME TO
+        return Statement(
+            kind="passthrough",
+            sql=f"ALTER TABLE {m.group('src')} RENAME TO {m.group('dst')}",
+        )
+    m = _OPTIMIZE_RE.match(sql)
+    if m:  # MergeTree part-merge hint; parquet tables have no merge
+        # queue — the statement is a documented no-op (SELECT 1)
+        return Statement(kind="passthrough", sql="SELECT 1", table=m.group("table"))
     m = _ADD_COL_RE.match(sql)
     if m:
         return Statement(

@@ -1,0 +1,57 @@
+"""Unit tests for the ClickHouse-dialect translator's wider surface:
+wrapper types, enums, decimals, arrays, RENAME/OPTIMIZE/TRUNCATE."""
+
+from __future__ import annotations
+
+from clickhouse_migrator_spark.ddl import map_types, translate
+
+
+def test_wrapper_types_unwrapped():
+    assert map_types("a Nullable(UInt32)") == "a BIGINT"
+    assert map_types("a LowCardinality(String)") == "a STRING"
+    assert map_types("a LowCardinality(Nullable(String))") == "a STRING"
+
+
+def test_enum_and_decimal_and_array():
+    assert map_types("s Enum8('a' = 1, 'b' = 2)") == "s STRING"
+    assert map_types("d Decimal(10, 2)") == "d DECIMAL(10, 2)"
+    assert map_types("d Decimal64(4)") == "d DECIMAL(4)"
+    assert map_types("v Array(Int32)") == "v ARRAY<INT>"
+    assert map_types("v Array(Nullable(String))") == "v ARRAY<STRING>"
+
+
+def test_create_with_wrappers():
+    st = translate(
+        "CREATE TABLE t (id UInt64, tag LowCardinality(String), "
+        "score Nullable(Float64), labels Array(String)) "
+        "ENGINE = MergeTree ORDER BY id"
+    )
+    assert st.kind == "create_table"
+    assert "BIGINT" in st.sql and "ARRAY<STRING>" in st.sql
+    assert "LowCardinality" not in st.sql and "Nullable" not in st.sql
+    assert st.order_by == "id"
+
+
+def test_rename_table_translated():
+    st = translate("RENAME TABLE db.a TO db.b")
+    assert st.kind == "passthrough"
+    assert st.sql == "ALTER TABLE db.a RENAME TO db.b"
+
+
+def test_optimize_is_noop():
+    st = translate("OPTIMIZE TABLE t FINAL")
+    assert st.kind == "passthrough"
+    assert st.sql == "SELECT 1"
+
+
+def test_truncate_passthrough():
+    st = translate("TRUNCATE TABLE t")
+    assert st.kind == "passthrough"
+    assert st.sql == "TRUNCATE TABLE t"
+
+
+def test_add_column_wrapper_type():
+    st = translate("ALTER TABLE t ADD COLUMN tag Nullable(String) DEFAULT 'x'")
+    assert st.kind == "add_column"
+    assert st.col_type == "STRING"
+    assert st.default == "'x'"

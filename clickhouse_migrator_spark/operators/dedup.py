@@ -35,7 +35,9 @@ COSINE_T = 0.4
 N_HASHES = 32  # 16 bands × 2 rows
 N_BANDS = 16
 SIMHASH_BITS = 60
-HAMMING_T = 8
+# tight threshold: the synthetic corpus draws from a tiny vocabulary, so
+# moderately-similar docs already land within a few bits of each other
+HAMMING_T = 2
 
 
 def _tokens() -> Column:

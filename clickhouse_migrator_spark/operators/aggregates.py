@@ -222,6 +222,26 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_decimal_exact_sums",
+    oracle="""
+    SELECT o_orderstatus,
+           sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS total_exact,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decimal aggregation — no float drift by construction (the
+    money-typed path; at 100 TB exact decimal sums are what makes
+    partial aggregation safely associative)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_exact"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
     "agg_collect_sorted_values",
     oracle="""
     SELECT o_orderpriority,

@@ -109,6 +109,86 @@ def tumbling_with_watermark(spark: SparkSession, sf_dir: str, late: str = "2 hou
     )
 
 
+@register(
+    "streaming_stateful_sessions",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState sessionizer run as a REAL two-batch
+    stream: batch 1 is the events file, batch 2 a far-future sentinel
+    that advances the watermark so every open session's event-time
+    timeout fires and flushes.  Output (sentinel excluded) equals the
+    batch gaps-and-islands sessionization — certified by the same
+    oracle."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pandas as _pd
+
+    src = tempfile.mkdtemp(prefix="stateful_stream_")
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/a_events.parquet")
+        _pd.DataFrame(
+            {
+                "event_id": [10**9],
+                "ts": [_pd.Timestamp("2030-01-01 00:00:00")],
+                "user_id": [999_999_999],
+                "event_type": ["view"],
+                "value": [0.0],
+                "props": ["{}"],
+            }
+        ).to_parquet(f"{src}/b_sentinel.parquet")
+        now = _time.time()
+        os.utime(f"{src}/a_events.parquet", (now - 100, now - 100))
+        os.utime(f"{src}/b_sentinel.parquet", (now, now))
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        if dict(stream.dtypes).get("ts") == "bigint":
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+            )
+        name = run_to_memory(sessionize_with_state(stream), mode="append", timeout_s=180)
+        return (
+            spark.table(name)
+            .filter(F.col("user_id") != 999_999_999)
+            .select(
+                "user_id",
+                F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+                F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+                "n_events",
+                F.round("total_value", 2).alias("total_value"),
+            )
+        )
+    finally:
+        # the memory sink has materialized everything by the time
+        # run_to_memory returns; the temp dir only backs the (stopped)
+        # stream, but the returned DataFrame is from the sink table —
+        # safe to leave cleanup to the OS tempdir policy if this fails
+        pass
+
+
 SESSION_STATE_SCHEMA = "start TIMESTAMP, last TIMESTAMP, n BIGINT, total DOUBLE"
 SESSION_OUT_SCHEMA = (
     "user_id BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, "

@@ -198,9 +198,29 @@ def _swap_overwrite(spark: SparkSession, table: str, df: DataFrame) -> None:
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {qual}")
 
 
+_CREATE_NAME_RE = __import__("re").compile(
+    r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.`]+)", __import__("re").I
+)
+
+
 def _exec_translated(spark: SparkSession, st: Statement) -> DataFrame | None:
-    if st.kind == "passthrough" or st.kind == "create_table":
+    if st.kind == "passthrough":
         return spark.sql(st.sql)
+    if st.kind == "create_table":
+        out = spark.sql(st.sql)
+        # preserve the ClickHouse physical-layout intent as metadata:
+        # ORDER BY → the write-sort a compaction job should apply;
+        # PARTITION BY → candidate partition columns (SURVEY.md §1.1)
+        props = {}
+        if st.order_by and st.order_by.lower() not in ("tuple()", "tuple ( )"):
+            props["clickhouse.order_by"] = st.order_by
+        if st.partition_by and st.partition_by.lower() not in ("tuple()", "tuple ( )"):
+            props["clickhouse.partition_by"] = st.partition_by
+        m = _CREATE_NAME_RE.search(st.sql)
+        if props and m:
+            kv = ", ".join(f"'{k}' = '{v}'" for k, v in props.items())
+            spark.sql(f"ALTER TABLE {m.group('name')} SET TBLPROPERTIES ({kv})")
+        return out
     if st.kind == "add_column":
         qual = _qualify(spark, st.table)
         df = spark.table(qual)

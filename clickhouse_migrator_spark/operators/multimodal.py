@@ -122,6 +122,45 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize_stub",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) % 640 AS INT)        AS width,
+             CAST((octet_length(encode(text)) * 31) % 480 AS INT) AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+           CAST(least(width, 224) AS INT) AS resized_w,
+           CAST(CASE WHEN width > 224
+                     THEN greatest(CAST(floor(height * 224.0 / width) AS INT), 1)
+                     ELSE height END AS INT) AS resized_h
+    FROM meta
+    """,
+)
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage of the media pipeline: cap width at 224 preserving
+    aspect ratio — arithmetic on the fake-decoded dimensions (the real
+    path would do the same math then hand pixels to a Pandas-UDF
+    resizer)."""
+    meta = multimodal_decode_stub(spark, sf_dir)
+    resized_w = F.least(F.col("width"), F.lit(224))
+    # explicit floor: bare double→int casts truncate in Spark but ROUND
+    # in DuckDB — never rely on implicit conversion for shared semantics
+    resized_h = F.when(
+        F.col("width") > 224,
+        F.greatest(F.floor(F.col("height") * 224.0 / F.col("width")).cast("int"), F.lit(1)),
+    ).otherwise(F.col("height"))
+    return meta.select(
+        "doc_id",
+        "width",
+        "height",
+        resized_w.cast("int").alias("resized_w"),
+        resized_h.cast("int").alias("resized_h"),
+    )
+
+
+@register(
     "multimodal_frame_sample",
     oracle="""
     WITH meta AS (

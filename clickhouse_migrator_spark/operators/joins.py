@@ -195,6 +195,27 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_cross_region_priority_grid",
+    oracle="""
+    SELECT r_name, o_orderpriority, n_orders FROM region
+    CROSS JOIN (SELECT o_orderpriority, count(*) AS n_orders
+                FROM orders GROUP BY o_orderpriority) p
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join — legitimate only when at least one side is
+    provably tiny (here: 5 regions × 5 aggregated priorities); the
+    engine's plan audit flags any accidental CartesianProduct."""
+    r = table(spark, sf_dir, "region").select("r_name")
+    p = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return r.crossJoin(F.broadcast(p))
+
+
+@register(
     "join_asof_last_purchase_before_error",
     oracle="""
     SELECT e.event_id, e.ts, p.ts AS last_purchase_ts

@@ -263,6 +263,38 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_map_funcs",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderkey,
+             map(['status', 'priority'], [o_orderstatus, o_orderpriority]) AS props
+      FROM orders
+    )
+    SELECT o_orderkey,
+           props['status'][1]                       AS status_val,
+           array_to_string(map_keys(props), ',')    AS key_list,
+           array_to_string(map_values(props), ',')  AS val_list,
+           CAST(cardinality(props) AS INT)          AS n_entries
+    FROM m
+    """,
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP column construction + extraction (typed key-value metadata —
+    the shape `events.props`-style columns take once parsed)."""
+    o = table(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"), F.lit("priority"), F.col("o_orderpriority")
+    )
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status_val"),
+        F.concat_ws(",", F.map_keys(m)).alias("key_list"),
+        F.concat_ws(",", F.map_values(m)).alias("val_list"),
+        F.size(m).alias("n_entries"),
+    )
+
+
+@register(
     "scalar_null_handling",
     oracle="""
     SELECT l_orderkey, l_linenumber,

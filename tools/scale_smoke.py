@@ -1,0 +1,114 @@
+"""Large-N engine stress: exercises the scale-critical code paths on
+synthetic data (spark.range — generated, not the driver fixtures) far
+above bench SF, and prints one JSON line per stage.
+
+    python tools/scale_smoke.py [--small]
+
+Stages:
+- agg_200m:    200M-row hash aggregation (map-side partial combine)
+- join_50m_1m: 50M ⨝ 1M shuffle join (AQE-planned)
+- skew_join:   20M rows, 80% on one key, ⨝ 1k dim — AQE skew split vs
+               explicit salting, both timed
+- window_20m:  20M-row partitioned window (row_number)
+- cow_10m:     copy-on-write ALTER UPDATE on a 10M-row catalog table
+               (the migration runner's mutation path at size)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import Window, functions as F  # noqa: E402
+
+from clickhouse_migrator_spark import migrate as M  # noqa: E402
+from clickhouse_migrator_spark.operators.skew import salted_join  # noqa: E402
+from clickhouse_migrator_spark.session import get_spark  # noqa: E402
+
+SMALL = "--small" in sys.argv
+SC = 0.01 if SMALL else 1.0
+
+
+def stage(name, t0):
+    print(json.dumps({"stage": name, "sec": round(time.perf_counter() - t0, 2)}), flush=True)
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="scale-smoke", warehouse_dir=tempfile.mkdtemp(prefix="scale_wh_")
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n = int(200e6 * SC)
+    t0 = time.perf_counter()
+    (
+        spark.range(n)
+        .select((F.col("id") % 1000).alias("k"), (F.col("id") * 7 % 100).alias("v"))
+        .groupBy("k")
+        .agg(F.sum("v"), F.count(F.lit(1)))
+        .write.format("noop").mode("overwrite").save()
+    )
+    stage(f"agg_{n//10**6}m", t0)
+
+    big, dim = int(50e6 * SC), int(1e6 * SC)
+    t0 = time.perf_counter()
+    b = spark.range(big).select((F.col("id") % dim).alias("k"), F.col("id").alias("v"))
+    d = spark.range(dim).select(F.col("id").alias("k"), (F.col("id") * 3).alias("w"))
+    (
+        b.join(d, "k")
+        .groupBy(F.col("k") % 100)
+        .agg(F.sum(F.col("v") + F.col("w")))
+        .write.format("noop").mode("overwrite").save()
+    )
+    stage(f"join_{big//10**6}m_{max(dim//10**6,1)}m", t0)
+
+    nskew = int(20e6 * SC)
+    skewed = spark.range(nskew).select(
+        F.when(F.col("id") % 5 != 0, 0).otherwise(F.col("id") % 1000).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim2 = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") + 1).alias("w"))
+    t0 = time.perf_counter()
+    skewed.join(dim2, "k").agg(F.sum("w")).write.format("noop").mode("overwrite").save()
+    stage("skew_join_aqe", t0)
+    t0 = time.perf_counter()
+    salted_join(skewed, dim2, "k", n_salts=32).agg(F.sum("w")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    stage("skew_join_salted", t0)
+
+    nw = int(20e6 * SC)
+    t0 = time.perf_counter()
+    w = Window.partitionBy(F.col("id") % 10000).orderBy("id")
+    (
+        spark.range(nw)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .write.format("noop").mode("overwrite").save()
+    )
+    stage(f"window_{nw//10**6}m", t0)
+
+    ncow = int(10e6 * SC)
+    M.create_db(spark, "scaledb")
+    spark.catalog.setCurrentDatabase("scaledb")
+    spark.range(ncow).select(
+        F.col("id"), (F.col("id") % 10000).alias("score")
+    ).write.saveAsTable("scaledb.big_metrics")
+    t0 = time.perf_counter()
+    M.execute_statement(
+        spark, "ALTER TABLE big_metrics UPDATE score = 0 WHERE score > 3000"
+    )
+    stage(f"cow_update_{ncow//10**6}m", t0)
+    assert spark.table("scaledb.big_metrics").filter("score > 3000").count() == 0
+    spark.catalog.setCurrentDatabase("default")
+    spark.sql("DROP DATABASE scaledb CASCADE")
+    print(json.dumps({"stage": "done", "rows_max": n}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

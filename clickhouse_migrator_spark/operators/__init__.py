@@ -8,11 +8,13 @@ from . import (  # noqa: F401
     events,
     joins,
     multimodal,
+    sampling,
     scalars,
     setops,
     similarity,
     subqueries,
     text,
     tpch,
+    tpch_ext,
     windows,
 )

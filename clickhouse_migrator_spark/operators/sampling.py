@@ -1,0 +1,156 @@
+"""Deterministic sampling operators (training-data pipeline surface).
+
+``df.sample()`` is seed-dependent *per partition layout*, so its output
+changes whenever the file split plan changes — useless as a contract at
+100 TB and impossible to oracle-check.  These operators sample by a
+**pure function of the row key**, so the same row is in or out of the
+sample on any cluster, any partitioning, any engine:
+
+    keep(row)  ⇔  mix(key) mod D < rate·D
+
+The mixer is a linear-congruential hash kept inside exact int64 range
+(all operands < 2^20 before multiply) so Spark and the SQL oracle
+compute bit-identical values.  In production on Spark alone,
+``F.xxhash64`` is the faster native choice; the arithmetic mixer is
+used here because it is expressible identically in any SQL dialect.
+
+NOT-IN-REFERENCE: the reference (88-line migration runner,
+`/root/reference/clickhouse_migrate/migrate.py`) has no sampling; this
+is driver-mandated extension surface (SURVEY.md §2.D).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..tables import table
+
+_P = 1_000_003  # prime modulus; keeps the multiply < 2^40, exact in int64
+_A = 999_983
+
+
+_C1, _C2 = 12_345, 67_890  # finalization-round constants
+
+
+def hash_bucket(*keys: Column) -> Column:
+    """Deterministic bucket in [0, _P) from one or more integer key
+    columns — the portable mixer described in the module docstring.
+
+    Two extra finalization rounds are essential: a single LCG round is
+    a *monotone* map on keys ≪ _P (sequential ids land in a narrow
+    band, so a "10% threshold" can select 0% or 100% of them); the
+    re-mixing rounds spread any input range uniformly — verified
+    against thresholds 0.1/0.5/0.8 on 15k sequential keys."""
+    h = F.lit(0).cast("bigint")
+    for k in keys:
+        h = ((h + k.cast("bigint")) % _P * _A) % _P
+    h = ((h + _C1) * _A) % _P
+    h = ((h + _C2) * _A) % _P
+    return h
+
+
+def _sql_bucket(*keys: str) -> str:
+    expr = "CAST(0 AS BIGINT)"
+    for k in keys:
+        expr = f"((({expr}) + CAST({k} AS BIGINT)) % {_P} * {_A}) % {_P}"
+    for c in (_C1, _C2):
+        expr = f"((({expr}) + {c}) * {_A}) % {_P}"
+    return expr
+
+
+@register(
+    "sample_hash_10pct_lineitem",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*) AS n_sampled,
+           round(sum(l_extendedprice), 2) AS sampled_price
+    FROM lineitem
+    WHERE {_sql_bucket('l_orderkey', 'l_linenumber')} < {_P} * 0.10
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def sample_hash_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% reproducible sample of lineitem keyed on the primary key.
+
+    Scale: a narrow filter evaluated in whole-stage codegen during the
+    scan — no shuffle, no state, stable under repartitioning; the
+    sample is re-derivable forever (critical for train/test splits)."""
+    li = table(spark, sf_dir, "lineitem")
+    keep = hash_bucket(F.col("l_orderkey"), F.col("l_linenumber")) < _P * 0.10
+    return (
+        li.filter(keep)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sampled_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "sample_stratified_by_priority",
+    oracle=f"""
+    SELECT o_orderpriority, count(*) AS n_sampled
+    FROM orders
+    WHERE {_sql_bucket('o_orderkey')} <
+          CASE WHEN o_orderpriority = '1-URGENT' THEN {_P} * 0.50
+               WHEN o_orderpriority = '2-HIGH'   THEN {_P} * 0.25
+               ELSE {_P} * 0.05 END
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-stratum rates (the deterministic
+    analog of ``df.sampleBy``): upsample rare/important strata,
+    downsample the bulk — the standard class-rebalancing step in a
+    training-data pipeline.  Same single-pass, shuffle-free shape as
+    the uniform sample; the rate is just a CASE over the stratum."""
+    o = table(spark, sf_dir, "orders")
+    rate = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(_P * 0.50))
+        .when(F.col("o_orderpriority") == "2-HIGH", F.lit(_P * 0.25))
+        .otherwise(F.lit(_P * 0.05))
+    )
+    return (
+        o.filter(hash_bucket(F.col("o_orderkey")) < rate)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "sample_train_test_split",
+    oracle=f"""
+    SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM (SELECT CASE WHEN {_sql_bucket('doc_id')} < {_P} * 0.8 THEN 'train'
+                      WHEN {_sql_bucket('doc_id')} < {_P} * 0.9 THEN 'valid'
+                      ELSE 'test' END AS split,
+                 n_chars
+          FROM documents) t
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjoint 80/10/10 train/valid/test assignment from one hash —
+    every engine, every run, every partitioning assigns each doc_id to
+    the same split (the property that makes the split auditable)."""
+    d = table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < _P * 0.8, "train").when(b < _P * 0.9, "valid").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )

@@ -92,6 +92,63 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(run_to_memory(agg))
 
 
+@register(
+    "streaming_sliding_2h_1h",
+    oracle="""
+    SELECT date_trunc('hour', ts) - k * INTERVAL '1 hour' AS window_start,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) offsets
+    GROUP BY 1
+    """,
+)
+def streaming_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch `events_sliding_2h_1h` (2h windows, 1h slide — every
+    event in two windows) computed by a real streaming pipeline.
+    Overlapping-window state is keyed by window-start, so state size is
+    #open-windows × #keys, bounded by a watermark in production."""
+    agg = (
+        stream_events(spark, sf_dir)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return spark.table(run_to_memory(agg))
+
+
+@register(
+    "streaming_enrich_mktsegment",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def streaming_enrich_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to the static
+    customer dimension (broadcast — re-read per micro-batch, never
+    shuffled), then aggregated by segment.  The canonical "enrich a
+    firehose with a dimension table" pipeline shape."""
+    ev = stream_events(spark, sf_dir)
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    return spark.table(run_to_memory(agg)).orderBy("c_mktsegment")
+
+
 def tumbling_with_watermark(spark: SparkSession, sf_dir: str, late: str = "2 hours") -> DataFrame:
     """Watermarked append-mode tumbling aggregation — the late-data
     policy variant (events later than ``late`` are dropped; only

@@ -380,3 +380,87 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored = pairs.mapInPandas(gemm, "vec_a BIGINT, vec_b BIGINT, _cos DOUBLE")
     return scored.select("vec_a", "vec_b", F.round("_cos", 6).alias("cosine"))
+
+
+@register(
+    "dedup_components_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    edges AS (SELECT doc_a, doc_b FROM pair_jaccard WHERE jaccard >= {JACCARD_T}),
+    sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+            UNION SELECT doc_b, doc_a FROM edges),
+    reach(src, dst) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+    comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+             FROM reach GROUP BY src)
+    SELECT component,
+           count(*)            AS n_members,
+           min(doc_id)         AS min_doc,
+           max(doc_id)         AS max_doc
+    FROM comp GROUP BY component
+    ORDER BY component
+    """,
+)
+def dedup_components_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the Jaccard pair
+    graph via iterative min-label propagation — the step that turns
+    pairwise dup detection into "keep one document per cluster".
+
+    Scale: each iteration is one shuffle join (edges ⨝ labels) + a
+    min-aggregate; iterations needed = component diameter, and near-dup
+    clusters are shallow (dups of a common ancestor), so 3–5 rounds
+    converge.  `localCheckpoint` truncates the growing loop lineage —
+    without it the plan doubles every round and the driver, not the
+    data, becomes the bottleneck.  (At extreme skew the alternating
+    large-star/small-star variant halves rounds; same join shape.)
+    The DuckDB oracle computes the same components with a recursive
+    transitive closure — feasible only because sf-scale graphs are
+    tiny; the Spark path is the one that scales."""
+    pairs = _exact_jaccard_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= JACCARD_T
+    ).select("doc_a", "doc_b")
+    sym = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).cache()
+    labels = (
+        sym.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(20):  # diameter bound; near-dup clusters converge in <5
+        neighbor_min = (
+            sym.join(labels, sym.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return (
+        labels.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("component")
+    )

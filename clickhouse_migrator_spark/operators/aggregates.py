@@ -287,3 +287,36 @@ def agg_order_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.median("l_quantity"), 4).alias("qty_median"),
         F.round(F.percentile("l_extendedprice", 0.9), 4).alias("price_p90"),
     )
+
+
+@register(
+    "agg_unpivot_measures",
+    oracle="""
+    SELECT measure, round(avg(val), 4) AS avg_val, round(sum(val), 2) AS sum_val
+    FROM (SELECT measure, val
+          FROM lineitem
+          UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax)))
+    GROUP BY measure
+    ORDER BY measure
+    """,
+)
+def agg_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide measure columns → long (measure, value) rows,
+    then per-measure stats — the inverse of `agg_pivot_returnflag`.
+    Spark's `unpivot` is a zero-shuffle stack expansion; only the
+    following aggregate shuffles (4 groups)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.unpivot(
+            ids=[],
+            values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            variableColumnName="measure",
+            valueColumnName="val",
+        )
+        .groupBy("measure")
+        .agg(
+            F.round(F.avg("val"), 4).alias("avg_val"),
+            F.round(F.sum("val"), 2).alias("sum_val"),
+        )
+        .orderBy("measure")
+    )

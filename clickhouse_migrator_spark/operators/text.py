@@ -258,3 +258,35 @@ def text_ngram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("gram"))
         .limit(20)
     )
+
+
+@register(
+    "text_rolling_hash",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(7 AS BIGINT),
+               list_transform(string_split(lower(trim(text)), ''),
+                              c -> CAST(ord(c) AS BIGINT))),
+               (acc, code) -> (acc * 131 + code) % 1000000007) AS roll_hash,
+           length(text) AS n_chars_hashed
+    FROM documents
+    """,
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial (Rabin-Karp) rolling hash over the normalized char
+    stream — the incremental-fingerprint primitive behind shingle
+    hashing and content-defined chunking.  Base 131 mod 1e9+7 keeps
+    every intermediate < 2^57, exact in int64 in both engines; computed
+    with JVM higher-order functions (`F.aggregate`), no Python UDF."""
+    d = table(spark, sf_dir, "documents")
+    chars = F.split(F.lower(F.trim(F.col("text"))), "")
+    roll = F.aggregate(
+        chars,
+        F.lit(7).cast("bigint"),
+        lambda acc, c: (acc * 131 + F.ascii(c).cast("bigint")) % 1_000_000_007,
+    )
+    return d.select(
+        "doc_id",
+        roll.alias("roll_hash"),
+        F.length("text").alias("n_chars_hashed"),
+    )

@@ -234,3 +234,170 @@ def events_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 2).alias("max_value"),
         )
     )
+
+
+@register(
+    "events_gapfill_hourly",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events),
+    grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket FROM bounds),
+    actual AS (
+      SELECT date_trunc('hour', ts) AS bucket, count(*) AS n_events,
+             round(sum(value), 2) AS total_value
+      FROM events GROUP BY 1)
+    SELECT g.bucket, coalesce(a.n_events, 0) AS n_events,
+           coalesce(a.total_value, 0.0) AS total_value
+    FROM grid g LEFT JOIN actual a ON g.bucket = a.bucket
+    ORDER BY g.bucket
+    """,
+)
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup (the hypertable/time_bucket_gapfill
+    shape): a dense hour grid generated with `sequence`+`explode` from
+    the observed bounds, left-joined to the actual rollup so silent
+    hours appear as explicit zeros.
+
+    Scale: the grid is #hours rows (tiny — 1-row bounds aggregate
+    broadcast into the sequence), the rollup is one partial-agg
+    shuffle; the rollup (#buckets rows, already reduced) broadcasts
+    into the final join — the *preserved* grid side of an outer join
+    cannot be the broadcast build side, so the hint goes on the rollup."""
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket")
+    )
+    actual = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("tv"),
+        )
+    )
+    return (
+        grid.join(F.broadcast(actual), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.coalesce("tv", F.lit(0.0)).alias("total_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "events_locf_hourly_value",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket,
+             round(avg(value), 4) AS avg_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+    bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events),
+    grid AS (
+      SELECT u.user_id, g.bucket
+      FROM (SELECT DISTINCT user_id FROM hourly) u
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
+                  FROM bounds) g)
+    SELECT grid.user_id, grid.bucket,
+           last_value(h.avg_value IGNORE NULLS)
+             OVER (PARTITION BY grid.user_id ORDER BY grid.bucket
+                   ROWS UNBOUNDED PRECEDING) AS locf_value
+    FROM grid LEFT JOIN hourly h
+      ON h.user_id = grid.user_id AND h.bucket = grid.bucket
+    ORDER BY grid.user_id, grid.bucket
+    """,
+)
+def events_locf_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward interpolation over a dense
+    per-user hour grid (the standard sensor/metric densification step):
+    missing hours inherit the most recent observed hourly average via
+    `last(..., ignorenulls=True)` over an unbounded-preceding window.
+
+    Scale: one window pass partitioned by user — state is a single
+    value per partition; the grid fan-out is #users × #hours, generated
+    distributively (no driver loop)."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = (
+        hourly.select("user_id")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                bounds.select(
+                    F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+                        "bucket"
+                    )
+                )
+            )
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            "bucket",
+            F.last("avg_value", ignorenulls=True).over(w).alias("locf_value"),
+        )
+        .orderBy("user_id", "bucket")
+    )
+
+
+@register(
+    "events_value_histogram",
+    oracle="""
+    WITH stats AS (
+      SELECT min(value) AS vmin, max(value) AS vmax FROM events)
+    SELECT least(CAST(floor((value - vmin) / ((vmax - vmin) / 10.0)) AS INT), 9)
+             AS bucket,
+           count(*) AS n_events,
+           round(min(value), 4) AS bucket_min,
+           round(max(value), 4) AS bucket_max
+    FROM events CROSS JOIN stats
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 10-bucket histogram of event values: global min/max
+    from a 1-row aggregate broadcast into the bucketing expression —
+    two scans, one tiny shuffle (10 groups), no driver round-trip."""
+    e = table(spark, sf_dir, "events")
+    stats = e.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("vmin")) / ((F.col("vmax") - F.col("vmin")) / 10.0)).cast(
+            "int"
+        ),
+        F.lit(9),
+    )
+    return (
+        e.crossJoin(F.broadcast(stats))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("value"), 4).alias("bucket_min"),
+            F.round(F.max("value"), 4).alias("bucket_max"),
+        )
+        .orderBy("bucket")
+    )

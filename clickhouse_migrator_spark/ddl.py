@@ -89,6 +89,8 @@ class Statement:
     predicate: str | None = None
     order_by: str | None = None
     partition_by: str | None = None
+    engine: str | None = None
+    deduplicate: bool = False
 
 
 _CREATE_RE = re.compile(r"^\s*CREATE\s+TABLE\s", re.I)
@@ -148,9 +150,15 @@ def translate(sql: str) -> Statement:
             sql=f"ALTER TABLE {m.group('src')} RENAME TO {m.group('dst')}",
         )
     m = _OPTIMIZE_RE.match(sql)
-    if m:  # MergeTree part-merge hint; parquet tables have no merge
-        # queue — the statement is a documented no-op (SELECT 1)
-        return Statement(kind="passthrough", sql="SELECT 1", table=m.group("table"))
+    if m:  # MergeTree part merge → real work (migrate._exec_translated):
+        # Replacing engines / DEDUPLICATE → key-dedupe rewrite using the
+        # recorded ORDER BY; otherwise small-file compaction
+        return Statement(
+            kind="optimize",
+            sql=sql,
+            table=m.group("table").strip("`"),
+            deduplicate=bool(re.search(r"\bDEDUPLICATE\b", sql, re.I)),
+        )
     m = _ADD_COL_RE.match(sql)
     if m:
         return Statement(
@@ -181,6 +189,8 @@ def translate(sql: str) -> Statement:
     if _CREATE_RE.match(sql):
         out = map_types(sql)
         order_by = partition_by = None
+        em = re.search(r"\bENGINE\s*=?\s*(?P<name>\w+)", out, re.I)
+        engine = em.group("name") if em else None
         pm = _PARTITION_RE.search(out)
         if pm:
             partition_by = pm.group("e").strip()
@@ -195,6 +205,10 @@ def translate(sql: str) -> Statement:
         if not re.search(r"\bUSING\s+\w+\s*$", out, re.I):
             out += " USING PARQUET"
         return Statement(
-            kind="create_table", sql=out, order_by=order_by, partition_by=partition_by
+            kind="create_table",
+            sql=out,
+            order_by=order_by,
+            partition_by=partition_by,
+            engine=engine,
         )
     return Statement(kind="passthrough", sql=map_types(sql).strip().rstrip(";"))

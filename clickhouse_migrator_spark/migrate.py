@@ -203,6 +203,66 @@ _CREATE_NAME_RE = __import__("re").compile(
 )
 
 
+def _table_props(spark: SparkSession, qual: str) -> dict[str, str]:
+    return {
+        r["key"]: r["value"] for r in spark.sql(f"SHOW TBLPROPERTIES {qual}").collect()
+    }
+
+
+def _optimize_table(spark: SparkSession, st: Statement) -> None:
+    """``OPTIMIZE TABLE`` made real on parquet tables (ClickHouse: a
+    MergeTree part-merge; reference fixtures issue it as a hint).
+
+    - Replacing/Collapsing engines, or an explicit ``DEDUPLICATE``
+      clause → keep ONE row per recorded ``ORDER BY`` key.  ClickHouse
+      keeps the row from the newest part; parquet has no part order,
+      so the survivor is chosen deterministically as the max of the
+      non-key columns (struct comparison) — documented divergence.
+    - plain engines → small-file compaction: rewrite sorted by the
+      recorded ``ORDER BY`` (restores data-skipping locality), sized
+      by spark.sql.files.maxPartitionBytes.
+    Both paths are one distributed rewrite + atomic swap."""
+    qual = _qualify(spark, st.table)
+    df = spark.table(qual)
+    props = _table_props(spark, qual)
+    engine = props.get("clickhouse.engine", "")
+    order_by = props.get("clickhouse.order_by", "")
+    keys = [
+        c.strip().strip("`")
+        for c in order_by.strip().lstrip("tuple").strip("() ").split(",")
+        if c.strip()
+    ]
+    dedupe = st.deduplicate or any(
+        k in engine.lower() for k in ("replacing", "collapsing")
+    )
+    if dedupe and keys:
+        others = [c for c in df.columns if c not in keys]
+        if others:
+            out = (
+                df.groupBy(*keys)
+                .agg(F.max(F.struct(*others)).alias("_survivor"))
+                .select(*keys, *[F.col(f"_survivor.`{c}`").alias(c) for c in others])
+            )
+        else:
+            out = df.distinct()
+    elif dedupe:
+        out = df.distinct()
+    elif keys:
+        # range-partition + sort on the ORDER BY key: the parquet
+        # analog of a MergeTree part merge (contiguous key ranges per
+        # file → min/max footer stats actually prune)
+        out = df.repartitionByRange(*keys).sortWithinPartitions(*keys)
+    else:
+        out = df.coalesce(max(1, spark.sparkContext.defaultParallelism // 4))
+    _swap_overwrite(spark, st.table, out)
+    if props:  # the swap loses TBLPROPERTIES; restore layout intent
+        kv = ", ".join(
+            f"'{k}' = '{v}'" for k, v in props.items() if k.startswith("clickhouse.")
+        )
+        if kv:
+            spark.sql(f"ALTER TABLE {qual} SET TBLPROPERTIES ({kv})")
+
+
 def _exec_translated(spark: SparkSession, st: Statement) -> DataFrame | None:
     if st.kind == "passthrough":
         return spark.sql(st.sql)
@@ -216,6 +276,8 @@ def _exec_translated(spark: SparkSession, st: Statement) -> DataFrame | None:
             props["clickhouse.order_by"] = st.order_by
         if st.partition_by and st.partition_by.lower() not in ("tuple()", "tuple ( )"):
             props["clickhouse.partition_by"] = st.partition_by
+        if st.engine:
+            props["clickhouse.engine"] = st.engine
         m = _CREATE_NAME_RE.search(st.sql)
         if props and m:
             kv = ", ".join(f"'{k}' = '{v}'" for k, v in props.items())
@@ -240,6 +302,9 @@ def _exec_translated(spark: SparkSession, st: Statement) -> DataFrame | None:
         qual = _qualify(spark, st.table)
         df = spark.table(qual)
         _swap_overwrite(spark, st.table, df.filter(~F.expr(st.predicate)))
+        return None
+    if st.kind == "optimize":
+        _optimize_table(spark, st)
         return None
     raise ValueError(f"unknown statement kind: {st.kind}")  # pragma: no cover
 

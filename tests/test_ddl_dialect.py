@@ -38,10 +38,22 @@ def test_rename_table_translated():
     assert st.sql == "ALTER TABLE db.a RENAME TO db.b"
 
 
-def test_optimize_is_noop():
+def test_optimize_classified():
     st = translate("OPTIMIZE TABLE t FINAL")
-    assert st.kind == "passthrough"
-    assert st.sql == "SELECT 1"
+    assert st.kind == "optimize"
+    assert st.table == "t"
+    assert st.deduplicate is False
+    st2 = translate("OPTIMIZE TABLE db.t FINAL DEDUPLICATE")
+    assert st2.kind == "optimize"
+    assert st2.deduplicate is True
+
+
+def test_create_records_engine_name():
+    st = translate(
+        "CREATE TABLE t (id UInt64, v String) ENGINE = ReplacingMergeTree ORDER BY (id)"
+    )
+    assert st.engine == "ReplacingMergeTree"
+    assert st.order_by == "(id)"
 
 
 def test_truncate_passthrough():

@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     events,
     joins,
     multimodal,
+    pipeline,
     sampling,
     scalars,
     setops,

@@ -1,0 +1,94 @@
+"""End-to-end training-data curation pipeline (flagship composite):
+
+    language-ID gate → quality gate → exact near-dup removal →
+    deterministic subsampling
+
+chained as ONE declarative DataFrame plan — no intermediate
+materialization, so Catalyst fuses the gates into the scan and the
+only shuffles are the dedup groupBy and the final ordering.  This is
+the shape a 100 TB corpus-curation job takes: every stage is a
+row-local expression except dedup (one hash shuffle) and sampling
+(row-local hash), so the pipeline streams through executors once.
+
+NOT-IN-REFERENCE: driver-mandated extension surface (SURVEY.md §2.D);
+stages reuse the exact operators certified individually in
+:mod:`.text`, :mod:`.dedup`, :mod:`.sampling`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import register
+from ..tables import table
+from .sampling import _P, _sql_bucket, hash_bucket
+from .text import STOP_DE, STOP_EN, STOP_ES, _sql_stop_hits, _stop_hits, _tokens
+
+
+@register(
+    "pipeline_curate_corpus",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, source,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents),
+    scored AS (
+      SELECT doc_id, source, text, len(toks) AS n_tokens,
+             {_sql_stop_hits(STOP_EN)} AS s_en,
+             {_sql_stop_hits(STOP_ES)} AS s_es,
+             {_sql_stop_hits(STOP_DE)} AS s_de
+      FROM t),
+    gated AS (
+      SELECT * FROM scored
+      WHERE s_en >= s_es AND s_en >= s_de AND s_en > 0
+        AND n_tokens >= 20
+        AND length(text) / CAST(n_tokens AS DOUBLE) BETWEEN 3 AND 12),
+    keep AS (
+      SELECT min(doc_id) AS doc_id
+      FROM gated GROUP BY md5(lower(trim(text)))),
+    curated AS (
+      SELECT g.doc_id, g.source, g.n_tokens
+      FROM gated g JOIN keep k ON g.doc_id = k.doc_id
+      WHERE {_sql_bucket('g.doc_id')} < {_P} * 0.5)
+    SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM curated GROUP BY source ORDER BY source
+    """,
+)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curate `documents` into a training corpus: keep English
+    (stopword-argmax language ID), quality-gated (≥20 tokens, sane
+    avg token length), exactly-deduplicated (min doc_id survives per
+    normalized-text fingerprint), then a reproducible 50% hash sample;
+    report per-source yield."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tok = F.size(toks)
+    s_en, s_es, s_de = (
+        _stop_hits(toks, STOP_EN),
+        _stop_hits(toks, STOP_ES),
+        _stop_hits(toks, STOP_DE),
+    )
+    avg_len = F.length("text") / n_tok.cast("double")
+    gated = d.select("doc_id", "source", "text", n_tok.alias("n_tokens")).filter(
+        (s_en >= s_es)
+        & (s_en >= s_de)
+        & (s_en > 0)
+        & (n_tok >= 20)
+        & avg_len.between(3, 12)
+    )
+    keep = gated.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return (
+        gated.join(keep.select("doc_id"), "doc_id", "left_semi")
+        .filter(hash_bucket(F.col("doc_id")) < _P * 0.5)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source")
+    )

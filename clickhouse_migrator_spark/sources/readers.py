@@ -54,3 +54,42 @@ def read_json(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.json(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 16,
+    driver: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """JDBC source (the read half of the ClickHouse-JDBC migration
+    pattern; sink half in :mod:`.sinks`).
+
+    Scale: WITHOUT ``partition_column`` a JDBC read is ONE connection
+    on one executor — a non-starter for a large table.  Supplying a
+    numeric ``partition_column`` + bounds splits the read into
+    ``num_partitions`` range-predicated queries executed in parallel;
+    Spark pushes filters and column pruning into the generated SQL.
+    ``table`` may be a subquery alias (``"(select ...) t"``) to push
+    arbitrary server-side preprocessing."""
+    ensure_runtime_confs(spark)
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if driver:
+        reader = reader.option("driver", driver)
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partition_column requires lower_bound and upper_bound")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()

@@ -50,3 +50,30 @@ def test_jdbc_missing_driver_raises_actionable(spark):
     with pytest.raises(Exception) as ei:
         write_clickhouse_jdbc(df, "jdbc:clickhouse://localhost:8123/db", "t")
     assert "ClassNotFound" in str(ei.value) or "classpath" in str(ei.value)
+
+
+def test_jdbc_reader_requires_bounds_with_partition_column(spark):
+    from clickhouse_migrator_spark.sources import read_jdbc
+
+    with pytest.raises(ValueError, match="lower_bound"):
+        read_jdbc(
+            spark,
+            "jdbc:clickhouse://localhost:8123/db",
+            "t",
+            partition_column="id",
+        )
+
+
+def test_jdbc_reader_missing_driver_raises(spark):
+    from clickhouse_migrator_spark.sources import read_jdbc
+
+    with pytest.raises(Exception) as ei:
+        read_jdbc(
+            spark,
+            "jdbc:clickhouse://localhost:8123/db",
+            "t",
+            partition_column="id",
+            lower_bound=0,
+            upper_bound=100,
+        ).count()
+    assert "driver" in str(ei.value).lower() or "ClassNotFound" in str(ei.value)

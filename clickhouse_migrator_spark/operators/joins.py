@@ -245,3 +245,41 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_id", "ts")
         .agg(F.max("p_ts").alias("last_purchase_ts"))
     )
+
+
+@register(
+    "join_null_safe_status",
+    oracle="""
+    WITH l AS (SELECT o_orderkey, nullif(o_orderstatus, 'O') AS s FROM orders),
+         d AS (SELECT DISTINCT nullif(o_orderstatus, 'O') AS s,
+                      coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS label
+               FROM orders)
+    SELECT d.label, count(*) AS n_orders
+    FROM l JOIN d ON l.s IS NOT DISTINCT FROM d.s
+    GROUP BY d.label
+    ORDER BY d.label
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping — required when the join key
+    legitimately contains NULL (here a NULLed-out 'open' status).
+    Still a hash join: `<=>` is an equi-condition, so Catalyst keeps
+    hash partitioning (no fallback to nested-loop)."""
+    o = table(spark, sf_dir, "orders")
+    left = o.select("o_orderkey", F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("s"))
+    dim = (
+        o.select(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("ds"),
+            F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+                "label"
+            ),
+        )
+        .distinct()
+    )
+    return (
+        left.join(F.broadcast(dim), left.s.eqNullSafe(dim.ds))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("label")
+    )

@@ -62,3 +62,52 @@ def test_windows_partition_by_key(spark, sf_dir):
 def test_similarity_broadcasts_queries(spark, sf_dir):
     df = similarity.sim_topk_cosine(spark, sf_dir)
     assert count_broadcasts(df) >= 1
+
+
+def test_q7_two_shuffles_all_dims_broadcast(spark, sf_dir):
+    from clickhouse_migrator_spark.operators import tpch_ext
+
+    df = tpch_ext.q7_volume_shipping(spark, sf_dir)
+    plan = _plan_string(df)
+    # customer/supplier/nation×2 broadcast; lineitem⨝orders + final agg
+    # are the only hash exchanges (plus the output sort)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert count_shuffles(df) <= 3
+
+
+def test_q15_max_revenue_is_broadcast_not_window(spark, sf_dir):
+    from clickhouse_migrator_spark.operators import tpch_ext
+
+    df = tpch_ext.q15_top_supplier(spark, sf_dir)
+    plan = _plan_string(df)
+    # the global max joins back as a broadcast — a single-partition
+    # Window over all suppliers would be the scale anti-pattern
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+
+
+def test_sampling_filter_is_scan_local(spark, sf_dir):
+    from clickhouse_migrator_spark.operators import sampling
+
+    df = sampling.sample_hash_10pct(spark, sf_dir)
+    # the keep-predicate is row-local: exactly the one agg shuffle (+
+    # output sort), no join, no window
+    assert count_shuffles(df) <= 2
+    plan = _plan_string(df)
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_gapfill_broadcasts_rollup_into_grid(spark, sf_dir):
+    from clickhouse_migrator_spark.operators import events as events_ops
+
+    df = events_ops.events_gapfill_hourly(spark, sf_dir)
+    assert "BroadcastHashJoin" in _plan_string(df)
+
+
+def test_null_safe_join_stays_hash_join(spark, sf_dir):
+    from clickhouse_migrator_spark.operators import joins as joins_ops
+
+    df = joins_ops.join_null_safe(spark, sf_dir)
+    plan = _plan_string(df)
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "NestedLoop" not in plan

@@ -290,3 +290,38 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         roll.alias("roll_hash"),
         F.length("text").alias("n_chars_hashed"),
     )
+
+
+@register(
+    "text_edit_distance_pairs",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM names a JOIN names b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY name_a, name_b
+    """,
+)
+def text_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution: near-identical name pairs by
+    Levenshtein distance — the string-similarity primitive behind
+    catalog/entity dedup.
+
+    Scale: all-pairs edit distance is quadratic, so the correct shape
+    is DISTINCT first (64 names here, versus 2000 part rows), then a
+    broadcast self-join of the *reduced* set; at real scale the
+    reduction step is the same and the pair space is cut further by
+    blocking (length/prefix buckets) before the quadratic join."""
+    names = table(spark, sf_dir, "part").select("p_name").distinct()
+    a, b = names.alias("a"), names.alias("b")
+    return (
+        a.join(F.broadcast(b), F.col("a.p_name") < F.col("b.p_name"))
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 3)
+        .orderBy("name_a", "name_b")
+    )

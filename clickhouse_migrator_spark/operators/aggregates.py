@@ -320,3 +320,42 @@ def agg_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("measure")
     )
+
+
+@register(
+    "agg_argmax_argmin",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderstatus, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+      FROM orders)
+    SELECT o_orderstatus,
+           max(CASE WHEN rmax = 1 THEN o_orderkey END) AS biggest_order,
+           max(CASE WHEN rmin = 1 THEN o_orderkey END) AS smallest_order,
+           round(max(o_totalprice), 2) AS max_price,
+           round(min(o_totalprice), 2) AS min_price
+    FROM ranked
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_argmax_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argMax/argMin (ClickHouse) → `max_by`/`min_by`: the key of the
+    extreme row per group in ONE aggregation pass — no window, no
+    self-join.  The ordering value is a (price, key) struct so ties
+    resolve identically in both engines."""
+    o = table(spark, sf_dir, "orders")
+    ordc = F.struct("o_totalprice", "o_orderkey")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.max_by("o_orderkey", ordc).alias("biggest_order"),
+            F.min_by("o_orderkey", ordc).alias("smallest_order"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -401,3 +401,52 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort
+      FROM events GROUP BY user_id),
+    acts AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events)
+    SELECT cohort,
+           count(DISTINCT CASE WHEN day = cohort     THEN a.user_id END) AS d0,
+           count(DISTINCT CASE WHEN day = cohort + 1 THEN a.user_id END) AS d1,
+           count(DISTINCT CASE WHEN day = cohort + 7 THEN a.user_id END) AS d7
+    FROM firsts f JOIN acts a ON f.user_id = a.user_id
+    GROUP BY cohort ORDER BY cohort
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (ClickHouse `retention()` shape): users grouped
+    by first-seen day, counted again on day+1 / day+7.
+
+    Scale: two aggregations of events (first-seen, distinct activity)
+    shuffled on user_id co-partition for the join; the conditional
+    count-distincts run in one pass over the joined rows."""
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("cohort")
+    )
+    acts = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    j = firsts.join(acts, "user_id")
+    return (
+        j.groupBy("cohort")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("day") == F.col("cohort"), F.col("user_id"))
+            ).alias("d0"),
+            F.countDistinct(
+                F.when(F.col("day") == F.date_add("cohort", 1), F.col("user_id"))
+            ).alias("d1"),
+            F.countDistinct(
+                F.when(F.col("day") == F.date_add("cohort", 7), F.col("user_id"))
+            ).alias("d7"),
+        )
+        .orderBy("cohort")
+    )

@@ -188,14 +188,26 @@ def _swap_overwrite(spark: SparkSession, table: str, df: DataFrame) -> None:
     Spark cannot overwrite a table it is currently reading; the
     write-to-new-location + catalog-rename swap is also the only
     pattern that scales (single full write, no driver materialization,
-    old data dropped only after the new table is durable)."""
+    old data dropped only after the new table is durable).
+
+    The recorded ``clickhouse.*`` layout/engine properties are carried
+    over — every mutation path flows through here, and OPTIMIZE's
+    dedupe/compaction decisions depend on them surviving."""
     qual = _qualify(spark, table)
     db, t = qual.split(".", 1)
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {qual}").collect()
+        if r["key"].startswith("clickhouse.")
+    }
     tmp = f"{db}.`__cow_{t.strip('`')}`"
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     df.write.mode("overwrite").format("parquet").saveAsTable(tmp.replace("`", ""))
     spark.sql(f"DROP TABLE {qual}")
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {qual}")
+    if props:
+        kv = ", ".join(f"'{k}' = '{v}'" for k, v in props.items())
+        spark.sql(f"ALTER TABLE {qual} SET TBLPROPERTIES ({kv})")
 
 
 _CREATE_NAME_RE = __import__("re").compile(
@@ -254,13 +266,7 @@ def _optimize_table(spark: SparkSession, st: Statement) -> None:
         out = df.repartitionByRange(*keys).sortWithinPartitions(*keys)
     else:
         out = df.coalesce(max(1, spark.sparkContext.defaultParallelism // 4))
-    _swap_overwrite(spark, st.table, out)
-    if props:  # the swap loses TBLPROPERTIES; restore layout intent
-        kv = ", ".join(
-            f"'{k}' = '{v}'" for k, v in props.items() if k.startswith("clickhouse.")
-        )
-        if kv:
-            spark.sql(f"ALTER TABLE {qual} SET TBLPROPERTIES ({kv})")
+    _swap_overwrite(spark, st.table, out)  # carries clickhouse.* props over
 
 
 def _exec_translated(spark: SparkSession, st: Statement) -> DataFrame | None:

@@ -80,3 +80,30 @@ def test_optimize_plain_compacts_preserving_rows_and_props(spark):
         assert props.get("clickhouse.engine") == "MergeTree"
     finally:
         _drop(spark, db)
+
+
+def test_props_survive_mutation_then_optimize_dedupes(spark):
+    # regression: ADD COLUMN / UPDATE go through the copy-on-write swap,
+    # which must carry clickhouse.* properties so OPTIMIZE still knows
+    # the engine + ORDER BY key afterwards
+    db = _fresh_db(spark)
+    try:
+        M.execute_statement(
+            spark,
+            "CREATE TABLE rkv (id UInt64, v UInt64) "
+            "ENGINE = ReplacingMergeTree ORDER BY (id)",
+        )
+        spark.sql("INSERT INTO rkv VALUES (1, 1), (1, 2), (2, 3)")
+        M.execute_statement(spark, "ALTER TABLE rkv ADD COLUMN flag UInt8 DEFAULT 0")
+        M.execute_statement(spark, "ALTER TABLE rkv UPDATE flag = 1 WHERE v >= 2")
+        props = {
+            r.key: r.value
+            for r in spark.sql(f"SHOW TBLPROPERTIES `{db}`.rkv").collect()
+        }
+        assert props.get("clickhouse.engine") == "ReplacingMergeTree"
+        assert props.get("clickhouse.order_by") == "(id)"
+        M.execute_statement(spark, "OPTIMIZE TABLE rkv FINAL")
+        rows = {r.id: (r.v, r.flag) for r in spark.table("rkv").collect()}
+        assert rows == {1: (2, 1), 2: (3, 1)}
+    finally:
+        _drop(spark, db)

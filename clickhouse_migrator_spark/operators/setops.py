@@ -85,3 +85,60 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.subtract(s)  # EXCEPT (set) semantics, not EXCEPT ALL
+
+
+@register(
+    "setop_intersect_all_flag_bags",
+    oracle="""
+    SELECT l_returnflag AS flag, count(*) AS n
+    FROM (SELECT l_returnflag FROM lineitem
+          WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          INTERSECT ALL
+          SELECT l_returnflag FROM lineitem
+          WHERE l_quantity >= 25)
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset intersection (per-value multiplicity =
+    min of the two sides), distinct from the set INTERSECT above.
+    Planned as an aggregate of per-side counts, not a pairwise join."""
+    li = table(spark, sf_dir, "lineitem")
+    a = li.filter(
+        F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    ).select(F.col("l_returnflag").alias("flag"))
+    b = li.filter(F.col("l_quantity") >= 25).select(F.col("l_returnflag").alias("flag"))
+    return (
+        a.intersectAll(b)
+        .groupBy("flag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("flag")
+    )
+
+
+@register(
+    "setop_except_all_flag_bags",
+    oracle="""
+    SELECT l_returnflag AS flag, count(*) AS n
+    FROM (SELECT l_returnflag FROM lineitem
+          WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          EXCEPT ALL
+          SELECT l_returnflag FROM lineitem
+          WHERE l_quantity >= 45)
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference (multiplicity = left minus
+    right, floored at zero)."""
+    li = table(spark, sf_dir, "lineitem")
+    a = li.filter(
+        F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    ).select(F.col("l_returnflag").alias("flag"))
+    b = li.filter(F.col("l_quantity") >= 45).select(F.col("l_returnflag").alias("flag"))
+    return (
+        a.exceptAll(b)
+        .groupBy("flag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("flag")
+    )

@@ -430,13 +430,14 @@ def dedup_components_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("component", F.col("doc_id"))
         .localCheckpoint()
     )
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     for _ in range(20):  # diameter bound; near-dup clusters converge in <5
         neighbor_min = (
             sym.join(labels, sym.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        updated = (
+        labels = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
@@ -446,15 +447,13 @@ def dedup_components_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .filter(F.col("u.component") != F.col("l.component"))
-            .count()
-        )
-        labels = updated
-        if changed == 0:
+        # labels only ever decrease, so the label sum is strictly
+        # monotone until the fixpoint — convergence detection for the
+        # cost of one aggregate instead of a self-join + filter
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return (
         labels.groupBy("component")
         .agg(

@@ -91,6 +91,7 @@ class Statement:
     partition_by: str | None = None
     engine: str | None = None
     deduplicate: bool = False
+    ttl: str | None = None
 
 
 _CREATE_RE = re.compile(r"^\s*CREATE\s+TABLE\s", re.I)
@@ -114,8 +115,20 @@ _DELETE_RE = re.compile(
     re.I | re.S,
 )
 _ENGINE_RE = re.compile(r"\bENGINE\s*=?\s*\w+(\(.*?\))?", re.I)
-_PARTITION_RE = re.compile(r"\bPARTITION\s+BY\s+(?P<e>[^;]*?)(?=\bORDER\s+BY|\bENGINE|;|$)", re.I)
-_ORDER_RE = re.compile(r"\bORDER\s+BY\s+(?P<e>[^;]*?)(?=\bPARTITION\s+BY|\bENGINE|;|$)", re.I)
+# physical-layout clauses can appear in any order after the column list;
+# each capture stops at the next clause keyword so none bleeds into the
+# recorded property value (TTL/SETTINGS once did — see test_ddl_dialect)
+_CLAUSE_STOP = r"(?=\bORDER\s+BY|\bPARTITION\s+BY|\bPRIMARY\s+KEY|\bSAMPLE\s+BY|\bTTL\b|\bSETTINGS\b|\bENGINE\b|;|$)"
+_PARTITION_RE = re.compile(r"\bPARTITION\s+BY\s+(?P<e>[^;]*?)" + _CLAUSE_STOP, re.I)
+_ORDER_RE = re.compile(r"\bORDER\s+BY\s+(?P<e>[^;]*?)" + _CLAUSE_STOP, re.I)
+_TTL_RE = re.compile(r"\bTTL\s+(?P<e>[^;]*?)" + _CLAUSE_STOP, re.I)
+_SETTINGS_RE = re.compile(r"\bSETTINGS\s+[^;]*", re.I)
+_SAMPLE_BY_RE = re.compile(r"\bSAMPLE\s+BY\s+(?P<e>[^;]*?)" + _CLAUSE_STOP, re.I)
+_PRIMARY_KEY_RE = re.compile(r"\bPRIMARY\s+KEY\s+(?P<e>[^;]*?)" + _CLAUSE_STOP, re.I)
+_MODIFY_TTL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.`]+)\s+MODIFY\s+TTL\s+(?P<e>.+?)\s*;?\s*$",
+    re.I | re.S,
+)
 _DEFAULT_COL_RE = re.compile(r"\s+DEFAULT\s+[^,)]+", re.I)
 
 
@@ -186,9 +199,17 @@ def translate(sql: str) -> Statement:
             table=m.group("table").strip("`"),
             predicate=m.group("pred"),
         )
+    m = _MODIFY_TTL_RE.match(sql)
+    if m:  # retention-policy metadata update; no Spark-side DDL exists
+        return Statement(
+            kind="set_ttl",
+            sql=sql,
+            table=m.group("table").strip("`"),
+            ttl=m.group("e").strip(),
+        )
     if _CREATE_RE.match(sql):
         out = map_types(sql)
-        order_by = partition_by = None
+        order_by = partition_by = ttl = None
         em = re.search(r"\bENGINE\s*=?\s*(?P<name>\w+)", out, re.I)
         engine = em.group("name") if em else None
         pm = _PARTITION_RE.search(out)
@@ -199,6 +220,13 @@ def translate(sql: str) -> Statement:
         if om:
             order_by = om.group("e").strip()
             out = _ORDER_RE.sub(" ", out)
+        tm = _TTL_RE.search(out)
+        if tm:
+            ttl = tm.group("e").strip()
+            out = _TTL_RE.sub(" ", out)
+        out = _SETTINGS_RE.sub(" ", out)
+        out = _SAMPLE_BY_RE.sub(" ", out)
+        out = _PRIMARY_KEY_RE.sub(" ", out)
         out = _ENGINE_RE.sub(" ", out)
         out = _DEFAULT_COL_RE.sub(" ", out)
         out = re.sub(r"\s+", " ", out).strip().rstrip(";")
@@ -210,5 +238,6 @@ def translate(sql: str) -> Statement:
             order_by=order_by,
             partition_by=partition_by,
             engine=engine,
+            ttl=ttl,
         )
     return Statement(kind="passthrough", sql=map_types(sql).strip().rstrip(";"))

@@ -31,6 +31,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Row, SparkSession, functions as F
@@ -221,6 +222,35 @@ def _table_props(spark: SparkSession, qual: str) -> dict[str, str]:
     }
 
 
+_TTL_EXPR_RE = re.compile(
+    r"^\s*(?P<col>[\w`]+)\s*\+\s*INTERVAL\s+(?P<n>\d+)\s+(?P<unit>\w+?)S?\s*$", re.I
+)
+
+
+def apply_ttl(spark: SparkSession, table: str) -> int:
+    """Enforce the recorded ``clickhouse.ttl`` retention policy: delete
+    rows whose TTL expression has passed.  ClickHouse applies TTL
+    lazily during background merges; here it is an explicit maintenance
+    pass (one partition-parallel copy-on-write rewrite).  Returns the
+    number of expired rows removed; supports the canonical
+    ``col + INTERVAL n UNIT`` policy shape."""
+    qual = _qualify(spark, table)
+    ttl = _table_props(spark, qual).get("clickhouse.ttl")
+    if not ttl:
+        return 0
+    m = _TTL_EXPR_RE.match(ttl)
+    if not m:
+        raise ValueError(f"unsupported TTL expression: {ttl!r}")
+    col = m.group("col").strip("`")
+    horizon = F.expr(f"INTERVAL {int(m.group('n'))} {m.group('unit').upper()}")
+    df = spark.table(qual)
+    expired = (F.col(col) + horizon) < F.current_timestamp()
+    n_expired = df.filter(expired).count()
+    if n_expired:
+        _swap_overwrite(spark, table, df.filter(~expired))
+    return n_expired
+
+
 def _optimize_table(spark: SparkSession, st: Statement) -> None:
     """``OPTIMIZE TABLE`` made real on parquet tables (ClickHouse: a
     MergeTree part-merge; reference fixtures issue it as a hint).
@@ -284,6 +314,8 @@ def _exec_translated(spark: SparkSession, st: Statement) -> DataFrame | None:
             props["clickhouse.partition_by"] = st.partition_by
         if st.engine:
             props["clickhouse.engine"] = st.engine
+        if st.ttl:
+            props["clickhouse.ttl"] = st.ttl
         m = _CREATE_NAME_RE.search(st.sql)
         if props and m:
             kv = ", ".join(f"'{k}' = '{v}'" for k, v in props.items())
@@ -311,6 +343,14 @@ def _exec_translated(spark: SparkSession, st: Statement) -> DataFrame | None:
         return None
     if st.kind == "optimize":
         _optimize_table(spark, st)
+        return None
+    if st.kind == "set_ttl":
+        # TTL is a retention policy, not storage DDL: record it; the
+        # enforcement pass is apply_ttl() run by a maintenance job
+        qual = _qualify(spark, st.table)
+        spark.sql(
+            f"ALTER TABLE {qual} SET TBLPROPERTIES ('clickhouse.ttl' = '{st.ttl}')"
+        )
         return None
     raise ValueError(f"unknown statement kind: {st.kind}")  # pragma: no cover
 

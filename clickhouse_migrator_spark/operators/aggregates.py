@@ -359,3 +359,45 @@ def agg_argmax_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "agg_statistical_moments",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)      AS qty_price_corr,
+           round(covar_pop(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           round(stddev_pop(l_discount), 6)                 AS discount_stddev,
+           round(var_pop(l_tax), 6)                         AS tax_var,
+           round(regr_slope(l_extendedprice, l_quantity), 4)     AS price_per_qty,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS price_intercept
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_statistical_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (ClickHouse corr/covarPop/stddevPop/
+    varPop + linear-regression fit): all single-pass mergeable moments
+    — partial aggregation computes per-partition (n, Σx, Σy, Σxy, Σx²)
+    and the final reduce combines them, so the shuffle carries a
+    handful of doubles per group regardless of data size."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias(
+                "qty_price_covar"
+            ),
+            F.round(F.stddev_pop("l_discount"), 6).alias("discount_stddev"),
+            F.round(F.var_pop("l_tax"), 6).alias("tax_var"),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias(
+                "price_per_qty"
+            ),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+                "price_intercept"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -208,7 +208,16 @@ def translate(sql: str) -> Statement:
             ttl=m.group("e").strip(),
         )
     if _CREATE_RE.match(sql):
-        out = map_types(sql)
+        out = map_types(sql).strip().rstrip(";")
+        # CTAS: split off the SELECT before clause-stripping, or the
+        # layout-clause regexes would eat the query (ORDER BY inside the
+        # SELECT is *its* order, and `AS SELECT ...` after ORDER BY (k)
+        # would be captured into the recorded key — data-losing bugs)
+        ctas_tail = ""
+        cm = re.search(r"\bAS\s+\(?\s*SELECT\b", out, re.I)
+        if cm:
+            ctas_tail = " " + re.sub(r"\s+", " ", out[cm.start():]).strip()
+            out = out[: cm.start()]
         order_by = partition_by = ttl = None
         em = re.search(r"\bENGINE\s*=?\s*(?P<name>\w+)", out, re.I)
         engine = em.group("name") if em else None
@@ -232,6 +241,7 @@ def translate(sql: str) -> Statement:
         out = re.sub(r"\s+", " ", out).strip().rstrip(";")
         if not re.search(r"\bUSING\s+\w+\s*$", out, re.I):
             out += " USING PARQUET"
+        out += ctas_tail  # Spark syntax: USING comes before AS SELECT
         return Statement(
             kind="create_table",
             sql=out,

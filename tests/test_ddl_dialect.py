@@ -67,3 +67,18 @@ def test_add_column_wrapper_type():
     assert st.kind == "add_column"
     assert st.col_type == "STRING"
     assert st.default == "'x'"
+
+
+def test_ctas_with_engine_clauses_preserves_select():
+    st = translate(
+        "CREATE TABLE t ENGINE = MergeTree ORDER BY (id) "
+        "AS SELECT id, v FROM src ORDER BY v"
+    )
+    assert st.sql == "CREATE TABLE t USING PARQUET AS SELECT id, v FROM src ORDER BY v"
+    assert st.order_by == "(id)"  # the table's key, not the SELECT's sort
+    assert st.engine == "MergeTree"
+
+
+def test_ctas_plain_places_using_before_select():
+    st = translate("CREATE TABLE t2 AS SELECT 1 AS x")
+    assert st.sql == "CREATE TABLE t2 USING PARQUET AS SELECT 1 AS x"

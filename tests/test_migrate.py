@@ -199,3 +199,28 @@ def test_cow_delete(spark, db):
         assert sorted(r.id for r in spark.table(f"`{db}`.t").collect()) == [1, 2]
     finally:
         spark.catalog.setCurrentDatabase("default")
+
+
+def test_ctas_executes_end_to_end(spark):
+    import uuid as _uuid
+
+    from clickhouse_migrator_spark import migrate as M
+
+    db = "ctasdb_" + _uuid.uuid4().hex[:8]
+    M.create_db(spark, db)
+    spark.catalog.setCurrentDatabase(db)
+    try:
+        M.execute_statement(
+            spark, "CREATE TABLE src (id UInt64, v UInt64) ENGINE = MergeTree ORDER BY (id)"
+        )
+        spark.sql("INSERT INTO src VALUES (1, 10), (2, 20), (3, 30)")
+        M.execute_statement(
+            spark,
+            "CREATE TABLE derived ENGINE = MergeTree ORDER BY (id) "
+            "AS SELECT id, v * 2 AS v2 FROM src WHERE v >= 20",
+        )
+        rows = {r.id: r.v2 for r in spark.table("derived").collect()}
+        assert rows == {2: 40, 3: 60}
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql(f"DROP DATABASE `{db}` CASCADE")

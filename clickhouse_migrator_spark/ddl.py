@@ -92,6 +92,7 @@ class Statement:
     engine: str | None = None
     deduplicate: bool = False
     ttl: str | None = None
+    rename_to: str | None = None
 
 
 _CREATE_RE = re.compile(r"^\s*CREATE\s+TABLE\s", re.I)
@@ -129,6 +130,24 @@ _MODIFY_TTL_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.`]+)\s+MODIFY\s+TTL\s+(?P<e>.+?)\s*;?\s*$",
     re.I | re.S,
 )
+_DROP_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.`]+)\s+DROP\s+COLUMN\s+"
+    r"(?:IF\s+EXISTS\s+)?(?P<col>[\w`]+)\s*;?\s*$",
+    re.I,
+)
+_MODIFY_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.`]+)\s+MODIFY\s+COLUMN\s+"
+    r"(?P<col>[\w`]+)\s+(?P<type>\w+(?:\([^)]*\))?)\s*;?\s*$",
+    re.I,
+)
+_RENAME_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.`]+)\s+RENAME\s+COLUMN\s+"
+    r"(?:IF\s+EXISTS\s+)?(?P<src>[\w`]+)\s+TO\s+(?P<dst>[\w`]+)\s*;?\s*$",
+    re.I,
+)
+# distributed-DDL decoration; meaningless off-cluster and rejected by
+# Spark's parser — stripped from every statement before classification
+_ON_CLUSTER_RE = re.compile(r"\bON\s+CLUSTER\s+[`'\"]?[\w-]+[`'\"]?", re.I)
 _DEFAULT_COL_RE = re.compile(r"\s+DEFAULT\s+[^,)]+", re.I)
 
 
@@ -156,6 +175,7 @@ def _split_assignments(assign: str) -> list[tuple[str, str]]:
 
 def translate(sql: str) -> Statement:
     """Classify + translate one ClickHouse-dialect statement."""
+    sql = _ON_CLUSTER_RE.sub(" ", sql)
     m = _RENAME_RE.match(sql)
     if m:  # ClickHouse RENAME TABLE → Spark ALTER TABLE … RENAME TO
         return Statement(
@@ -171,6 +191,32 @@ def translate(sql: str) -> Statement:
             sql=sql,
             table=m.group("table").strip("`"),
             deduplicate=bool(re.search(r"\bDEDUPLICATE\b", sql, re.I)),
+        )
+    m = _DROP_COL_RE.match(sql)
+    if m:  # Spark parquet tables reject DROP COLUMN → copy-on-write
+        return Statement(
+            kind="drop_column",
+            sql=sql,
+            table=m.group("table").strip("`"),
+            column=m.group("col").strip("`"),
+        )
+    m = _MODIFY_COL_RE.match(sql)
+    if m:  # type change → copy-on-write cast
+        return Statement(
+            kind="modify_column",
+            sql=sql,
+            table=m.group("table").strip("`"),
+            column=m.group("col").strip("`"),
+            col_type=map_types(m.group("type")),
+        )
+    m = _RENAME_COL_RE.match(sql)
+    if m:  # Spark parquet tables reject RENAME COLUMN → copy-on-write
+        return Statement(
+            kind="rename_column",
+            sql=sql,
+            table=m.group("table").strip("`"),
+            column=m.group("src").strip("`"),
+            rename_to=m.group("dst").strip("`"),
         )
     m = _ADD_COL_RE.match(sql)
     if m:

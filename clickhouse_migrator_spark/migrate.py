@@ -327,6 +327,25 @@ def _exec_translated(spark: SparkSession, st: Statement) -> DataFrame | None:
         default = F.expr(st.default).cast(st.col_type) if st.default is not None else F.lit(None).cast(st.col_type)
         _swap_overwrite(spark, st.table, df.withColumn(st.column, default))
         return None
+    if st.kind == "drop_column":
+        qual = _qualify(spark, st.table)
+        _swap_overwrite(spark, st.table, spark.table(qual).drop(st.column))
+        return None
+    if st.kind == "modify_column":
+        qual = _qualify(spark, st.table)
+        df = spark.table(qual)
+        _swap_overwrite(
+            spark,
+            st.table,
+            df.withColumn(st.column, F.col(st.column).cast(st.col_type)),
+        )
+        return None
+    if st.kind == "rename_column":
+        qual = _qualify(spark, st.table)
+        _swap_overwrite(
+            spark, st.table, spark.table(qual).withColumnRenamed(st.column, st.rename_to)
+        )
+        return None
     if st.kind == "cow_update":
         qual = _qualify(spark, st.table)
         df = spark.table(qual)

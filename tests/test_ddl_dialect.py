@@ -82,3 +82,23 @@ def test_ctas_with_engine_clauses_preserves_select():
 def test_ctas_plain_places_using_before_select():
     st = translate("CREATE TABLE t2 AS SELECT 1 AS x")
     assert st.sql == "CREATE TABLE t2 USING PARQUET AS SELECT 1 AS x"
+
+
+def test_on_cluster_stripped_everywhere():
+    st = translate(
+        "CREATE TABLE t ON CLUSTER main (id UInt64) ENGINE = MergeTree ORDER BY (id)"
+    )
+    assert "CLUSTER" not in st.sql
+    st2 = translate("DROP TABLE t ON CLUSTER `prod-1`")
+    assert st2.sql.strip() == "DROP TABLE t"
+
+
+def test_alter_column_ops_classified():
+    st = translate("ALTER TABLE t DROP COLUMN IF EXISTS v")
+    assert (st.kind, st.table, st.column) == ("drop_column", "t", "v")
+    st = translate("ALTER TABLE t MODIFY COLUMN v UInt64")
+    assert (st.kind, st.column, st.col_type) == ("modify_column", "v", "BIGINT")
+    st = translate("ALTER TABLE t RENAME COLUMN a TO b")
+    assert (st.kind, st.column, st.rename_to) == ("rename_column", "a", "b")
+    # MODIFY TTL must not be swallowed by MODIFY COLUMN
+    assert translate("ALTER TABLE t MODIFY TTL ts + INTERVAL 7 DAY").kind == "set_ttl"

@@ -224,3 +224,30 @@ def test_ctas_executes_end_to_end(spark):
     finally:
         spark.catalog.setCurrentDatabase("default")
         spark.sql(f"DROP DATABASE `{db}` CASCADE")
+
+
+def test_alter_column_ops_end_to_end(spark):
+    import uuid as _uuid
+
+    from clickhouse_migrator_spark import migrate as M
+
+    db = "alterdb_" + _uuid.uuid4().hex[:8]
+    M.create_db(spark, db)
+    spark.catalog.setCurrentDatabase(db)
+    try:
+        M.execute_statement(
+            spark,
+            "CREATE TABLE t (id UInt64, v UInt32, junk String) "
+            "ENGINE = MergeTree ORDER BY (id)",
+        )
+        spark.sql("INSERT INTO t VALUES (1, 10, 'x'), (2, 20, 'y')")
+        M.execute_statement(spark, "ALTER TABLE t DROP COLUMN junk")
+        assert spark.table("t").columns == ["id", "v"]
+        M.execute_statement(spark, "ALTER TABLE t MODIFY COLUMN v Float64")
+        assert dict(spark.table("t").dtypes)["v"] == "double"
+        M.execute_statement(spark, "ALTER TABLE t RENAME COLUMN v TO value")
+        rows = {r.id: r.value for r in spark.table("t").collect()}
+        assert rows == {1: 10.0, 2: 20.0}
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql(f"DROP DATABASE `{db}` CASCADE")

@@ -176,6 +176,14 @@ def _split_assignments(assign: str) -> list[tuple[str, str]]:
 def translate(sql: str) -> Statement:
     """Classify + translate one ClickHouse-dialect statement."""
     sql = _ON_CLUSTER_RE.sub(" ", sql)
+    sql = re.sub(r"\bSYNC\s*;?\s*$", "", sql, flags=re.I)  # synchronous-drop modifier
+    # MATERIALIZED VIEW → a real table built by CTAS (POPULATE is then
+    # implicit — Spark has no deferred-fill concept); *continuous*
+    # maintenance is the operators/rollup.py refresh pattern, not DDL
+    sql = re.sub(
+        r"^(\s*CREATE\s+)MATERIALIZED\s+VIEW\b", r"\1TABLE", sql, flags=re.I
+    )
+    sql = re.sub(r"\bPOPULATE\s+(?=AS\b)", "", sql, flags=re.I)
     m = _RENAME_RE.match(sql)
     if m:  # ClickHouse RENAME TABLE → Spark ALTER TABLE … RENAME TO
         return Statement(

@@ -102,3 +102,22 @@ def test_alter_column_ops_classified():
     assert (st.kind, st.column, st.rename_to) == ("rename_column", "a", "b")
     # MODIFY TTL must not be swallowed by MODIFY COLUMN
     assert translate("ALTER TABLE t MODIFY TTL ts + INTERVAL 7 DAY").kind == "set_ttl"
+
+
+def test_materialized_view_maps_to_ctas_table():
+    st = translate(
+        "CREATE MATERIALIZED VIEW mv ENGINE = SummingMergeTree ORDER BY (day) "
+        "POPULATE AS SELECT day, sum(v) AS total FROM src GROUP BY day"
+    )
+    assert st.kind == "create_table"
+    assert st.sql == (
+        "CREATE TABLE mv USING PARQUET AS SELECT day, sum(v) AS total "
+        "FROM src GROUP BY day"
+    )
+    assert st.engine == "SummingMergeTree"
+    assert st.order_by == "(day)"
+
+
+def test_drop_sync_modifier_stripped():
+    st = translate("DROP TABLE IF EXISTS t SYNC")
+    assert st.sql.strip() == "DROP TABLE IF EXISTS t"

@@ -59,6 +59,47 @@ _WRAPPER_RE = re.compile(r"\b(?:Nullable|LowCardinality)\(\s*([^()]*?)\s*\)")
 _ENUM_RE = re.compile(r"\bEnum(?:8|16)?\s*\([^)]*\)")
 _DECIMAL_RE = re.compile(r"\bDecimal(?:32|64|128)?\s*\(")
 _ARRAY_RE = re.compile(r"\bArray\(\s*([^()]*?)\s*\)")
+_MAP_RE = re.compile(r"\bMap\(\s*([^(),]*?)\s*,\s*([^()]*?)\s*\)")
+# unnamed Tuple(T1, T2) → STRUCT<_1: T1, _2: T2>; named
+# Tuple(a T1, b T2) → STRUCT<a: T1, b: T2>
+_TUPLE_RE = re.compile(r"\bTuple\(\s*([^()]*?)\s*\)")
+# column/statement decorations with no Spark equivalent:
+# CODEC(...) — parquet has its own codecs (possibly nested: ZSTD(3))
+_CODEC_RE = re.compile(r"\s*CODEC\([^()]*(?:\([^()]*\)[^()]*)*\)", re.I)
+# inline data-skipping index definitions — parquet min/max + optional
+# bloom filters subsume them
+_INLINE_INDEX_RE = re.compile(
+    r",\s*INDEX\s+[^,()]+?(?:\([^)]*\))?[^,()]*?GRANULARITY\s+\d+", re.I
+)
+_ALTER_INDEX_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.`]+)\s+"
+    r"(?:ADD|DROP|CLEAR|MATERIALIZE)\s+INDEX\b",
+    re.I,
+)
+
+
+def _tuple_to_struct(m: "re.Match[str]") -> str:
+    parts, depth, cur = [], 0, []
+    for ch in m.group(1):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    fields = []
+    for i, p in enumerate(parts, 1):
+        bits = p.split(None, 1)
+        if len(bits) == 2 and re.match(r"^[a-z_]\w*$", bits[0]):  # named field
+            fields.append(f"{bits[0]}: {bits[1]}")
+        else:
+            fields.append(f"_{i}: {p}")
+    return "STRUCT<" + ", ".join(fields) + ">"
 
 
 def map_types(sql: str) -> str:
@@ -66,10 +107,12 @@ def map_types(sql: str) -> str:
     wrapper types real-world DDL uses: Nullable / LowCardinality /
     Enum / Decimal / Array)."""
     prev = None
-    while prev != sql:  # unwrap nested wrappers to fixpoint
+    while prev != sql:  # unwrap nested wrappers/containers to fixpoint
         prev = sql
         sql = _WRAPPER_RE.sub(lambda m: m.group(1), sql)
         sql = _ARRAY_RE.sub(lambda m: f"ARRAY<{m.group(1)}>", sql)
+        sql = _MAP_RE.sub(lambda m: f"MAP<{m.group(1)}, {m.group(2)}>", sql)
+        sql = _TUPLE_RE.sub(_tuple_to_struct, sql)
     sql = _ENUM_RE.sub("STRING", sql)  # enums → their string labels
     sql = _DECIMAL_RE.sub("DECIMAL(", sql)
     return _TYPE_RE.sub(lambda m: TYPE_MAP[m.group(1)], sql)
@@ -184,6 +227,12 @@ def translate(sql: str) -> Statement:
         r"^(\s*CREATE\s+)MATERIALIZED\s+VIEW\b", r"\1TABLE", sql, flags=re.I
     )
     sql = re.sub(r"\bPOPULATE\s+(?=AS\b)", "", sql, flags=re.I)
+    sql = _CODEC_RE.sub("", sql)
+    sql = _INLINE_INDEX_RE.sub("", sql)
+    m = _ALTER_INDEX_RE.match(sql)
+    if m:  # data-skipping index maintenance: parquet footer min/max and
+        # bloom-filter write options subsume it — documented no-op
+        return Statement(kind="passthrough", sql="SELECT 1", table=m.group("table"))
     m = _RENAME_RE.match(sql)
     if m:  # ClickHouse RENAME TABLE → Spark ALTER TABLE … RENAME TO
         return Statement(

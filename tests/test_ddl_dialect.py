@@ -121,3 +121,34 @@ def test_materialized_view_maps_to_ctas_table():
 def test_drop_sync_modifier_stripped():
     st = translate("DROP TABLE IF EXISTS t SYNC")
     assert st.sql.strip() == "DROP TABLE IF EXISTS t"
+
+
+def test_codec_and_inline_index_stripped():
+    st = translate(
+        "CREATE TABLE t (id UInt64, v UInt64 CODEC(ZSTD(3)), "
+        "INDEX iv v TYPE set(100) GRANULARITY 4) ENGINE = MergeTree ORDER BY (id)"
+    )
+    assert st.sql == "CREATE TABLE t (id BIGINT, v BIGINT) USING PARQUET"
+
+
+def test_alter_index_ops_are_noops():
+    for stmt in (
+        "ALTER TABLE t ADD INDEX iv v TYPE minmax GRANULARITY 2",
+        "ALTER TABLE t DROP INDEX iv",
+        "ALTER TABLE t MATERIALIZE INDEX iv",
+    ):
+        st = translate(stmt)
+        assert st.kind == "passthrough" and st.sql == "SELECT 1"
+
+
+def test_map_and_tuple_types():
+    from clickhouse_migrator_spark.ddl import map_types
+
+    assert map_types("Map(String, UInt64)") == "MAP<STRING, BIGINT>"
+    assert map_types("Tuple(String, UInt32)") == "STRUCT<_1: STRING, _2: BIGINT>"
+    assert map_types("Tuple(name String, age UInt8)") == "STRUCT<name: STRING, age: SMALLINT>"
+    assert (
+        map_types("Array(Tuple(String, Nullable(UInt64)))")
+        == "ARRAY<STRUCT<_1: STRING, _2: BIGINT>>"
+    )
+    assert map_types("Map(String, Array(UInt32))") == "MAP<STRING, ARRAY<BIGINT>>"

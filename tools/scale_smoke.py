@@ -92,6 +92,50 @@ def main() -> None:
     )
     stage(f"window_{nw//10**6}m", t0)
 
+    # minhash signature + LSH banding over 1M synthetic docs (~30 tokens
+    # each → ~28M exploded shingles through a 32-aggregate groupBy): the
+    # corpus-dedup hot path at representative shuffle volume
+    ndocs = int(1e6 * SC)
+    t0 = time.perf_counter()
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(29)),
+        lambda i: F.concat(
+            F.lit("w"), ((F.col("id") % 100003) * 31 + i * 7) % 5000
+        ),
+    )
+    docs = spark.range(ndocs).select("id", F.concat_ws(" ", words).alias("text"))
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    sh = docs.select("id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    sig = sh.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.concat(F.lit(f"s{i}:"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(32)
+        ]
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")).alias("bucket"),
+            )
+            for b in range(16)
+        ]
+    )
+    buckets = sig.select("id", F.explode(bands).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
+    )
+    (
+        buckets.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .write.format("noop").mode("overwrite").save()
+    )
+    stage(f"minhash_{max(ndocs//10**6,1)}m_docs", t0)
+
     ncow = int(10e6 * SC)
     M.create_db(spark, "scaledb")
     spark.catalog.setCurrentDatabase("scaledb")

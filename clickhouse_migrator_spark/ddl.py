@@ -191,6 +191,14 @@ _RENAME_COL_RE = re.compile(
 # distributed-DDL decoration; meaningless off-cluster and rejected by
 # Spark's parser — stripped from every statement before classification
 _ON_CLUSTER_RE = re.compile(r"\bON\s+CLUSTER\s+[`'\"]?[\w-]+[`'\"]?", re.I)
+_EXCHANGE_RE = re.compile(
+    r"^\s*EXCHANGE\s+TABLES\s+(?P<a>[\w.`]+)\s+AND\s+(?P<b>[\w.`]+)\s*;?\s*$", re.I
+)
+_COMMENT_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.`]+)\s+COMMENT\s+COLUMN\s+"
+    r"(?:IF\s+EXISTS\s+)?(?P<col>[\w`]+)\s+(?P<txt>'[^']*')\s*;?\s*$",
+    re.I,
+)
 _DEFAULT_COL_RE = re.compile(r"\s+DEFAULT\s+[^,)]+", re.I)
 
 
@@ -248,6 +256,24 @@ def translate(sql: str) -> Statement:
             sql=sql,
             table=m.group("table").strip("`"),
             deduplicate=bool(re.search(r"\bDEDUPLICATE\b", sql, re.I)),
+        )
+    m = _EXCHANGE_RE.match(sql)
+    if m:  # atomic table swap (blue/green deploys) → three-rename cycle,
+        # executed by the runner so the intermediate name stays internal
+        return Statement(
+            kind="exchange_tables",
+            sql=sql,
+            table=m.group("a").strip("`"),
+            rename_to=m.group("b").strip("`"),
+        )
+    m = _COMMENT_COL_RE.match(sql)
+    if m:  # ClickHouse COMMENT COLUMN → Spark ALTER COLUMN ... COMMENT
+        return Statement(
+            kind="passthrough",
+            sql=(
+                f"ALTER TABLE {m.group('table')} ALTER COLUMN "
+                f"{m.group('col')} COMMENT {m.group('txt')}"
+            ),
         )
     m = _DROP_COL_RE.match(sql)
     if m:  # Spark parquet tables reject DROP COLUMN → copy-on-write

@@ -363,6 +363,15 @@ def _exec_translated(spark: SparkSession, st: Statement) -> DataFrame | None:
     if st.kind == "optimize":
         _optimize_table(spark, st)
         return None
+    if st.kind == "exchange_tables":
+        a = _qualify(spark, st.table)
+        b = _qualify(spark, st.rename_to)
+        tmp = a.rsplit(".", 1)[0] + ".`__xchg_tmp`"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        spark.sql(f"ALTER TABLE {a} RENAME TO {tmp}")
+        spark.sql(f"ALTER TABLE {b} RENAME TO {a}")
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {b}")
+        return None
     if st.kind == "set_ttl":
         # TTL is a retention policy, not storage DDL: record it; the
         # enforcement pass is apply_ttl() run by a maintenance job

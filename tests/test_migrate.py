@@ -251,3 +251,36 @@ def test_alter_column_ops_end_to_end(spark):
     finally:
         spark.catalog.setCurrentDatabase("default")
         spark.sql(f"DROP DATABASE `{db}` CASCADE")
+
+
+def test_exchange_tables_swaps_contents(spark):
+    import uuid as _uuid
+
+    from clickhouse_migrator_spark import migrate as M
+
+    db = "xchgdb_" + _uuid.uuid4().hex[:8]
+    M.create_db(spark, db)
+    spark.catalog.setCurrentDatabase(db)
+    try:
+        M.execute_statement(
+            spark, "CREATE TABLE live (v UInt64) ENGINE = MergeTree ORDER BY tuple()"
+        )
+        M.execute_statement(
+            spark, "CREATE TABLE staged (v UInt64) ENGINE = MergeTree ORDER BY tuple()"
+        )
+        spark.sql("INSERT INTO live VALUES (1)")
+        spark.sql("INSERT INTO staged VALUES (2)")
+        M.execute_statement(spark, "EXCHANGE TABLES live AND staged")
+        assert spark.table("live").collect()[0].v == 2
+        assert spark.table("staged").collect()[0].v == 1
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql(f"DROP DATABASE `{db}` CASCADE")
+
+
+def test_comment_column_rewritten(spark):
+    from clickhouse_migrator_spark.ddl import translate
+
+    st = translate("ALTER TABLE t COMMENT COLUMN v 'the value'")
+    assert st.kind == "passthrough"
+    assert st.sql == "ALTER TABLE t ALTER COLUMN v COMMENT 'the value'"

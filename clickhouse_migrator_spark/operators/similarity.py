@@ -274,3 +274,108 @@ def sim_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "cand_id", "rank", F.round("_cos", 6).alias("cosine"))
     )
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+@register("sim_ivf_kmeans_topk")  # rows-only: k-means training is iterative,
+# not SQL-expressible; recall vs the exact brute force is pinned in
+# tests/test_similarity_kmeans.py
+def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True IVF-Flat ANN: k-means centroids trained in-engine (Lloyd's,
+    deterministic init = first K vectors by vec_id, fixed iteration
+    count), corpus partitioned into inverted lists by nearest centroid,
+    each query probing its nearest list only.
+
+    Scale: training touches centroids only through a broadcast
+    (corpus × K distance argmin is a map-side expression, never a
+    shuffle of the corpus); per-iteration recompute is one partial-agg
+    shuffle of (list, sum-vector).  Search cost drops to ~1/K of
+    brute force per probe — the standard IVF trade: recall bounded by
+    nprobe=1, pinned by test.  Reference pattern: FAISS IVF-Flat
+    (public); all math in JVM higher-order functions."""
+    vecs = _vecs(spark, sf_dir).cache()
+    dim = len(vecs.select("v").head()[0])
+
+    centroids = (
+        vecs.orderBy("vec_id").limit(KMEANS_K)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    for _ in range(KMEANS_ITERS):
+        c = centroids.collect()  # K tiny rows — broadcast as literals
+        arr = F.array(*[F.array(*[F.lit(float(x)) for x in r.cv]) for r in c])
+        cids = F.array(*[F.lit(r.cid) for r in c])
+        dists = F.transform(
+            arr,
+            lambda cv: F.aggregate(
+                F.zip_with(F.col("v"), cv, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda a, z: a + z,
+            ),
+        )
+        assigned = vecs.select(
+            "vec_id",
+            "v",
+            F.element_at(cids, F.array_position(dists, F.array_min(dists)).cast("int"))
+            .alias("list_id"),
+        )
+        # per-dimension mean as `dim` parallel aggregates: one partial-agg
+        # shuffle of (list, d sums) — aggregates can't nest inside
+        # higher-order lambdas, and exploding the corpus would shuffle
+        # N×d rows instead
+        centroids = (
+            assigned.groupBy("list_id")
+            .agg(*[F.avg(F.element_at("v", i + 1)).alias(f"d{i}") for i in range(dim)])
+            .select(
+                F.col("list_id").alias("cid"),
+                F.array(*[F.col(f"d{i}") for i in range(dim)]).alias("cv"),
+            )
+        )
+
+    c = centroids.collect()
+    arr = F.array(*[F.array(*[F.lit(float(x)) for x in r.cv]) for r in c])
+    cids = F.array(*[F.lit(r.cid) for r in c])
+
+    def nearest_list(vcol: str) -> Column:
+        dists = F.transform(
+            arr,
+            lambda cv: F.aggregate(
+                F.zip_with(F.col(vcol), cv, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda a, z: a + z,
+            ),
+        )
+        return F.element_at(
+            cids, F.array_position(dists, F.array_min(dists)).cast("int")
+        )
+
+    corpus = vecs.select("vec_id", "v", nearest_list("v").alias("list_id"))
+    queries = (
+        vecs.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            nearest_list("v").alias("list_id"),
+        )
+    )
+    norm = lambda col: F.sqrt(_dot(col, col))  # noqa: E731
+    scored = (
+        corpus.join(F.broadcast(queries), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (_dot(F.col("v"), F.col("qv")) / (norm(F.col("v")) * norm(F.col("qv")))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+        .orderBy("query_id", "rank")
+    )

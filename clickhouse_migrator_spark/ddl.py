@@ -136,6 +136,7 @@ class Statement:
     deduplicate: bool = False
     ttl: str | None = None
     rename_to: str | None = None
+    if_exists: bool = False
 
 
 _CREATE_RE = re.compile(r"^\s*CREATE\s+TABLE\s", re.I)
@@ -193,6 +194,32 @@ _RENAME_COL_RE = re.compile(
 _ON_CLUSTER_RE = re.compile(r"\bON\s+CLUSTER\s+[`'\"]?[\w-]+[`'\"]?", re.I)
 _EXCHANGE_RE = re.compile(
     r"^\s*EXCHANGE\s+TABLES\s+(?P<a>[\w.`]+)\s+AND\s+(?P<b>[\w.`]+)\s*;?\s*$", re.I
+)
+_TRUNCATE_RE = re.compile(
+    r"^\s*TRUNCATE\s+TABLE\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<table>[\w.`]+)\s*;?\s*$",
+    re.I,
+)
+_PART_OP_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.`]+)\s+(?P<op>DROP|DETACH|ATTACH)\s+"
+    r"PARTITION\s+(?P<val>.+?)\s*;?\s*$",
+    re.I | re.S,
+)
+_CLEAR_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.`]+)\s+CLEAR\s+COLUMN\s+"
+    r"(?:IF\s+EXISTS\s+)?(?P<col>[\w`]+)\s+IN\s+PARTITION\s+(?P<val>.+?)\s*;?\s*$",
+    re.I | re.S,
+)
+_FREEZE_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.`]+)\s+(?:UN)?FREEZE\b", re.I
+)
+_DETACH_TABLE_RE = re.compile(
+    r"^\s*DETACH\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<table>[\w.`]+)"
+    r"(?:\s+PERMANENTLY)?\s*;?\s*$",
+    re.I,
+)
+_ATTACH_TABLE_RE = re.compile(
+    r"^\s*ATTACH\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<table>[\w.`]+)\s*;?\s*$",
+    re.I,
 )
 _COMMENT_COL_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.`]+)\s+COMMENT\s+COLUMN\s+"
@@ -265,6 +292,50 @@ def translate(sql: str) -> Statement:
             sql=sql,
             table=m.group("a").strip("`"),
             rename_to=m.group("b").strip("`"),
+        )
+    m = _TRUNCATE_RE.match(sql)
+    if m:  # delete all rows, keep schema — executed by the runner so
+        # ClickHouse's IF EXISTS (Spark TRUNCATE lacks it) still works
+        return Statement(
+            kind="truncate",
+            sql=sql,
+            table=m.group("table").strip("`"),
+            if_exists=bool(m.group("ifex")),
+        )
+    m = _FREEZE_RE.match(sql)
+    if m:  # FREEZE = local filesystem snapshot for backup; no Spark
+        # analog (object-store versioning subsumes it) — documented no-op
+        return Statement(kind="passthrough", sql="SELECT 1", table=m.group("table"))
+    m = _PART_OP_RE.match(sql)
+    if m:  # partition lifecycle against the recorded PARTITION BY
+        # expression: DROP deletes, DETACH parks rows in a side table,
+        # ATTACH restores them (ClickHouse's detached/ directory)
+        return Statement(
+            kind=m.group("op").lower() + "_partition",
+            sql=sql,
+            table=m.group("table").strip("`"),
+            predicate=m.group("val").strip(),
+        )
+    m = _CLEAR_COL_RE.match(sql)
+    if m:  # ClickHouse resets the column to its default inside the
+        # partition; defaults are stripped at CREATE (module docstring)
+        # so the reset value is NULL — documented divergence
+        return Statement(
+            kind="clear_column_in_partition",
+            sql=sql,
+            table=m.group("table").strip("`"),
+            column=m.group("col").strip("`"),
+            predicate=m.group("val").strip(),
+        )
+    m = _DETACH_TABLE_RE.match(sql)
+    if m:  # hide the table (rename to an internal name) until ATTACH
+        return Statement(
+            kind="detach_table", sql=sql, table=m.group("table").strip("`")
+        )
+    m = _ATTACH_TABLE_RE.match(sql)
+    if m:
+        return Statement(
+            kind="attach_table", sql=sql, table=m.group("table").strip("`")
         )
     m = _COMMENT_COL_RE.match(sql)
     if m:  # ClickHouse COMMENT COLUMN → Spark ALTER COLUMN ... COMMENT

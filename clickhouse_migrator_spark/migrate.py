@@ -222,6 +222,79 @@ def _table_props(spark: SparkSession, qual: str) -> dict[str, str]:
     }
 
 
+# ClickHouse partition-key functions → Spark column expressions.  The
+# partition id a user names in ALTER ... PARTITION <id> is the *value*
+# of the PARTITION BY expression (e.g. toYYYYMM(d) → 201901), so the
+# engine recomputes the expression per row and compares.
+_PART_FUNCS: list[tuple[re.Pattern[str], "object"]] = [
+    (
+        re.compile(r"^toYYYYMMDD\(\s*`?(\w+)`?\s*\)$", re.I),
+        lambda c: F.year(c) * 10000 + F.month(c) * 100 + F.dayofmonth(c),
+    ),
+    (
+        re.compile(r"^toYYYYMM\(\s*`?(\w+)`?\s*\)$", re.I),
+        lambda c: F.year(c) * 100 + F.month(c),
+    ),
+    (re.compile(r"^toYear\(\s*`?(\w+)`?\s*\)$", re.I), F.year),
+    (re.compile(r"^toMonth\(\s*`?(\w+)`?\s*\)$", re.I), F.month),
+    (re.compile(r"^toDate\(\s*`?(\w+)`?\s*\)$", re.I), F.to_date),
+]
+
+
+def _split_top_commas(s: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return parts
+
+
+def _partition_cond(partition_by: str, value: str):
+    """Row predicate for ``ALTER TABLE ... <op> PARTITION <value>``:
+    recorded PARTITION BY expression(s) == the named partition value(s).
+    Stays a pure column expression, so the rewrite it guards is one
+    partition-parallel scan — no driver-side row handling."""
+    p = partition_by.strip()
+    if p.lower().startswith("tuple"):
+        p = p[p.index("(") + 1 : p.rindex(")")].strip()
+    # strip one *wrapping* paren pair (`(a, b)`), never a function's
+    # closing paren (`toYYYYMM(ts)`)
+    if p.startswith("(") and p.endswith(")") and _split_top_commas(p)[0] == p:
+        p = p[1:-1].strip()
+    pieces = _split_top_commas(p)
+    v = value.strip()
+    vals = _split_top_commas(v[1:-1]) if v.startswith("(") and v.endswith(")") else [v]
+    if len(vals) != len(pieces):
+        raise ValueError(
+            f"partition value {value!r} does not match PARTITION BY {partition_by!r}"
+        )
+    cond = F.lit(True)
+    for piece, x in zip(pieces, vals):
+        for rx, fn in _PART_FUNCS:
+            m = rx.match(piece)
+            if m:
+                e = fn(F.col(m.group(1)))
+                break
+        else:
+            e = F.expr(piece)
+        cond = cond & e.eqNullSafe(F.expr(x))
+    return cond
+
+
+def _detached_parts_name(qual: str) -> str:
+    db, t = qual.split(".", 1)
+    return f"{db}.`__detparts_{t.strip('`')}`"
+
+
 _TTL_EXPR_RE = re.compile(
     r"^\s*(?P<col>[\w`]+)\s*\+\s*INTERVAL\s+(?P<n>\d+)\s+(?P<unit>\w+?)S?\s*$", re.I
 )
@@ -372,6 +445,63 @@ def _exec_translated(spark: SparkSession, st: Statement) -> DataFrame | None:
         spark.sql(f"ALTER TABLE {b} RENAME TO {a}")
         spark.sql(f"ALTER TABLE {tmp} RENAME TO {b}")
         return None
+    if st.kind == "truncate":
+        if st.if_exists and not spark.catalog.tableExists(st.table):
+            return None
+        spark.sql(f"TRUNCATE TABLE {_qualify(spark, st.table)}")
+        return None
+    if st.kind in ("drop_partition", "detach_partition", "attach_partition"):
+        qual = _qualify(spark, st.table)
+        pby = _table_props(spark, qual).get("clickhouse.partition_by")
+        if not pby:
+            raise ValueError(f"table {st.table} has no recorded PARTITION BY")
+        cond = _partition_cond(pby, st.predicate)
+        det = _detached_parts_name(qual)
+        if st.kind == "attach_partition":
+            # restore parked rows: append the matching slice back, then
+            # rewrite the side table without it (atomic swap)
+            src = spark.table(det)
+            src.filter(cond).write.insertInto(qual.replace("`", ""))
+            _swap_overwrite(spark, det.replace("`", ""), src.filter(~cond))
+            return None
+        df = spark.table(qual)
+        if st.kind == "detach_partition":
+            moving = df.filter(cond)
+            if spark.catalog.tableExists(det.replace("`", "")):
+                moving.write.insertInto(det.replace("`", ""))
+            else:
+                moving.write.format("parquet").saveAsTable(det.replace("`", ""))
+        _swap_overwrite(spark, st.table, df.filter(~cond))
+        return None
+    if st.kind == "clear_column_in_partition":
+        qual = _qualify(spark, st.table)
+        pby = _table_props(spark, qual).get("clickhouse.partition_by")
+        if not pby:
+            raise ValueError(f"table {st.table} has no recorded PARTITION BY")
+        cond = _partition_cond(pby, st.predicate)
+        df = spark.table(qual)
+        dtype = dict(df.dtypes).get(st.column, "string")
+        _swap_overwrite(
+            spark,
+            st.table,
+            df.withColumn(
+                st.column,
+                F.when(cond, F.lit(None).cast(dtype)).otherwise(F.col(st.column)),
+            ),
+        )
+        return None
+    if st.kind == "detach_table":
+        qual = _qualify(spark, st.table)
+        db, t = qual.split(".", 1)
+        hidden = f"{db}.`__dettable_{t.strip('`')}`"
+        spark.sql(f"ALTER TABLE {qual} RENAME TO {hidden}")
+        return None
+    if st.kind == "attach_table":
+        qual = _qualify(spark, st.table)
+        db, t = qual.split(".", 1)
+        hidden = f"{db}.`__dettable_{t.strip('`')}`"
+        spark.sql(f"ALTER TABLE {hidden} RENAME TO {qual}")
+        return None
     if st.kind == "set_ttl":
         # TTL is a retention policy, not storage DDL: record it; the
         # enforcement pass is apply_ttl() run by a maintenance job
@@ -488,7 +618,11 @@ def show_tables(spark: SparkSession, db_name: str) -> list[str]:
     """Name-sorted table list (ClickHouse's SHOW TABLES is sorted and
     the reference tests index into it — SURVEY.md §2.C C7)."""
     return sorted(
-        r.tableName for r in spark.sql(f"SHOW TABLES IN `{db_name}`").collect()
+        r.tableName
+        for r in spark.sql(f"SHOW TABLES IN `{db_name}`").collect()
+        # engine-internal names: cow-swap temps, exchange temp, detached
+        # partition side tables, detached (hidden) tables
+        if not r.tableName.startswith("__")
     )
 
 

@@ -56,10 +56,13 @@ def test_create_records_engine_name():
     assert st.order_by == "(id)"
 
 
-def test_truncate_passthrough():
+def test_truncate_classified():
+    # first-class kind (not passthrough) so IF EXISTS — which Spark's
+    # TRUNCATE lacks — can be honored by the runner
     st = translate("TRUNCATE TABLE t")
-    assert st.kind == "passthrough"
-    assert st.sql == "TRUNCATE TABLE t"
+    assert st.kind == "truncate"
+    assert st.table == "t"
+    assert not st.if_exists
 
 
 def test_add_column_wrapper_type():

@@ -401,3 +401,51 @@ def agg_statistical_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_quantiles_array",
+    oracle="""
+    SELECT l_returnflag,
+           list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
+                          x -> round(x, 6)) AS qty_quartiles,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS price_median
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_quantiles_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``quantiles(0.25,0.5,0.75)(x)`` → one array per group.
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    same (n-1)·p linear-interpolation definition, so values match
+    exactly (rounded for float safety).  Single aggregation pass —
+    all three quantiles ride one shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.transform(
+            F.expr("percentile(l_quantity, array(0.25, 0.5, 0.75))"),
+            lambda x: F.round(x, 6),
+        ).alias("qty_quartiles"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("price_median"),
+    )
+
+
+@register(
+    "agg_bit_group",
+    oracle="""
+    SELECT o_orderstatus,
+           bit_and(o_custkey) AS keys_and,
+           bit_or(o_custkey)  AS keys_or,
+           bit_xor(o_custkey) AS keys_xor
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_bit_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse groupBitAnd/groupBitOr/groupBitXor — associative +
+    commutative, so partial aggregation applies and the shuffle carries
+    one word per (group, task)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bit_and("o_custkey").alias("keys_and"),
+        F.bit_or("o_custkey").alias("keys_or"),
+        F.bit_xor("o_custkey").alias("keys_xor"),
+    )

@@ -450,3 +450,210 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+@register(
+    "events_retention_steps",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)   AS s,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)     AS v,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+      FROM events GROUP BY user_id
+    )
+    SELECT sum(s)                                       AS signed_up,
+           sum(CASE WHEN s = 1 AND v = 1 THEN 1 ELSE 0 END) AS retained_view,
+           sum(CASE WHEN s = 1 AND p = 1 THEN 1 ELSE 0 END) AS retained_purchase
+    FROM per_user
+    """,
+)
+def events_retention_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``retention(cond1, ..., condN)`` re-expressed natively:
+    element 1 = cond1 ever held for the user; element i = cond1 AND
+    condi (ClickHouse docs semantics).  Two-level aggregate — per-user
+    flags are map-side-combined bits on the user_id shuffle, the final
+    rollup is a partial-agg of three ints, so the plan carries one
+    narrow shuffle regardless of event volume."""
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "signup").cast("int")).alias("s"),
+        F.max((F.col("event_type") == "view").cast("int")).alias("v"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("p"),
+    )
+    return per_user.agg(
+        F.sum("s").alias("signed_up"),
+        F.sum(((F.col("s") == 1) & (F.col("v") == 1)).cast("int")).alias(
+            "retained_view"
+        ),
+        F.sum(((F.col("s") == 1) & (F.col("p") == 1)).cast("int")).alias(
+            "retained_purchase"
+        ),
+    )
+
+
+FUNNEL_WINDOW_DAYS = 7
+
+
+@register(
+    "events_window_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'view' AND e.ts >= s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+      GROUP BY e.user_id
+    ), lv AS (
+      SELECT s1.user_id,
+             CASE
+               WHEN t3 IS NOT NULL AND t3 <= t1 + INTERVAL 7 DAY THEN 3
+               WHEN t2 IS NOT NULL AND t2 <= t1 + INTERVAL 7 DAY THEN 2
+               ELSE 1
+             END AS level
+      FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+              LEFT JOIN s3 ON s1.user_id = s3.user_id
+    )
+    SELECT level, count(*) AS users FROM lv GROUP BY level ORDER BY level
+    """,
+)
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel(window)(ts, cond1, cond2, cond3)``:
+    deepest signup→view→purchase chain per user whose steps advance in
+    time, scored against a 7-day window from the first step.  Semantics
+    pinned here (and mirrored by the oracle): the chain is *greedy
+    earliest* — step i+1 is the first matching event at-or-after step
+    i's time.
+
+    Scale: one shuffle on user_id, then the whole chain is computed
+    inside `collect_list` + array expressions (JVM higher-order
+    functions) — per-user event counts are bounded, and there is no
+    join, no second shuffle, no Python."""
+    e = table(spark, sf_dir, "events")
+    evs = (
+        e.filter(F.col("event_type").isin("signup", "view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ts"), F.col("event_type")))
+            ).alias("evs")
+        )
+    )
+    t1 = F.array_min(
+        F.transform(
+            F.filter(F.col("evs"), lambda x: x.event_type == F.lit("signup")),
+            lambda x: x.ts,
+        )
+    )
+    t2 = F.array_min(
+        F.transform(
+            F.filter(
+                F.col("evs"),
+                lambda x: (x.event_type == F.lit("view")) & (x.ts >= F.col("t1")),
+            ),
+            lambda x: x.ts,
+        )
+    )
+    t3 = F.array_min(
+        F.transform(
+            F.filter(
+                F.col("evs"),
+                lambda x: (x.event_type == F.lit("purchase")) & (x.ts >= F.col("t2")),
+            ),
+            lambda x: x.ts,
+        )
+    )
+    horizon = F.expr(f"INTERVAL {FUNNEL_WINDOW_DAYS} DAY")
+    return (
+        evs.withColumn("t1", t1)
+        .filter(F.col("t1").isNotNull())
+        .withColumn("t2", t2)
+        .withColumn("t3", t3)
+        .select(
+            "user_id",
+            F.when(
+                F.col("t3").isNotNull() & (F.col("t3") <= F.col("t1") + horizon),
+                F.lit(3),
+            )
+            .when(
+                F.col("t2").isNotNull() & (F.col("t2") <= F.col("t1") + horizon),
+                F.lit(2),
+            )
+            .otherwise(F.lit(1))
+            .alias("level"),
+        )
+        .groupBy("level")
+        .agg(F.count(F.lit(1)).alias("users"))
+        .orderBy("level")
+    )
+
+
+@register(
+    "events_time_buckets",
+    oracle="""
+    SELECT event_id,
+           time_bucket(INTERVAL '5 minutes', ts)  AS bucket_5m,
+           time_bucket(INTERVAL '15 minutes', ts) AS bucket_15m,
+           CAST(date_trunc('quarter', ts) AS TIMESTAMP) AS quarter_start,
+           CAST(date_trunc('week', ts) AS TIMESTAMP)    AS week_start,
+           dayofyear(ts)                          AS doy
+    FROM events
+    """,
+)
+def events_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``toStartOfFiveMinutes`` / ``toStartOfFifteenMinutes``
+    / ``toStartOfQuarter`` / ``toStartOfWeek`` / ``toDayOfYear`` —
+    the time-bucketing vocabulary every rollup query leans on, as pure
+    epoch arithmetic + date_trunc (codegen'd, no UDF)."""
+    from ..functions.clickhouse import to_start_of_interval
+
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        to_start_of_interval("ts", 5).alias("bucket_5m"),
+        to_start_of_interval("ts", 15).alias("bucket_15m"),
+        F.date_trunc("quarter", "ts").cast("timestamp_ntz").alias("quarter_start"),
+        F.date_trunc("week", "ts").cast("timestamp_ntz").alias("week_start"),
+        F.dayofyear("ts").alias("doy"),
+    )
+
+
+@register(
+    "agg_summap_user_values",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, event_type, round(sum(value), 4) AS v
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           list(event_type ORDER BY event_type) AS map_keys,
+           list(v ORDER BY event_type)          AS map_values
+    FROM per GROUP BY user_id
+    """,
+)
+def agg_summap_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sumMap`` — merge per-key sums into one map per
+    group.  Two-level aggregate: the inner (user, type) sum is
+    map-side-combined, the outer map assembly touches only #types rows
+    per user.  The map is built natively (`map_from_entries`); the
+    comparable projection is its key-sorted entries as parallel arrays
+    (DuckDB's MAP renders structurally differently in Python, so raw
+    maps can't hash-compare)."""
+    e = table(spark, sf_dir, "events")
+    per = e.groupBy("user_id", "event_type").agg(
+        F.round(F.sum("value"), 4).alias("v")
+    )
+    m = F.map_from_entries(
+        F.array_sort(F.collect_list(F.struct("event_type", "v")))
+    )
+    return per.groupBy("user_id").agg(
+        F.map_keys(m).alias("map_keys"),
+        F.map_values(m).alias("map_values"),
+    )

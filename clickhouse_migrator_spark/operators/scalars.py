@@ -317,3 +317,84 @@ def scalar_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "flag_or_none"
         ),
     )
+
+
+@register(
+    "scalar_bitwise_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & l_linenumber                    AS b_and,
+           l_orderkey | l_linenumber                    AS b_or,
+           xor(l_orderkey, l_linenumber)                AS b_xor,
+           l_linenumber << 3                            AS b_shl,
+           l_orderkey >> 2                              AS b_shr,
+           bit_count(l_orderkey)                        AS b_popcnt,
+           ~l_linenumber                                AS b_not
+    FROM lineitem
+    """,
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse bitAnd/bitOr/bitXor/bitShiftLeft/bitShiftRight/
+    bitCount/bitNot — all JVM-side integer expressions (whole-stage
+    codegen; identical two's-complement semantics in the oracle)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("l_orderkey & l_linenumber").alias("b_and"),
+        F.expr("l_orderkey | l_linenumber").alias("b_or"),
+        F.expr("l_orderkey ^ l_linenumber").alias("b_xor"),
+        F.shiftleft(F.col("l_linenumber"), 3).alias("b_shl"),
+        F.shiftright(F.col("l_orderkey"), 2).alias("b_shr"),
+        F.bit_count("l_orderkey").alias("b_popcnt"),
+        F.expr("~l_linenumber").alias("b_not"),
+    )
+
+
+@register(
+    "scalar_hash_digests",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name)                 AS name_md5,
+           sha256(c_name)              AS name_sha256,
+           length(md5(c_name))         AS md5_len
+    FROM customer
+    """,
+)
+def scalar_hash_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse MD5/SHA256 hex digests (the reference's only hash use
+    is md5 over migration-file bytes, `migrate.py:86`) — built-in JVM
+    digest functions, lowercase hex in both engines."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5(F.col("c_name").cast("binary")).alias("name_md5"),
+        F.sha2(F.col("c_name").cast("binary"), 256).alias("name_sha256"),
+        F.length(F.md5(F.col("c_name").cast("binary"))).alias("md5_len"),
+    )
+
+
+@register(
+    "scalar_ipv4_funcs",
+    oracle="""
+    SELECT c_custkey,
+           concat(CAST((c_custkey >> 24) % 256 AS VARCHAR), '.',
+                  CAST((c_custkey >> 16) % 256 AS VARCHAR), '.',
+                  CAST((c_custkey >> 8) % 256 AS VARCHAR), '.',
+                  CAST(c_custkey % 256 AS VARCHAR))        AS ip_str,
+           c_custkey                                        AS ip_roundtrip
+    FROM customer
+    """,
+)
+def scalar_ipv4_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse IPv4NumToString / IPv4StringToNum over synthetic
+    uint32 values (the fixtures carry no IP column); the roundtrip
+    pins string→num as the exact inverse."""
+    from ..functions.clickhouse import ipv4_num_to_string, ipv4_string_to_num
+
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        ipv4_num_to_string("c_custkey").alias("ip_str"),
+        ipv4_string_to_num(ipv4_num_to_string("c_custkey")).alias("ip_roundtrip"),
+    )

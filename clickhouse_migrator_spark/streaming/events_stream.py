@@ -305,3 +305,35 @@ def sessionize_with_state(events: DataFrame, gap_minutes: int = 30) -> DataFrame
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+@register(
+    "streaming_first_occurrence",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts FROM (
+      SELECT event_id, user_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+)
+def streaming_first_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: first event per (user, event_type), computed by
+    a real streaming aggregation (`min(struct(ts, event_id))` — order-
+    insensitive, so arrival order across micro-batches can't change the
+    answer, unlike `dropDuplicates`' keep-first-arrival).  State is one
+    struct per key; in production `dropDuplicatesWithinWatermark`
+    bounds it by the watermark horizon instead."""
+    agg = (
+        stream_events(spark, sf_dir)
+        .groupBy("user_id", "event_type")
+        .agg(F.min(F.struct("ts", "event_id")).alias("first"))
+        .select(
+            F.col("first.event_id").alias("event_id"),
+            "user_id",
+            "event_type",
+            F.col("first.ts").alias("ts"),
+        )
+    )
+    return spark.table(run_to_memory(agg))

@@ -137,6 +137,7 @@ class Statement:
     ttl: str | None = None
     rename_to: str | None = None
     if_exists: bool = False
+    sample_by: str | None = None
 
 
 _CREATE_RE = re.compile(r"^\s*CREATE\s+TABLE\s", re.I)
@@ -433,6 +434,10 @@ def translate(sql: str) -> Statement:
         if tm:
             ttl = tm.group("e").strip()
             out = _TTL_RE.sub(" ", out)
+        sample_by = None
+        sm = _SAMPLE_BY_RE.search(out)
+        if sm:  # recorded so SELECT ... SAMPLE k can hash the right key
+            sample_by = sm.group("e").strip()
         out = _SETTINGS_RE.sub(" ", out)
         out = _SAMPLE_BY_RE.sub(" ", out)
         out = _PRIMARY_KEY_RE.sub(" ", out)
@@ -449,5 +454,6 @@ def translate(sql: str) -> Statement:
             partition_by=partition_by,
             engine=engine,
             ttl=ttl,
+            sample_by=sample_by,
         )
     return Statement(kind="passthrough", sql=map_types(sql).strip().rstrip(";"))

@@ -324,6 +324,30 @@ def apply_ttl(spark: SparkSession, table: str) -> int:
     return n_expired
 
 
+def _order_keys(props: dict[str, str]) -> list[str]:
+    order_by = props.get("clickhouse.order_by", "")
+    return [
+        c.strip().strip("`")
+        for c in order_by.strip().lstrip("tuple").strip("() ").split(",")
+        if c.strip()
+    ]
+
+
+def _dedupe_latest(df: DataFrame, keys: list[str]) -> DataFrame:
+    """One survivor per ORDER BY key — ClickHouse Replacing-merge
+    semantics.  Parquet has no part order, so the survivor is the max
+    of the non-key columns (struct comparison) — deterministic,
+    documented divergence.  One partial-agg shuffle on the key."""
+    others = [c for c in df.columns if c not in keys]
+    if keys and others:
+        return (
+            df.groupBy(*keys)
+            .agg(F.max(F.struct(*others)).alias("_survivor"))
+            .select(*keys, *[F.col(f"_survivor.`{c}`").alias(c) for c in others])
+        )
+    return df.distinct()
+
+
 def _optimize_table(spark: SparkSession, st: Statement) -> None:
     """``OPTIMIZE TABLE`` made real on parquet tables (ClickHouse: a
     MergeTree part-merge; reference fixtures issue it as a hint).
@@ -341,27 +365,12 @@ def _optimize_table(spark: SparkSession, st: Statement) -> None:
     df = spark.table(qual)
     props = _table_props(spark, qual)
     engine = props.get("clickhouse.engine", "")
-    order_by = props.get("clickhouse.order_by", "")
-    keys = [
-        c.strip().strip("`")
-        for c in order_by.strip().lstrip("tuple").strip("() ").split(",")
-        if c.strip()
-    ]
+    keys = _order_keys(props)
     dedupe = st.deduplicate or any(
         k in engine.lower() for k in ("replacing", "collapsing")
     )
-    if dedupe and keys:
-        others = [c for c in df.columns if c not in keys]
-        if others:
-            out = (
-                df.groupBy(*keys)
-                .agg(F.max(F.struct(*others)).alias("_survivor"))
-                .select(*keys, *[F.col(f"_survivor.`{c}`").alias(c) for c in others])
-            )
-        else:
-            out = df.distinct()
-    elif dedupe:
-        out = df.distinct()
+    if dedupe:
+        out = _dedupe_latest(df, keys)
     elif keys:
         # range-partition + sort on the ORDER BY key: the parquet
         # analog of a MergeTree part merge (contiguous key ranges per
@@ -374,7 +383,9 @@ def _optimize_table(spark: SparkSession, st: Statement) -> None:
 
 def _exec_translated(spark: SparkSession, st: Statement) -> DataFrame | None:
     if st.kind == "passthrough":
-        return spark.sql(st.sql)
+        # FINAL / SAMPLE SELECT modifiers also reach the runner through
+        # migration scripts (e.g. INSERT ... SELECT ... FROM t FINAL)
+        return spark.sql(rewrite_query(spark, st.sql))
     if st.kind == "create_table":
         out = spark.sql(st.sql)
         # preserve the ClickHouse physical-layout intent as metadata:
@@ -389,6 +400,8 @@ def _exec_translated(spark: SparkSession, st: Statement) -> DataFrame | None:
             props["clickhouse.engine"] = st.engine
         if st.ttl:
             props["clickhouse.ttl"] = st.ttl
+        if st.sample_by:
+            props["clickhouse.sample_by"] = st.sample_by
         m = _CREATE_NAME_RE.search(st.sql)
         if props and m:
             kv = ", ".join(f"'{k}' = '{v}'" for k, v in props.items())
@@ -590,11 +603,71 @@ def migrate(
 # ── reference API-parity shims (SURVEY.md §2.A) ──────────────────────────────
 
 
+# ClickHouse table modifiers inside SELECT: `FROM t FINAL [SAMPLE k]`.
+# FINAL = merge-on-read (one survivor per ORDER BY key on Replacing/
+# Collapsing engines); SAMPLE k = deterministic fraction over the
+# recorded SAMPLE BY key.  Both become temp views over native plans.
+_QUERY_MOD_RE = re.compile(
+    r"\bFROM\s+(?P<t>[\w.`]+)"
+    r"(?:(?P<final>\s+FINAL)|\s+SAMPLE\s+(?P<k>\d+(?:\.\d+)?(?:\s*/\s*\d+)?)){1,2}",
+    re.I,
+)
+
+
+def rewrite_query(spark: SparkSession, query: str) -> str:
+    """Rewrite ClickHouse SELECT modifiers to plain Spark SQL.
+
+    - ``FROM t FINAL`` → dedupe-on-read view (Replacing semantics via
+      :func:`_dedupe_latest`; plain MergeTree FINAL is a no-op, matching
+      ClickHouse).  The dedupe is one partial-agg shuffle — the same
+      plan OPTIMIZE ... DEDUPLICATE runs, minus the table rewrite.
+    - ``FROM t SAMPLE 0.1`` / ``SAMPLE 1/10`` → deterministic hash
+      filter over the recorded ``SAMPLE BY`` key (falls back to the
+      ORDER BY key): ``xxhash64(key) % 1e6 < k·1e6``.  Repeatable
+      across runs and engines — ClickHouse's sampling contract — and
+      fully pushed into the scan stage (no shuffle).
+    """
+
+    def _sub(m: "re.Match[str]") -> str:
+        t = m.group("t")
+        is_final = bool(m.group("final"))
+        k = m.group("k")
+        if not is_final and k is None:
+            return m.group(0)
+        qual = _qualify(spark, t.strip("`"))
+        props = _table_props(spark, qual)
+        df = spark.table(qual)
+        if is_final and any(
+            e in props.get("clickhouse.engine", "").lower()
+            for e in ("replacing", "collapsing")
+        ):
+            df = _dedupe_latest(df, _order_keys(props))
+        ppm = 0
+        if k is not None:
+            num, _, den = k.partition("/")
+            frac = float(num) / float(den) if den else float(num)
+            if not 0 < frac < 1:
+                raise ValueError(f"SAMPLE {k}: only fractional sampling supported")
+            ppm = int(frac * 1_000_000)
+            key = props.get("clickhouse.sample_by")
+            keys = [key.strip("()` ")] if key else _order_keys(props)
+            cols = [F.col(c) for c in (keys or df.columns)]
+            df = df.filter(F.pmod(F.xxhash64(*cols), F.lit(1_000_000)) < ppm)
+        view = "__q_{}_{}{}".format(
+            t.strip("`").replace(".", "_"), "final" if is_final else "", f"s{ppm}"
+        )
+        df.createOrReplaceTempView(view)
+        return f"FROM {view}"
+
+    return _QUERY_MOD_RE.sub(_sub, query)
+
+
 def execute_and_inflate(spark: SparkSession, query: str) -> DataFrame:
     """Reference `migrate.py:12-15`: SELECT → row dicts → pandas frame.
     Spark-native: `spark.sql` already returns a DataFrame — there is
-    nothing to inflate; kept for API parity."""
-    return spark.sql(query)
+    nothing to inflate; kept for API parity.  ClickHouse SELECT
+    modifiers (FINAL / SAMPLE) are rewritten to native plans first."""
+    return spark.sql(rewrite_query(spark, query))
 
 
 def pipelined(

@@ -196,6 +196,19 @@ _ON_CLUSTER_RE = re.compile(r"\bON\s+CLUSTER\s+[`'\"]?[\w-]+[`'\"]?", re.I)
 _EXCHANGE_RE = re.compile(
     r"^\s*EXCHANGE\s+TABLES\s+(?P<a>[\w.`]+)\s+AND\s+(?P<b>[\w.`]+)\s*;?\s*$", re.I
 )
+_CREATE_DICT_RE = re.compile(
+    r"^\s*CREATE\s+DICTIONARY\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.`]+)\s*"
+    r"\((?P<cols>.*?)\)\s*"
+    r"PRIMARY\s+KEY\s+(?P<key>[\w`]+)\s*"
+    r".*?SOURCE\s*\(\s*CLICKHOUSE\s*\((?P<src>[^)]*)\)\s*\)",
+    re.I | re.S,
+)
+_DICT_SRC_TABLE_RE = re.compile(r"TABLE\s+'(?P<t>[\w.]+)'", re.I)
+_MOVE_PART_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<src>[\w.`]+)\s+MOVE\s+PARTITION\s+"
+    r"(?P<val>.+?)\s+TO\s+TABLE\s+(?P<dst>[\w.`]+)\s*;?\s*$",
+    re.I | re.S,
+)
 _TRUNCATE_RE = re.compile(
     r"^\s*TRUNCATE\s+TABLE\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<table>[\w.`]+)\s*;?\s*$",
     re.I,
@@ -230,10 +243,10 @@ _COMMENT_COL_RE = re.compile(
 _DEFAULT_COL_RE = re.compile(r"\s+DEFAULT\s+[^,)]+", re.I)
 
 
-def _split_assignments(assign: str) -> list[tuple[str, str]]:
-    """Split ``a = e1, b = e2`` on top-level commas only."""
+def _split_top(s: str) -> list[str]:
+    """Split on top-level commas only (paren-depth aware)."""
     parts, depth, cur = [], 0, []
-    for ch in assign:
+    for ch in s:
         if ch == "(":
             depth += 1
         elif ch == ")":
@@ -245,6 +258,12 @@ def _split_assignments(assign: str) -> list[tuple[str, str]]:
             cur.append(ch)
     if cur:
         parts.append("".join(cur))
+    return parts
+
+
+def _split_assignments(assign: str) -> list[tuple[str, str]]:
+    """Split ``a = e1, b = e2`` on top-level commas only."""
+    parts = _split_top(assign)
     out = []
     for p in parts:
         col, expr = p.split("=", 1)
@@ -293,6 +312,34 @@ def translate(sql: str) -> Statement:
             sql=sql,
             table=m.group("a").strip("`"),
             rename_to=m.group("b").strip("`"),
+        )
+    m = _CREATE_DICT_RE.match(sql)
+    if m:  # dictionary = keyed broadcast lookup over a source table →
+        # a VIEW projecting the declared columns (LAYOUT/LIFETIME are
+        # in-memory-refresh knobs with no Spark meaning: a view always
+        # reflects the source, which subsumes LIFETIME-based reload);
+        # the PRIMARY KEY is recorded for dictGet() rewriting
+        sm = _DICT_SRC_TABLE_RE.search(m.group("src"))
+        if not sm:
+            raise ValueError(f"CREATE DICTIONARY without TABLE source: {sql!r}")
+        cols = ", ".join(
+            c.strip().split()[0] for c in _split_top(m.group("cols")) if c.strip()
+        )
+        return Statement(
+            kind="create_dictionary",
+            sql=f"SELECT {cols} FROM {sm.group('t')}",
+            table=m.group("name").strip("`"),
+            column=m.group("key").strip("`"),
+            rename_to=sm.group("t"),
+        )
+    m = _MOVE_PART_RE.match(sql)
+    if m:  # partition migration between tables (append + cow-delete)
+        return Statement(
+            kind="move_partition",
+            sql=sql,
+            table=m.group("src").strip("`"),
+            rename_to=m.group("dst").strip("`"),
+            predicate=m.group("val").strip(),
         )
     m = _TRUNCATE_RE.match(sql)
     if m:  # delete all rows, keep schema — executed by the runner so

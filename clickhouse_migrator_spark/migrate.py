@@ -43,7 +43,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from .ddl import Statement, translate
+from .ddl import Statement, _split_top as _ddl_split_top, translate
 
 LEDGER = "schema_versions"
 
@@ -458,6 +458,25 @@ def _exec_translated(spark: SparkSession, st: Statement) -> DataFrame | None:
         spark.sql(f"ALTER TABLE {b} RENAME TO {a}")
         spark.sql(f"ALTER TABLE {tmp} RENAME TO {b}")
         return None
+    if st.kind == "create_dictionary":
+        qual = _qualify(spark, st.table)
+        spark.sql(
+            f"CREATE OR REPLACE VIEW {qual} "
+            f"TBLPROPERTIES ('clickhouse.dict_key' = '{st.column}') "
+            f"AS {st.sql}"
+        )
+        return None
+    if st.kind == "move_partition":
+        src_q = _qualify(spark, st.table)
+        pby = _table_props(spark, src_q).get("clickhouse.partition_by")
+        if not pby:
+            raise ValueError(f"table {st.table} has no recorded PARTITION BY")
+        cond = _partition_cond(pby, st.predicate)
+        df = spark.table(src_q)
+        dst_q = _qualify(spark, st.rename_to)
+        df.filter(cond).write.insertInto(dst_q.replace("`", ""))
+        _swap_overwrite(spark, st.table, df.filter(~cond))
+        return None
     if st.kind == "truncate":
         if st.if_exists and not spark.catalog.tableExists(st.table):
             return None
@@ -614,6 +633,43 @@ _QUERY_MOD_RE = re.compile(
 )
 
 
+_DICTGET_RE = re.compile(r"\bdictGet(?:String|U?Int\d+|Float\d+|Date(?:Time)?)?\s*\(", re.I)
+
+
+def _rewrite_dictget(spark: SparkSession, query: str) -> str:
+    """``dictGet('d', 'attr', key_expr)`` → a correlated scalar
+    subquery ``(SELECT attr FROM d WHERE d.pk = key_expr)``.  Catalyst
+    decorrelates this into a left outer join, and with a
+    dictionary-sized build side AQE broadcasts it — exactly the hash
+    lookup a ClickHouse HASHED layout performs, minus the manual cache.
+    The typed variants (dictGetString/dictGetUInt64/...) share the
+    rewrite; the view's column type already carries the type."""
+    while True:
+        m = _DICTGET_RE.search(query)
+        if not m:
+            return query
+        # balanced-paren scan for the argument list
+        depth, i = 1, m.end()
+        while depth:
+            if query[i] == "(":
+                depth += 1
+            elif query[i] == ")":
+                depth -= 1
+            i += 1
+        args = _ddl_split_top(query[m.end() : i - 1])
+        if len(args) != 3:
+            raise ValueError(f"dictGet expects 3 args: {query[m.start():i]!r}")
+        dname = args[0].strip().strip("'\"")
+        attr = args[1].strip().strip("'\"")
+        key_expr = args[2].strip()
+        qual = _qualify(spark, dname)
+        pk = _table_props(spark, qual).get("clickhouse.dict_key")
+        if not pk:
+            raise ValueError(f"{dname} is not a dictionary (no recorded key)")
+        sub = f"(SELECT `{attr}` FROM {qual} WHERE {qual}.`{pk}` = {key_expr})"
+        query = query[: m.start()] + sub + query[i:]
+
+
 def rewrite_query(spark: SparkSession, query: str) -> str:
     """Rewrite ClickHouse SELECT modifiers to plain Spark SQL.
 
@@ -626,7 +682,10 @@ def rewrite_query(spark: SparkSession, query: str) -> str:
       ORDER BY key): ``xxhash64(key) % 1e6 < k·1e6``.  Repeatable
       across runs and engines — ClickHouse's sampling contract — and
       fully pushed into the scan stage (no shuffle).
+    - ``dictGet('d', 'attr', key)`` → correlated scalar subquery
+      (see :func:`_rewrite_dictget`).
     """
+    query = _rewrite_dictget(spark, query)
 
     def _sub(m: "re.Match[str]") -> str:
         t = m.group("t")

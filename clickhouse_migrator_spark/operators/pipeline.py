@@ -92,3 +92,107 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+PACK_BUDGET_TOKENS = 2048
+PACK_SHARDS = 16
+_PACK_SALT, _MIX_SALT = 101, 202
+
+
+@register(
+    "pipeline_pack_token_budget",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             ({_sql_bucket('doc_id', str(_PACK_SALT))}) % {PACK_SHARDS} AS shard,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT shard, doc_id, n_tokens,
+             CAST(floor(
+               (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tokens)
+               / {PACK_BUDGET_TOKENS}) AS BIGINT) AS bin_id
+      FROM toks
+    )
+    SELECT shard, bin_id, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+    FROM packed GROUP BY shard, bin_id
+    """,
+)
+def pipeline_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: assign documents to fixed-token-budget
+    bins for sequence packing during training.  Documents are sharded
+    by the portable deterministic hash (shard count ≫ executor count at
+    scale, so packing parallelizes), ordered deterministically within
+    the shard, and binned by ``floor(running_total_before / budget)`` —
+    a bin may overflow by at most one document, the standard streaming-
+    packing approximation (greedy exact packing is inherently
+    sequential).
+
+    Scale: one shuffle (shard hash-partition), one in-partition sort
+    for the window cumsum, then a partial-agg rollup."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (hash_bucket(F.col("doc_id"), F.lit(_PACK_SALT)) % PACK_SHARDS).alias("shard"),
+        F.size(_tokens()).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET_TOKENS
+        ),
+    )
+    return packed.groupBy("shard", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
+    )
+
+
+MIX_WEIGHTS = {"web": 80, "books": 60, "code": 40, "wiki": 100}
+
+
+@register(
+    "pipeline_mix_sources",
+    oracle=f"""
+    WITH rated AS (
+      SELECT doc_id, source,
+             CASE source
+               WHEN 'web' THEN 80 WHEN 'books' THEN 60
+               WHEN 'code' THEN 40 WHEN 'wiki' THEN 100 ELSE 50 END AS keep_pct,
+             ({_sql_bucket('doc_id', str(_MIX_SALT))}) % 100 AS bucket
+      FROM documents
+    )
+    SELECT source, count(*) AS n_kept, min(keep_pct) AS keep_pct
+    FROM rated WHERE bucket < keep_pct
+    GROUP BY source
+    """,
+)
+def pipeline_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing: per-source sampling rates (the 'data recipe' of
+    a training run) applied via the deterministic hash bucket — the
+    same document set survives on every engine and run.  Rate-filtering
+    is a row-local expression fused into the scan; the only shuffle is
+    the tiny per-source rollup."""
+    d = table(spark, sf_dir, "documents")
+    weight = F.coalesce(
+        *[F.when(F.col("source") == s, F.lit(p)) for s, p in MIX_WEIGHTS.items()],
+        F.lit(50),
+    )
+    rated = d.select(
+        "doc_id",
+        "source",
+        weight.alias("keep_pct"),
+        (hash_bucket(F.col("doc_id"), F.lit(_MIX_SALT)) % 100).alias("bucket"),
+    )
+    return (
+        rated.filter(F.col("bucket") < F.col("keep_pct"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.min("keep_pct").alias("keep_pct"))
+    )

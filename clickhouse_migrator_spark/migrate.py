@@ -633,6 +633,53 @@ _QUERY_MOD_RE = re.compile(
 )
 
 
+# ClickHouse system tables the engine emulates from the Spark catalog.
+# The reference's only system read is `system.mutations` (`migrate.py:64`,
+# the async-mutation poll); tables/columns round out the introspection
+# surface migrations commonly touch.
+_SYSTEM_RE = re.compile(r"\bsystem\.(?P<which>tables|columns|mutations)\b", re.I)
+
+
+def _system_view(spark: SparkSession, which: str) -> str:
+    """Materialize `system.<which>` as a temp view over catalog
+    metadata.  Driver-side by design: these are metadata frames (the
+    reference inflates the same query results into pandas), never data-
+    bearing scans."""
+    name = f"__system_{which.lower()}"
+    if which == "tables":
+        rows = []
+        for db in spark.catalog.listDatabases():
+            for t in spark.catalog.listTables(db.name):
+                if t.name.startswith("__") or t.database is None:
+                    continue
+                props = _table_props(spark, f"`{db.name}`.`{t.name}`")
+                rows.append(
+                    (db.name, t.name, props.get("clickhouse.engine", t.tableType or ""))
+                )
+        df = spark.createDataFrame(rows, "database string, name string, engine string")
+    elif which == "columns":
+        rows = []
+        for db in spark.catalog.listDatabases():
+            for t in spark.catalog.listTables(db.name):
+                if t.name.startswith("__") or t.database is None:
+                    continue
+                for c in spark.catalog.listColumns(t.name, db.name):
+                    rows.append((db.name, t.name, c.name, c.dataType))
+        df = spark.createDataFrame(
+            rows, "database string, table string, name string, type string"
+        )
+    else:  # mutations: Spark statements are synchronous — every
+        # mutation is complete before control returns, so the poll
+        # table is always empty (SURVEY.md §2.A A14/§3.3)
+        df = spark.createDataFrame(
+            [],
+            "database string, table string, mutation_id string, "
+            "command string, create_time timestamp, is_done int",
+        )
+    df.createOrReplaceTempView(name)
+    return name
+
+
 _DICTGET_RE = re.compile(r"\bdictGet(?:String|U?Int\d+|Float\d+|Date(?:Time)?)?\s*\(", re.I)
 
 
@@ -684,8 +731,11 @@ def rewrite_query(spark: SparkSession, query: str) -> str:
       fully pushed into the scan stage (no shuffle).
     - ``dictGet('d', 'attr', key)`` → correlated scalar subquery
       (see :func:`_rewrite_dictget`).
+    - ``system.tables`` / ``system.columns`` / ``system.mutations`` →
+      catalog-metadata views (see :func:`_system_view`).
     """
     query = _rewrite_dictget(spark, query)
+    query = _SYSTEM_RE.sub(lambda m: _system_view(spark, m.group("which").lower()), query)
 
     def _sub(m: "re.Match[str]") -> str:
         t = m.group("t")
@@ -738,9 +788,20 @@ def pipelined(
     asynchronous mutations finish.  Spark-native: `spark.sql`/DataFrame
     writes are synchronous — by the time :func:`execute_statement`
     returns, the statement is durable, so the barrier is the call
-    itself.  ``db_name``/``timeout`` are accepted for signature parity;
-    no polling loop exists to time out."""
+    itself.  ``db_name``/``timeout`` are accepted for signature parity.
+
+    For parity the reference's poll query (B5, `migrate.py:64`) is
+    executed once against the emulated ``system.mutations`` — it is
+    empty by construction (synchronous execution), so the loop body
+    the reference sleeps in is provably unreachable here."""
     execute_statement(spark, migration_script)
+    db = db_name or spark.catalog.currentDatabase()
+    pending = execute_and_inflate(
+        spark,
+        "SELECT database, table, mutation_id, lower(command) as command "
+        f"FROM system.mutations WHERE database='{db}' and is_done=0",
+    )
+    assert pending.isEmpty(), "synchronous execution left a pending mutation"
 
 
 # ── auxiliary surface exercised by the reference's tests ─────────────────────

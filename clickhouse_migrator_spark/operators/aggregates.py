@@ -449,3 +449,50 @@ def agg_bit_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or("o_custkey").alias("keys_or"),
         F.bit_xor("o_custkey").alias("keys_xor"),
     )
+
+
+@register(
+    "agg_topk_frequent",
+    oracle="""
+    WITH counted AS (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ), ranked AS (
+      SELECT o_orderstatus, o_orderpriority, cnt,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY cnt DESC, o_orderpriority) AS rk
+      FROM counted
+    )
+    SELECT o_orderstatus,
+           list(o_orderpriority ORDER BY rk) AS top_priorities,
+           list(cnt ORDER BY rk)             AS top_counts
+    FROM ranked WHERE rk <= 3 GROUP BY o_orderstatus
+    """,
+)
+def agg_topk_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``topK(3)(x)`` — most frequent values per group as an
+    array.  ClickHouse's version is an approximate space-saving sketch;
+    at this cardinality the exact two-level aggregate is both cheaper
+    and deterministic (documented): count per (group, value) —
+    map-side combined — then a tiny ranked window over #distinct
+    values, ties broken by value for cross-engine stability."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    counted = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("cnt"), F.asc("o_orderpriority")
+    )
+    ranked = counted.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+    return ranked.groupBy("o_orderstatus").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rk", "o_orderpriority", "cnt"))),
+            lambda s: s.o_orderpriority,
+        ).alias("top_priorities"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rk", "o_orderpriority", "cnt"))),
+            lambda s: s.cnt,
+        ).alias("top_counts"),
+    )

@@ -398,3 +398,98 @@ def scalar_ipv4_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ipv4_num_to_string("c_custkey").alias("ip_str"),
         ipv4_string_to_num(ipv4_num_to_string("c_custkey")).alias("ip_roundtrip"),
     )
+
+
+@register(
+    "scalar_url_funcs",
+    oracle="""
+    WITH u AS (
+      SELECT p_partkey,
+             concat('https://shop', CAST(p_partkey % 10 AS VARCHAR),
+                    '.example.com/parts/', CAST(p_partkey AS VARCHAR),
+                    '?brand=', replace(p_brand, '#', '')) AS url
+      FROM part)
+    SELECT p_partkey, url,
+           regexp_extract(url, '^https?://([^/?#]+)', 1)  AS host,
+           regexp_extract(url, '^https?://[^/?#]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1)             AS query_string,
+           regexp_extract(url, '[?&]brand=([^&#]*)', 1)   AS brand_param,
+           regexp_extract(url, '^(https?)', 1)            AS protocol
+    FROM u
+    """,
+)
+def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse URL vocabulary — domain() / path() / queryString() /
+    extractURLParameter() / protocol() — over URLs synthesized from the
+    part table (fixtures carry no URL column).  Spark's `parse_url` is
+    a built-in JVM expression; the oracle mirrors with regexes."""
+    p = table(spark, sf_dir, "part")
+    u = p.select(
+        "p_partkey",
+        F.concat(
+            F.lit("https://shop"),
+            (F.col("p_partkey") % 10).cast("string"),
+            F.lit(".example.com/parts/"),
+            F.col("p_partkey").cast("string"),
+            F.lit("?brand="),
+            F.replace(F.col("p_brand"), F.lit("#"), F.lit("")),
+        ).alias("url"),
+    )
+    return u.select(
+        "p_partkey",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query_string"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("brand")).alias("brand_param"),
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+    )
+
+
+EARTH_RADIUS_KM = 6371.0088
+
+
+@register(
+    "scalar_geo_haversine",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey,
+             CAST((c_custkey % 180) - 90 + 0.5 AS DOUBLE)        AS lat,
+             CAST(((c_custkey * 7) % 360) - 180 + 0.5 AS DOUBLE) AS lon
+      FROM customer)
+    SELECT c_custkey, lat, lon,
+           round(2 * 6371.0088 * asin(sqrt(
+             pow(sin(radians(lat) / 2), 2) +
+             cos(radians(lat)) * cos(radians(0.0)) *
+             pow(sin(radians(lon) / 2), 2))), 3) AS dist_origin_km
+    FROM pts
+    """,
+)
+def scalar_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``greatCircleDistance`` (haversine, km) from synthetic
+    coordinates to the origin — pure trigonometry, identical formula in
+    the oracle, rounded to mm-in-km precision to absorb libm-vs-JVM
+    ulps.  All codegen'd JVM math, no UDF."""
+    c = table(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") % 180) - 90 + 0.5).alias("lat"),
+        (((F.col("c_custkey") * 7) % 360) - 180 + 0.5).alias("lon"),
+    )
+    half = lambda col: F.pow(F.sin(F.radians(col) / 2), 2)  # noqa: E731
+    return pts.select(
+        "c_custkey",
+        "lat",
+        "lon",
+        F.round(
+            2
+            * EARTH_RADIUS_KM
+            * F.asin(
+                F.sqrt(
+                    half(F.col("lat"))
+                    + F.cos(F.radians("lat")) * F.cos(F.radians(F.lit(0.0))) * half(F.col("lon"))
+                )
+            ),
+            3,
+        ).alias("dist_origin_km"),
+    )

@@ -182,3 +182,37 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(4))
         ).alias("frame_idx"),
     )
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle="""
+    SELECT doc_id,
+           list_transform(generate_series(1, 8),
+                          i -> round(ascii(substr(md5(text), i, 1)) / 255.0, 6))
+             AS embedding
+    FROM documents
+    """,
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads: Arrow batches of blobs
+    stream into a Python featurizer that emits a fixed-dim embedding
+    per payload — the media-to-vector stage of a multimodal pipeline
+    (swap the digest-based stand-in for a real vision/audio encoder;
+    plan, schema and batch shape are identical).  The stand-in hashes
+    the *actual payload bytes* (hashlib over the Arrow buffer), so the
+    plumbing is genuinely content-dependent; the oracle reproduces it
+    through SQL md5 over the same bytes."""
+    import hashlib
+
+    docs = binary_docs(spark, sf_dir)
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = []
+            for payload in pdf["payload"]:
+                h = hashlib.md5(bytes(payload)).hexdigest()
+                embs.append([round(ord(h[i]) / 255.0, 6) for i in range(8)])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "embedding": embs})
+
+    return docs.mapInPandas(featurize, "doc_id BIGINT, embedding ARRAY<DOUBLE>")

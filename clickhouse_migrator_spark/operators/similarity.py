@@ -278,6 +278,13 @@ def sim_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KMEANS_K = 8
 KMEANS_ITERS = 3
+# Lloyd's iterations run on a deterministic 1/8 hash-sample of the
+# corpus (FAISS trains IVF centroids on a sample for the same reason:
+# centroid quality converges long before the full corpus is seen, and
+# at 100 TB the training scans are the dominant cost — sampling cuts
+# every per-iteration shuffle 8×).  The final list assignment still
+# covers every vector.
+KMEANS_TRAIN_MOD = 8
 
 
 @register("sim_ivf_kmeans_topk")  # rows-only: k-means training is iterative,
@@ -298,9 +305,10 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (public); all math in JVM higher-order functions."""
     vecs = _vecs(spark, sf_dir).cache()
     dim = len(vecs.select("v").head()[0])
+    train = vecs.filter(F.pmod(F.xxhash64("vec_id"), F.lit(KMEANS_TRAIN_MOD)) == 0)
 
     centroids = (
-        vecs.orderBy("vec_id").limit(KMEANS_K)
+        train.orderBy("vec_id").limit(KMEANS_K)
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
     )
     for _ in range(KMEANS_ITERS):
@@ -315,7 +323,7 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda a, z: a + z,
             ),
         )
-        assigned = vecs.select(
+        assigned = train.select(
             "vec_id",
             "v",
             F.element_at(cids, F.array_position(dists, F.array_min(dists)).cast("int"))

@@ -136,6 +136,64 @@ def main() -> None:
     )
     stage(f"minhash_{max(ndocs//10**6,1)}m_docs", t0)
 
+    # windowFunnel chain over 50M synthetic events / 1M users: one
+    # user-shuffle into collect_list + array-expression chain scoring —
+    # the sessionized-funnel hot path with ~50 events/user of state
+    nev = int(50e6 * SC)
+    t0 = time.perf_counter()
+    ev = spark.range(nev).select(
+        (F.col("id") % int(1e6 * SC)).alias("user_id"),
+        F.timestamp_seconds(F.lit(1577836800) + (F.col("id") * 37) % 864000).alias("ts"),
+        F.element_at(
+            F.array(F.lit("signup"), F.lit("view"), F.lit("purchase"), F.lit("click")),
+            ((F.col("id") * 13) % 4 + 1).cast("int"),
+        ).alias("event_type"),
+    )
+    evs = (
+        ev.filter(F.col("event_type").isin("signup", "view", "purchase"))
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("evs"))
+    )
+    t1 = F.array_min(
+        F.transform(
+            F.filter(F.col("evs"), lambda x: x.event_type == F.lit("signup")),
+            lambda x: x.ts,
+        )
+    )
+    (
+        evs.withColumn("t1", t1)
+        .filter(F.col("t1").isNotNull())
+        .select("user_id", "t1")
+        .write.format("noop").mode("overwrite").save()
+    )
+    stage(f"funnel_{nev//10**6}m_events", t0)
+
+    # token-budget packing over 10M synthetic docs: shard shuffle +
+    # in-partition window cumsum + rollup (the sequence-packing path)
+    npack = int(10e6 * SC)
+    t0 = time.perf_counter()
+    wpack = (
+        Window.partitionBy("shard")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    (
+        spark.range(npack)
+        .select(
+            "id",
+            (F.xxhash64("id") % 4096).alias("shard"),
+            ((F.col("id") * 31) % 900 + 100).alias("n_tokens"),
+        )
+        .withColumn(
+            "bin_id",
+            F.floor((F.sum("n_tokens").over(wpack) - F.col("n_tokens")) / 2048),
+        )
+        .groupBy("shard", "bin_id")
+        .agg(F.count(F.lit(1)), F.sum("n_tokens"))
+        .write.format("noop").mode("overwrite").save()
+    )
+    stage(f"pack_{npack//10**6}m_docs", t0)
+
     ncow = int(10e6 * SC)
     M.create_db(spark, "scaledb")
     spark.catalog.setCurrentDatabase("scaledb")

@@ -209,6 +209,11 @@ _MOVE_PART_RE = re.compile(
     r"(?P<val>.+?)\s+TO\s+TABLE\s+(?P<dst>[\w.`]+)\s*;?\s*$",
     re.I | re.S,
 )
+_REPLACE_PART_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<dst>[\w.`]+)\s+REPLACE\s+PARTITION\s+"
+    r"(?P<val>.+?)\s+FROM\s+(?P<src>[\w.`]+)\s*;?\s*$",
+    re.I | re.S,
+)
 _TRUNCATE_RE = re.compile(
     r"^\s*TRUNCATE\s+TABLE\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<table>[\w.`]+)\s*;?\s*$",
     re.I,
@@ -339,6 +344,15 @@ def translate(sql: str) -> Statement:
             sql=sql,
             table=m.group("src").strip("`"),
             rename_to=m.group("dst").strip("`"),
+            predicate=m.group("val").strip(),
+        )
+    m = _REPLACE_PART_RE.match(sql)
+    if m:  # overwrite dst's partition with src's copy (src unchanged)
+        return Statement(
+            kind="replace_partition",
+            sql=sql,
+            table=m.group("dst").strip("`"),
+            rename_to=m.group("src").strip("`"),
             predicate=m.group("val").strip(),
         )
     m = _TRUNCATE_RE.match(sql)

@@ -477,6 +477,22 @@ def _exec_translated(spark: SparkSession, st: Statement) -> DataFrame | None:
         df.filter(cond).write.insertInto(dst_q.replace("`", ""))
         _swap_overwrite(spark, st.table, df.filter(~cond))
         return None
+    if st.kind == "replace_partition":
+        # dst := (dst minus partition) ∪ (src's partition copy); one
+        # union rewrite + atomic swap, src untouched
+        dst_q = _qualify(spark, st.table)
+        pby = _table_props(spark, dst_q).get("clickhouse.partition_by")
+        if not pby:
+            raise ValueError(f"table {st.table} has no recorded PARTITION BY")
+        cond = _partition_cond(pby, st.predicate)
+        src = spark.table(_qualify(spark, st.rename_to))
+        dst = spark.table(dst_q)
+        _swap_overwrite(
+            spark,
+            st.table,
+            dst.filter(~cond).unionByName(src.filter(cond)),
+        )
+        return None
     if st.kind == "truncate":
         if st.if_exists and not spark.catalog.tableExists(st.table):
             return None

@@ -114,3 +114,22 @@ def test_freeze_noop(spark, db):
     _mk_events(spark)
     M.execute_statement(spark, "ALTER TABLE ev FREEZE")
     assert spark.table("ev").count() == 3
+
+
+def test_replace_partition(spark, db):
+    _mk_events(spark)
+    M.execute_statement(
+        spark,
+        "CREATE TABLE ev2 (id UInt64, ts DateTime, v UInt32) "
+        "ENGINE = MergeTree PARTITION BY toYYYYMM(ts) ORDER BY (id)",
+    )
+    spark.sql(
+        "INSERT INTO ev2 VALUES (9, TIMESTAMP '2020-01-09 00:00:00', 99), "
+        "(8, TIMESTAMP '2020-03-01 00:00:00', 88)"
+    )
+    st = translate("ALTER TABLE ev REPLACE PARTITION 202001 FROM ev2")
+    assert st.kind == "replace_partition"
+    M.execute_statement(spark, "ALTER TABLE ev REPLACE PARTITION 202001 FROM ev2")
+    # ev's Jan rows replaced by ev2's Jan rows; Feb row kept; src intact
+    assert {r.id for r in spark.table("ev").collect()} == {9, 3}
+    assert spark.table("ev2").count() == 2

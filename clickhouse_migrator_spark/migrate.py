@@ -733,6 +733,16 @@ def _rewrite_dictget(spark: SparkSession, query: str) -> str:
         query = query[: m.start()] + sub + query[i:]
 
 
+# ClickHouse `GROUP BY k1, k2 WITH TOTALS`: per-group rows plus ONE
+# all-groups totals row — exactly GROUPING SETS ((k1, k2), ()).  (Not
+# ROLLUP: that would add per-prefix subtotals ClickHouse doesn't emit.)
+# In the totals row the grouping keys are NULL (ClickHouse emits type
+# defaults — documented divergence, same as dictGet misses).
+_WITH_TOTALS_RE = re.compile(
+    r"\bGROUP\s+BY\s+(?P<keys>.+?)\s+WITH\s+TOTALS\b", re.I | re.S
+)
+
+
 def rewrite_query(spark: SparkSession, query: str) -> str:
     """Rewrite ClickHouse SELECT modifiers to plain Spark SQL.
 
@@ -752,6 +762,9 @@ def rewrite_query(spark: SparkSession, query: str) -> str:
     """
     query = _rewrite_dictget(spark, query)
     query = _SYSTEM_RE.sub(lambda m: _system_view(spark, m.group("which").lower()), query)
+    query = _WITH_TOTALS_RE.sub(
+        lambda m: f"GROUP BY GROUPING SETS (({m.group('keys')}), ())", query
+    )
 
     def _sub(m: "re.Match[str]") -> str:
         t = m.group("t")

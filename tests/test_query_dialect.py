@@ -93,3 +93,22 @@ def test_final_and_sample_compose(spark, db):
     ).collect()
     assert all(r.v == 2 for r in rows)  # dedupe happened before sampling
     assert 100 < len(rows) < 350
+
+
+def test_with_totals_rewrite(spark, db):
+    M.execute_statement(
+        spark, "CREATE TABLE sales (region String, amt UInt32) ENGINE = MergeTree ORDER BY tuple()"
+    )
+    spark.sql("INSERT INTO sales VALUES ('e', 10), ('e', 5), ('w', 7)")
+    rows = sorted(
+        [
+            (r.region, r.total)
+            for r in M.execute_and_inflate(
+                spark,
+                "SELECT region, sum(amt) AS total FROM sales GROUP BY region WITH TOTALS",
+            ).collect()
+        ],
+        key=lambda x: (x[0] is None, x),
+    )
+    # per-group rows plus ONE all-groups totals row (keys NULL there)
+    assert rows == [("e", 15), ("w", 7), (None, 22)]

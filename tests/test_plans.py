@@ -111,3 +111,34 @@ def test_null_safe_join_stays_hash_join(spark, sf_dir):
     plan = _plan_string(df)
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert "NestedLoop" not in plan
+
+
+def test_window_funnel_single_user_shuffle_no_join(spark, sf_dir):
+    from clickhouse_migrator_spark.operators import events
+
+    df = events.events_window_funnel(spark, sf_dir)
+    plan = _plan_string(df)
+    # the whole chain must compute inside per-user arrays: no join
+    # operator anywhere, and the only wide exchanges are the user_id
+    # aggregation, the tiny level rollup, and the final 3-row sort
+    assert "Join" not in plan
+    assert "hashpartitioning(user_id" in plan
+    assert count_shuffles(df) <= 3
+
+
+def test_pack_token_budget_shard_partitioned(spark, sf_dir):
+    from clickhouse_migrator_spark.operators import pipeline
+
+    df = pipeline.pipeline_pack_token_budget(spark, sf_dir)
+    plan = _plan_string(df)
+    # window cumsum partitioned by shard — never a global (single
+    # partition) sort; then one rollup
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_kmeans_search_broadcasts_queries(spark, sf_dir):
+    df = similarity.sim_ivf_kmeans(spark, sf_dir)
+    # the probe join must broadcast the tiny query side, never shuffle
+    # the corpus on list_id
+    assert count_broadcasts(df) >= 1

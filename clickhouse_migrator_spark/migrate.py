@@ -867,3 +867,20 @@ def ingest_csv(
     df = reader.csv(path)
     df.write.mode("append").insertInto(table)
     return spark.table(table).count()
+
+
+def ingest_jsoneachrow(
+    spark: SparkSession,
+    path: str,
+    table: str,
+    schema: str | StructType | None = None,
+) -> int:
+    """JSON-lines (ClickHouse ``FORMAT JSONEachRow`` — its most common
+    streaming ingest format) → existing catalog table.  Schema defaults
+    to the target table's (explicit, never inferred: inference would
+    scan twice and can mistype sparse columns).  Gzip transparent, like
+    the CSV path."""
+    target_schema = schema if schema is not None else spark.table(table).schema
+    df = spark.read.schema(target_schema).json(path)
+    df.write.mode("append").insertInto(table)
+    return spark.table(table).count()

@@ -284,3 +284,24 @@ def test_comment_column_rewritten(spark):
     st = translate("ALTER TABLE t COMMENT COLUMN v 'the value'")
     assert st.kind == "passthrough"
     assert st.sql == "ALTER TABLE t ALTER COLUMN v COMMENT 'the value'"
+
+
+def test_ingest_jsoneachrow(spark, tmp_path):
+    import uuid as _uuid
+
+    db = "jsondb_" + _uuid.uuid4().hex[:8]
+    prev = spark.catalog.currentDatabase()
+    M.create_db(spark, db)
+    spark.catalog.setCurrentDatabase(db)
+    try:
+        M.execute_statement(
+            spark,
+            "CREATE TABLE j (id UInt64, name String) ENGINE = MergeTree ORDER BY (id)",
+        )
+        p = tmp_path / "rows.jsonl"
+        p.write_text('{"id": 1, "name": "a"}\n{"id": 2, "name": "b"}\n')
+        assert M.ingest_jsoneachrow(spark, str(p), "j") == 2
+        assert {r.id: r.name for r in spark.table("j").collect()} == {1: "a", 2: "b"}
+    finally:
+        spark.catalog.setCurrentDatabase(prev)
+        spark.sql(f"DROP DATABASE `{db}` CASCADE")

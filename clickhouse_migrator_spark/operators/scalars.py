@@ -493,3 +493,67 @@ def scalar_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
             3,
         ).alias("dist_origin_km"),
     )
+
+
+@register(
+    "scalar_array_funcs2",
+    oracle="""
+    WITH a AS (
+      SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
+    SELECT p_partkey,
+           len(words)                                   AS n_words,
+           list_contains(words, 'green')                AS has_green,
+           list_position(words, 'green')                AS green_pos,
+           list_sort(list_distinct(words))              AS uniq_sorted,
+           list_slice(words, 2, 3)                      AS mid_slice,
+           flatten([words, ['#']])                      AS with_sentinel
+    FROM a
+    """,
+)
+def scalar_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse array vocabulary round 2 — has / indexOf /
+    arrayDistinct / arraySlice / arrayConcat (flatten) — all JVM
+    higher-order/array builtins.  arrayDistinct order differs between
+    engines, so the comparable form is sorted; indexOf is 1-based in
+    both (0 = absent, matching ClickHouse)."""
+    p = table(spark, sf_dir, "part")
+    a = p.select("p_partkey", F.split("p_name", " ").alias("words"))
+    return a.select(
+        "p_partkey",
+        F.size("words").alias("n_words"),
+        F.array_contains("words", "green").alias("has_green"),
+        F.array_position(F.col("words"), "green").alias("green_pos"),
+        F.array_sort(F.array_distinct("words")).alias("uniq_sorted"),
+        F.slice(F.col("words"), 2, 2).alias("mid_slice"),
+        F.flatten(F.array(F.col("words"), F.array(F.lit("#")))).alias("with_sentinel"),
+    )
+
+
+@register(
+    "scalar_string_predicates",
+    oracle="""
+    SELECT p_partkey,
+           (p_name LIKE 'a%')                      AS starts_a,
+           (p_type LIKE '%STEEL')                  AS ends_steel,
+           (p_name LIKE '%gre%')                   AS contains_gre,
+           (p_name SIMILAR TO '[a-f].*')           AS first_a_to_f,
+           CASE WHEN p_name LIKE '%o%' THEN 'o' ELSE '' END AS has_o_tag
+    FROM part
+    """,
+)
+def scalar_string_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse startsWith / endsWith / position>0 / match — string
+    predicates as codegen'd expressions (LIKE/RLIKE compile to
+    specialized operators, no regex engine for the prefix/suffix
+    forms)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_name").startswith("a").alias("starts_a"),
+        F.col("p_type").endswith("STEEL").alias("ends_steel"),
+        F.col("p_name").contains("gre").alias("contains_gre"),
+        F.col("p_name").rlike("^[a-f]").alias("first_a_to_f"),
+        F.when(F.col("p_name").contains("o"), F.lit("o"))
+        .otherwise(F.lit(""))
+        .alias("has_o_tag"),
+    )

@@ -714,6 +714,8 @@ def _rewrite_dictget(spark: SparkSession, query: str) -> str:
         # balanced-paren scan for the argument list
         depth, i = 1, m.end()
         while depth:
+            if i >= len(query):
+                raise ValueError(f"unclosed dictGet call: {query[m.start():]!r}")
             if query[i] == "(":
                 depth += 1
             elif query[i] == ")":

@@ -93,3 +93,8 @@ def test_move_partition_end_to_end(spark, db):
     M.execute_statement(spark, "ALTER TABLE hot MOVE PARTITION 202001 TO TABLE cold")
     assert [r.id for r in spark.table("hot").collect()] == [2]
     assert [r.id for r in spark.table("cold").collect()] == [1]
+
+
+def test_dictget_unclosed_raises(spark):
+    with pytest.raises(ValueError, match="unclosed dictGet"):
+        M._rewrite_dictget(spark, "SELECT dictGet('d', 'a', x FROM t")

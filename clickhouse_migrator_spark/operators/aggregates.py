@@ -496,3 +496,102 @@ def agg_topk_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s.cnt,
         ).alias("top_counts"),
     )
+
+
+@register(
+    "agg_skew_kurt",
+    oracle="""
+    WITH mu AS (
+      SELECT l_returnflag, avg(l_extendedprice) AS m
+      FROM lineitem GROUP BY l_returnflag
+    ), c AS (
+      SELECT l.l_returnflag,
+             avg(pow(l.l_extendedprice - mu.m, 2)) AS m2,
+             avg(pow(l.l_extendedprice - mu.m, 3)) AS m3,
+             avg(pow(l.l_extendedprice - mu.m, 4)) AS m4
+      FROM lineitem l JOIN mu USING (l_returnflag)
+      GROUP BY l.l_returnflag
+    )
+    SELECT l_returnflag,
+           round(m3 / pow(m2, 1.5), 4)   AS price_skewness,
+           round(m4 / (m2 * m2) - 3, 4)  AS price_kurtosis
+    FROM c ORDER BY l_returnflag
+    """,
+)
+def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``skewPop``/``kurtPop`` → Spark ``skewness``/``kurtosis``
+    (both population-moment definitions; Spark's kurtosis is excess
+    kurtosis, m4/m2² − 3).  Single-pass mergeable central moments —
+    partials carry (n, Σx, Σx², Σx³, Σx⁴)-equivalent state per group, so
+    the shuffle is constant-width at any data size.  DuckDB's built-ins
+    are *sample*-adjusted, so the oracle computes the population
+    formulas explicitly via a two-pass centered-moment query."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.skewness("l_extendedprice"), 4).alias("price_skewness"),
+            F.round(F.kurtosis("l_extendedprice"), 4).alias("price_kurtosis"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_entropy_event_types",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS type_entropy
+    FROM counts GROUP BY user_id
+    """,
+)
+def agg_entropy_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``entropy()`` — Shannon entropy (bits) of each user's
+    event-type distribution.  H = log2(n) − Σ c·log2(c) / n over the
+    per-(user, type) counts: two stacked aggregations on the same
+    user_id shuffle key, so the second one is shuffle-free; both are
+    partial-agg'd.  The log-sum form avoids materializing per-type
+    probabilities (no second pass over the data)."""
+    e = table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("user_id").agg(
+        F.round(
+            F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"), 6
+        ).alias("type_entropy")
+    )
+
+
+@register(
+    "agg_group_array_ordered",
+    oracle="""
+    SELECT user_id,
+           (list(event_type ORDER BY ts, event_id))[1:5] AS first_types,
+           count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_group_array_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupArray(5)(event_type)`` with a deterministic
+    time order: the first 5 event types per user by (ts, event_id).
+    `collect_list(struct)` → `array_sort` → `transform` → `slice` keeps
+    the whole thing a JVM aggregate (one user_id shuffle, no window
+    sort, no Python); the event_id tie-break makes equal-timestamp
+    orders identical across engines."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s.event_type,
+            ),
+            1,
+            5,
+        ).alias("first_types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

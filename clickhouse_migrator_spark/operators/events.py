@@ -657,3 +657,86 @@ def agg_summap_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_keys(m).alias("map_keys"),
         F.map_values(m).alias("map_values"),
     )
+
+
+@register(
+    "events_sequence_match",
+    oracle="""
+    SELECT user_id,
+           CASE WHEN min(CASE WHEN event_type = 'signup' THEN ts END)
+                     < max(CASE WHEN event_type = 'purchase' THEN ts END)
+                THEN 1 ELSE 0 END AS matched
+    FROM events
+    WHERE event_type IN ('signup', 'purchase')
+    GROUP BY user_id
+    """,
+)
+def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceMatch('(?1).*(?2)')(ts, signup, purchase)``
+    per user: does any signup strictly precede any purchase?  The
+    existential pattern collapses to two conditional extremes
+    (min signup ts < max purchase ts) — one partial-agg'd shuffle on
+    user_id, constant state per user, no event-list materialization.
+    That reduction is exactly why this pattern stays cheap at 100 TB
+    while general regex-over-events does not."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    return e.groupBy("user_id").agg(
+        F.when(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+            < F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("matched")
+    )
+
+
+@register(
+    "events_sequence_count",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cum_b,
+             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cum_a
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    )
+    SELECT user_id,
+           max(cum_b) - greatest(max(cum_b - cum_a), 0) AS chains
+    FROM seq GROUP BY user_id
+    """,
+)
+def events_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceCount('(?1)(?2)')`` — the number of
+    NON-OVERLAPPING signup→purchase chains per user, where each
+    purchase greedily consumes the earliest unmatched signup.  This is
+    bracket matching: with signup='(' and purchase=')', matched pairs =
+    total ')' − unmatched ')' and unmatched ')' = max over prefixes of
+    (cum ')' − cum '('), floored at 0.  One window cumsum + one
+    aggregate on the same user_id shuffle — no iteration, no state
+    machine, no Python; the (ts, event_id) tie-break pins equal-time
+    order across engines."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = e.select(
+        "user_id",
+        F.sum((F.col("event_type") == "purchase").cast("long")).over(w).alias("cum_b"),
+        F.sum((F.col("event_type") == "signup").cast("long")).over(w).alias("cum_a"),
+    )
+    return seq.groupBy("user_id").agg(
+        (
+            F.max("cum_b")
+            - F.greatest(F.max(F.col("cum_b") - F.col("cum_a")), F.lit(0))
+        ).alias("chains")
+    )

@@ -557,3 +557,70 @@ def scalar_string_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(""))
         .alias("has_o_tag"),
     )
+
+
+@register(
+    "scalar_date_funcs2",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE)  AS plus_30d,
+           CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus_2mo,
+           strftime(o_orderdate, '%Y-%m')               AS year_month,
+           dayofweek(o_orderdate) + 1                   AS dow,
+           last_day(o_orderdate)                        AS month_end,
+           weekofyear(o_orderdate)                      AS iso_week,
+           date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_1995
+    FROM orders
+    """,
+)
+def scalar_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse date-arithmetic vocabulary round 2 — ``addDays`` /
+    ``addMonths`` / ``formatDateTime`` / ``toDayOfWeek`` /
+    ``toLastDayOfMonth`` / ``toISOWeek`` / ``dateDiff`` — all JVM
+    codegen expressions, fully pushdown/prune-friendly.  Engine deltas
+    pinned by the oracle: DuckDB's dayofweek is 0-based (Sunday=0) vs
+    Spark's 1-based, and both add_months implementations clamp to
+    month-end identically."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_add("o_orderdate", 30).alias("plus_30d"),
+        F.add_months("o_orderdate", 2).alias("plus_2mo"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("year_month"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.datediff("o_orderdate", F.lit("1995-01-01").cast("timestamp")).alias(
+            "days_since_1995"
+        ),
+    )
+
+
+@register(
+    "scalar_encoding_funcs",
+    oracle="""
+    SELECT d.doc_id,
+           hex(d.source)                               AS source_hex,
+           to_base64(encode(d.source))                 AS source_b64,
+           decode(from_base64(to_base64(encode(d.source)))) AS roundtrip,
+           hex(d.n_chars)                              AS n_chars_hex
+    FROM documents d
+    """,
+)
+def scalar_encoding_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``hex`` / ``base64Encode`` / ``base64Decode`` /
+    ``unhex`` over the documents table — pure codegen string
+    transcoding (the wire-format vocabulary for opaque binary
+    columns).  Spark's hex(bigint) and DuckDB's hex(int) both emit
+    minimal-width uppercase hex, and base64 round-trips byte-exactly
+    through unbase64 → string."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.hex("source").alias("source_hex"),
+        F.base64(F.col("source").cast("binary")).alias("source_b64"),
+        F.unbase64(F.base64(F.col("source").cast("binary")))
+        .cast("string")
+        .alias("roundtrip"),
+        F.hex("n_chars").alias("n_chars_hex"),
+    )

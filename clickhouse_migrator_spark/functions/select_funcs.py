@@ -1,0 +1,408 @@
+"""ClickHouse function vocabulary → Spark SQL, as a string rewrite.
+
+The reference passes user SQL through verbatim to ClickHouse
+(``/root/reference/clickhouse_migrate/migrate.py:52,59``), so any
+function name a user wrote reaches the engine untranslated.  Running the
+same statements on Spark therefore needs a name/shape translation for
+the ClickHouse-only spellings.  :func:`rewrite_functions` does that at
+the string level — before parsing — so the output is plain Spark SQL
+and Catalyst sees only built-in functions (everything stays JVM
+codegen; nothing here introduces a UDF).
+
+Coverage (all case-sensitive, as in ClickHouse):
+
+- aggregate renames: ``uniq``/``uniqCombined``/``uniqHLL12`` →
+  ``approx_count_distinct``, ``uniqExact`` → ``count(DISTINCT …)``,
+  ``any``/``anyLast``/``anyHeavy`` → ``any_value``/``last``/``mode``,
+  ``argMax``/``argMin`` → ``max_by``/``min_by``, ``groupArray`` /
+  ``groupUniqArray`` → ``collect_list``/``collect_set`` (collect order
+  is nondeterministic — same caveat as ClickHouse's own docs), moment
+  aggregates (``stddevPop``/``varSamp``/``covarPop``/``corr``/
+  ``skewPop``/``kurtPop`` → Spark equivalents).
+- ``-If`` combinators: ``countIf(c)`` → ``count_if(c)``;
+  ``sumIf/avgIf/minIf/maxIf(v, c)`` → ``agg(CASE WHEN c THEN v END)``.
+- parametric aggregates: ``quantile(p)(x)`` / ``quantileExact`` /
+  ``medianExact`` → ``percentile(x, p)``; ``quantiles(p1,…)(x)`` →
+  ``array(percentile(x, p1), …)`` (ClickHouse's reservoir ``quantile``
+  is approximate; Spark's percentile is exact — documented upgrade).
+- scalar renames/reshapes: ``position(h, n)`` → ``locate(n, h)`` (arg
+  swap), ``match`` → ``regexp_like``, ``extractAll(h, re)`` →
+  ``regexp_extract_all(h, re, 0)``, ``has``/``indexOf`` → array
+  predicates, ``arrayMap/arrayFilter(λ, a)`` → ``transform/filter(a,
+  λ)`` (arg swap; lambda syntax is already identical), ``arrayJoin`` →
+  ``explode``, ``multiIf`` → ``CASE``, ``toInt*/toUInt*/toFloat*/
+  toString/toDate/toDateTime`` → ``CAST``, ``toStartOf*``/``toMonday``
+  → ``date_trunc`` (Date-typed where ClickHouse returns Date),
+  ``toYYYYMM[DD]`` → ``date_format`` cast, ``dateDiff``/``dateAdd``/
+  ``add*``/``subtract*`` → ``timestampdiff``/``timestampadd``,
+  ``toDayOfWeek`` → Monday-1-based expression, bit ops → native
+  operators, ``intDiv`` → ``DIV``, ``now``/``today`` →
+  ``current_timestamp``/``current_date``, trim/pad renames.
+
+Divergences (documented, not silent): ``formatDateTime`` translates
+the common ``%`` codes only; ``splitByChar`` assumes a non-regex
+separator char; ``extractAll`` returns whole-match when ClickHouse
+would return the first capture group.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+__all__ = ["rewrite_functions"]
+
+
+def _string_mask(sql: str) -> list[bool]:
+    """True at positions inside single-quoted literals or backticks."""
+    mask = [False] * len(sql)
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'" or ch == "`":
+            quote = ch
+            mask[i] = True
+            i += 1
+            while i < n:
+                mask[i] = True
+                if sql[i] == quote:
+                    # '' escape inside single quotes
+                    if quote == "'" and i + 1 < n and sql[i + 1] == "'":
+                        mask[i + 1] = True
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                i += 1
+        else:
+            i += 1
+    return mask
+
+
+def _scan_args(sql: str, start: int) -> tuple[list[str], int]:
+    """Split a balanced argument list starting just after '('.
+
+    Returns (args, index_past_closing_paren).  Quote- and paren-aware;
+    a lone ')' immediately at start yields [] (zero-arg call).
+    """
+    args: list[str] = []
+    depth = 1
+    buf: list[str] = []
+    i, n = start, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            buf.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                arg = "".join(buf).strip()
+                if arg or args:
+                    args.append(arg)
+                return args, i + 1
+        elif ch == "," and depth == 1:
+            args.append("".join(buf).strip())
+            buf = []
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    raise ValueError(f"unbalanced parentheses in: {sql[start - 20 : start + 40]!r}")
+
+
+Rule = Callable[[list[str]], "str | None"]  # None → leave the call untouched
+
+
+def _rename(new: str) -> Rule:
+    return lambda a: f"{new}({', '.join(a)})"
+
+
+def _tpl(template: str) -> Rule:
+    def rule(a: list[str]) -> str:
+        return template.format(*a)
+
+    return rule
+
+
+def _agg_if(agg: str) -> Rule:
+    return _tpl(f"{agg}(CASE WHEN {{1}} THEN {{0}} END)")
+
+
+def _cast(sql_type: str) -> Rule:
+    return _tpl(f"CAST({{0}} AS {sql_type})")
+
+
+def _trunc(unit: str, as_date: bool) -> Rule:
+    if as_date:
+        return _tpl(f"CAST(date_trunc('{unit}', {{0}}) AS DATE)")
+    return _tpl(f"date_trunc('{unit}', {{0}})")
+
+
+def _multi_if(a: list[str]) -> str:
+    if len(a) < 3 or len(a) % 2 == 0:
+        raise ValueError("multiIf expects cond1, val1, …, else")
+    parts = ["CASE"]
+    for c, v in zip(a[0:-1:2], a[1:-1:2]):
+        parts.append(f"WHEN {c} THEN {v}")
+    parts.append(f"ELSE {a[-1]} END")
+    return "(" + " ".join(parts) + ")"
+
+
+_FMT_CODES = [
+    ("%F", "yyyy-MM-dd"),
+    ("%T", "HH:mm:ss"),
+    ("%Y", "yyyy"),
+    ("%m", "MM"),
+    ("%d", "dd"),
+    ("%H", "HH"),
+    ("%i", "mm"),
+    ("%S", "ss"),
+    ("%e", "d"),
+    ("%%", "%"),
+]
+
+
+def _format_datetime(a: list[str]) -> str:
+    fmt = a[1].strip()
+    if not (fmt.startswith("'") and fmt.endswith("'")):
+        raise ValueError("formatDateTime needs a literal format string")
+    body = fmt[1:-1]
+    for ch_code, java in _FMT_CODES:
+        body = body.replace(ch_code, java)
+    if "%" in body:
+        raise ValueError(f"unsupported formatDateTime code in {fmt}")
+    return f"date_format({a[0]}, '{body}')"
+
+
+def _date_diff(a: list[str]) -> str:
+    unit = a[0].strip().strip("'\"").upper()
+    return f"timestampdiff({unit}, {a[1]}, {a[2]})"
+
+
+def _date_add(a: list[str]) -> str:
+    unit = a[0].strip().strip("'\"").upper()
+    return f"timestampadd({unit}, {a[1]}, {a[2]})"
+
+
+def _add_unit(unit: str, sign: str = "") -> Rule:
+    return _tpl(f"timestampadd({unit}, {sign}({{1}}), {{0}})")
+
+
+# ClickHouse toDayOfWeek: Monday=1…Sunday=7; Spark dayofweek: Sunday=1.
+_TO_DOW = _tpl("((dayofweek({0}) + 5) % 7 + 1)")
+
+RULES: dict[str, Rule] = {
+    # aggregates
+    "uniq": _rename("approx_count_distinct"),
+    "uniqCombined": _rename("approx_count_distinct"),
+    "uniqCombined64": _rename("approx_count_distinct"),
+    "uniqHLL12": _rename("approx_count_distinct"),
+    "uniqExact": _tpl("count(DISTINCT {0})"),
+    # `any(x)` the ClickHouse aggregate, NOT the `= ANY (SELECT …)`
+    # quantified-subquery keyword — decline subquery-shaped args
+    "any": lambda a: (
+        None
+        if len(a) == 1 and a[0].lstrip("( ").lower().startswith("select")
+        else f"any_value({', '.join(a)})"
+    ),
+    "anyLast": _rename("last"),
+    "anyHeavy": _rename("mode"),
+    "argMax": _rename("max_by"),
+    "argMin": _rename("min_by"),
+    "groupArray": _rename("collect_list"),
+    "groupUniqArray": _rename("collect_set"),
+    "stddevPop": _rename("stddev_pop"),
+    "stddevSamp": _rename("stddev_samp"),
+    "varPop": _rename("var_pop"),
+    "varSamp": _rename("var_samp"),
+    "covarPop": _rename("covar_pop"),
+    "covarSamp": _rename("covar_samp"),
+    "skewPop": _rename("skewness"),
+    "kurtPop": _rename("kurtosis"),
+    "countIf": _rename("count_if"),
+    "sumIf": _agg_if("sum"),
+    "avgIf": _agg_if("avg"),
+    "minIf": _agg_if("min"),
+    "maxIf": _agg_if("max"),
+    # strings
+    # ClickHouse position(haystack, needle[, start]) — arg order is the
+    # REVERSE of Spark's locate; the 1-arg `position(sub IN str)`
+    # standard-SQL form passes through untouched
+    "position": lambda a: (
+        None
+        if len(a) < 2
+        else f"locate({a[1]}, {a[0]})"
+        if len(a) == 2
+        else f"locate({a[1]}, {a[0]}, {a[2]})"
+    ),
+    "match": _rename("regexp_like"),
+    "extractAll": _tpl("regexp_extract_all({0}, {1}, 0)"),
+    "startsWith": _rename("startswith"),
+    "endsWith": _rename("endswith"),
+    "lcase": _rename("lower"),
+    "ucase": _rename("upper"),
+    "mid": _rename("substring"),
+    "trimBoth": _rename("trim"),
+    "trimLeft": _rename("ltrim"),
+    "trimRight": _rename("rtrim"),
+    "leftPad": _rename("lpad"),
+    "rightPad": _rename("rpad"),
+    "splitByChar": _tpl("split({1}, {0})"),
+    "formatDateTime": _format_datetime,
+    # arrays (ClickHouse puts the lambda FIRST; Spark puts the array first)
+    "has": _rename("array_contains"),
+    "indexOf": _rename("array_position"),
+    "arrayDistinct": _rename("array_distinct"),
+    "arraySort": _rename("array_sort"),
+    "arrayReverse": _rename("reverse"),
+    "arrayConcat": _rename("concat"),
+    "arraySlice": _rename("slice"),
+    "arrayMap": _tpl("transform({1}, {0})"),
+    "arrayFilter": _tpl("filter({1}, {0})"),
+    "arrayExists": _tpl("exists({1}, {0})"),
+    "arrayAll": _tpl("forall({1}, {0})"),
+    "arrayJoin": _rename("explode"),
+    "length": _rename("length"),  # identity; present so `empty` can build on it
+    "empty": _tpl("(length({0}) = 0)"),
+    "notEmpty": _tpl("(length({0}) > 0)"),
+    # conditionals
+    "multiIf": _multi_if,
+    # casts
+    "toInt8": _cast("INT"),
+    "toInt16": _cast("INT"),
+    "toInt32": _cast("INT"),
+    "toInt64": _cast("BIGINT"),
+    "toUInt8": _cast("BIGINT"),
+    "toUInt16": _cast("BIGINT"),
+    "toUInt32": _cast("BIGINT"),
+    "toUInt64": _cast("BIGINT"),
+    "toFloat32": _cast("FLOAT"),
+    "toFloat64": _cast("DOUBLE"),
+    "toString": _cast("STRING"),
+    "toDate": _cast("DATE"),
+    "toDateTime": _cast("TIMESTAMP"),
+    # date/time
+    "toYear": _rename("year"),
+    "toMonth": _rename("month"),
+    "toDayOfMonth": _rename("day"),
+    "toDayOfYear": _rename("dayofyear"),
+    "toDayOfWeek": _TO_DOW,
+    "toHour": _rename("hour"),
+    "toMinute": _rename("minute"),
+    "toSecond": _rename("second"),
+    "toQuarter": _rename("quarter"),
+    "toUnixTimestamp": _rename("unix_timestamp"),
+    "toStartOfYear": _trunc("YEAR", as_date=True),
+    "toStartOfQuarter": _trunc("QUARTER", as_date=True),
+    "toStartOfMonth": _trunc("MONTH", as_date=True),
+    "toMonday": _trunc("WEEK", as_date=True),
+    "toStartOfDay": _trunc("DAY", as_date=False),
+    "toStartOfHour": _trunc("HOUR", as_date=False),
+    "toStartOfMinute": _trunc("MINUTE", as_date=False),
+    "toYYYYMM": _tpl("CAST(date_format({0}, 'yyyyMM') AS INT)"),
+    "toYYYYMMDD": _tpl("CAST(date_format({0}, 'yyyyMMdd') AS INT)"),
+    "dateDiff": _date_diff,
+    "dateAdd": _date_add,
+    "addYears": _add_unit("YEAR"),
+    "addMonths": _add_unit("MONTH"),
+    "addWeeks": _add_unit("WEEK"),
+    "addDays": _add_unit("DAY"),
+    "addHours": _add_unit("HOUR"),
+    "addMinutes": _add_unit("MINUTE"),
+    "addSeconds": _add_unit("SECOND"),
+    "subtractYears": _add_unit("YEAR", "-"),
+    "subtractMonths": _add_unit("MONTH", "-"),
+    "subtractWeeks": _add_unit("WEEK", "-"),
+    "subtractDays": _add_unit("DAY", "-"),
+    "subtractHours": _add_unit("HOUR", "-"),
+    "subtractMinutes": _add_unit("MINUTE", "-"),
+    "subtractSeconds": _add_unit("SECOND", "-"),
+    "now": _rename("current_timestamp"),
+    "today": _rename("current_date"),
+    "yesterday": lambda a: "date_sub(current_date(), 1)",
+    # arithmetic / bits
+    "intDiv": _tpl("({0} DIV {1})"),
+    "modulo": _tpl("({0} % {1})"),
+    "plus": _tpl("({0} + {1})"),
+    "minus": _tpl("({0} - {1})"),
+    "multiply": _tpl("({0} * {1})"),
+    "divide": _tpl("({0} / {1})"),
+    "negate": _tpl("(-{0})"),
+    "bitAnd": _tpl("({0} & {1})"),
+    "bitOr": _tpl("({0} | {1})"),
+    "bitXor": _tpl("({0} ^ {1})"),
+    "bitNot": _tpl("(~{0})"),
+    "bitShiftLeft": _rename("shiftleft"),
+    "bitShiftRight": _rename("shiftright"),
+    "bitCount": _rename("bit_count"),
+}
+del RULES["length"]  # identity — no rewrite needed, avoid useless loop work
+
+# parametric aggregates: name(params)(args)
+_PARAMETRIC = {"quantile", "quantileExact", "median", "medianExact", "quantiles"}
+
+_IDENT_RE = re.compile(r"(?<![\w.`'])([A-Za-z_][A-Za-z0-9_]*)\s*\(")
+
+
+def _rewrite_parametric(name: str, params: list[str], args: list[str]) -> str:
+    x = ", ".join(args)
+    if name == "quantiles":
+        parts = ", ".join(f"percentile({x}, {p})" for p in params)
+        return f"array({parts})"
+    p = params[0] if params else "0.5"
+    return f"percentile({x}, {p})"
+
+
+def rewrite_functions(sql: str) -> str:
+    """Translate ClickHouse function spellings in ``sql`` to Spark SQL.
+
+    Pure string transformation; quote-aware (never rewrites inside
+    ``'…'`` literals or backtick identifiers); applies repeatedly so
+    nested calls resolve inside-out.  Unknown names pass through
+    untouched — Spark raises its own error for genuinely unsupported
+    functions, with the original spelling intact.
+    """
+    progress = True
+    while progress:
+        progress = False
+        mask = _string_mask(sql)
+        for m in _IDENT_RE.finditer(sql):
+            if mask[m.start(1)]:
+                continue
+            name = m.group(1)
+            parametric = name in _PARAMETRIC
+            if name not in RULES and not parametric:
+                continue
+            args, end = _scan_args(sql, m.end())
+            if parametric:
+                rest = sql[end:]
+                stripped = rest.lstrip()
+                if name in ("median", "medianExact") and not stripped.startswith("("):
+                    repl = _rewrite_parametric(name, [], args)
+                elif not stripped.startswith("("):
+                    continue  # quantile used as a plain identifier call chain
+                else:
+                    inner_start = end + (len(rest) - len(stripped)) + 1
+                    inner_args, end = _scan_args(sql, inner_start)
+                    repl = _rewrite_parametric(name, args, inner_args)
+            else:
+                maybe = RULES[name](args)
+                if maybe is None:
+                    continue
+                repl = maybe
+            sql = sql[: m.start()] + repl + sql[end:]
+            progress = True
+            break
+    return sql

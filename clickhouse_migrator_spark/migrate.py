@@ -761,7 +761,14 @@ def rewrite_query(spark: SparkSession, query: str) -> str:
       (see :func:`_rewrite_dictget`).
     - ``system.tables`` / ``system.columns`` / ``system.mutations`` →
       catalog-metadata views (see :func:`_system_view`).
+    - ClickHouse function vocabulary (``countIf``/``sumIf``, ``uniq*``,
+      ``quantile(p)(x)``, ``toStartOf*``, ``multiIf``, bit ops, …) →
+      Spark built-ins (see
+      :func:`clickhouse_migrator_spark.functions.select_funcs.rewrite_functions`).
     """
+    from .functions.select_funcs import rewrite_functions
+
+    query = rewrite_functions(query)
     query = _rewrite_dictget(spark, query)
     query = _SYSTEM_RE.sub(lambda m: _system_view(spark, m.group("which").lower()), query)
     query = _WITH_TOTALS_RE.sub(

@@ -1,0 +1,163 @@
+"""ClickHouse function-vocabulary translation
+(:mod:`clickhouse_migrator_spark.functions.select_funcs`).
+
+The reference forwards user SQL verbatim to ClickHouse
+(`/root/reference/clickhouse_migrate/migrate.py:52,59`); running the
+same statements here requires translating ClickHouse-only function
+spellings to Spark built-ins.  String-level tests pin the rewrite
+shapes; execution tests run translated ClickHouse SQL end-to-end over
+the testdata parquet and compare against the native Spark spelling.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_migrator_spark.functions.select_funcs import rewrite_functions
+from clickhouse_migrator_spark.migrate import execute_and_inflate
+from clickhouse_migrator_spark.tables import table
+
+
+@pytest.mark.parametrize(
+    "src,expected",
+    [
+        ("SELECT countIf(x > 1) FROM t", "SELECT count_if(x > 1) FROM t"),
+        (
+            "SELECT sumIf(v, x > 1) FROM t",
+            "SELECT sum(CASE WHEN x > 1 THEN v END) FROM t",
+        ),
+        ("SELECT uniq(x), uniqExact(y) FROM t",
+         "SELECT approx_count_distinct(x), count(DISTINCT y) FROM t"),
+        ("SELECT any(x), argMax(a, b) FROM t",
+         "SELECT any_value(x), max_by(a, b) FROM t"),
+        ("SELECT quantile(0.9)(x) FROM t", "SELECT percentile(x, 0.9) FROM t"),
+        ("SELECT median(x) FROM t", "SELECT percentile(x, 0.5) FROM t"),
+        (
+            "SELECT quantiles(0.25, 0.75)(x) FROM t",
+            "SELECT array(percentile(x, 0.25), percentile(x, 0.75)) FROM t",
+        ),
+        ("SELECT position(h, n) FROM t", "SELECT locate(n, h) FROM t"),
+        ("SELECT toInt32(x), toString(y) FROM t",
+         "SELECT CAST(x AS INT), CAST(y AS STRING) FROM t"),
+        (
+            "SELECT toStartOfMonth(d) FROM t",
+            "SELECT CAST(date_trunc('MONTH', d) AS DATE) FROM t",
+        ),
+        ("SELECT toStartOfHour(d) FROM t", "SELECT date_trunc('HOUR', d) FROM t"),
+        ("SELECT toYYYYMM(d) FROM t",
+         "SELECT CAST(date_format(d, 'yyyyMM') AS INT) FROM t"),
+        (
+            "SELECT dateDiff('day', a, b), addDays(d, 3) FROM t",
+            "SELECT timestampdiff(DAY, a, b), timestampadd(DAY, (3), d) FROM t",
+        ),
+        (
+            "SELECT multiIf(a > 1, 'x', b > 2, 'y', 'z') FROM t",
+            "SELECT (CASE WHEN a > 1 THEN 'x' WHEN b > 2 THEN 'y' ELSE 'z' END) FROM t",
+        ),
+        (
+            "SELECT arrayMap(x -> x + 1, arr) FROM t",
+            "SELECT transform(arr, x -> x + 1) FROM t",
+        ),
+        ("SELECT bitAnd(a, b), intDiv(a, b) FROM t",
+         "SELECT (a & b), (a DIV b) FROM t"),
+        (
+            "SELECT formatDateTime(d, '%Y-%m-%d %H:%i') FROM t",
+            "SELECT date_format(d, 'yyyy-MM-dd HH:mm') FROM t",
+        ),
+        # nested: inner ClickHouse calls resolve inside rewritten args
+        (
+            "SELECT sumIf(toInt64(v), toYear(d) = 1995) FROM t",
+            "SELECT sum(CASE WHEN year(d) = 1995 THEN CAST(v AS BIGINT) END) FROM t",
+        ),
+    ],
+)
+def test_rewrite_shapes(src, expected):
+    assert rewrite_functions(src) == expected
+
+
+def test_leaves_plain_sql_alone():
+    q = "SELECT count(*), sum(x) FROM t WHERE y LIKE 'any(%' GROUP BY z"
+    assert rewrite_functions(q) == q
+
+
+def test_quoted_literals_untouched():
+    q = "SELECT 'countIf(x)' AS s, `uniq` FROM t"
+    assert rewrite_functions(q) == q
+
+
+def test_any_subquery_passthrough():
+    q = "SELECT * FROM t WHERE x = any(SELECT y FROM u)"
+    assert rewrite_functions(q) == q
+
+
+def test_position_in_form_passthrough():
+    q = "SELECT position('a' IN s) FROM t"
+    assert rewrite_functions(q) == q
+
+
+def test_unbalanced_raises():
+    with pytest.raises(ValueError):
+        rewrite_functions("SELECT sumIf(v, x FROM t")
+
+
+def _register_views(spark, sf_dir):
+    for t in ("orders", "lineitem", "events"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def test_execution_aggregate_vocabulary(spark, sf_dir):
+    """Translated ClickHouse aggregates match native Spark spellings."""
+    _register_views(spark, sf_dir)
+    ch = execute_and_inflate(
+        spark,
+        """
+        SELECT o_orderstatus,
+               countIf(o_totalprice > 100000)          AS big,
+               sumIf(o_totalprice, toYear(o_orderdate) = 1995) AS rev95,
+               uniqExact(o_custkey)                    AS custs,
+               argMax(o_orderkey, o_totalprice)        AS top_order,
+               round(quantile(0.5)(o_totalprice), 4)   AS med
+        FROM orders GROUP BY o_orderstatus
+        """,
+    ).collect()
+    native = spark.sql(
+        """
+        SELECT o_orderstatus,
+               count_if(o_totalprice > 100000)         AS big,
+               sum(CASE WHEN year(o_orderdate) = 1995 THEN o_totalprice END) AS rev95,
+               count(DISTINCT o_custkey)               AS custs,
+               max_by(o_orderkey, o_totalprice)        AS top_order,
+               round(percentile(o_totalprice, 0.5), 4) AS med
+        FROM orders GROUP BY o_orderstatus
+        """
+    ).collect()
+    assert sorted(map(tuple, ch)) == sorted(map(tuple, native))
+
+
+def test_execution_scalar_vocabulary(spark, sf_dir):
+    _register_views(spark, sf_dir)
+    ch = execute_and_inflate(
+        spark,
+        """
+        SELECT event_id,
+               toStartOfMonth(ts)                    AS mo,
+               toYYYYMM(ts)                          AS ym,
+               toDayOfWeek(ts)                       AS dow_mon1,
+               multiIf(value > 50, 'hi', value > 10, 'mid', 'lo') AS tier,
+               position(event_type, 'e')             AS e_pos
+        FROM events
+        """,
+    ).collect()
+    native = spark.sql(
+        """
+        SELECT event_id,
+               CAST(date_trunc('MONTH', ts) AS DATE)  AS mo,
+               CAST(date_format(ts, 'yyyyMM') AS INT) AS ym,
+               (dayofweek(ts) + 5) % 7 + 1            AS dow_mon1,
+               CASE WHEN value > 50 THEN 'hi'
+                    WHEN value > 10 THEN 'mid' ELSE 'lo' END AS tier,
+               locate('e', event_type)                AS e_pos
+        FROM events
+        """
+    ).collect()
+    assert sorted(map(tuple, ch)) == sorted(map(tuple, native))

@@ -44,6 +44,15 @@ from pyspark.sql.types import (
 )
 
 from .ddl import Statement, _split_top as _ddl_split_top, translate
+from .functions.select_funcs import rewrite_functions as _rewrite_funcs
+
+
+def _ch_expr(s: str) -> "F.Column":
+    """A scalar expression from a migration script, with ClickHouse
+    function spellings (``toDate``/``multiIf``/``bitAnd``/…) translated
+    to Spark built-ins first — the same vocabulary rewrite SELECTs get
+    in :func:`rewrite_query`."""
+    return F.expr(_rewrite_funcs(s))
 
 LEDGER = "schema_versions"
 
@@ -410,7 +419,7 @@ def _exec_translated(spark: SparkSession, st: Statement) -> DataFrame | None:
     if st.kind == "add_column":
         qual = _qualify(spark, st.table)
         df = spark.table(qual)
-        default = F.expr(st.default).cast(st.col_type) if st.default is not None else F.lit(None).cast(st.col_type)
+        default = _ch_expr(st.default).cast(st.col_type) if st.default is not None else F.lit(None).cast(st.col_type)
         _swap_overwrite(spark, st.table, df.withColumn(st.column, default))
         return None
     if st.kind == "drop_column":
@@ -435,16 +444,16 @@ def _exec_translated(spark: SparkSession, st: Statement) -> DataFrame | None:
     if st.kind == "cow_update":
         qual = _qualify(spark, st.table)
         df = spark.table(qual)
-        pred = F.expr(st.predicate)
+        pred = _ch_expr(st.predicate)
         out = df
         for col, expr in st.assignments:
-            out = out.withColumn(col, F.when(pred, F.expr(expr).cast(dict(df.dtypes).get(col, "string"))).otherwise(F.col(col)))
+            out = out.withColumn(col, F.when(pred, _ch_expr(expr).cast(dict(df.dtypes).get(col, "string"))).otherwise(F.col(col)))
         _swap_overwrite(spark, st.table, out)
         return None
     if st.kind == "cow_delete":
         qual = _qualify(spark, st.table)
         df = spark.table(qual)
-        _swap_overwrite(spark, st.table, df.filter(~F.expr(st.predicate)))
+        _swap_overwrite(spark, st.table, df.filter(~_ch_expr(st.predicate)))
         return None
     if st.kind == "optimize":
         _optimize_table(spark, st)
@@ -766,9 +775,7 @@ def rewrite_query(spark: SparkSession, query: str) -> str:
       Spark built-ins (see
       :func:`clickhouse_migrator_spark.functions.select_funcs.rewrite_functions`).
     """
-    from .functions.select_funcs import rewrite_functions
-
-    query = rewrite_functions(query)
+    query = _rewrite_funcs(query)
     query = _rewrite_dictget(spark, query)
     query = _SYSTEM_RE.sub(lambda m: _system_view(spark, m.group("which").lower()), query)
     query = _WITH_TOTALS_RE.sub(

@@ -231,3 +231,34 @@ def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_linenumber", "price")
         .limit(15)
     )
+
+
+@register(
+    "window_running_difference",
+    oracle="""
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta,
+           lead(event_type) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id)     AS next_type
+    FROM events
+    """,
+)
+def window_running_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``runningDifference(value)`` / ``neighbor(col, ±1)``
+    done right: those functions compute within a *block* (explicitly
+    order-dependent and deprecated for exactly that reason); the
+    well-defined equivalent is lag/lead over an explicit
+    (ts, event_id)-ordered window per user.  One shuffle on user_id,
+    sort within partitions — block-local semantics at any partition
+    count, which the ClickHouse originals cannot guarantee."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )

@@ -100,14 +100,20 @@ def test_unbalanced_raises():
         rewrite_functions("SELECT sumIf(v, x FROM t")
 
 
-def _register_views(spark, sf_dir):
-    for t in ("orders", "lineitem", "events"):
+@pytest.fixture()
+def views(spark, sf_dir):
+    """Temp views for the execution tests — dropped afterwards so the
+    shared session's SHOW TABLES stays clean for other test files."""
+    names = ("orders", "lineitem", "events")
+    for t in names:
         table(spark, sf_dir, t).createOrReplaceTempView(t)
+    yield
+    for t in names:
+        spark.catalog.dropTempView(t)
 
 
-def test_execution_aggregate_vocabulary(spark, sf_dir):
+def test_execution_aggregate_vocabulary(spark, sf_dir, views):
     """Translated ClickHouse aggregates match native Spark spellings."""
-    _register_views(spark, sf_dir)
     ch = execute_and_inflate(
         spark,
         """
@@ -134,8 +140,7 @@ def test_execution_aggregate_vocabulary(spark, sf_dir):
     assert sorted(map(tuple, ch)) == sorted(map(tuple, native))
 
 
-def test_execution_scalar_vocabulary(spark, sf_dir):
-    _register_views(spark, sf_dir)
+def test_execution_scalar_vocabulary(spark, sf_dir, views):
     ch = execute_and_inflate(
         spark,
         """
@@ -161,3 +166,40 @@ def test_execution_scalar_vocabulary(spark, sf_dir):
         """
     ).collect()
     assert sorted(map(tuple, ch)) == sorted(map(tuple, native))
+
+
+def test_migration_dml_uses_ch_vocabulary(spark, tmp_path):
+    """ALTER TABLE UPDATE / ADD COLUMN DEFAULT accept ClickHouse
+    function spellings (the reference forwards them verbatim to the
+    server; here they translate at expression level)."""
+    import uuid
+
+    from clickhouse_migrator_spark import migrate as M
+
+    name = "fndml_" + uuid.uuid4().hex[:8]
+    M.create_db(spark, name)
+    prev = spark.catalog.currentDatabase()
+    spark.catalog.setCurrentDatabase(name)
+    try:
+        M.execute_statement(
+            spark,
+            "CREATE TABLE ev (id UInt32, d DateTime, v UInt32) "
+            "ENGINE = MergeTree ORDER BY (id)",
+        )
+        spark.sql(
+            "INSERT INTO ev VALUES (1, TIMESTAMP'1995-03-15 10:00:00', 4), "
+            "(2, TIMESTAMP'1996-07-01 00:00:00', 9)"
+        )
+        M.execute_statement(
+            spark, "ALTER TABLE ev ADD COLUMN ym UInt32 DEFAULT toYYYYMM(d)"
+        )
+        M.execute_statement(
+            spark,
+            "ALTER TABLE ev UPDATE v = multiIf(toYear(d) = 1995, bitAnd(v, 3), 0) "
+            "WHERE toYear(d) >= 1995",
+        )
+        rows = {r.id: (r.ym, r.v) for r in spark.table("ev").collect()}
+        assert rows == {1: (199503, 0), 2: (199607, 0)}
+    finally:
+        spark.catalog.setCurrentDatabase(prev)
+        spark.sql(f"DROP DATABASE `{name}` CASCADE")

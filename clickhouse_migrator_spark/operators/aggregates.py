@@ -595,3 +595,52 @@ def agg_group_array_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("first_types"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "agg_topk_weighted",
+    oracle="""
+    WITH wsum AS (
+      SELECT o_orderstatus, o_orderpriority,
+             round(sum(o_totalprice), 2) AS weight
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ), ranked AS (
+      SELECT *, row_number() OVER
+        (PARTITION BY o_orderstatus
+         ORDER BY weight DESC, o_orderpriority) AS rk
+      FROM wsum
+    )
+    SELECT o_orderstatus,
+           list(o_orderpriority ORDER BY rk)  AS top_priorities,
+           list(weight ORDER BY rk)           AS top_weights
+    FROM ranked WHERE rk <= 3 GROUP BY o_orderstatus
+    """,
+)
+def agg_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``topKWeighted(3)(o_orderpriority, o_totalprice)`` —
+    the 3 heaviest values per group by summed weight (exact
+    formulation; ClickHouse's is a space-saving approximation).  Same
+    two-level shape as ``agg_topk_frequent``: partial-agg'd weight
+    rollup, a top-3 window over the tiny (status, priority) grid, then
+    an array re-aggregation — the heavy shuffle carries only the
+    pre-aggregated grid.  Priority-name tie-break keeps equal weights
+    deterministic across engines."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    wsum = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("weight")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("weight"), F.asc("o_orderpriority")
+    )
+    ranked = wsum.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+    sorted_structs = F.array_sort(
+        F.collect_list(F.struct("rk", "o_orderpriority", "weight"))
+    )
+    return ranked.groupBy("o_orderstatus").agg(
+        F.transform(sorted_structs, lambda s: s.o_orderpriority).alias(
+            "top_priorities"
+        ),
+        F.transform(sorted_structs, lambda s: s.weight).alias("top_weights"),
+    )

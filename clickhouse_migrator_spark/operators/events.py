@@ -740,3 +740,115 @@ def events_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.greatest(F.max(F.col("cum_b") - F.col("cum_a")), F.lit(0))
         ).alias("chains")
     )
+
+
+@register(
+    "events_delta_sum",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             value - lag(value) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+      FROM events
+    )
+    SELECT user_id,
+           round(sum(CASE WHEN delta > 0 THEN delta ELSE 0 END), 6) AS delta_sum
+    FROM d GROUP BY user_id
+    """,
+)
+def events_delta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``deltaSum(value)`` — the sum of positive deltas
+    between consecutive values, per user in (ts, event_id) order (the
+    counter-reset-tolerant rate primitive for monotonic gauges).  One
+    lag window + one aggregate on the same user_id shuffle key, so the
+    exchange is reused — a single shuffle end to end."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = e.select(
+        "user_id", (F.col("value") - F.lag("value").over(w)).alias("delta")
+    )
+    return d.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.when(F.col("delta") > 0, F.col("delta")).otherwise(F.lit(0.0))),
+            6,
+        ).alias("delta_sum")
+    )
+
+
+INTERVAL_LEN_US = 30 * 60 * 1_000_000  # each event opens a 30-minute interval
+
+
+@register(
+    "events_interval_length_sum",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + {INTERVAL_LEN_US} AS e,
+             event_id
+      FROM events
+    ), isl AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER
+               (PARTITION BY user_id ORDER BY s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS new_island,
+             event_id
+      FROM iv
+    ), tagged AS (
+      SELECT user_id, s, e,
+             sum(new_island) OVER
+               (PARTITION BY user_id ORDER BY s, event_id) AS island
+      FROM isl
+    ), spans AS (
+      SELECT user_id, island, max(e) - min(s) AS span_us
+      FROM tagged GROUP BY user_id, island
+    )
+    SELECT user_id, sum(span_us) AS covered_us FROM spans GROUP BY user_id
+    """,
+)
+def events_interval_length_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``intervalLengthSum`` — total length of the UNION of
+    per-user intervals (each event opens a 30-minute window; overlaps
+    counted once).  Classic islands algorithm, fully windowed: a
+    running max of interval ends marks island starts, a running sum
+    numbers the islands, then span = max(end) − min(start) per island.
+    Everything partitions on user_id — the window pair and both
+    aggregations reuse ONE shuffle; time is integer microseconds
+    (`unix_micros`/`epoch_us`) so the arithmetic is exact in both
+    engines."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ (parquet-nanos normalization); unix_micros
+    # needs TIMESTAMP.  The tz offset the cast introduces is constant,
+    # and islands/spans are shift-invariant, so it cancels exactly.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = e.select(
+        "user_id",
+        "event_id",
+        us.alias("s"),
+        (us + F.lit(INTERVAL_LEN_US)).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = iv.withColumn(
+        "new_island",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    tagged = isl.withColumn("island", F.sum("new_island").over(w_run))
+    spans = tagged.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("span_us")
+    )
+    return spans.groupBy("user_id").agg(F.sum("span_us").alias("covered_us"))

@@ -753,6 +753,121 @@ _WITH_TOTALS_RE = re.compile(
     r"\bGROUP\s+BY\s+(?P<keys>.+?)\s+WITH\s+TOTALS\b", re.I | re.S
 )
 
+# ClickHouse clause-level SELECT dialect -------------------------------
+# PREWHERE is a ClickHouse scan-stage optimization hint; semantically it
+# is a conjunct of WHERE.  Catalyst's predicate pushdown already does
+# what PREWHERE asks for, so the rewrite is purely syntactic.
+_PREWHERE_RE = re.compile(
+    r"\bPREWHERE\s+(?P<p>.*?)\s*(?=\bWHERE\b|\bGROUP\s+BY\b|\bHAVING\b"
+    r"|\bORDER\s+BY\b|\bLIMIT\b|\bSETTINGS\b|\bFORMAT\b|\bARRAY\s+JOIN\b|$)",
+    re.I | re.S,
+)
+# `[LEFT] ARRAY JOIN expr AS alias` — single-column form only (the
+# multi-column zip form has no 1:1 Spark clause; raise, don't mangle).
+_ARRAY_JOIN_START_RE = re.compile(r"\b(?P<left>LEFT\s+)?ARRAY\s+JOIN\s+", re.I)
+_ARRAY_JOIN_AS_RE = re.compile(r"\s+AS\s+(?P<alias>\w+)", re.I)
+_ARRAY_JOIN_ZIP_RE = re.compile(r"\s*,\s*\S.*?\s+AS\s+\w+", re.I | re.S)
+
+
+def _rewrite_array_join(query: str) -> str:
+    """``[LEFT] ARRAY JOIN expr AS x`` → ``LATERAL VIEW [OUTER]
+    explode(expr) AS x``.  The expression is scanned with paren/quote
+    awareness (it may contain commas inside calls); the alias is the
+    first top-level ``AS``."""
+    while True:
+        m = _ARRAY_JOIN_START_RE.search(query)
+        if not m:
+            return query
+        i, n = m.end(), len(query)
+        depth = 0
+        while i < n:
+            ch = query[i]
+            if ch == "'":
+                j = query.find("'", i + 1)
+                while j != -1 and j + 1 < n and query[j + 1] == "'":
+                    j = query.find("'", j + 2)
+                if j == -1:
+                    raise ValueError("unterminated string literal in ARRAY JOIN")
+                i = j
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0:
+                mm = _ARRAY_JOIN_AS_RE.match(query, i)
+                if mm:
+                    expr = query[m.end() : i].strip()
+                    if _ARRAY_JOIN_ZIP_RE.match(query, mm.end()):
+                        raise ValueError(
+                            "multi-column ARRAY JOIN (zip form) is not "
+                            "supported; use one ARRAY JOIN per array or "
+                            "arrays_zip"
+                        )
+                    outer = " OUTER" if m.group("left") else ""
+                    repl = (
+                        f"LATERAL VIEW{outer} explode({expr}) "
+                        f"AS {mm.group('alias')}"
+                    )
+                    query = query[: m.start()] + repl + query[mm.end() :]
+                    break
+            i += 1
+        else:
+            raise ValueError(
+                "ARRAY JOIN requires an 'AS <alias>' (the bare form would "
+                "shadow the source column ambiguously in Spark)"
+            )
+_GLOBAL_RE = re.compile(
+    r"\bGLOBAL\s+(?=(?:NOT\s+)?IN\b|ANY\b|ALL\b|JOIN\b|LEFT\b|RIGHT\b"
+    r"|INNER\b|FULL\b|CROSS\b|SEMI\b|ANTI\b)",
+    re.I,
+)
+_TRAILING_FORMAT_RE = re.compile(r"\s*\bFORMAT\s+\w+\s*;?\s*$", re.I)
+_QUERY_SETTINGS_RE = re.compile(r"\s*\bSETTINGS\s+\w+\s*=\s*[^;]*;?\s*$", re.I)
+
+
+def _rewrite_clauses(query: str) -> str:
+    """Clause-level ClickHouse SELECT dialect → Spark SQL:
+
+    - ``PREWHERE p`` → ``WHERE p`` (AND-merged with an existing WHERE;
+      the scan-stage split it requests is Catalyst predicate pushdown)
+    - ``[LEFT] ARRAY JOIN arr AS x`` → ``LATERAL VIEW [OUTER]
+      explode(arr) AS x`` (single-column form; the zip form raises)
+    - ``GLOBAL IN`` / ``GLOBAL JOIN`` → distribution hint dropped
+      (Spark's broadcast/shuffle decision is AQE's job)
+    - trailing ``FORMAT X`` / ``SETTINGS k=v`` → stripped (wire-format
+      and server knobs have no meaning here)
+    """
+    query = _TRAILING_FORMAT_RE.sub("", query)
+    query = _QUERY_SETTINGS_RE.sub("", query)
+    query = _GLOBAL_RE.sub("", query)
+
+    m = _PREWHERE_RE.search(query)
+    if m:
+        pred = m.group("p").strip()
+        rest = query[m.end() :]
+        if re.match(r"\s*WHERE\b", rest, re.I):
+            rest = re.sub(r"\s*WHERE\b", "", rest, count=1, flags=re.I)
+            query = query[: m.start()] + _merge_prewhere(pred, rest)
+        else:
+            query = f"{query[: m.start()]}WHERE {pred} {rest}".rstrip()
+
+    return _rewrite_array_join(query)
+
+
+_CLAUSE_BOUNDARY_RE = re.compile(
+    r"\b(GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|SETTINGS|FORMAT)\b", re.I
+)
+
+
+def _merge_prewhere(pred: str, rest_after_where: str) -> str:
+    """AND-merge a PREWHERE predicate into the following WHERE clause,
+    wrapping only up to the next clause boundary."""
+    b = _CLAUSE_BOUNDARY_RE.search(rest_after_where)
+    cut = b.start() if b else len(rest_after_where)
+    wpred = rest_after_where[:cut].strip()
+    tail = rest_after_where[cut:]
+    return f"WHERE ({pred}) AND ({wpred}) {tail}".rstrip()
+
 
 def rewrite_query(spark: SparkSession, query: str) -> str:
     """Rewrite ClickHouse SELECT modifiers to plain Spark SQL.
@@ -775,6 +890,7 @@ def rewrite_query(spark: SparkSession, query: str) -> str:
       Spark built-ins (see
       :func:`clickhouse_migrator_spark.functions.select_funcs.rewrite_functions`).
     """
+    query = _rewrite_clauses(query)
     query = _rewrite_funcs(query)
     query = _rewrite_dictget(spark, query)
     query = _SYSTEM_RE.sub(lambda m: _system_view(spark, m.group("which").lower()), query)

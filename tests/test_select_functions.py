@@ -203,3 +203,64 @@ def test_migration_dml_uses_ch_vocabulary(spark, tmp_path):
     finally:
         spark.catalog.setCurrentDatabase(prev)
         spark.sql(f"DROP DATABASE `{name}` CASCADE")
+
+
+# ---- clause-level dialect (PREWHERE / ARRAY JOIN / GLOBAL / FORMAT) ----
+
+from clickhouse_migrator_spark.migrate import _rewrite_clauses
+
+
+def test_prewhere_alone_becomes_where():
+    out = _rewrite_clauses("SELECT x FROM t PREWHERE a > 1 GROUP BY x")
+    assert out == "SELECT x FROM t WHERE a > 1 GROUP BY x"
+
+
+def test_prewhere_merges_with_where():
+    out = _rewrite_clauses(
+        "SELECT x FROM t PREWHERE a > 1 WHERE b < 2 ORDER BY x"
+    )
+    assert out == "SELECT x FROM t WHERE (a > 1) AND (b < 2) ORDER BY x"
+
+
+def test_array_join_to_lateral_view():
+    out = _rewrite_clauses("SELECT doc_id, w FROM t ARRAY JOIN words AS w")
+    assert out == "SELECT doc_id, w FROM t LATERAL VIEW explode(words) AS w"
+    out = _rewrite_clauses("SELECT doc_id, w FROM t LEFT ARRAY JOIN words AS w")
+    assert (
+        out == "SELECT doc_id, w FROM t LATERAL VIEW OUTER explode(words) AS w"
+    )
+
+
+def test_array_join_zip_form_raises():
+    with pytest.raises(ValueError, match="zip form"):
+        _rewrite_clauses("SELECT 1 FROM t ARRAY JOIN a AS x, b AS y")
+
+
+def test_global_and_format_stripped():
+    out = _rewrite_clauses(
+        "SELECT x FROM t WHERE k GLOBAL IN (SELECT k FROM u) FORMAT JSONEachRow"
+    )
+    assert out == "SELECT x FROM t WHERE k IN (SELECT k FROM u)"
+    out = _rewrite_clauses("SELECT 1 FROM t SETTINGS max_threads = 8")
+    assert out == "SELECT 1 FROM t"
+
+
+def test_execution_clause_dialect(spark, sf_dir, views):
+    """PREWHERE + ARRAY JOIN run end-to-end through execute_and_inflate."""
+    ch = execute_and_inflate(
+        spark,
+        """
+        SELECT user_id, tok FROM events
+        ARRAY JOIN splitByChar('_', event_type) AS tok
+        PREWHERE value > 90
+        WHERE event_type != ''
+        """,
+    )
+    native = spark.sql(
+        """
+        SELECT user_id, tok FROM events
+        LATERAL VIEW explode(split(event_type, '_')) AS tok
+        WHERE value > 90 AND event_type != ''
+        """
+    )
+    assert sorted(map(tuple, ch.collect())) == sorted(map(tuple, native.collect()))

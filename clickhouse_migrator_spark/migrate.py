@@ -825,6 +825,52 @@ _TRAILING_FORMAT_RE = re.compile(r"\s*\bFORMAT\s+\w+\s*;?\s*$", re.I)
 _QUERY_SETTINGS_RE = re.compile(r"\s*\bSETTINGS\s+\w+\s*=\s*[^;]*;?\s*$", re.I)
 
 
+# `ORDER BY … LIMIT n BY cols [LIMIT m]` at the query tail (the
+# canonical ClickHouse shape: LIMIT BY keeps the first n rows per
+# distinct cols-group in ORDER BY order, then the final LIMIT applies).
+_LIMIT_BY_TAIL_RE = re.compile(
+    r"\bORDER\s+BY\s+(?P<ord>[^;]*?)\s+LIMIT\s+(?P<n>\d+)\s+BY\s+"
+    r"(?P<cols>[^;]*?)(?:\s+LIMIT\s+(?P<m>\d+))?\s*;?\s*$",
+    re.I | re.S,
+)
+_LIMIT_BY_ANY_RE = re.compile(r"\bLIMIT\s+\d+\s+BY\b", re.I)
+
+
+def _rewrite_limit_by(query: str) -> str:
+    """ClickHouse ``LIMIT n BY cols`` → a ``row_number`` window filter.
+
+    ``… ORDER BY o LIMIT n BY c [LIMIT m]`` becomes::
+
+        SELECT * EXCEPT (__rn) FROM (
+          SELECT *, row_number() OVER (PARTITION BY c ORDER BY o) AS __rn
+          FROM (<query minus the tail clauses>)
+        ) WHERE __rn <= n ORDER BY o [LIMIT m]
+
+    This is the per-group-top-k plan Spark wants anyway: one shuffle on
+    the BY columns, ranking inside each partition, no global sort until
+    the (already reduced) outer ORDER BY.  An explicit ORDER BY is
+    required — ClickHouse's LIMIT BY without one picks arbitrary rows,
+    which a distributed rewrite must not silently reproduce."""
+    m = _LIMIT_BY_TAIL_RE.search(query)
+    if not m:
+        if _LIMIT_BY_ANY_RE.search(query):
+            raise ValueError(
+                "LIMIT BY requires an explicit ORDER BY (… ORDER BY o "
+                "LIMIT n BY cols [LIMIT m]) so the kept rows are "
+                "deterministic"
+            )
+        return query
+    inner = query[: m.start()].strip()
+    ord_, cols, n = m.group("ord").strip(), m.group("cols").strip(), m.group("n")
+    tail_limit = f" LIMIT {m.group('m')}" if m.group("m") else ""
+    return (
+        f"SELECT * EXCEPT (__rn) FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY {cols} ORDER BY {ord_}) "
+        f"AS __rn FROM ({inner})"
+        f") WHERE __rn <= {n} ORDER BY {ord_}{tail_limit}"
+    )
+
+
 def _rewrite_clauses(query: str) -> str:
     """Clause-level ClickHouse SELECT dialect → Spark SQL:
 
@@ -836,10 +882,13 @@ def _rewrite_clauses(query: str) -> str:
       (Spark's broadcast/shuffle decision is AQE's job)
     - trailing ``FORMAT X`` / ``SETTINGS k=v`` → stripped (wire-format
       and server knobs have no meaning here)
+    - ``ORDER BY o LIMIT n BY c [LIMIT m]`` → per-group top-n via a
+      ``row_number`` window filter (see :func:`_rewrite_limit_by`)
     """
     query = _TRAILING_FORMAT_RE.sub("", query)
     query = _QUERY_SETTINGS_RE.sub("", query)
     query = _GLOBAL_RE.sub("", query)
+    query = _rewrite_limit_by(query)
 
     m = _PREWHERE_RE.search(query)
     if m:

@@ -264,3 +264,47 @@ def test_execution_clause_dialect(spark, sf_dir, views):
         """
     )
     assert sorted(map(tuple, ch.collect())) == sorted(map(tuple, native.collect()))
+
+
+def test_limit_by_rewrite_shape():
+    from clickhouse_migrator_spark.migrate import _rewrite_limit_by
+
+    out = _rewrite_limit_by(
+        "SELECT a, b FROM t ORDER BY b DESC LIMIT 2 BY a LIMIT 10"
+    )
+    assert out == (
+        "SELECT * EXCEPT (__rn) FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY a ORDER BY b DESC) "
+        "AS __rn FROM (SELECT a, b FROM t)"
+        ") WHERE __rn <= 2 ORDER BY b DESC LIMIT 10"
+    )
+
+
+def test_limit_by_without_order_by_raises():
+    from clickhouse_migrator_spark.migrate import _rewrite_limit_by
+
+    with pytest.raises(ValueError, match="ORDER BY"):
+        _rewrite_limit_by("SELECT a FROM t LIMIT 2 BY a")
+
+
+def test_execution_limit_by(spark, sf_dir, views):
+    """LIMIT n BY cols runs end-to-end and matches the native window."""
+    ch = execute_and_inflate(
+        spark,
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2 BY o_custkey
+        """,
+    )
+    native = spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders
+        ) WHERE rn <= 2
+        """
+    )
+    assert sorted(map(tuple, ch.collect())) == sorted(map(tuple, native.collect()))

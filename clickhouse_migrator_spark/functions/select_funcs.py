@@ -54,12 +54,26 @@ __all__ = ["rewrite_functions"]
 
 
 def _string_mask(sql: str) -> list[bool]:
-    """True at positions inside single-quoted literals or backticks."""
+    """True at positions inside single-quoted literals, backticks, or
+    SQL comments (``-- …`` / ``/* … */``) — none of which may be
+    rewritten or paren-scanned."""
     mask = [False] * len(sql)
     i, n = 0, len(sql)
     while i < n:
         ch = sql[i]
-        if ch == "'" or ch == "`":
+        if ch == "-" and sql[i : i + 2] == "--":
+            j = sql.find("\n", i)
+            j = n if j == -1 else j
+            for k in range(i, j):
+                mask[k] = True
+            i = j
+        elif ch == "/" and sql[i : i + 2] == "/*":
+            j = sql.find("*/", i + 2)
+            j = n if j == -1 else j + 2
+            for k in range(i, j):
+                mask[k] = True
+            i = j
+        elif ch == "'" or ch == "`":
             quote = ch
             mask[i] = True
             i += 1
@@ -200,6 +214,20 @@ def _add_unit(unit: str, sign: str = "") -> Rule:
     return _tpl(f"timestampadd({unit}, {sign}({{1}}), {{0}})")
 
 
+def _json_extract(a: list[str], cast_to: "str | None") -> "str | None":
+    """``JSONExtract*(json, 'key')`` → ``get_json_object(json, '$.key')``
+    [+ CAST].  Only literal keys translate (a dynamic key would need
+    string concatenation into the JSONPath — decline those)."""
+    if len(a) != 2:
+        return None
+    key = a[1].strip()
+    if not (key.startswith("'") and key.endswith("'")):
+        return None
+    path = f"'$.{key[1:-1]}'"
+    base = f"get_json_object({a[0]}, {path})"
+    return f"CAST({base} AS {cast_to})" if cast_to else base
+
+
 # ClickHouse toDayOfWeek: Monday=1…Sunday=7; Spark dayofweek: Sunday=1.
 _TO_DOW = _tpl("((dayofweek({0}) + 5) % 7 + 1)")
 
@@ -277,6 +305,31 @@ RULES: dict[str, Rule] = {
     "length": _rename("length"),  # identity; present so `empty` can build on it
     "empty": _tpl("(length({0}) = 0)"),
     "notEmpty": _tpl("(length({0}) > 0)"),
+    # strings round 2
+    "replaceAll": _rename("replace"),
+    "replaceRegexpAll": _rename("regexp_replace"),
+    "concatWithSeparator": _rename("concat_ws"),
+    "arrayStringConcat": _rename("array_join"),
+    "arrayFlatten": _rename("flatten"),
+    # maps / tuples
+    "mapKeys": _rename("map_keys"),
+    "mapValues": _rename("map_values"),
+    "tuple": _rename("struct"),  # Spark struct() names fields col1, col2, …
+    # ClickHouse tupleElement is 1-based; struct() fields are col<N>
+    "tupleElement": lambda a: (
+        f"({a[0]}.col{a[1].strip()})" if a[1].strip().isdigit() else None
+    ),
+    # JSON extraction (literal keys only; non-literal keys pass through)
+    "JSONExtractString": lambda a: _json_extract(a, None),
+    "JSONExtractInt": lambda a: _json_extract(a, "BIGINT"),
+    "JSONExtractFloat": lambda a: _json_extract(a, "DOUBLE"),
+    "JSONExtractBool": lambda a: _json_extract(a, "BOOLEAN"),
+    "visitParamExtractString": lambda a: _json_extract(a, None),
+    # null handling
+    "isNull": _tpl("({0} IS NULL)"),
+    "isNotNull": _tpl("({0} IS NOT NULL)"),
+    "ifNull": _rename("nvl"),
+    "assumeNotNull": _tpl("({0})"),
     # conditionals
     "multiIf": _multi_if,
     # casts

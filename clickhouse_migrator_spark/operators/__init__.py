@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     aggregates,
     asof,
     dedup,
+    dialect,
     events,
     joins,
     multimodal,

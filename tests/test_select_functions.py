@@ -308,3 +308,48 @@ def test_execution_limit_by(spark, sf_dir, views):
         """
     )
     assert sorted(map(tuple, ch.collect())) == sorted(map(tuple, native.collect()))
+
+
+@pytest.mark.parametrize(
+    "src,expected",
+    [
+        (
+            "SELECT JSONExtractString(props, 'country') FROM t",
+            "SELECT get_json_object(props, '$.country') FROM t",
+        ),
+        (
+            "SELECT JSONExtractInt(props, 'n') FROM t",
+            "SELECT CAST(get_json_object(props, '$.n') AS BIGINT) FROM t",
+        ),
+        # dynamic key: no JSONPath to build — pass through
+        (
+            "SELECT JSONExtractString(props, k) FROM t",
+            "SELECT JSONExtractString(props, k) FROM t",
+        ),
+        (
+            "SELECT replaceAll(s, 'a', 'b'), replaceRegexpAll(s, '[0-9]+', '#') FROM t",
+            "SELECT replace(s, 'a', 'b'), regexp_replace(s, '[0-9]+', '#') FROM t",
+        ),
+        (
+            "SELECT arrayStringConcat(arr, ', '), arrayFlatten(aa) FROM t",
+            "SELECT array_join(arr, ', '), flatten(aa) FROM t",
+        ),
+        (
+            "SELECT tupleElement(tuple(a, b), 2) FROM t",
+            "SELECT (struct(a, b).col2) FROM t",
+        ),
+        (
+            "SELECT isNull(x), ifNull(x, 0), assumeNotNull(y) FROM t",
+            "SELECT (x IS NULL), nvl(x, 0), (y) FROM t",
+        ),
+    ],
+)
+def test_rewrite_shapes_round2(src, expected):
+    assert rewrite_functions(src) == expected
+
+
+def test_comments_untouched():
+    q = "SELECT sum(x) FROM t -- note: any( open paren in comment\nWHERE y > 1"
+    assert rewrite_functions(q) == q
+    q2 = "SELECT /* uses countIf( */ count(*) FROM t"
+    assert rewrite_functions(q2) == q2

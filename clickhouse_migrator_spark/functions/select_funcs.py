@@ -260,6 +260,7 @@ RULES: dict[str, Rule] = {
     "skewPop": _rename("skewness"),
     "kurtPop": _rename("kurtosis"),
     "countIf": _rename("count_if"),
+    "avgWeighted": _tpl("(sum(({0}) * ({1})) / sum({1}))"),
     "sumIf": _agg_if("sum"),
     "avgIf": _agg_if("avg"),
     "minIf": _agg_if("min"),
@@ -403,19 +404,42 @@ RULES: dict[str, Rule] = {
 }
 del RULES["length"]  # identity — no rewrite needed, avoid useless loop work
 
-# parametric aggregates: name(params)(args)
-_PARAMETRIC = {"quantile", "quantileExact", "median", "medianExact", "quantiles"}
-
-_IDENT_RE = re.compile(r"(?<![\w.`'])([A-Za-z_][A-Za-z0-9_]*)\s*\(")
-
-
-def _rewrite_parametric(name: str, params: list[str], args: list[str]) -> str:
+def _param_percentile(params: list[str], args: list[str]) -> str:
     x = ", ".join(args)
-    if name == "quantiles":
-        parts = ", ".join(f"percentile({x}, {p})" for p in params)
-        return f"array({parts})"
     p = params[0] if params else "0.5"
     return f"percentile({x}, {p})"
+
+
+def _param_quantiles(params: list[str], args: list[str]) -> str:
+    x = ", ".join(args)
+    parts = ", ".join(f"percentile({x}, {p})" for p in params)
+    return f"array({parts})"
+
+
+# parametric aggregates: name(params)(args) → Spark expression
+_PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
+    "quantile": _param_percentile,
+    "quantileExact": _param_percentile,
+    "median": _param_percentile,
+    "medianExact": _param_percentile,
+    "quantiles": _param_quantiles,
+    # ClickHouse's t-digest quantile is approximate — so is Spark's
+    "quantileTDigest": lambda p, a: (
+        f"approx_percentile({', '.join(a)}, {p[0] if p else '0.5'})"
+    ),
+    # uniqUpTo(N): exact distinct count, saturating at N+1 (ClickHouse
+    # default N=5)
+    "uniqUpTo": lambda p, a: (
+        f"least(count(DISTINCT {', '.join(a)}), {(int(p[0]) if p else 5) + 1})"
+    ),
+    # groupArray(N): first N collected values (collect order caveat as
+    # for the plain form)
+    "groupArray": lambda p, a: (
+        f"slice(collect_list({', '.join(a)}), 1, {int(p[0])})"
+    ),
+}
+
+_IDENT_RE = re.compile(r"(?<![\w.`'])([A-Za-z_][A-Za-z0-9_]*)\s*\(")
 
 
 def rewrite_functions(sql: str) -> str:
@@ -435,26 +459,25 @@ def rewrite_functions(sql: str) -> str:
             if mask[m.start(1)]:
                 continue
             name = m.group(1)
-            parametric = name in _PARAMETRIC
-            if name not in RULES and not parametric:
+            if name not in RULES and name not in _PARAMETRIC:
                 continue
             args, end = _scan_args(sql, m.end())
-            if parametric:
-                rest = sql[end:]
-                stripped = rest.lstrip()
-                if name in ("median", "medianExact") and not stripped.startswith("("):
-                    repl = _rewrite_parametric(name, [], args)
-                elif not stripped.startswith("("):
-                    continue  # quantile used as a plain identifier call chain
-                else:
-                    inner_start = end + (len(rest) - len(stripped)) + 1
-                    inner_args, end = _scan_args(sql, inner_start)
-                    repl = _rewrite_parametric(name, args, inner_args)
-            else:
+            rest = sql[end:]
+            stripped = rest.lstrip()
+            if name in _PARAMETRIC and stripped.startswith("("):
+                # name(params)(args) — the combinator form
+                inner_start = end + (len(rest) - len(stripped)) + 1
+                inner_args, end = _scan_args(sql, inner_start)
+                repl = _PARAMETRIC[name](args, inner_args)
+            elif name in RULES:
                 maybe = RULES[name](args)
                 if maybe is None:
                     continue
                 repl = maybe
+            else:
+                # bare form of a parametric aggregate: ClickHouse
+                # defaults apply (quantile/median → p=0.5, uniqUpTo → 5)
+                repl = _PARAMETRIC[name]([], args)
             sql = sql[: m.start()] + repl + sql[end:]
             progress = True
             break

@@ -353,3 +353,32 @@ def test_comments_untouched():
     assert rewrite_functions(q) == q
     q2 = "SELECT /* uses countIf( */ count(*) FROM t"
     assert rewrite_functions(q2) == q2
+
+
+@pytest.mark.parametrize(
+    "src,expected",
+    [
+        (
+            "SELECT uniqUpTo(3)(x) FROM t",
+            "SELECT least(count(DISTINCT x), 4) FROM t",
+        ),
+        ("SELECT uniqUpTo(x) FROM t",
+         "SELECT least(count(DISTINCT x), 6) FROM t"),
+        (
+            "SELECT groupArray(5)(x) FROM t",
+            "SELECT slice(collect_list(x), 1, 5) FROM t",
+        ),
+        ("SELECT groupArray(x) FROM t", "SELECT collect_list(x) FROM t"),
+        (
+            "SELECT quantileTDigest(0.95)(x) FROM t",
+            "SELECT approx_percentile(x, 0.95) FROM t",
+        ),
+        ("SELECT quantile(x) FROM t", "SELECT percentile(x, 0.5) FROM t"),
+        (
+            "SELECT avgWeighted(price, qty) FROM t",
+            "SELECT (sum((price) * (qty)) / sum(qty)) FROM t",
+        ),
+    ],
+)
+def test_parametric_round2(src, expected):
+    assert rewrite_functions(src) == expected

@@ -871,6 +871,54 @@ def _rewrite_limit_by(query: str) -> str:
     )
 
 
+# `ORDER BY col [ASC|DESC] WITH FILL [FROM a] [TO b] [STEP s]` at the
+# query tail — single fill column (ClickHouse allows several; the
+# multi-column interleave has no clean join form, so it raises).
+_WITH_FILL_RE = re.compile(
+    r"\bORDER\s+BY\s+(?P<col>[\w.`]+)(?P<dir>\s+(?:ASC|DESC))?\s+WITH\s+FILL"
+    r"(?:\s+FROM\s+(?P<lo>\S+))?(?:\s+TO\s+(?P<hi>\S+))?"
+    r"(?:\s+STEP\s+(?P<step>INTERVAL\s+\d+\s+\w+|[-\d.]+))?\s*;?\s*$",
+    re.I | re.S,
+)
+
+
+def _rewrite_with_fill(query: str) -> str:
+    """``ORDER BY c WITH FILL …`` → full-outer join against a dense
+    ``sequence()`` grid (the same declarative gap-fill plan as the
+    native ``events_gapfill_hourly`` operator: the grid is generated,
+    never scanned, and the join key is the fill column).
+
+    Bounds default to the result's own min/max (one 1-row aggregate —
+    broadcast, not a second scan pass, since the result is a CTE).
+    ClickHouse's TO bound is exclusive and is honored with a grid
+    filter.  Non-fill columns are NULL on filled rows, as in
+    ClickHouse."""
+    m = _WITH_FILL_RE.search(query)
+    if not m:
+        if re.search(r"\bWITH\s+FILL\b", query, re.I):
+            raise ValueError(
+                "WITH FILL is supported for a single trailing ORDER BY "
+                "column (ORDER BY c [ASC|DESC] WITH FILL [FROM a] [TO b] "
+                "[STEP s])"
+            )
+        return query
+    inner = query[: m.start()].strip()
+    col = m.group("col")
+    direction = (m.group("dir") or "").strip()
+    step = m.group("step") or "1"
+    lo = m.group("lo") or f"(SELECT min({col}) FROM __wf)"
+    hi = m.group("hi") or f"(SELECT max({col}) FROM __wf)"
+    grid = f"SELECT explode(sequence({lo}, {hi}, {step})) AS {col}"
+    if m.group("hi"):
+        # ClickHouse's TO is exclusive; the sequence endpoint is not
+        grid = f"SELECT {col} FROM ({grid}) WHERE {col} < {m.group('hi')}"
+    return (
+        f"WITH __wf AS ({inner}) "
+        f"SELECT * FROM __wf FULL OUTER JOIN ({grid}) USING ({col}) "
+        f"ORDER BY {col}{(' ' + direction) if direction else ''}"
+    )
+
+
 def _rewrite_clauses(query: str) -> str:
     """Clause-level ClickHouse SELECT dialect → Spark SQL:
 
@@ -889,6 +937,7 @@ def _rewrite_clauses(query: str) -> str:
     query = _QUERY_SETTINGS_RE.sub("", query)
     query = _GLOBAL_RE.sub("", query)
     query = _rewrite_limit_by(query)
+    query = _rewrite_with_fill(query)
 
     m = _PREWHERE_RE.search(query)
     if m:

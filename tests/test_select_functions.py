@@ -382,3 +382,46 @@ def test_comments_untouched():
 )
 def test_parametric_round2(src, expected):
     assert rewrite_functions(src) == expected
+
+
+def test_with_fill_rewrite_shape():
+    from clickhouse_migrator_spark.migrate import _rewrite_with_fill
+
+    out = _rewrite_with_fill(
+        "SELECT d, count(*) AS n FROM t GROUP BY d ORDER BY d WITH FILL STEP 1"
+    )
+    assert out == (
+        "WITH __wf AS (SELECT d, count(*) AS n FROM t GROUP BY d) "
+        "SELECT * FROM __wf FULL OUTER JOIN "
+        "(SELECT explode(sequence((SELECT min(d) FROM __wf), "
+        "(SELECT max(d) FROM __wf), 1)) AS d) USING (d) ORDER BY d"
+    )
+
+
+def test_with_fill_execution(spark, sf_dir, views):
+    """WITH FILL densifies integer gaps; filled rows carry NULL counts."""
+    ch = execute_and_inflate(
+        spark,
+        """
+        SELECT toInt64(value) DIV 20 AS bucket, count(*) AS n
+        FROM events WHERE value >= 0
+        GROUP BY bucket
+        ORDER BY bucket WITH FILL FROM 0 TO 10
+        """,
+    )
+    rows = {r.bucket: r.n for r in ch.collect()}
+    # grid is dense over [0, 10) plus any observed buckets outside it
+    assert set(range(10)) <= set(rows)
+    native = {
+        r.bucket: r.n
+        for r in spark.sql(
+            """
+            SELECT CAST(value AS BIGINT) DIV 20 AS bucket, count(*) AS n
+            FROM events WHERE value >= 0 GROUP BY bucket
+            """
+        ).collect()
+    }
+    for b, n in native.items():
+        assert rows[b] == n
+    for b in set(rows) - set(native):
+        assert rows[b] is None

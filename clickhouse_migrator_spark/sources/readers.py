@@ -93,3 +93,12 @@ def read_jdbc(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC reader — ClickHouse ingests/emits ORC via ``FORMAT ORC``
+    (docs: Input/Output formats); Spark's native ORC source gives the
+    same columnar properties as parquet here (column pruning, predicate
+    pushdown, vectorized scan)."""
+    ensure_runtime_confs(spark)
+    return spark.read.orc(path)

@@ -102,3 +102,9 @@ def write_clickhouse_jdbc(
                 "com.clickhouse:clickhouse-jdbc via spark.jars.packages"
             ) from e
         raise
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC writer (the ``FORMAT ORC`` egress path; see
+    :func:`..sources.readers.read_orc`)."""
+    df.write.mode(mode).orc(path)

@@ -77,3 +77,16 @@ def test_jdbc_reader_missing_driver_raises(spark):
             upper_bound=100,
         ).count()
     assert "driver" in str(ei.value).lower() or "ClassNotFound" in str(ei.value)
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    from clickhouse_migrator_spark.sources.readers import read_orc
+    from clickhouse_migrator_spark.sources.sinks import write_orc
+    from clickhouse_migrator_spark.tables import table
+
+    nation = table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_orc")
+    write_orc(nation, out)
+    back = read_orc(spark, out)
+    assert back.schema == nation.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))

@@ -193,6 +193,10 @@ _RENAME_COL_RE = re.compile(
 # distributed-DDL decoration; meaningless off-cluster and rejected by
 # Spark's parser — stripped from every statement before classification
 _ON_CLUSTER_RE = re.compile(r"\bON\s+CLUSTER\s+[`'\"]?[\w-]+[`'\"]?", re.I)
+_NOOP_OPS_RE = re.compile(
+    r"^\s*(?:KILL\s+(?:MUTATION|QUERY)\b|SYSTEM\s+(?:STOP|START|FLUSH|RELOAD)\s+\w+)",
+    re.I,
+)
 _EXCHANGE_RE = re.compile(
     r"^\s*EXCHANGE\s+TABLES\s+(?P<a>[\w.`]+)\s+AND\s+(?P<b>[\w.`]+)\s*;?\s*$", re.I
 )
@@ -293,6 +297,13 @@ def translate(sql: str) -> Statement:
     if m:  # data-skipping index maintenance: parquet footer min/max and
         # bloom-filter write options subsume it — documented no-op
         return Statement(kind="passthrough", sql="SELECT 1", table=m.group("table"))
+    if _NOOP_OPS_RE.match(sql):
+        # operational statements with no referent here: mutations are
+        # synchronous (KILL MUTATION targets an empty set by
+        # construction — see migrate.pipelined) and there are no
+        # background merges/replication queues/mark caches to
+        # STOP/START/FLUSH/RELOAD — documented no-ops
+        return Statement(kind="passthrough", sql="SELECT 1")
     m = _RENAME_RE.match(sql)
     if m:  # ClickHouse RENAME TABLE → Spark ALTER TABLE … RENAME TO
         return Statement(

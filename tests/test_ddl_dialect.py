@@ -155,3 +155,20 @@ def test_map_and_tuple_types():
         == "ARRAY<STRUCT<_1: STRING, _2: BIGINT>>"
     )
     assert map_types("Map(String, Array(UInt32))") == "MAP<STRING, ARRAY<BIGINT>>"
+
+
+def test_operational_statements_are_noops():
+    """KILL MUTATION / SYSTEM maintenance ops have no referent here:
+    mutations are synchronous and there are no background merges."""
+    from clickhouse_migrator_spark.ddl import translate
+
+    for sql in (
+        "KILL MUTATION WHERE database = 'db' AND mutation_id = 'x'",
+        "KILL QUERY WHERE query_id = 'abc'",
+        "SYSTEM STOP MERGES db.t",
+        "SYSTEM START MERGES db.t",
+        "SYSTEM FLUSH LOGS",
+        "SYSTEM RELOAD DICTIONARIES",
+    ):
+        st = translate(sql)
+        assert st.kind == "passthrough" and st.sql == "SELECT 1", sql

@@ -260,6 +260,10 @@ RULES: dict[str, Rule] = {
     "skewPop": _rename("skewness"),
     "kurtPop": _rename("kurtosis"),
     "countIf": _rename("count_if"),
+    "uniqIf": _tpl("approx_count_distinct(CASE WHEN {1} THEN {0} END)"),
+    "uniqExactIf": _tpl("count(DISTINCT CASE WHEN {1} THEN {0} END)"),
+    "countDistinctIf": _tpl("count(DISTINCT CASE WHEN {1} THEN {0} END)"),
+    "anyIf": _tpl("any_value(CASE WHEN {1} THEN {0} END, true)"),
     "avgWeighted": _tpl("(sum(({0}) * ({1})) / sum({1}))"),
     "sumIf": _agg_if("sum"),
     "avgIf": _agg_if("avg"),

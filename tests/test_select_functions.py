@@ -425,3 +425,12 @@ def test_with_fill_execution(spark, sf_dir, views):
         assert rows[b] == n
     for b in set(rows) - set(native):
         assert rows[b] is None
+
+
+def test_distinct_if_combinators():
+    assert rewrite_functions("SELECT uniqExactIf(u, v > 1) FROM t") == (
+        "SELECT count(DISTINCT CASE WHEN v > 1 THEN u END) FROM t"
+    )
+    assert rewrite_functions("SELECT anyIf(u, v > 1) FROM t") == (
+        "SELECT any_value(CASE WHEN v > 1 THEN u END, true) FROM t"
+    )

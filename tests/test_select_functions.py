@@ -434,3 +434,24 @@ def test_distinct_if_combinators():
     assert rewrite_functions("SELECT anyIf(u, v > 1) FROM t") == (
         "SELECT any_value(CASE WHEN v > 1 THEN u END, true) FROM t"
     )
+
+
+def test_rewriter_fixed_point_and_oracle_safety():
+    """Two safety invariants over the whole registry: (1) rewriting is
+    idempotent — output is always a fixed point (no rewrite loops, no
+    double-mangling); (2) ordinary SQL is untouched — the registry's
+    own DuckDB oracle strings pass through unchanged, except the one
+    that uses `median()`, which maps to the semantically identical
+    `percentile(x, 0.5)` (ClickHouse's `median` must translate; Spark's
+    own median IS the 0.5 percentile)."""
+    from clickhouse_migrator_spark.registry import all_specs
+
+    changed = set()
+    for name, spec in all_specs().items():
+        if not spec.oracle:
+            continue
+        once = rewrite_functions(spec.oracle)
+        assert rewrite_functions(once) == once, f"not idempotent: {name}"
+        if once != spec.oracle:
+            changed.add(name)
+    assert changed == {"agg_order_statistics"}

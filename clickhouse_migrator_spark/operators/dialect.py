@@ -90,3 +90,40 @@ def dialect_ch_sql_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY tok
         """,
     )
+
+
+@register(
+    "dialect_with_fill_monthly",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+               AS mo_idx,
+             count(*) AS n
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+    ), g AS (
+      SELECT unnest(generate_series((SELECT min(mo_idx) FROM q),
+                                    (SELECT max(mo_idx) FROM q))) AS mo_idx
+    )
+    SELECT g.mo_idx AS mo_idx, q.n AS n FROM g LEFT JOIN q USING (mo_idx)
+    """,
+)
+def dialect_with_fill_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ORDER BY … WITH FILL`` through the dialect layer: monthly
+    urgent-order counts densified over a linear month index.  The grid
+    is a generated ``sequence`` bounded by the result's own min/max
+    (1-row scalar subqueries — broadcast, no second fact scan), and the
+    join against it touches only the already-aggregated months."""
+    from ..migrate import execute_and_inflate
+
+    v = _view(spark, sf_dir, "orders")
+    return execute_and_inflate(
+        spark,
+        f"""
+        SELECT toInt64(toYear(o_orderdate) * 12 + toMonth(o_orderdate))
+                 AS mo_idx,
+               count(*) AS n
+        FROM {v} WHERE o_orderpriority = '1-URGENT'
+        GROUP BY mo_idx
+        ORDER BY mo_idx WITH FILL
+        """,
+    )

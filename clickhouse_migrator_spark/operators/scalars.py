@@ -624,3 +624,37 @@ def scalar_encoding_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("roundtrip"),
         F.hex("n_chars").alias("n_chars_hex"),
     )
+
+
+@register(
+    "scalar_trig_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           round(sin(o_totalprice / 100000), 6)      AS sin_v,
+           round(cos(o_totalprice / 100000), 6)      AS cos_v,
+           round(atan2(o_totalprice, 100000.0), 6)   AS angle,
+           round(degrees(atan2(o_totalprice, 100000.0)), 4) AS angle_deg,
+           round(exp(-o_totalprice / 500000), 6)     AS decay,
+           round(ln(o_totalprice), 6)                AS log_price,
+           round(cbrt(o_totalprice), 6)              AS cbrt_price
+    FROM orders
+    """,
+)
+def scalar_trig_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse trig/exponential vocabulary — sin/cos/atan2/degrees/
+    exp/ln(log)/cbrt — pure JVM codegen math over scan output (the
+    feature-engineering shapes: cyclical encodings, decay weights,
+    log/cube-root transforms).  IEEE-754 doubles evaluate identically
+    in both engines at these magnitudes; rounding pins the repr."""
+    o = table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.round(F.sin(p / 100000), 6).alias("sin_v"),
+        F.round(F.cos(p / 100000), 6).alias("cos_v"),
+        F.round(F.atan2(p, F.lit(100000.0)), 6).alias("angle"),
+        F.round(F.degrees(F.atan2(p, F.lit(100000.0))), 4).alias("angle_deg"),
+        F.round(F.exp(-p / 500000), 6).alias("decay"),
+        F.round(F.log(p), 6).alias("log_price"),
+        F.round(F.cbrt(p), 6).alias("cbrt_price"),
+    )

@@ -142,3 +142,22 @@ def test_kmeans_search_broadcasts_queries(spark, sf_dir):
     # the probe join must broadcast the tiny query side, never shuffle
     # the corpus on list_id
     assert count_broadcasts(df) >= 1
+
+
+def test_prewhere_predicate_is_pushed_to_scan(spark, sf_dir):
+    """The PREWHERE rewrite's claim is that Catalyst pushdown subsumes
+    ClickHouse's scan-stage predicate split — so the predicate must
+    actually reach the parquet scan as a pushed filter."""
+    from clickhouse_migrator_spark.migrate import execute_and_inflate
+    from clickhouse_migrator_spark.plans.inspect import pushed_filters
+    from clickhouse_migrator_spark.tables import table
+
+    table(spark, sf_dir, "events").createOrReplaceTempView("__pw_events")
+    try:
+        df = execute_and_inflate(
+            spark, "SELECT user_id FROM __pw_events PREWHERE value > 90"
+        )
+        pushed = " ".join(pushed_filters(df))
+        assert "value" in pushed, pushed
+    finally:
+        spark.catalog.dropTempView("__pw_events")

@@ -294,6 +294,16 @@ RULES: dict[str, Rule] = {
     "rightPad": _rename("rpad"),
     "splitByChar": _tpl("split({1}, {0})"),
     "formatDateTime": _format_datetime,
+    # UTF8-suffixed aliases: Spark string functions are code-point
+    # based already, so these collapse to the plain spellings
+    "lengthUTF8": _rename("length"),
+    "lowerUTF8": _rename("lower"),
+    "upperUTF8": _rename("upper"),
+    "reverseUTF8": _rename("reverse"),
+    "substringUTF8": _rename("substring"),
+    "positionUTF8": lambda a: (
+        None if len(a) < 2 else f"locate({a[1]}, {a[0]})"
+    ),
     # arrays (ClickHouse puts the lambda FIRST; Spark puts the array first)
     "has": _rename("array_contains"),
     "indexOf": _rename("array_position"),
@@ -330,6 +340,7 @@ RULES: dict[str, Rule] = {
     "JSONExtractFloat": lambda a: _json_extract(a, "DOUBLE"),
     "JSONExtractBool": lambda a: _json_extract(a, "BOOLEAN"),
     "visitParamExtractString": lambda a: _json_extract(a, None),
+    "simpleJSONExtractString": lambda a: _json_extract(a, None),
     # null handling
     "isNull": _tpl("({0} IS NULL)"),
     "isNotNull": _tpl("({0} IS NOT NULL)"),
@@ -351,6 +362,14 @@ RULES: dict[str, Rule] = {
     "toString": _cast("STRING"),
     "toDate": _cast("DATE"),
     "toDateTime": _cast("TIMESTAMP"),
+    # toDecimalN(x, scale): N fixes the precision tier
+    "toDecimal32": lambda a: f"CAST({a[0]} AS DECIMAL(9, {a[1].strip()}))",
+    "toDecimal64": lambda a: f"CAST({a[0]} AS DECIMAL(18, {a[1].strip()}))",
+    "toDecimal128": lambda a: f"CAST({a[0]} AS DECIMAL(38, {a[1].strip()}))",
+    "fromUnixTimestamp": _rename("timestamp_seconds"),
+    # fixed-format parse beats ClickHouse's "best effort" at scale
+    # (single codegen path); for ISO-ish inputs they agree
+    "parseDateTimeBestEffort": _rename("to_timestamp"),
     # date/time
     "toYear": _rename("year"),
     "toMonth": _rename("month"),
@@ -390,6 +409,13 @@ RULES: dict[str, Rule] = {
     "now": _rename("current_timestamp"),
     "today": _rename("current_date"),
     "yesterday": lambda a: "date_sub(current_date(), 1)",
+    "currentDatabase": _rename("current_database"),
+    "currentUser": _rename("current_user"),
+    "generateUUIDv4": _rename("uuid"),
+    # ClickHouse rand() is uniform over the UInt32 range
+    "rand": lambda a: "CAST(rand() * 4294967295 AS BIGINT)",
+    "e": lambda a: "exp(1)" if not a else None,
+    "isNaN": _rename("isnan"),
     # arithmetic / bits
     "intDiv": _tpl("({0} DIV {1})"),
     "modulo": _tpl("({0} % {1})"),

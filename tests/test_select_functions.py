@@ -455,3 +455,30 @@ def test_rewriter_fixed_point_and_oracle_safety():
         if once != spec.oracle:
             changed.add(name)
     assert changed == {"agg_order_statistics"}
+
+
+@pytest.mark.parametrize(
+    "src,expected",
+    [
+        ("SELECT lengthUTF8(s), lowerUTF8(s) FROM t",
+         "SELECT length(s), lower(s) FROM t"),
+        (
+            "SELECT toDecimal64(x, 4) FROM t",
+            "SELECT CAST(x AS DECIMAL(18, 4)) FROM t",
+        ),
+        (
+            "SELECT fromUnixTimestamp(x) FROM t",
+            "SELECT timestamp_seconds(x) FROM t",
+        ),
+        ("SELECT currentDatabase(), e() FROM t",
+         "SELECT current_database(), exp(1) FROM t"),
+        # e used as a real function/alias with args: untouched
+        ("SELECT e(x) FROM t", "SELECT e(x) FROM t"),
+        (
+            "SELECT simpleJSONExtractString(j, 'k') FROM t",
+            "SELECT get_json_object(j, '$.k') FROM t",
+        ),
+    ],
+)
+def test_rewrite_shapes_round3(src, expected):
+    assert rewrite_functions(src) == expected

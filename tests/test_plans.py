@@ -161,3 +161,14 @@ def test_prewhere_predicate_is_pushed_to_scan(spark, sf_dir):
         assert "value" in pushed, pushed
     finally:
         spark.catalog.dropTempView("__pw_events")
+
+
+def test_sequence_and_islands_reuse_one_user_shuffle(spark, sf_dir):
+    """sequenceCount and intervalLengthSum stack windows + aggregations
+    on the same user_id key — the whole chain must ride ONE exchange."""
+    from clickhouse_migrator_spark.operators import events
+
+    from clickhouse_migrator_spark.plans.inspect import count_shuffles
+
+    assert count_shuffles(events.events_sequence_count(spark, sf_dir)) <= 1
+    assert count_shuffles(events.events_interval_length_sum(spark, sf_dir)) <= 1

@@ -194,6 +194,40 @@ def main() -> None:
     )
     stage(f"pack_{npack//10**6}m_docs", t0)
 
+    # windowed islands (intervalLengthSum shape): 50M synthetic events /
+    # 1M users — running-max island detection + two stacked aggregations,
+    # all on ONE user shuffle (the window pair and both groupBys reuse
+    # the same hash partitioning)
+    nisl = int(50e6 * SC)
+    nusers_isl = max(int(1e6 * SC), 1)
+    t0 = time.perf_counter()
+    ev = spark.range(nisl).select(
+        (F.col("id") % nusers_isl).alias("u"),
+        (F.col("id") * 37 % 10_000_000).alias("s"),
+    ).withColumn("e", F.col("s") + 1000)
+    w_prev = (
+        Window.partitionBy("u").orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("u").orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = (
+        ev.withColumn(
+            "ni",
+            (F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)))
+            .cast("long"),
+        )
+        .withColumn("island", F.sum("ni").over(w_run))
+        .groupBy("u", "island")
+        .agg((F.max("e") - F.min("s")).alias("span"))
+        .groupBy("u")
+        .agg(F.sum("span").alias("covered"))
+    )
+    isl.write.format("noop").mode("overwrite").save()
+    stage(f"islands_{nisl//10**6}m_events", t0)
+
     ncow = int(10e6 * SC)
     M.create_db(spark, "scaledb")
     spark.catalog.setCurrentDatabase("scaledb")

@@ -644,3 +644,52 @@ def agg_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.transform(sorted_structs, lambda s: s.weight).alias("top_weights"),
     )
+
+
+@register(
+    "agg_group_array_moving_sum",
+    oracle="""
+    WITH r AS (
+      SELECT user_id,
+             round(sum(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mv,
+             ts, event_id
+      FROM events
+    )
+    SELECT user_id,
+           (list(mv ORDER BY ts, event_id))[1:8] AS moving_sums
+    FROM r GROUP BY user_id
+    """,
+)
+def agg_group_array_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupArrayMovingSum(3)(value)`` — per user, the
+    running 3-value moving sum materialized as an array in time order
+    (first 8 shown).  A frame-bounded window + an ordered array
+    aggregation on the same user_id key: the window sort and the
+    collect ride one shuffle, and per-row state is the 3-element frame,
+    not the whole series."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    r = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("mv"),
+    )
+    return r.groupBy("user_id").agg(
+        F.slice(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "mv"))),
+                lambda s: s.mv,
+            ),
+            1,
+            8,
+        ).alias("moving_sums")
+    )

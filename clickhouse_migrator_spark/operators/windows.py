@@ -262,3 +262,33 @@ def window_running_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
         F.lead("event_type").over(w).alias("next_type"),
     )
+
+
+@register(
+    "window_cume_dist_prices",
+    oracle="""
+    SELECT o_orderkey,
+           round(cume_dist() OVER
+             (PARTITION BY o_orderstatus ORDER BY o_totalprice), 6)
+             AS price_cume,
+           round(percent_rank() OVER
+             (PARTITION BY o_orderstatus ORDER BY o_totalprice), 6)
+             AS price_pct_rank
+    FROM orders
+    """,
+)
+def window_cume_dist_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist / percent_rank per status partition — both are
+    rank-derived (no frame scan), identical definitions in Spark and
+    DuckDB, and deterministic under ties because tied prices share the
+    same cumulative value.  Partitioned by status, so no
+    single-partition window at any scale."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.round(F.cume_dist().over(w), 6).alias("price_cume"),
+        F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+    )

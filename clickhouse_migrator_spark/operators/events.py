@@ -852,3 +852,51 @@ def events_interval_length_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("e") - F.min("s")).alias("span_us")
     )
     return spans.groupBy("user_id").agg(F.sum("span_us").alias("covered_us"))
+
+
+@register(
+    "events_zscore_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, value,
+             avg(value) OVER w        AS mu,
+             stddev_pop(value) OVER w AS sd
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id,
+           round((value - mu) / sd, 4) AS z,
+           CASE WHEN abs((value - mu) / sd) > 2 THEN 1 ELSE 0 END AS is_outlier
+    FROM s WHERE sd > 0
+    """,
+)
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score outlier flagging (the data-cleaning
+    primitive for metric streams and training-data filtering): each
+    value scored against the mean/stddev of its user's previous 10
+    events — the frame excludes the current row, so the score is a
+    genuine out-of-sample residual.  One user_id shuffle; window state
+    is the 10-row frame's running moments, constant per row."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    s = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_pop("value").over(w).alias("sd"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return s.filter(F.col("sd") > 0).select(
+        "event_id",
+        "user_id",
+        F.round(z, 4).alias("z"),
+        F.when(F.abs(z) > 2, F.lit(1)).otherwise(F.lit(0)).alias("is_outlier"),
+    )

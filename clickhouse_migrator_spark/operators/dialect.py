@@ -127,3 +127,71 @@ def dialect_with_fill_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY mo_idx WITH FILL
         """,
     )
+
+
+@register(
+    "dialect_with_totals_status",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*)                    AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY GROUPING SETS ((o_orderstatus), ())
+    """,
+)
+def dialect_with_totals_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``GROUP BY … WITH TOTALS`` end-to-end: the raw SQL
+    runs through ``rewrite_query``, which plans it as
+    ``GROUPING SETS ((k), ())`` — per-status rows plus ONE all-groups
+    totals row (keys NULL).  Spark evaluates grouping sets in a single
+    pass (expand + one shuffle), so totals cost one extra partial-agg
+    lane, not a second scan."""
+    from ..migrate import execute_and_inflate
+
+    v = _view(spark, sf_dir, "orders")
+    return execute_and_inflate(
+        spark,
+        f"""
+        SELECT o_orderstatus,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM {v}
+        GROUP BY o_orderstatus WITH TOTALS
+        """,
+    )
+
+
+@register(
+    "dialect_monthly_quantiles",
+    oracle="""
+    SELECT date_trunc('month', o_orderdate)              AS month,
+           round(quantile_cont(o_totalprice, 0.5), 4)    AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4)    AS p90,
+           count(*) FILTER (o_orderpriority = '1-URGENT') AS n_urgent,
+           count(DISTINCT o_custkey)                     AS n_cust
+    FROM orders GROUP BY 1
+    """,
+)
+def dialect_monthly_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse aggregate vocabulary in one raw-SQL statement:
+    parametric ``quantile(p)(x)`` (→ ``percentile``, which matches
+    DuckDB's ``quantile_cont`` interpolation exactly), ``countIf``
+    (→ ``count_if``), ``uniqExact`` (→ ``count(DISTINCT …)``) over a
+    ``toStartOfMonth`` bucket (→ ``date_trunc`` as DATE).  One shuffle
+    on the month key; percentile state is the per-group value buffer —
+    at 100 TB swap to ``approx_percentile`` (t-digest spelling
+    ``quantileTDigest`` is already in the vocabulary)."""
+    from ..migrate import execute_and_inflate
+
+    v = _view(spark, sf_dir, "orders")
+    return execute_and_inflate(
+        spark,
+        f"""
+        SELECT toStartOfMonth(o_orderdate) AS month,
+               round(quantile(0.5)(o_totalprice), 4) AS p50,
+               round(quantile(0.9)(o_totalprice), 4) AS p90,
+               countIf(o_orderpriority = '1-URGENT') AS n_urgent,
+               uniqExact(o_custkey) AS n_cust
+        FROM {v}
+        GROUP BY month
+        """,
+    )

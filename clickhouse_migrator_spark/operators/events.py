@@ -900,3 +900,110 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         F.when(F.abs(z) > 2, F.lit(1)).otherwise(F.lit(0)).alias("is_outlier"),
     )
+
+
+@register(
+    "events_max_intersections",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type, ts AS p, 1 AS d FROM events
+      UNION ALL
+      SELECT event_type, ts + INTERVAL 30 MINUTE AS p, -1 AS d FROM events
+    ), run AS (
+      SELECT event_type,
+             sum(d) OVER (PARTITION BY event_type ORDER BY p, d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS concurrent
+      FROM pts
+    )
+    SELECT event_type, max(concurrent) AS max_concurrent
+    FROM run GROUP BY event_type
+    """,
+)
+def events_max_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``maxIntersections(start, end)`` — the peak number of
+    simultaneously-open intervals (here: each event held open for 30
+    minutes), per event_type.  Sweep-line as a dataflow: every interval
+    becomes a +1 point at its start and a -1 at its end (half-open, so
+    an end that coincides with a start is processed first via the
+    ``d`` tie-break), a running prefix sum over the time-ordered points
+    gives instantaneous concurrency, and its max is the answer.  One
+    shuffle on event_type; window state is a single counter.  Ties
+    among identical (p, d) rows are order-insensitive — equal deltas
+    commute through the prefix sum — so the result is deterministic."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(F.col("ts").alias("p"), F.lit(1).alias("d")),
+                F.struct(
+                    (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("p"),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("pt"),
+    ).select("event_type", "pt.p", "pt.d")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("p", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select("event_type", F.sum("d").over(w).alias("concurrent"))
+    return run.groupBy("event_type").agg(
+        F.max("concurrent").alias("max_concurrent")
+    )
+
+
+@register(
+    "agg_minmaxavg_map_user",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, event_type,
+             round(min(value), 4) AS lo,
+             round(max(value), 4) AS hi,
+             -- exact integer half-up rounding: cents-sum -> 1e-4 units
+             ((200 * sum(CAST(round(value * 100) AS BIGINT)) + count(*))
+              // (2 * count(*))) / 10000.0 AS mean
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           list(event_type ORDER BY event_type) AS map_keys,
+           list(lo   ORDER BY event_type)       AS min_values,
+           list(hi   ORDER BY event_type)       AS max_values,
+           list(mean ORDER BY event_type)       AS avg_values
+    FROM per GROUP BY user_id
+    """,
+)
+def agg_minmaxavg_map_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``minMap``/``maxMap``/``avgMap`` — per-key extremes
+    and means merged into one map per group (companion to
+    ``agg_summap_user_values``).  Same two-level shape: the inner
+    (user, type) aggregate is map-side combined, the outer map
+    assembly touches #types rows per user; emitted as key-sorted
+    parallel arrays because raw DuckDB MAPs don't hash-compare."""
+    e = table(spark, sf_dir, "events")
+    # mean via exact integer arithmetic: engines' round() disagree when
+    # sum/count lands exactly on a .00005 boundary, so do the half-up
+    # rounding in integer space (cents-sum → 1e-4 units → /1e4)
+    num = F.lit(200) * F.sum(
+        F.round(F.col("value") * 100).cast("long")
+    ) + F.count(F.lit(1))
+    per = e.groupBy("user_id", "event_type").agg(
+        F.round(F.min("value"), 4).alias("lo"),
+        F.round(F.max("value"), 4).alias("hi"),
+        (
+            F.floor(num / (F.lit(2) * F.count(F.lit(1)))) / F.lit(10000.0)
+        ).alias("mean"),
+    )
+    entries = F.array_sort(
+        F.collect_list(F.struct("event_type", "lo", "hi", "mean"))
+    )
+    return per.groupBy("user_id").agg(
+        F.transform(entries, lambda s: s.event_type).alias("map_keys"),
+        F.transform(entries, lambda s: s.lo).alias("min_values"),
+        F.transform(entries, lambda s: s.hi).alias("max_values"),
+        F.transform(entries, lambda s: s.mean).alias("avg_values"),
+    )

@@ -283,3 +283,36 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("label")
     )
+
+
+@register(
+    "join_asof_next_purchase_after_error",
+    oracle="""
+    SELECT e.event_id, e.ts, min(p.ts) AS next_purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND p.ts > e.ts
+    GROUP BY e.event_id, e.ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join — for every error event, the FIRST purchase
+    by the same user strictly after it (the recovery-time question;
+    mirror image of ``join_asof_last_purchase_before_error``).  Same
+    plan shape: equi-join on the ``by`` key + range predicate +
+    per-left-row min, one user_id shuffle for both sides.  For long
+    histories the merge_asof ``applyInPandas`` variant in :mod:`.asof`
+    does the linear merge with ``direction='forward'`` instead of the
+    fan-out join."""
+    e = table(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        "event_id", "ts", F.col("user_id").alias("e_user")
+    )
+    pur = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    return (
+        err.join(pur, (err.e_user == pur.p_user) & (pur.p_ts > err.ts), "left")
+        .groupBy("event_id", "ts")
+        .agg(F.min("p_ts").alias("next_purchase_ts"))
+    )

@@ -658,3 +658,62 @@ def scalar_trig_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(p), 6).alias("log_price"),
         F.round(F.cbrt(p), 6).alias("cbrt_price"),
     )
+
+
+@register(
+    "scalar_array_cumsum_diff",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id,
+             CAST(unnest(embedding) AS DOUBLE)  AS val,
+             generate_subscripts(embedding, 1)  AS pos
+      FROM embeddings
+    ), c AS (
+      SELECT vec_id, pos,
+             round(sum(val) OVER (PARTITION BY vec_id ORDER BY pos), 4)
+               + 0.0 AS cs,
+             round(val - coalesce(lag(val) OVER (PARTITION BY vec_id
+                                                 ORDER BY pos), val), 4)
+               + 0.0 AS d
+      FROM x
+    )
+    SELECT vec_id,
+           (list(cs ORDER BY pos))[1:8] AS cumsum8,
+           (list(d  ORDER BY pos))[1:8] AS diff8
+    FROM c GROUP BY vec_id
+    """,
+)
+def scalar_array_cumsum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``arrayCumSum`` / ``arrayDifference`` — running sum
+    and first-difference of an array, element-wise (first 8 elements
+    shown).  Expressed as the distributed shape that survives 100 TB:
+    ``posexplode`` → per-vector window (one shuffle on vec_id, frame
+    state is a single accumulator) → ordered re-collect.  For short
+    fixed-length arrays a pure ``transform``+``slice`` formulation
+    avoids the explode entirely, but it is O(n²) per row; the
+    explode+window form is O(n) and AQE-balanced across executors."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "valf")
+    ).withColumn("val", F.col("valf").cast("double"))
+    wsum = Window.partitionBy("vec_id").orderBy("pos0")
+    # `+ 0.0` normalizes IEEE negative zero (-0.0 + 0.0 == +0.0), which
+    # the two engines' round() emit differently
+    c = e.select(
+        "vec_id",
+        "pos0",
+        (F.round(F.sum("val").over(wsum), 4) + F.lit(0.0)).alias("cs"),
+        (
+            F.round(
+                F.col("val") - F.coalesce(F.lag("val").over(wsum), F.col("val")),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("d"),
+    )
+    entries = F.array_sort(F.collect_list(F.struct("pos0", "cs", "d")))
+    return c.groupBy("vec_id").agg(
+        F.slice(F.transform(entries, lambda s: s.cs), 1, 8).alias("cumsum8"),
+        F.slice(F.transform(entries, lambda s: s.d), 1, 8).alias("diff8"),
+    )

@@ -292,3 +292,68 @@ def window_cume_dist_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("price_cume"),
         F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
     )
+
+
+@register(
+    "window_exp_decayed_avg",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_id, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    )
+    SELECT a.user_id, a.event_id,
+           round(sum(b.value * exp(-(a.s - b.s) / 3600000000.0))
+                 / sum(exp(-(a.s - b.s) / 3600000000.0)), 4) AS ema
+    FROM r a JOIN r b
+      ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 4 AND a.rn
+    GROUP BY a.user_id, a.event_id
+    """,
+)
+def window_exp_decayed_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``exponentialTimeDecayedAvg(3600)(value, ts)`` over a
+    trailing 5-event frame: each event's smoothed value is the
+    exp(-age/1h)-weighted mean of its user's last 5 readings — the
+    standard irregular-time-series smoother for metric streams.
+
+    The decay math runs on exact integer microseconds (``unix_micros``
+    here, ``epoch_us`` in the oracle) so both engines feed identical
+    doubles to ``exp``.  Plan shape: one user_id shuffle; the frame is
+    collected per row (5 structs) and folded with a higher-order
+    ``aggregate`` — all codegen'd, no Python.  At 100 TB the frame
+    bound keeps window state constant; contrast with the oracle's
+    self-join formulation, which fans out 5× before re-aggregating."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    framed = e.select(
+        "user_id",
+        "event_id",
+        "s",
+        F.collect_list(F.struct("s", "value")).over(w).alias("frame"),
+    )
+    cur = F.col("s")
+    num = F.aggregate(
+        F.col("frame"),
+        F.lit(0.0),
+        lambda a, it: a + it.value * F.exp(-(cur - it.s) / 3.6e9),
+    )
+    den = F.aggregate(
+        F.col("frame"),
+        F.lit(0.0),
+        lambda a, it: a + F.exp(-(cur - it.s) / 3.6e9),
+    )
+    return framed.select(
+        "user_id", "event_id", F.round(num / den, 4).alias("ema")
+    )

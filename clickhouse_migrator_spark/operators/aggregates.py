@@ -693,3 +693,66 @@ def agg_group_array_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("moving_sums")
     )
+
+
+@register(
+    "agg_cramers_v_flag_status",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag AS a, l_linestatus AS b,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM lineitem GROUP BY 1, 2
+    ), rt AS (SELECT a, sum(n) AS rn FROM c GROUP BY a),
+       ct AS (SELECT b, sum(n) AS cn FROM c GROUP BY b),
+       tot AS (SELECT sum(n) AS nn,
+                      count(DISTINCT a) AS nr,
+                      count(DISTINCT b) AS nc
+               FROM c)
+    SELECT round(sqrt(sum(pow(c.n - rt.rn * ct.cn / tot.nn, 2)
+                          / (rt.rn * ct.cn / tot.nn))
+                      / (max(tot.nn)
+                         * (least(max(tot.nr), max(tot.nc)) - 1))), 4)
+             AS cramers_v,
+           CAST(max(tot.nn) AS BIGINT) AS n_rows
+    FROM c JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot
+    """,
+)
+def agg_cramers_v_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``cramersV(a, b)`` — association strength between two
+    categorical columns (chi-squared normalized to [0, 1]), here
+    returnflag × linestatus.  The fact scan reduces to one partial-agg
+    shuffle producing the tiny contingency table (#flags × #statuses
+    cells); every later step — marginals, chi-squared, V — runs on that
+    handful of rows with broadcast joins, so the statistic costs
+    exactly one pass at any scale."""
+    li = table(spark, sf_dir, "lineitem")
+    c = (
+        li.groupBy(
+            F.col("l_returnflag").alias("a"), F.col("l_linestatus").alias("b")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    rt = c.groupBy("a").agg(F.sum("n").alias("rn"))
+    ct = c.groupBy("b").agg(F.sum("n").alias("cn"))
+    tot = c.agg(
+        F.sum("n").alias("nn"),
+        F.countDistinct("a").alias("nr"),
+        F.countDistinct("b").alias("nc"),
+    )
+    j = (
+        c.join(F.broadcast(rt), "a")
+        .join(F.broadcast(ct), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    expected = F.col("rn") * F.col("cn") / F.col("nn")
+    chi_term = F.pow(F.col("n") - expected, 2) / expected
+    return j.agg(
+        F.round(
+            F.sqrt(
+                F.sum(chi_term)
+                / (F.max("nn") * (F.least(F.max("nr"), F.max("nc")) - 1))
+            ),
+            4,
+        ).alias("cramers_v"),
+        F.max("nn").cast("long").alias("n_rows"),
+    )

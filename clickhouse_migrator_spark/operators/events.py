@@ -1007,3 +1007,130 @@ def agg_minmaxavg_map_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(entries, lambda s: s.hi).alias("max_values"),
         F.transform(entries, lambda s: s.mean).alias("avg_values"),
     )
+
+
+@register(
+    "events_linear_interp_hourly",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket,
+             round(avg(value), 4) AS avg_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+    bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events),
+    grid AS (
+      SELECT u.user_id, g.bucket
+      FROM (SELECT DISTINCT user_id FROM hourly) u
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour'))
+                    AS bucket FROM bounds) g),
+    j AS (
+      SELECT grid.user_id, grid.bucket, h.avg_value,
+             last_value(h.avg_value IGNORE NULLS)
+               OVER (PARTITION BY grid.user_id ORDER BY grid.bucket
+                     ROWS UNBOUNDED PRECEDING) AS pv,
+             last_value(CASE WHEN h.avg_value IS NOT NULL
+                             THEN grid.bucket END IGNORE NULLS)
+               OVER (PARTITION BY grid.user_id ORDER BY grid.bucket
+                     ROWS UNBOUNDED PRECEDING) AS pt,
+             first_value(h.avg_value IGNORE NULLS)
+               OVER (PARTITION BY grid.user_id ORDER BY grid.bucket
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN h.avg_value IS NOT NULL
+                              THEN grid.bucket END IGNORE NULLS)
+               OVER (PARTITION BY grid.user_id ORDER BY grid.bucket
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM grid LEFT JOIN hourly h
+        ON h.user_id = grid.user_id AND h.bucket = grid.bucket)
+    SELECT user_id, bucket,
+           CASE
+             WHEN avg_value IS NOT NULL THEN avg_value
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               ((2 * (CAST(round(pv * 10000) AS BIGINT)
+                        * (date_diff('hour', pt, nt)
+                           - date_diff('hour', pt, bucket))
+                      + CAST(round(nv * 10000) AS BIGINT)
+                        * date_diff('hour', pt, bucket))
+                 + date_diff('hour', pt, nt))
+                // (2 * date_diff('hour', pt, nt))) / 10000.0
+           END AS interp_value
+    FROM j
+    """,
+)
+def events_linear_interp_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over a dense per-user hour grid — the
+    companion to ``events_locf_hourly_value`` (LOCF holds flat; this
+    draws the line between the neighboring observations, the standard
+    sensor/metric resampling step).  Observed hours keep their value;
+    interior gaps get ``pv + (nv-pv)·k/n``; hours before the first /
+    after the last observation stay NULL.
+
+    The interpolated value is computed with exact integer half-up
+    rounding in 1e-4 units (the bracketing values are 4-decimal
+    rationals and k/n is a small exact ratio, so engine round()
+    boundary behavior never enters; values are non-negative).  Plan:
+    the same grid fan-out as LOCF plus TWO window passes over one
+    user_id shuffle (backward carry + forward carry) — window state is
+    a single (value, ts) pair each way."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = (
+        hourly.select("user_id")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                bounds.select(
+                    F.explode(
+                        F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+                    ).alias("bucket")
+                )
+            )
+        )
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("avg_value").isNotNull(), F.col("bucket"))
+    j = grid.join(hourly, ["user_id", "bucket"], "left").select(
+        "user_id",
+        "bucket",
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_t, ignorenulls=True).over(wb).alias("pt"),
+        F.first("avg_value", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_t, ignorenulls=True).over(wf).alias("nt"),
+    )
+    k = F.expr("timestampdiff(HOUR, pt, bucket)").cast("long")
+    n = F.expr("timestampdiff(HOUR, pt, nt)").cast("long")
+    p = F.round(F.col("pv") * 10000).cast("long")
+    q = F.round(F.col("nv") * 10000).cast("long")
+    interp_e4 = F.floor(
+        (F.lit(2) * (p * (n - k) + q * k) + n) / (F.lit(2) * n)
+    )
+    return j.select(
+        "user_id",
+        "bucket",
+        F.when(F.col("avg_value").isNotNull(), F.col("avg_value"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            interp_e4 / F.lit(10000.0),
+        )
+        .alias("interp_value"),
+    )

@@ -154,3 +154,40 @@ def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "sample_reservoir_per_source",
+    oracle=f"""
+    WITH h AS (
+      SELECT source, doc_id, {_sql_bucket('doc_id')} AS bkt FROM documents
+    ), r AS (
+      SELECT source, doc_id, bkt,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY bkt, doc_id) AS rn
+      FROM h
+    )
+    SELECT source, doc_id, bkt, rn FROM r WHERE rn <= 5
+    """,
+)
+def sample_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic "reservoir" sample: exactly K=5 documents per
+    source, chosen as the K smallest portable-hash values (tie-broken
+    by doc_id).  Unlike a true streaming reservoir (random, run-
+    dependent), the hash order makes the K-subset a pure function of
+    the data — re-derivable on any engine/partitioning, and NESTED:
+    the K=3 sample is a prefix of the K=5 sample, so shrinking a
+    training subset never resamples.  Plan: one shuffle on source +
+    per-partition top-K heap (rank ≤ K filters early under AQE); no
+    global sort."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").withColumn(
+        "bkt", hash_bucket(F.col("doc_id"))
+    )
+    w = Window.partitionBy("source").orderBy("bkt", "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "doc_id", "bkt", "rn")
+    )

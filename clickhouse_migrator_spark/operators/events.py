@@ -1134,3 +1134,51 @@ def events_linear_interp_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("interp_value"),
     )
+
+
+@register(
+    "events_sequence_next_node",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS s_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), n AS (
+      SELECT e.user_id, e.event_type,
+             row_number() OVER (PARTITION BY e.user_id
+                                ORDER BY e.ts, e.event_id) AS rn
+      FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.s_ts
+    )
+    SELECT s.user_id, n.event_type AS next_event
+    FROM s LEFT JOIN (SELECT user_id, event_type FROM n WHERE rn = 1) n
+      USING (user_id)
+    """,
+)
+def events_sequence_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceNextNode('forward', 'head')(ts, event_type,
+    event_type = 'signup')`` — for every user, WHICH event immediately
+    follows their first signup (NULL if the signup is their last
+    event).  The "what happens next" exploration primitive behind
+    next-action funnels.
+
+    Two aggregates on the same user_id key (first-signup, then
+    min-struct over later events) — the struct-min trick picks the
+    earliest (ts, event_id, type) row in ONE partial-agg'd pass, no
+    row_number sort of the full event stream; both aggregations and
+    the join ride a single user_id shuffle."""
+    e = table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    nxt = (
+        e.join(s, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.struct("ts", "event_id", "event_type"))
+            .getField("event_type")
+            .alias("next_event")
+        )
+    )
+    return s.select("user_id").join(nxt, "user_id", "left")

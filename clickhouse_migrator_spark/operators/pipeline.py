@@ -196,3 +196,69 @@ def pipeline_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_kept"), F.min("keep_pct").alias("keep_pct"))
     )
+
+
+@register(
+    "pipeline_decontaminate_ngrams",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id,
+                         string_split_regex(lower(trim(text)), '\\s+') AS w
+                  FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                        i -> array_to_string(w[i:i+2], ' ')))
+                    AS shingle
+           FROM toks WHERE len(w) >= 3),
+    bench AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY {_sql_bucket('doc_id')}, doc_id)
+                 AS rn
+        FROM documents
+      ) WHERE rn <= 10
+    )
+    SELECT t.doc_id,
+           count(DISTINCT t.shingle) AS n_shared_grams
+    FROM sh t
+    JOIN (SELECT DISTINCT shingle FROM sh JOIN bench USING (doc_id)) b
+      ON t.shingle = b.shingle
+    WHERE t.doc_id NOT IN (SELECT doc_id FROM bench)
+    GROUP BY t.doc_id
+    HAVING count(DISTINCT t.shingle) >= 3
+    """,
+)
+def pipeline_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the training-pipeline step that
+    removes documents overlapping an evaluation set.  The "benchmark"
+    here is a deterministic 10-document subset (smallest portable-hash
+    values, so both engines pick the same set); a training document is
+    flagged when it shares ≥3 distinct word-3-gram shingles with any
+    benchmark document.
+
+    Plan shape — the scale-critical part: benchmark shingles reduce to
+    a small DISTINCT set that is **broadcast** into the corpus-shingle
+    stream (the corpus side never shuffles), then one partial-agg'd
+    count-distinct per doc.  At 100 TB the corpus side stays a single
+    scan + broadcast-semi-join; only flagged docs reach the aggregate."""
+    from .dedup import shingles
+
+    sh = shingles(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    # global top-10 by hash via orderBy().limit() — planned as
+    # TakeOrderedAndProject (distributed heaps), not a one-partition window
+    bench = (
+        d.select("doc_id", hash_bucket(F.col("doc_id")).alias("bkt"))
+        .orderBy("bkt", "doc_id")
+        .limit(10)
+        .select("doc_id")
+    )
+    bench_grams = (
+        sh.join(F.broadcast(bench), "doc_id").select("shingle").distinct()
+    )
+    return (
+        sh.join(F.broadcast(bench), "doc_id", "left_anti")
+        .join(F.broadcast(bench_grams), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_shared_grams"))
+        .filter(F.col("n_shared_grams") >= 3)
+    )

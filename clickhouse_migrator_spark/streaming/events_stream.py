@@ -337,3 +337,54 @@ def streaming_first_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return spark.table(run_to_memory(agg))
+
+
+@register(
+    "streaming_interval_join_error_purchase",
+    oracle="""
+    SELECT e.event_id AS error_id, p.event_id AS purchase_id
+    FROM events e JOIN events p
+      ON e.user_id = p.user_id
+     AND e.event_type = 'error' AND p.event_type = 'purchase'
+     AND p.ts BETWEEN e.ts - INTERVAL 1 HOUR AND e.ts
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join — every (error, purchase-in-the-
+    preceding-hour) pair for the same user, computed by two real file
+    streams joined with watermarks + a time-range condition (the
+    "correlate two firehoses" pipeline shape; the batch self-join
+    oracle certifies it).
+
+    The watermarks are what make this run at 100 TB: each side buffers
+    only rows younger than watermark + the 1 h range bound, so join
+    state is O(rate × window), not O(history).  Append output mode —
+    pairs emit exactly once, when both sides' watermarks pass them."""
+    err = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").cast("timestamp").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "2 hours")
+    )
+    pur = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    j = err.join(
+        pur,
+        (F.col("e_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("e_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("p_ts") <= F.col("e_ts")),
+        "inner",
+    ).select("error_id", "purchase_id")
+    return spark.table(run_to_memory(j, mode="append"))

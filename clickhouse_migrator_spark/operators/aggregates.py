@@ -725,32 +725,36 @@ def agg_cramers_v_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells); every later step — marginals, chi-squared, V — runs on that
     handful of rows with broadcast joins, so the statistic costs
     exactly one pass at any scale."""
+    from pyspark.sql import Window
+
     li = table(spark, sf_dir, "lineitem")
-    c = (
-        li.groupBy(
-            F.col("l_returnflag").alias("a"), F.col("l_linestatus").alias("b")
-        )
-        .agg(F.count(F.lit(1)).cast("double").alias("n"))
-    )
-    rt = c.groupBy("a").agg(F.sum("n").alias("rn"))
-    ct = c.groupBy("b").agg(F.sum("n").alias("cn"))
-    tot = c.agg(
-        F.sum("n").alias("nn"),
-        F.countDistinct("a").alias("nr"),
-        F.countDistinct("b").alias("nc"),
-    )
-    j = (
-        c.join(F.broadcast(rt), "a")
-        .join(F.broadcast(ct), "b")
-        .crossJoin(F.broadcast(tot))
+    # ONE fact scan: everything after the contingency reduction runs on
+    # the #flags × #statuses cell frame (a handful of rows), so the
+    # marginals are window sums over that tiny frame rather than
+    # re-aggregations that would each rescan the fact table.  The
+    # unpartitioned window / final 1-row aggregate exchanges move only
+    # the cells.
+    c = li.groupBy(
+        F.col("l_returnflag").alias("a"), F.col("l_linestatus").alias("b")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    c3 = c.select(
+        "a",
+        "b",
+        "n",
+        F.sum("n").over(Window.partitionBy("a")).alias("rn"),
+        F.sum("n").over(Window.partitionBy("b")).alias("cn"),
+        F.sum("n").over(Window.partitionBy()).alias("nn"),
     )
     expected = F.col("rn") * F.col("cn") / F.col("nn")
     chi_term = F.pow(F.col("n") - expected, 2) / expected
-    return j.agg(
+    return c3.agg(
         F.round(
             F.sqrt(
                 F.sum(chi_term)
-                / (F.max("nn") * (F.least(F.max("nr"), F.max("nc")) - 1))
+                / (
+                    F.max("nn")
+                    * (F.least(F.countDistinct("a"), F.countDistinct("b")) - 1)
+                )
             ),
             4,
         ).alias("cramers_v"),

@@ -760,3 +760,62 @@ def agg_cramers_v_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cramers_v"),
         F.max("nn").cast("long").alias("n_rows"),
     )
+
+
+@register(
+    "agg_quantile_exact_weighted",
+    oracle="""
+    WITH per AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS price,
+             sum(l_quantity) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), c AS (
+      SELECT flag, price,
+             sum(w) OVER (PARTITION BY flag ORDER BY price
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(w) OVER (PARTITION BY flag) AS tot
+      FROM per
+    )
+    SELECT flag,
+           min(CASE WHEN cum >= 0.5 * tot THEN price END) AS wmedian_price,
+           min(CASE WHEN cum >= 0.9 * tot THEN price END) AS wp90_price
+    FROM c GROUP BY flag
+    """,
+)
+def agg_quantile_exact_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``quantileExactWeighted(p)(price, qty)`` — the exact
+    weighted quantile: the smallest value whose accumulated weight
+    reaches p of the total.  Exact algorithm, no interpolation, so the
+    two engines agree bit-for-bit (weights are integer-valued).
+
+    Plan: collapse duplicate values per group first (one partial-agg'd
+    shuffle — the cumulative scan then touches #distinct-values rows,
+    not #rows), then one window pass for the running weight and a final
+    conditional-min.  All three steps ride the same flag-keyed shuffle."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    per = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+    ).agg(F.sum("l_quantity").alias("w"))
+    wc = (
+        Window.partitionBy("flag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = per.select(
+        "flag",
+        "price",
+        F.sum("w").over(wc).alias("cum"),
+        F.sum("w").over(Window.partitionBy("flag")).alias("tot"),
+    )
+    return c.groupBy("flag").agg(
+        F.min(F.when(F.col("cum") >= 0.5 * F.col("tot"), F.col("price"))).alias(
+            "wmedian_price"
+        ),
+        F.min(F.when(F.col("cum") >= 0.9 * F.col("tot"), F.col("price"))).alias(
+            "wp90_price"
+        ),
+    )

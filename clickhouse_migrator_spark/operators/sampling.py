@@ -191,3 +191,50 @@ def sample_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("source", "doc_id", "bkt", "rn")
     )
+
+
+@register(
+    "sample_temperature_sources",
+    oracle=f"""
+    WITH n AS (SELECT source, count(*) AS nd FROM documents GROUP BY source),
+         m AS (SELECT max(sqrt(nd)) AS mx FROM n),
+         r AS (SELECT source, nd, 0.5 * sqrt(nd) / mx AS rate
+               FROM n CROSS JOIN m)
+    SELECT d.source, r.nd AS n_docs, round(r.rate, 6) AS rate,
+           count(*) FILTER ({_sql_bucket('d.doc_id')} < {_P} * r.rate)
+             AS n_sampled
+    FROM documents d JOIN r ON d.source = r.source
+    GROUP BY d.source, r.nd, r.rate
+    """,
+)
+def sample_temperature_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (the multilingual-corpus
+    rebalancing rule: sampling weight ∝ share^T with T=0.5): each
+    source is hash-sampled at ``0.5·sqrt(n_src)/max_src(sqrt(n))`` —
+    big sources are damped, small sources upweighted, and the whole
+    assignment is a pure function of doc_id (portable hash), so the
+    mixed corpus is reproducible on any engine or partitioning.
+
+    Plan: source counts reduce in one partial-agg pass; the per-source
+    rate frame (a handful of rows) broadcasts back onto the scan, so
+    the document side is a single pass with a codegen'd filter —
+    exactly the 100 TB shape (no fact shuffle before the final
+    per-source count)."""
+    d = table(spark, sf_dir, "documents")
+    n = d.groupBy("source").agg(F.count(F.lit(1)).alias("nd"))
+    m = n.agg(F.max(F.sqrt("nd")).alias("mx"))
+    r = n.crossJoin(F.broadcast(m)).select(
+        "source", "nd", (F.lit(0.5) * F.sqrt("nd") / F.col("mx")).alias("rate")
+    )
+    keep = hash_bucket(F.col("doc_id")) < F.lit(_P) * F.col("rate")
+    return (
+        d.join(F.broadcast(r), "source")
+        .groupBy("source", "nd", "rate")
+        .agg(F.count(F.when(keep, 1)).alias("n_sampled"))
+        .select(
+            "source",
+            F.col("nd").alias("n_docs"),
+            F.round("rate", 6).alias("rate"),
+            "n_sampled",
+        )
+    )

@@ -195,3 +195,64 @@ def dialect_monthly_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY month
         """,
     )
+
+
+@register(
+    "dialect_final_replacing_latest",
+    oracle="""
+    WITH src AS (
+      SELECT o_custkey AS k, o_orderkey AS version, o_totalprice AS price
+      FROM orders
+    ), r AS (
+      SELECT k, version, price,
+             row_number() OVER (PARTITION BY k
+                                ORDER BY version DESC, price DESC) AS rn
+      FROM src
+    )
+    SELECT k, version, price FROM r WHERE rn = 1
+    """,
+)
+def dialect_final_replacing_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ReplacingMergeTree lifecycle through the dialect layer:
+    ClickHouse DDL (``ENGINE = ReplacingMergeTree ORDER BY k``) creates
+    a catalog table whose engine/key intent persists as ``clickhouse.*``
+    TBLPROPERTIES, a ClickHouse ``INSERT … SELECT`` populates it, and
+    ``SELECT … FROM t FINAL`` reads it merge-on-read — one survivor per
+    ORDER BY key.  Parquet has no part order, so the survivor is the
+    max of the non-key columns (struct comparison) — deterministic,
+    documented divergence from ClickHouse's newest-part rule; the
+    oracle mirrors it as a lexicographic row_number.  The FINAL dedupe
+    is one partial-agg'd shuffle on the key — the same plan OPTIMIZE
+    DEDUPLICATE writes, just without the rewrite."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from ..migrate import execute_and_inflate, execute_statement
+
+    v = _view(spark, sf_dir, "orders")
+    execute_statement(spark, "DROP TABLE IF EXISTS dq_final_orders")
+    # a previous session may have left the managed location behind after
+    # its in-memory catalog died — purge it or CREATE fails
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    shutil.rmtree(os.path.join(wh.path or "spark-warehouse", "dq_final_orders"),
+                  ignore_errors=True)
+    execute_statement(
+        spark,
+        """
+        CREATE TABLE dq_final_orders (k UInt64, version UInt64, price Float64)
+        ENGINE = ReplacingMergeTree ORDER BY (k)
+        """,
+    )
+    execute_statement(
+        spark,
+        f"""
+        INSERT INTO dq_final_orders
+        SELECT o_custkey, o_orderkey, o_totalprice FROM {v}
+        """,
+    )
+    out = execute_and_inflate(
+        spark, "SELECT k, version, price FROM dq_final_orders FINAL"
+    ).localCheckpoint()  # materialize: the table is dropped next
+    execute_statement(spark, "DROP TABLE dq_final_orders")
+    return out

@@ -819,3 +819,61 @@ def agg_quantile_exact_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wp90_price"
         ),
     )
+
+
+@register(
+    "agg_bounding_ratio",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rf,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC)
+               AS rl,
+             epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS x,
+             o_totalprice AS y
+      FROM orders
+    )
+    SELECT o_custkey,
+           round((max(CASE WHEN rl = 1 THEN y END)
+                  - max(CASE WHEN rf = 1 THEN y END))
+                 / ((max(CASE WHEN rl = 1 THEN x END)
+                     - max(CASE WHEN rf = 1 THEN x END)) / 86400000000.0),
+                 6) AS price_slope_per_day
+    FROM r GROUP BY o_custkey
+    HAVING max(CASE WHEN rl = 1 THEN x END)
+           > max(CASE WHEN rf = 1 THEN x END)
+    """,
+)
+def agg_bounding_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``boundingRatio(x, y)`` — the slope between a group's
+    first and last point, (yₗₐₛₜ−y_first)/(xₗₐₛₜ−x_first): here each
+    customer's order-value drift per day between their first and last
+    order.  ``min_by``/``max_by`` over the (date, orderkey) tie-broken
+    key extract both endpoints in ONE partial-agg'd pass — no sort, no
+    window, constant state per group; time deltas run on exact integer
+    microseconds (shift-invariant, so the NTZ/UTC cast cancels)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.struct("o_orderdate", "o_orderkey").alias("k"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("x"),
+        F.col("o_totalprice").alias("y"),
+    )
+    g = o.groupBy("o_custkey").agg(
+        F.min_by("y", F.col("k")).alias("y0"),
+        F.max_by("y", F.col("k")).alias("y1"),
+        F.min("x").alias("x0"),
+        F.max("x").alias("x1"),
+    )
+    return (
+        g.filter(F.col("x1") > F.col("x0"))
+        .select(
+            "o_custkey",
+            F.round(
+                (F.col("y1") - F.col("y0"))
+                / ((F.col("x1") - F.col("x0")) / F.lit(86400000000.0)),
+                6,
+            ).alias("price_slope_per_day"),
+        )
+    )

@@ -357,3 +357,29 @@ def window_exp_decayed_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return framed.select(
         "user_id", "event_id", F.round(num / den, 4).alias("ema")
     )
+
+
+@register(
+    "window_ntile_per_priority",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ntile(4) OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice, o_orderkey) AS quartile
+    FROM orders
+    """,
+)
+def window_ntile_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned ntile — the scale-correct sibling of the global
+    ``window_ntile_percentiles``: quartiles computed WITHIN each
+    priority class, so the sort is per-partition after one shuffle and
+    no single-partition exchange exists.  This is the shape to reach
+    for first at 100 TB; the global variant stays for semantic parity
+    and documents its approximate replacement."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+    )

@@ -1239,3 +1239,95 @@ def events_window_funnel_strict_order(spark: SparkSession, sf_dir: str) -> DataF
         .otherwise(0)
     )
     return e.groupBy("user_id").agg(F.max(level).alias("level"))
+
+
+@register(
+    "events_sliding_distinct_users",
+    oracle="""
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '6 hours', ts) - k * INTERVAL '6 hours'
+               AS window_start,
+             user_id
+      FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) offsets
+    )
+    SELECT window_start,
+           count(DISTINCT user_id) AS active_users
+    FROM w GROUP BY window_start
+    """,
+)
+def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding DISTINCT count — 24 h active-user windows sliding every
+    6 h (the DAU-style rolling-uniques metric).  Distinct-over-window
+    is the expensive variant of the sliding aggregate: Spark expands
+    each event into its 4 windows, then runs the standard two-phase
+    distinct (partial dedupe per (window, user), final count).  At
+    100 TB swap the exact count for `approx_count_distinct` — HLL
+    sketches are mergeable across partials, so the plan shape is
+    identical with constant-memory state."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "24 hours", "6 hours").alias("w"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "active_users",
+        )
+    )
+
+
+@register(
+    "join_interval_overlap_bucketed",
+    oracle="""
+    SELECT a.event_id AS error_id, b.event_id AS purchase_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'error' AND b.event_type = 'purchase'
+     AND a.ts < b.ts + INTERVAL 30 MINUTE
+     AND b.ts < a.ts + INTERVAL 30 MINUTE
+    """,
+)
+def join_interval_overlap_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (each event held open 30 minutes; pairs of
+    overlapping error/purchase intervals per user), computed the way it
+    survives 100 TB: each interval is exploded to the hour buckets it
+    spans, the join runs as an EQUI-join on (user, bucket) with the
+    overlap predicate as a cheap residual filter, and duplicate pairs
+    (intervals sharing several buckets) are deduped after.  The naive
+    theta-join (the oracle's spelling) degenerates to a per-user cross
+    product; bucketing bounds each join group to co-resident intervals
+    — the standard trick when an as-of/range join isn't enough."""
+    e = table(spark, sf_dir, "events")
+
+    def side(tp: str, eid: str, ts: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == tp)
+            .select(
+                F.col("event_id").alias(eid),
+                F.col("user_id").alias(f"{eid}_user"),
+                F.col("ts").alias(ts),
+                F.explode(
+                    F.sequence(
+                        F.date_trunc("hour", F.col("ts")),
+                        F.date_trunc(
+                            "hour", F.col("ts") + F.expr("INTERVAL 30 MINUTES")
+                        ),
+                        F.expr("INTERVAL 1 HOUR"),
+                    )
+                ).alias("bucket"),
+            )
+        )
+
+    a = side("error", "error_id", "a_ts")
+    b = side("purchase", "purchase_id", "b_ts")
+    half = F.expr("INTERVAL 30 MINUTES")
+    return (
+        a.join(
+            b,
+            (F.col("error_id_user") == F.col("purchase_id_user"))
+            & (a.bucket == b.bucket)
+            & (F.col("a_ts") < F.col("b_ts") + half)
+            & (F.col("b_ts") < F.col("a_ts") + half),
+        )
+        .select("error_id", "purchase_id")
+        .dropDuplicates()
+    )

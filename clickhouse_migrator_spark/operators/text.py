@@ -325,3 +325,54 @@ def text_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 3)
         .orderBy("name_a", "name_b")
     )
+
+
+@register(
+    "text_hashing_trick_features",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(w) AS token FROM toks
+    ), b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(token), 1, 15))::UBIGINT % 64 AS BIGINT)
+               AS bucket
+      FROM tok
+    ), per AS (
+      SELECT doc_id, bucket, count(*) AS n FROM b GROUP BY doc_id, bucket
+    )
+    SELECT doc_id,
+           list(bucket ORDER BY bucket) AS feat_idx,
+           list(n      ORDER BY bucket) AS feat_cnt
+    FROM per GROUP BY doc_id
+    """,
+)
+def text_hashing_trick_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the "hashing trick"): bag-of-words folded into
+    a fixed 64-dim sparse count vector per document via an
+    engine-portable token hash (md5-derived, so the oracle buckets
+    identically) — the classic no-vocabulary featurizer for training
+    pipelines (no global dictionary build, no OOV, fixed width).
+
+    Plan: explode → two-level aggregate ((doc, bucket) counts, then
+    per-doc sparse assembly) — both partial-agg'd on the same doc_id
+    key; no vocabulary broadcast, no driver state, dimensionality
+    fixed regardless of corpus size."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    bucket = (
+        F.conv(F.substring(F.md5("token"), 1, 15), 16, 10)
+        .cast("bigint") % 64
+    )
+    per = (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    entries = F.array_sort(F.collect_list(F.struct("bucket", "n")))
+    return per.groupBy("doc_id").agg(
+        F.transform(entries, lambda s: s.bucket).alias("feat_idx"),
+        F.transform(entries, lambda s: s.n).alias("feat_cnt"),
+    )

@@ -172,3 +172,33 @@ def test_sequence_and_islands_reuse_one_user_shuffle(spark, sf_dir):
 
     assert count_shuffles(events.events_sequence_count(spark, sf_dir)) <= 1
     assert count_shuffles(events.events_interval_length_sum(spark, sf_dir)) <= 1
+
+
+def test_linear_interp_has_no_unbounded_following_frame(spark, sf_dir):
+    """Spark evaluates (CURRENT ROW, UNBOUNDED FOLLOWING) frames by
+    re-scanning the partition tail per row — O(n²) (21 s → 2.3 s at
+    sf0.1 when rewritten).  The forward carry must stay a backward
+    running frame over a descending sort."""
+    from clickhouse_migrator_spark.operators import events
+
+    plan = _plan_string(events.events_linear_interp_hourly(spark, sf_dir))
+    assert "unboundedfollowing$()" not in plan.lower().replace(" ", "")
+
+
+def test_cramers_v_single_fact_scan(spark, sf_dir):
+    """The contingency statistic must not re-scan the fact table per
+    marginal — everything after the cell reduction runs on the tiny
+    cell frame."""
+    from clickhouse_migrator_spark.operators import aggregates
+
+    plan = _plan_string(aggregates.agg_cramers_v_flag_status(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    """The corpus-shingle stream must never shuffle: the benchmark doc
+    set and its shingles both broadcast."""
+    from clickhouse_migrator_spark.operators import pipeline
+
+    df = pipeline.pipeline_decontaminate_ngrams(spark, sf_dir)
+    assert count_broadcasts(df) >= 2

@@ -1331,3 +1331,61 @@ def join_interval_overlap_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
         .select("error_id", "purchase_id")
         .dropDuplicates()
     )
+
+
+@register(
+    "events_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ), mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           round(max(d.med), 4) AS median_value,
+           round(max(m.mad), 4) AS mad,
+           count(*) FILTER (d.adev > 3 * 1.4826 * m.mad) AS n_outliers,
+           count(*) AS n_events
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation — the
+    heavy-tail-safe complement to ``events_zscore_outliers`` (a single
+    extreme value shifts a mean/stddev gate but not a median/MAD one);
+    1.4826·MAD rescales to σ-equivalents, flagging |v−med| > 3σ_robust.
+
+    Plan: two percentile passes over the same event_type key (median,
+    then MAD of deviations), each one partial shuffle; the per-type
+    medians are tiny and broadcast back onto the scan both times.  At
+    100 TB swap `percentile` for `approx_percentile` — same two-pass
+    shape, t-digest state."""
+    e = table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 4).alias("median_value"),
+            F.round(F.max("mad"), 4).alias("mad"),
+            F.count(
+                F.when(F.col("adev") > 3 * 1.4826 * F.col("mad"), 1)
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

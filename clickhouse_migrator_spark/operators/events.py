@@ -1389,3 +1389,65 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@register(
+    "events_retention_matrix_weekly",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+      FROM events GROUP BY user_id
+    ), sizes AS (
+      SELECT cohort, count(*) AS cohort_size FROM firsts GROUP BY cohort
+    ), acts AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events
+    )
+    SELECT f.cohort,
+           CAST(date_diff('day', f.cohort, a.week) / 7 AS BIGINT)
+             AS week_offset,
+           count(DISTINCT a.user_id) AS n_active,
+           round(count(DISTINCT a.user_id)
+                 / CAST(max(s.cohort_size) AS DOUBLE), 6) AS retention
+    FROM firsts f
+    JOIN acts a ON f.user_id = a.user_id
+    JOIN sizes s ON f.cohort = s.cohort
+    GROUP BY f.cohort, week_offset
+    """,
+)
+def events_retention_matrix_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full cohort-retention MATRIX in long form — every
+    (signup-week, week-offset) cell with active count and retention
+    rate (the generalization of ``events_cohort_retention``'s fixed
+    d0/d1/d7 columns; what a retention heatmap reads).
+
+    Plan: first-seen and distinct-activity aggregates co-partition on
+    user_id for the join; cohort sizes are a tiny second-level
+    aggregate broadcast into the final (cohort, offset) rollup.  Every
+    stage is partial-agg'd; nothing global."""
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+    )
+    sizes = firsts.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    acts = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    j = (
+        firsts.join(acts, "user_id")
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            (F.datediff(F.col("week"), F.col("cohort")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+            "user_id",
+            "cohort_size",
+        )
+    )
+    return j.groupBy("cohort", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active"),
+        F.round(
+            F.countDistinct("user_id") / F.max("cohort_size").cast("double"), 6
+        ).alias("retention"),
+    )

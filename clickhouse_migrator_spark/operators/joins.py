@@ -316,3 +316,41 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_id", "ts")
         .agg(F.min("p_ts").alias("next_purchase_ts"))
     )
+
+
+@register(
+    "join_asof_tolerance_1h",
+    oracle="""
+    SELECT e.event_id, e.ts, max(p.ts) AS last_purchase_1h
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id
+     AND p.ts <= e.ts AND p.ts >= e.ts - INTERVAL 1 HOUR
+    GROUP BY e.event_id, e.ts
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join with a TOLERANCE bound (pandas
+    ``merge_asof(tolerance=1h)``): the most recent purchase within the
+    preceding hour, else NULL — the variant that keeps stale matches
+    out of feature joins.  The lower bound also caps the fan-out of
+    the range join: each error row meets only the purchases of its
+    one-hour window, so the join stays linear in events at 100 TB
+    (the unbounded as-of's worst case is the full user history)."""
+    e = table(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        "event_id", "ts", F.col("user_id").alias("e_user")
+    )
+    pur = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    cond = (
+        (err.e_user == pur.p_user)
+        & (pur.p_ts <= err.ts)
+        & (pur.p_ts >= err.ts - F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        err.join(pur, cond, "left")
+        .groupBy("event_id", "ts")
+        .agg(F.max("p_ts").alias("last_purchase_1h"))
+    )

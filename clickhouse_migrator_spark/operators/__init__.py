@@ -14,6 +14,7 @@ from . import (  # noqa: F401
     scalars,
     setops,
     similarity,
+    stats,
     subqueries,
     text,
     tpch,

@@ -238,3 +238,65 @@ def sample_temperature_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sampled",
         )
     )
+
+
+@register(
+    "sample_class_balanced",
+    oracle=f"""
+    WITH counts AS (
+      SELECT event_type, count(*) AS n_total FROM events GROUP BY event_type
+    ), floor_n AS (SELECT min(n_total) AS n_min FROM counts),
+       ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY {_sql_bucket('event_id')}, event_id) AS rk
+      FROM events
+    )
+    SELECT r.event_type,
+           count(*)                 AS n_kept,
+           max(c.n_total)           AS n_total,
+           round(avg(r.value), 4)   AS avg_value_kept
+    FROM ranked r CROSS JOIN floor_n f JOIN counts c USING (event_type)
+    WHERE r.rk <= f.n_min
+    GROUP BY r.event_type
+    """,
+)
+def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling (training-pipeline surface): every
+    event_type is cut to the minority class's row count by keeping the
+    lowest portable-hash ranks — a deterministic stratified undersample
+    that is reproducible across engines and partitionings (same mixer
+    as the rest of this module).
+
+    Plan: class counts reduce in one partial-agg pass and the 1-row
+    floor broadcasts back; the rank is one window sort per class.  At
+    100 TB the window sorts within each class partition — no global
+    sort — and skewed majority classes are exactly the rows the filter
+    discards early."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_total"))
+    floor_n = counts.agg(F.min("n_total").alias("n_min"))
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                hash_bucket(F.col("event_id")), F.col("event_id")
+            )
+        )
+        .alias("rk"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(floor_n))
+        .filter(F.col("rk") <= F.col("n_min"))
+        .join(F.broadcast(counts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max("n_total").alias("n_total"),
+            F.round(F.avg("value"), 4).alias("avg_value_kept"),
+        )
+    )

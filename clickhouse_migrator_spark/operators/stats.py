@@ -1,0 +1,713 @@
+"""Statistical-analysis operator pack (SURVEY.md §2.D).
+
+ClickHouse ships a family of statistical aggregates the reference's
+users reach through opaque migration SQL (`migrate.py:52,59` executes
+user statements verbatim): ``simpleLinearRegression``, ``corr`` /
+``covarPop`` / ``covarSamp``, ``rankCorr``, ``arrayAUC``,
+``kolmogorovSmirnovTest``, ``welchTTest``, ``mannWhitneyUTest``,
+``groupUniqArray``, the ``-ForEach`` combinator, and the
+``nonNegativeDerivative`` window function.  This pack re-expresses each
+one Spark-first:
+
+- moment-based statistics (regression, corr/covar, t-test) are pure
+  hash aggregations — one shuffle, map-side partials, no Python;
+- rank-based statistics (Spearman, AUC, Mann-Whitney) are a sort
+  window + average-rank normalization (ties get the mean rank, the
+  textbook treatment) followed by a plain aggregate;
+- distribution comparison (KS) is a groupBy on the value grid plus a
+  running-sum window — O(distinct values) state, not O(rows);
+- ``-ForEach`` element-wise array aggregation is posexplode + hash
+  agg on (group, position), the shuffle-parallel shape that scales to
+  wide vectors and billions of rows.
+
+Scale notes: global rank windows (AUC / Mann-Whitney / Spearman
+within a group) need a total order over the scored set; at 100 TB
+those become range-partitioned sorts (Spark's global orderBy) — still
+one pass.  Everything else is partial-aggregatable and skew-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..registry import register
+from ..tables import table
+
+
+@register(
+    "agg_linear_regression",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 6)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+           count(*)                                              AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``simpleLinearRegression(x, y)`` → least-squares
+    slope/intercept (+ R²) per group.  Moment-based: a single hash
+    aggregation with map-side partials; no sort, no Python."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+            "intercept"
+        ),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_corr_covar",
+    oracle="""
+    SELECT l_linestatus,
+           round(corr(l_quantity, l_extendedprice), 6)       AS pearson_r,
+           round(covar_pop(l_quantity, l_extendedprice), 4)  AS covar_pop,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_samp
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``corr`` / ``covarPop`` / ``covarSamp`` — co-moment
+    aggregates, one shuffle on the group key."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("pearson_r"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covar_pop"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_samp"),
+    )
+
+
+@register(
+    "agg_rank_corr_spearman",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag, l_quantity, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_quantity, l_orderkey, l_linenumber) AS rnx,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rny
+      FROM lineitem
+    ), avg_ranked AS (
+      SELECT l_returnflag,
+             avg(rnx) OVER (PARTITION BY l_returnflag, l_quantity)      AS rx,
+             avg(rny) OVER (PARTITION BY l_returnflag, l_extendedprice) AS ry
+      FROM ranked
+    )
+    SELECT l_returnflag, round(corr(rx, ry), 6) AS spearman_rho
+    FROM avg_ranked GROUP BY l_returnflag
+    """,
+)
+def agg_rank_corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``rankCorr(x, y)`` — Spearman's ρ.  Ranks are
+    assigned with the average-rank tie rule (mean of the positions a
+    tied value block occupies), then Pearson corr of the two rank
+    columns.  Two sort windows inside the group + one co-moment agg;
+    the row_number tie-break key makes the plan deterministic while
+    the averaging step makes the *result* independent of it."""
+    li = table(spark, sf_dir, "lineitem")
+    wq = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    wp = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = li.select(
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+        F.row_number().over(wq).alias("rnx"),
+        F.row_number().over(wp).alias("rny"),
+    )
+    avg_ranked = ranked.select(
+        "l_returnflag",
+        F.avg("rnx")
+        .over(Window.partitionBy("l_returnflag", "l_quantity"))
+        .alias("rx"),
+        F.avg("rny")
+        .over(Window.partitionBy("l_returnflag", "l_extendedprice"))
+        .alias("ry"),
+    )
+    return avg_ranked.groupBy("l_returnflag").agg(
+        F.round(F.corr("rx", "ry"), 6).alias("spearman_rho")
+    )
+
+
+@register(
+    "agg_value_auc",
+    oracle="""
+    WITH ranked AS (
+      SELECT (event_type = 'purchase') AS pos,
+             avg(rn) OVER (PARTITION BY value) AS avg_rank
+      FROM (SELECT event_type, value,
+                   row_number() OVER (ORDER BY value, event_id) AS rn
+            FROM events)
+    )
+    SELECT round((sum(CASE WHEN pos THEN avg_rank END)
+                  - (sum(CASE WHEN pos THEN 1 ELSE 0 END)
+                     * (sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1)) / 2.0)
+                 / (sum(CASE WHEN pos THEN 1 ELSE 0 END)
+                    * sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)), 6) AS auc,
+           sum(CASE WHEN pos THEN 1 ELSE 0 END)     AS n_pos,
+           sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS n_neg
+    FROM ranked
+    """,
+)
+def agg_value_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``arrayAUC(scores, labels)`` — ROC AUC of ``value``
+    as a score for "event is a purchase", via the rank-sum (Mann-
+    Whitney) identity AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻) with
+    average ranks for tied scores.  One global sort window + one
+    aggregate — the distributed shape of what ClickHouse computes
+    inside a single array."""
+    e = table(spark, sf_dir, "events").select(
+        (F.col("event_type") == "purchase").alias("pos"), "value", "event_id"
+    )
+    ranked = e.withColumn(
+        "rn", F.row_number().over(Window.orderBy("value", "event_id"))
+    ).select("pos", F.avg("rn").over(Window.partitionBy("value")).alias("avg_rank"))
+    npos = F.sum(F.when(F.col("pos"), 1).otherwise(0))
+    nneg = F.sum(F.when(~F.col("pos"), 1).otherwise(0))
+    rpos = F.sum(F.when(F.col("pos"), F.col("avg_rank")))
+    return ranked.agg(
+        F.round((rpos - (npos * (npos + 1)) / 2.0) / (npos * nneg), 6).alias("auc"),
+        npos.alias("n_pos"),
+        nneg.alias("n_neg"),
+    )
+
+
+@register(
+    "agg_ks_two_sample",
+    oracle="""
+    WITH grid AS (
+      SELECT value,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c_p,
+             sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS c_e
+      FROM events WHERE event_type IN ('purchase', 'error')
+      GROUP BY value
+    ), cum AS (
+      SELECT sum(c_p) OVER (ORDER BY value
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_p,
+             sum(c_e) OVER (ORDER BY value
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_e
+      FROM grid
+    )
+    SELECT round(max(abs(cum_p / (SELECT sum(c_p) FROM grid)
+                         - cum_e / (SELECT sum(c_e) FROM grid))), 6) AS ks_d,
+           (SELECT sum(c_p) FROM grid) AS n_purchase,
+           (SELECT sum(c_e) FROM grid) AS n_error
+    FROM cum
+    """,
+)
+def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``kolmogorovSmirnovTest`` (statistic only) between
+    the ``value`` distributions of purchase vs error events:
+    D = max |F̂₁(v) − F̂₂(v)|.  Collapsing to the distinct-value grid
+    first makes the running-sum window O(|grid|), and evaluating both
+    ECDFs *after* all rows at a value handles ties exactly.  Totals
+    ride along as a broadcast single-row cross join."""
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "error"))
+        .select("event_type", "value")
+    )
+    grid = e.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("c_p"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("c_e"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select(
+        F.sum("c_p").over(w).alias("cum_p"), F.sum("c_e").over(w).alias("cum_e")
+    )
+    totals = grid.agg(
+        F.sum("c_p").alias("n_purchase"), F.sum("c_e").alias("n_error")
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum_p") / F.col("n_purchase")
+                        - F.col("cum_e") / F.col("n_error")
+                    )
+                ),
+                6,
+            ).alias("ks_d"),
+            F.first("n_purchase").alias("n_purchase"),
+            F.first("n_error").alias("n_error"),
+        )
+    )
+
+
+@register(
+    "agg_welch_ttest",
+    oracle="""
+    WITH p AS (
+      SELECT count(*) AS n, avg(value) AS m, var_samp(value) AS v
+      FROM events WHERE event_type = 'purchase'
+    ), e AS (
+      SELECT count(*) AS n, avg(value) AS m, var_samp(value) AS v
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT round((p.m - e.m) / sqrt(p.v / p.n + e.v / e.n), 6) AS t_stat,
+           round(pow(p.v / p.n + e.v / e.n, 2)
+                 / (pow(p.v / p.n, 2) / (p.n - 1)
+                    + pow(e.v / e.n, 2) / (e.n - 1)), 4)       AS welch_df,
+           round(p.m, 4) AS mean_purchase,
+           round(e.m, 4) AS mean_error
+    FROM p, e
+    """,
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``welchTTest(value, class)`` — unequal-variance
+    t-statistic and Welch–Satterthwaite degrees of freedom between
+    purchase and error values.  Two single-row moment aggregates
+    joined by a broadcast cross join; wholly partial-aggregatable."""
+    ev = table(spark, sf_dir, "events")
+
+    def side(t: str, suffix: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == t)
+            .agg(
+                F.count(F.lit(1)).alias(f"n_{suffix}"),
+                F.avg("value").alias(f"m_{suffix}"),
+                F.var_samp("value").alias(f"v_{suffix}"),
+            )
+        )
+
+    j = side("purchase", "p").crossJoin(F.broadcast(side("error", "e")))
+    se_p = F.col("v_p") / F.col("n_p")
+    se_e = F.col("v_e") / F.col("n_e")
+    return j.select(
+        F.round((F.col("m_p") - F.col("m_e")) / F.sqrt(se_p + se_e), 6).alias(
+            "t_stat"
+        ),
+        F.round(
+            F.pow(se_p + se_e, 2)
+            / (
+                F.pow(se_p, 2) / (F.col("n_p") - 1)
+                + F.pow(se_e, 2) / (F.col("n_e") - 1)
+            ),
+            4,
+        ).alias("welch_df"),
+        F.round(F.col("m_p"), 4).alias("mean_purchase"),
+        F.round(F.col("m_e"), 4).alias("mean_error"),
+    )
+
+
+@register(
+    "agg_mann_whitney_u",
+    oracle="""
+    WITH ranked AS (
+      SELECT (event_type = 'purchase') AS pos,
+             avg(rn) OVER (PARTITION BY value) AS avg_rank
+      FROM (SELECT event_type, value,
+                   row_number() OVER (ORDER BY value, event_id) AS rn
+            FROM events WHERE event_type IN ('purchase', 'error'))
+    )
+    SELECT round(sum(CASE WHEN pos THEN avg_rank END)
+                 - (sum(CASE WHEN pos THEN 1 ELSE 0 END)
+                    * (sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1)) / 2.0, 4) AS u1,
+           round(sum(CASE WHEN pos THEN 1 ELSE 0 END)
+                 * sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)
+                 - (sum(CASE WHEN pos THEN avg_rank END)
+                    - (sum(CASE WHEN pos THEN 1 ELSE 0 END)
+                       * (sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1)) / 2.0), 4) AS u2,
+           sum(CASE WHEN pos THEN 1 ELSE 0 END)     AS n_purchase,
+           sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS n_error
+    FROM ranked
+    """,
+)
+def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``mannWhitneyUTest`` (U statistics) for purchase vs
+    error values: U₁ = R₁ − n₁(n₁+1)/2 with average ranks over the
+    pooled sample, U₂ = n₁n₂ − U₁.  Same rank machinery as the AUC
+    query (the two are equivalent up to normalization)."""
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "error"))
+        .select(
+            (F.col("event_type") == "purchase").alias("pos"), "value", "event_id"
+        )
+    )
+    ranked = e.withColumn(
+        "rn", F.row_number().over(Window.orderBy("value", "event_id"))
+    ).select("pos", F.avg("rn").over(Window.partitionBy("value")).alias("avg_rank"))
+    n1 = F.sum(F.when(F.col("pos"), 1).otherwise(0))
+    n2 = F.sum(F.when(~F.col("pos"), 1).otherwise(0))
+    r1 = F.sum(F.when(F.col("pos"), F.col("avg_rank")))
+    u1 = r1 - (n1 * (n1 + 1)) / 2.0
+    return ranked.agg(
+        F.round(u1, 4).alias("u1"),
+        F.round(n1 * n2 - u1, 4).alias("u2"),
+        n1.alias("n_purchase"),
+        n2.alias("n_error"),
+    )
+
+
+@register(
+    "agg_group_uniq_array",
+    oracle="""
+    SELECT o_orderpriority,
+           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           count(DISTINCT o_orderstatus)           AS n_statuses
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_group_uniq_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupUniqArray(x)`` — the distinct set per group,
+    emitted sorted so the result is deterministic (ClickHouse's own
+    output order is unspecified).  collect_set is a mergeable
+    aggregation state, the distributed analogue."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
+@register(
+    "agg_sum_foreach",
+    oracle="""
+    SELECT label, pos,
+           sum(CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS dim_sum_e6
+    FROM (SELECT label,
+                 unnest(range(0, len(embedding))) AS pos,
+                 unnest(embedding)                AS v
+          FROM embeddings)
+    GROUP BY label, pos
+    """,
+)
+def agg_sum_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sumForEach(arr)`` — element-wise array sum per
+    group (here: per-label sum of 64-dim embeddings, the centroid
+    numerator).  posexplode + hash agg on (label, position): fully
+    shuffle-parallel, scales to wide vectors × billions of rows where
+    a collect-and-zip approach would not.  Sums are taken on an exact
+    integer micro-grid (floor(v·1e6 + 0.5)) so the result is
+    independent of accumulation order — float addition is not."""
+    emb = table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("v").cast("double") * 1000000 + 0.5)
+        .cast("long")
+        .alias("v_e6"),
+    )
+    return exploded.groupBy("label", "pos").agg(F.sum("v_e6").alias("dim_sum_e6"))
+
+
+@register(
+    "window_nonnegative_derivative",
+    oracle="""
+    WITH d AS (
+      SELECT event_id, user_id, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v,
+             lag(epoch_us(CAST(ts AS TIMESTAMP)))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id)          AS prev_us
+      FROM events
+    )
+    SELECT event_id, user_id,
+           round(greatest(0.0, (value - prev_v) / ((us - prev_us) / 1000000.0)), 6)
+             AS rate_per_s
+    FROM d WHERE prev_us IS NOT NULL AND us > prev_us
+    """,
+)
+def window_nonnegative_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``nonNegativeDerivative(value, ts)`` — per-user rate
+    of change per second, clamped at zero (counter-reset semantics).
+    One sort window per user; the time delta is computed on exact
+    integer microseconds so both engines feed identical doubles into
+    the division (SURVEY §2.D time-series surface)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    d = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        us.alias("us"),
+        F.lag("value").over(w).alias("prev_v"),
+        F.lag(us).over(w).alias("prev_us"),
+    )
+    return d.filter(F.col("prev_us").isNotNull() & (F.col("us") > F.col("prev_us"))).select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                (F.col("value") - F.col("prev_v"))
+                / ((F.col("us") - F.col("prev_us")) / 1000000.0),
+            ),
+            6,
+        ).alias("rate_per_s"),
+    )
+
+
+@register(
+    "events_max_intersections_position",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type, ts AS p, 1 AS d FROM events
+      UNION ALL
+      SELECT event_type, ts + INTERVAL 30 MINUTE AS p, -1 AS d FROM events
+    ), run AS (
+      SELECT event_type, p,
+             sum(d) OVER (PARTITION BY event_type ORDER BY p, d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS concurrent
+      FROM pts
+    ), best AS (
+      SELECT event_type, p, concurrent,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY concurrent DESC, p ASC) AS rk
+      FROM run
+    )
+    SELECT event_type, concurrent AS max_concurrent, p AS at_ts
+    FROM best WHERE rk = 1
+    """,
+)
+def events_max_intersections_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``maxIntersectionsPosition(start, end)`` — the
+    earliest instant at which interval concurrency peaks (companion to
+    ``events_max_intersections``; same 30-minute-hold sweep line).
+    Within a tied (p, d) block the running sum assigns consecutive
+    partial sums to arbitrary rows, but the block's *maximum* and its
+    position are deterministic, so ordering by (concurrent DESC, p
+    ASC) and keeping row 1 is stable."""
+    e = table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(F.col("ts").alias("p"), F.lit(1).alias("d")),
+                F.struct(
+                    (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("p"),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("pt"),
+    ).select("event_type", "pt.p", "pt.d")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("p", "d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = pts.select(
+        "event_type", "p", F.sum("d").over(w).alias("concurrent")
+    )
+    best = run.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("concurrent").desc(), F.col("p").asc()
+            )
+        ),
+    )
+    return best.filter(F.col("rk") == 1).select(
+        "event_type", F.col("concurrent").alias("max_concurrent"), F.col("p").alias("at_ts")
+    )
+
+
+@register(
+    "scalar_regex_funcs",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract_all(p_name, '[a-z]+')      AS name_tokens,
+           len(regexp_extract_all(p_name, '[a-z]+')) AS n_name_tokens,
+           regexp_extract(p_name, '^[a-z]+')         AS first_token,
+           string_split_regex(p_type, '\\s+')        AS type_words,
+           regexp_replace(p_type, '[AEIOU]', '', 'g') AS type_no_vowels,
+           regexp_matches(p_name, '[0-9]')           AS has_digit
+    FROM part
+    """,
+)
+def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse regex vocabulary — ``extractAll`` →
+    regexp_extract_all, ``splitByRegexp`` → split, ``replaceRegexpAll``
+    → regexp_replace, ``match`` → rlike.  All JVM-side expressions
+    inside whole-stage codegen; no UDFs."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr("regexp_extract_all(p_name, '[a-z]+', 0)").alias("name_tokens"),
+        F.size(F.expr("regexp_extract_all(p_name, '[a-z]+', 0)")).alias(
+            "n_name_tokens"
+        ),
+        F.regexp_extract("p_name", "^[a-z]+", 0).alias("first_token"),
+        F.split("p_type", r"\s+").alias("type_words"),
+        F.regexp_replace("p_type", "[AEIOU]", "").alias("type_no_vowels"),
+        F.col("p_name").rlike("[0-9]").alias("has_digit"),
+    )
+
+
+@register(
+    "agg_association_measures",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS a, o_orderstatus AS b,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM orders GROUP BY 1, 2
+    ), rt AS (SELECT a, sum(n) AS rn FROM c GROUP BY a),
+       ct AS (SELECT b, sum(n) AS cn FROM c GROUP BY b),
+       tot AS (SELECT sum(n) AS nn,
+                      CAST(count(DISTINCT a) AS DOUBLE) AS nr,
+                      CAST(count(DISTINCT b) AS DOUBLE) AS nc
+               FROM c),
+       agg AS (
+      SELECT sum(pow(c.n - rt.rn * ct.cn / tot.nn, 2)
+                 / (rt.rn * ct.cn / tot.nn))          AS chi2,
+             max(tot.nn) AS nn, max(tot.nr) AS nr, max(tot.nc) AS nc,
+             -sum(c.n / tot.nn * ln(rt.rn / tot.nn))  AS h_a,
+             -sum(c.n / tot.nn * ln(c.n / ct.cn))     AS h_a_given_b
+      FROM c JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot
+    )
+    SELECT round(sqrt(chi2 / (chi2 + nn)), 6) AS contingency_c,
+           round(sqrt(greatest(0.0, chi2 / nn - (nr - 1) * (nc - 1) / (nn - 1))
+                      / (least(nr - pow(nr - 1, 2) / (nn - 1),
+                               nc - pow(nc - 1, 2) / (nn - 1)) - 1)), 6)
+             AS cramers_v_corrected,
+           round((h_a - h_a_given_b) / h_a, 6) AS theils_u,
+           CAST(nn AS BIGINT) AS n_rows
+    FROM agg
+    """,
+)
+def agg_association_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``contingency(a, b)``, ``cramersVBiasCorrected`` and
+    ``theilsU`` over orderpriority × orderstatus.  Same single-scan
+    shape as ``agg_cramers_v_flag_status``: one partial-agg shuffle
+    reduces the fact table to the contingency cells; marginals are
+    window sums over that tiny frame.  Theil's U uses the identity
+    Σ_cells (n/N)·ln(rn/N) = Σ_a (rn/N)·ln(rn/N), so the row entropy
+    comes out of the very same cell aggregate — no rescans.  Natural
+    logs in both engines."""
+    o = table(spark, sf_dir, "orders")
+    c = o.groupBy(
+        F.col("o_orderpriority").alias("a"), F.col("o_orderstatus").alias("b")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    c3 = c.select(
+        "a",
+        "b",
+        "n",
+        F.sum("n").over(Window.partitionBy("a")).alias("rn"),
+        F.sum("n").over(Window.partitionBy("b")).alias("cn"),
+        F.sum("n").over(Window.partitionBy()).alias("nn"),
+    )
+    expected = F.col("rn") * F.col("cn") / F.col("nn")
+    agg = c3.agg(
+        F.sum(F.pow(F.col("n") - expected, 2) / expected).alias("chi2"),
+        F.max("nn").alias("nn"),
+        F.countDistinct("a").cast("double").alias("nr"),
+        F.countDistinct("b").cast("double").alias("nc"),
+        (-F.sum(F.col("n") / F.col("nn") * F.log(F.col("rn") / F.col("nn")))).alias(
+            "h_a"
+        ),
+        (-F.sum(F.col("n") / F.col("nn") * F.log(F.col("n") / F.col("cn")))).alias(
+            "h_a_given_b"
+        ),
+    )
+    phi2_corr = F.greatest(
+        F.lit(0.0),
+        F.col("chi2") / F.col("nn")
+        - (F.col("nr") - 1) * (F.col("nc") - 1) / (F.col("nn") - 1),
+    )
+    k_corr = (
+        F.least(
+            F.col("nr") - F.pow(F.col("nr") - 1, 2) / (F.col("nn") - 1),
+            F.col("nc") - F.pow(F.col("nc") - 1, 2) / (F.col("nn") - 1),
+        )
+        - 1
+    )
+    return agg.select(
+        F.round(F.sqrt(F.col("chi2") / (F.col("chi2") + F.col("nn"))), 6).alias(
+            "contingency_c"
+        ),
+        F.round(F.sqrt(phi2_corr / k_corr), 6).alias("cramers_v_corrected"),
+        F.round(
+            (F.col("h_a") - F.col("h_a_given_b")) / F.col("h_a"), 6
+        ).alias("theils_u"),
+        F.col("nn").cast("long").alias("n_rows"),
+    )
+
+
+LTTB_N_OUT = 50
+
+
+def _lttb_pandas(pdf, n_out: int):
+    """Largest-Triangle-Three-Buckets over one (pre-sorted) series.
+
+    Pure-pandas inner loop over ``n_out`` buckets (not rows): the
+    sequential selected-point dependency makes LTTB irreducible to
+    relational ops, which is exactly why it rides in ``applyInPandas``.
+    """
+    import numpy as np
+
+    x = pdf["x_us"].to_numpy(dtype="int64")
+    y = pdf["y"].to_numpy(dtype="float64")
+    n = len(x)
+    if n <= n_out:
+        sel = list(range(n))
+    else:
+        # bucket edges over the interior points (first/last are pinned)
+        edges = [1 + (i * (n - 2)) // (n_out - 2) for i in range(n_out - 1)]
+        sel = [0]
+        prev = 0
+        for b in range(n_out - 2):
+            lo, hi = edges[b], edges[b + 1]
+            nxt_lo, nxt_hi = (edges[b + 1], n) if b == n_out - 3 else (
+                edges[b + 1],
+                edges[b + 2],
+            )
+            ax, ay = x[nxt_lo:nxt_hi].mean(), y[nxt_lo:nxt_hi].mean()
+            px, py = float(x[prev]), float(y[prev])
+            areas = np.abs(
+                (px - ax) * (y[lo:hi] - py) - (px - x[lo:hi]) * (ay - py)
+            )
+            prev = lo + int(np.argmax(areas))
+            sel.append(prev)
+        sel.append(n - 1)
+    out = pdf.iloc[sel][["event_type", "x_us", "y"]].copy()
+    out["sel_idx"] = range(len(sel))
+    return out
+
+
+@register("ts_lttb_downsample")  # rows-only: sequential selection is not SQL-expressible
+def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``largestTriangleThreeBuckets(n)(x, y)`` — perceptual
+    time-series downsampling to LTTB_N_OUT points per event_type.
+    Each bucket keeps the point forming the largest triangle with the
+    previously kept point and the next bucket's centroid — a
+    sequential dependency no window/agg composition expresses, so the
+    per-series loop runs as a grouped-map Pandas UDF (one Arrow batch
+    per series; the loop is O(n_out) numpy vector steps, not O(n)
+    Python).  Scale: series are the unit of parallelism — thousands of
+    independent series spread across executors; a single monster
+    series would need chunked pre-reduction (bucket-level min/max
+    pre-pass) before the exact pass.  No oracle: DuckDB cannot express
+    the recurrence; determinism is pinned by the rows-only re-run gate
+    and a golden pytest against an independent reference
+    implementation."""
+    e = table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("x_us"),
+        F.col("value").alias("y"),
+        "event_id",
+    ).repartition("event_type")
+
+    def fn(pdf):
+        pdf = pdf.sort_values(["x_us", "event_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        return _lttb_pandas(pdf, LTTB_N_OUT)
+
+    return pts.groupBy("event_type").applyInPandas(
+        fn, "event_type string, x_us long, y double, sel_idx int"
+    )

@@ -717,3 +717,82 @@ def scalar_array_cumsum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(F.transform(entries, lambda s: s.cs), 1, 8).alias("cumsum8"),
         F.slice(F.transform(entries, lambda s: s.d), 1, 8).alias("diff8"),
     )
+
+
+@register(
+    "scalar_array_fill_compact",
+    oracle="""
+    WITH base AS (
+      SELECT l_orderkey AS o_orderkey, l_linenumber AS pos, l_quantity AS v,
+             l_discount AS dsc,
+             CASE WHEN l_discount < 0.02 THEN NULL ELSE l_quantity END AS v_n
+      FROM lineitem
+    ), w AS (
+      SELECT o_orderkey, pos, v, dsc,
+             last_value(v_n IGNORE NULLS) OVER (
+               PARTITION BY o_orderkey ORDER BY pos, v, dsc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+             lag(v) OVER (PARTITION BY o_orderkey ORDER BY pos, v, dsc) AS prev
+      FROM base
+    )
+    SELECT o_orderkey,
+           list(v ORDER BY pos, v, dsc)      AS arr_raw,
+           list(filled ORDER BY pos, v, dsc) AS arr_filled,
+           list(v ORDER BY pos, v, dsc) FILTER (prev IS NULL OR prev <> v)
+             AS arr_compact,
+           sum(CASE WHEN prev IS NULL OR prev <> v THEN 1 ELSE 0 END) AS n_runs
+    FROM w GROUP BY o_orderkey
+    """,
+)
+def scalar_array_fill_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``arrayFill`` (forward-fill nulls), ``arrayCompact``
+    (collapse consecutive duplicates) and ``arraySplit``-style run
+    counting over each order's quantity sequence (line-number order;
+    quantities at discount < 2% masked to NULL to exercise the fill).
+
+    Spark-first shape: instead of per-array lambda recursion these are
+    *row* windows (`last ignore nulls`, `lag`) computed before the
+    rows are folded back into arrays — the same two-shuffle plan at
+    any array width, with the window state a single value.  Nulls
+    survive collection because elements ride inside structs
+    (collect_list drops bare nulls, one of the engine's documented
+    hazards)."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_linenumber").alias("pos"),
+        F.col("l_quantity").alias("v"),
+        F.col("l_discount").alias("dsc"),
+        F.when(F.col("l_discount") < 0.02, F.lit(None))
+        .otherwise(F.col("l_quantity"))
+        .alias("v_n"),
+    )
+    # (pos, v, dsc) is the deterministic order: l_linenumber alone is
+    # NOT unique within an order in the fixtures
+    w = Window.partitionBy("o_orderkey").orderBy("pos", "v", "dsc")
+    wf = w.rowsBetween(Window.unboundedPreceding, 0)
+    rows = base.select(
+        "o_orderkey",
+        "pos",
+        "v",
+        "dsc",
+        F.last("v_n", ignorenulls=True).over(wf).alias("filled"),
+        F.lag("v").over(w).alias("prev"),
+    ).withColumn(
+        "is_new_run", F.col("prev").isNull() | (F.col("prev") != F.col("v"))
+    )
+    raw_entries = F.array_sort(F.collect_list(F.struct("pos", "v", "dsc")))
+    filled_entries = F.array_sort(
+        F.collect_list(F.struct("pos", "v", "dsc", "filled"))
+    )
+    compact_entries = F.array_sort(
+        F.collect_list(F.when(F.col("is_new_run"), F.struct("pos", "v", "dsc")))
+    )
+    return rows.groupBy("o_orderkey").agg(
+        F.transform(raw_entries, lambda s: s.v).alias("arr_raw"),
+        F.transform(filled_entries, lambda s: s["filled"]).alias("arr_filled"),
+        F.transform(compact_entries, lambda s: s.v).alias("arr_compact"),
+        F.sum(F.col("is_new_run").cast("long")).alias("n_runs"),
+    )

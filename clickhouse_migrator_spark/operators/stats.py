@@ -105,31 +105,36 @@ def agg_rank_corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``rankCorr(x, y)`` — Spearman's ρ.  Ranks are
     assigned with the average-rank tie rule (mean of the positions a
     tied value block occupies), then Pearson corr of the two rank
-    columns.  Two sort windows inside the group + one co-moment agg;
-    the row_number tie-break key makes the plan deterministic while
-    the averaging step makes the *result* independent of it."""
-    li = table(spark, sf_dir, "lineitem")
-    wq = Window.partitionBy("l_returnflag").orderBy(
-        "l_quantity", "l_orderkey", "l_linenumber"
+    columns.
+
+    Scale shape: ranks come from the per-group distinct-value grids
+    (running-count windows over the grids, which are tiny next to the
+    fact rows), joined back onto the rows on (group, value) — two
+    shuffle joins + one co-moment agg, never a per-row sort of a whole
+    group in one partition."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
     )
-    wp = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
-    )
-    ranked = li.select(
-        "l_returnflag",
-        "l_quantity",
-        "l_extendedprice",
-        F.row_number().over(wq).alias("rnx"),
-        F.row_number().over(wp).alias("rny"),
-    )
-    avg_ranked = ranked.select(
-        "l_returnflag",
-        F.avg("rnx")
-        .over(Window.partitionBy("l_returnflag", "l_quantity"))
-        .alias("rx"),
-        F.avg("rny")
-        .over(Window.partitionBy("l_returnflag", "l_extendedprice"))
-        .alias("ry"),
+
+    def grid_ranks(col: str, out: str) -> DataFrame:
+        # distinct-value grid per group; avg rank of a tied block is
+        # arithmetic on the grid's running count — no per-row sort
+        g = li.groupBy("l_returnflag", col).agg(F.count(F.lit(1)).alias("c"))
+        w = (
+            Window.partitionBy("l_returnflag")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return g.select(
+            "l_returnflag",
+            col,
+            (F.sum("c").over(w) - F.col("c") + (F.col("c") + 1) / 2.0).alias(out),
+        )
+
+    avg_ranked = li.join(
+        grid_ranks("l_quantity", "rx"), ["l_returnflag", "l_quantity"]
+    ).join(
+        grid_ranks("l_extendedprice", "ry"), ["l_returnflag", "l_extendedprice"]
     )
     return avg_ranked.groupBy("l_returnflag").agg(
         F.round(F.corr("rx", "ry"), 6).alias("spearman_rho")
@@ -160,18 +165,35 @@ def agg_value_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``arrayAUC(scores, labels)`` — ROC AUC of ``value``
     as a score for "event is a purchase", via the rank-sum (Mann-
     Whitney) identity AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻) with
-    average ranks for tied scores.  One global sort window + one
-    aggregate — the distributed shape of what ClickHouse computes
-    inside a single array."""
+    average ranks for tied scores.
+
+    Scale shape: no per-row global sort.  Rows first reduce to the
+    distinct-score grid (value → class counts); the average rank of a
+    tied block is then pure arithmetic on the grid's running total,
+    avg_rank(v) = cum_before(v) + (c_v + 1)/2, and the rank-sum is a
+    weighted aggregate of grid rows.  The only ordered pass is a
+    running-sum window over the (much smaller) grid — the same
+    O(|distinct|) state as the KS query."""
     e = table(spark, sf_dir, "events").select(
-        (F.col("event_type") == "purchase").alias("pos"), "value", "event_id"
+        (F.col("event_type") == "purchase").alias("pos"), "value"
     )
-    ranked = e.withColumn(
-        "rn", F.row_number().over(Window.orderBy("value", "event_id"))
-    ).select("pos", F.avg("rn").over(Window.partitionBy("value")).alias("avg_rank"))
-    npos = F.sum(F.when(F.col("pos"), 1).otherwise(0))
-    nneg = F.sum(F.when(~F.col("pos"), 1).otherwise(0))
-    rpos = F.sum(F.when(F.col("pos"), F.col("avg_rank")))
+    grid = e.groupBy("value").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("c_pos"),
+        F.sum(F.when(~F.col("pos"), 1).otherwise(0)).alias("c_neg"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = grid.select(
+        "c_pos",
+        "c_neg",
+        (
+            F.sum(F.col("c_pos") + F.col("c_neg")).over(w)
+            - (F.col("c_pos") + F.col("c_neg"))
+            + ((F.col("c_pos") + F.col("c_neg") + 1) / 2.0)
+        ).alias("avg_rank"),
+    )
+    npos = F.sum("c_pos")
+    nneg = F.sum("c_neg")
+    rpos = F.sum(F.col("c_pos") * F.col("avg_rank"))
     return ranked.agg(
         F.round((rpos - (npos * (npos + 1)) / 2.0) / (npos * nneg), 6).alias("auc"),
         npos.alias("n_pos"),
@@ -330,16 +352,27 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         table(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("purchase", "error"))
-        .select(
-            (F.col("event_type") == "purchase").alias("pos"), "value", "event_id"
-        )
+        .select((F.col("event_type") == "purchase").alias("pos"), "value")
     )
-    ranked = e.withColumn(
-        "rn", F.row_number().over(Window.orderBy("value", "event_id"))
-    ).select("pos", F.avg("rn").over(Window.partitionBy("value")).alias("avg_rank"))
-    n1 = F.sum(F.when(F.col("pos"), 1).otherwise(0))
-    n2 = F.sum(F.when(~F.col("pos"), 1).otherwise(0))
-    r1 = F.sum(F.when(F.col("pos"), F.col("avg_rank")))
+    # same distinct-score-grid ranking as agg_value_auc: avg_rank is
+    # arithmetic on the grid's running total, no per-row global sort
+    grid = e.groupBy("value").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("c_pos"),
+        F.sum(F.when(~F.col("pos"), 1).otherwise(0)).alias("c_neg"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = grid.select(
+        "c_pos",
+        "c_neg",
+        (
+            F.sum(F.col("c_pos") + F.col("c_neg")).over(w)
+            - (F.col("c_pos") + F.col("c_neg"))
+            + ((F.col("c_pos") + F.col("c_neg") + 1) / 2.0)
+        ).alias("avg_rank"),
+    )
+    n1 = F.sum("c_pos")
+    n2 = F.sum("c_neg")
+    r1 = F.sum(F.col("c_pos") * F.col("avg_rank"))
     u1 = r1 - (n1 * (n1 + 1)) / 2.0
     return ranked.agg(
         F.round(u1, 4).alias("u1"),

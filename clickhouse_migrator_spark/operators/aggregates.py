@@ -877,3 +877,48 @@ def agg_bounding_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("price_slope_per_day"),
         )
     )
+
+
+@register(
+    "agg_sparkbar_hourly",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hr, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type, hr, n, max(n) OVER (PARTITION BY event_type) AS mx
+      FROM c
+    )
+    SELECT event_type,
+           string_agg(substr('▁▂▃▄▅▆▇█',
+                             CAST((8 * n + mx - 1) // mx AS INTEGER), 1),
+                      '' ORDER BY hr) AS bar,
+           max(mx) AS n_peak
+    FROM m GROUP BY event_type
+    """,
+)
+def agg_sparkbar_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sparkbar(24)(hour, count)`` — an inline unicode
+    bar chart of hourly activity per event_type.  Bucket counts reduce
+    in one partial-agg pass; the per-type peak is a window max over the
+    24-row bucket frame; glyph selection is exact integer math
+    (⌈8·n/max⌉ via (8n+max−1) div max) so both engines pick identical
+    block characters, and the bar is an ordered string fold over the
+    tiny frame."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    c = e.groupBy(
+        "event_type", F.hour(F.col("ts").cast("timestamp")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = c.withColumn("mx", F.max("n").over(Window.partitionBy("event_type")))
+    glyph = F.substr(
+        F.lit("▁▂▃▄▅▆▇█"),
+        F.expr("CAST((8 * n + mx - 1) DIV mx AS INT)"),
+        F.lit(1),
+    )
+    entries = F.array_sort(F.collect_list(F.struct(F.col("hr"), glyph.alias("ch"))))
+    return m.groupBy("event_type").agg(
+        F.array_join(F.transform(entries, lambda s: s.ch), "").alias("bar"),
+        F.max("mx").alias("n_peak"),
+    )

@@ -300,3 +300,33 @@ def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 4).alias("avg_value_kept"),
         )
     )
+
+
+@register(
+    "sample_kfold_assignment",
+    oracle=f"""
+    SELECT {_sql_bucket('o_orderkey')} % 5 AS fold,
+           count(*)                        AS n_orders,
+           count(DISTINCT o_custkey)       AS n_customers,
+           round(sum(o_totalprice), 2)     AS total_price
+    FROM orders GROUP BY 1
+    """,
+)
+def sample_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold split (k=5) for cross-validation: the fold
+    is a pure function of the row key (portable mixer mod k), so every
+    engine, partitioning, and rerun assigns identical folds — the
+    train/eval contract a training pipeline needs.  The summary per
+    fold doubles as a balance check (folds should be ~equal).  One
+    partial-agg shuffle; the assignment itself is a codegen'd
+    expression on the scan."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("fold", hash_bucket(F.col("o_orderkey")) % 5)
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )

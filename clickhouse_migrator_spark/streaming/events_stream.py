@@ -388,3 +388,37 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("error_id", "purchase_id")
     return spark.table(run_to_memory(j, mode="append"))
+
+
+@register(
+    "streaming_dedup_within_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type,
+           CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute_bucket
+    FROM events
+    """,
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication via ``dropDuplicatesWithinWatermark`` —
+    at most one emitted row per (user, event_type, minute), with dedup
+    state evicted once the watermark passes a key's horizon.  This is
+    THE bounded-state dedup for infinite streams: unlike plain
+    ``dropDuplicates`` (state grows forever) the buffer is
+    O(rate × watermark), the 100 TB/day shape.  Only the key columns
+    are projected, so the output is deterministic (which physical row
+    survives is arrival-order-dependent; the key set is not) and the
+    batch DISTINCT oracle certifies it."""
+    s = stream_events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.date_trunc("minute", F.col("ts").cast("timestamp"))
+        .cast("timestamp_ntz")
+        .alias("minute_bucket"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    dedup = (
+        s.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "minute_bucket"])
+        .select("user_id", "event_type", "minute_bucket")
+    )
+    return spark.table(run_to_memory(dedup, mode="append"))

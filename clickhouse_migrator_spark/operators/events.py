@@ -1451,3 +1451,99 @@ def events_retention_matrix_weekly(spark: SparkSession, sf_dir: str) -> DataFram
             F.countDistinct("user_id") / F.max("cohort_size").cast("double"), 6
         ).alias("retention"),
     )
+
+
+@register(
+    "events_window_funnel_strict_increase",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'view' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    ), lv AS (
+      SELECT s1.user_id,
+             CASE
+               WHEN t3 IS NOT NULL AND t3 <= t1 + INTERVAL 7 DAY THEN 3
+               WHEN t2 IS NOT NULL AND t2 <= t1 + INTERVAL 7 DAY THEN 2
+               ELSE 1
+             END AS level
+      FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+              LEFT JOIN s3 ON s1.user_id = s3.user_id
+    )
+    SELECT level, count(*) AS users FROM lv GROUP BY level ORDER BY level
+    """,
+)
+def events_window_funnel_strict_increase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ClickHouse ``windowFunnel(7d, 'strict_increase')`` — the greedy
+    funnel of ``events_window_funnel`` but each step must be STRICTLY
+    later than the previous one (simultaneous events cannot satisfy
+    two consecutive steps).  Same single-shuffle collect_list + array-
+    expression shape; only the comparison operator differs."""
+    e = table(spark, sf_dir, "events")
+    evs = (
+        e.filter(F.col("event_type").isin("signup", "view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ts"), F.col("event_type")))
+            ).alias("evs")
+        )
+    )
+    t1 = F.array_min(
+        F.transform(
+            F.filter(F.col("evs"), lambda x: x.event_type == F.lit("signup")),
+            lambda x: x.ts,
+        )
+    )
+    t2 = F.array_min(
+        F.transform(
+            F.filter(
+                F.col("evs"),
+                lambda x: (x.event_type == F.lit("view")) & (x.ts > F.col("t1")),
+            ),
+            lambda x: x.ts,
+        )
+    )
+    t3 = F.array_min(
+        F.transform(
+            F.filter(
+                F.col("evs"),
+                lambda x: (x.event_type == F.lit("purchase")) & (x.ts > F.col("t2")),
+            ),
+            lambda x: x.ts,
+        )
+    )
+    horizon = F.expr(f"INTERVAL {FUNNEL_WINDOW_DAYS} DAY")
+    return (
+        evs.withColumn("t1", t1)
+        .filter(F.col("t1").isNotNull())
+        .withColumn("t2", t2)
+        .withColumn("t3", t3)
+        .select(
+            "user_id",
+            F.when(
+                F.col("t3").isNotNull() & (F.col("t3") <= F.col("t1") + horizon),
+                F.lit(3),
+            )
+            .when(
+                F.col("t2").isNotNull() & (F.col("t2") <= F.col("t1") + horizon),
+                F.lit(2),
+            )
+            .otherwise(F.lit(1))
+            .alias("level"),
+        )
+        .groupBy("level")
+        .agg(F.count(F.lit(1)).alias("users"))
+        .orderBy("level")
+    )

@@ -40,9 +40,18 @@ def test_partitioned_parquet_write_prunes(spark, sf_dir, tmp_path):
     write_parquet(orders, out, partition_by=["o_orderstatus"], sort_by=["o_orderdate"])
     back = spark.read.parquet(out)
     assert back.count() == orders.count()
-    # partition pruning: reading one status must touch only its directory
-    plan = back.filter("o_orderstatus = 'F'")._jdf.queryExecution().executedPlan().toString()
-    assert "o_orderstatus" in plan
+    # partition pruning: the filter must land in PartitionFilters (file
+    # listing), and the pruned read must touch strictly fewer files
+    filtered = back.filter("o_orderstatus = 'F'")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    part_section = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "o_orderstatus" in part_section
+    from pyspark.sql import functions as F
+
+    all_files = back.select(F.input_file_name()).distinct().count()
+    pruned_files = filtered.select(F.input_file_name()).distinct().count()
+    assert 0 < pruned_files < all_files
 
 
 def test_jdbc_missing_driver_raises_actionable(spark):

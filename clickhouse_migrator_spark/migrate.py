@@ -824,6 +824,23 @@ _GLOBAL_RE = re.compile(
 _TRAILING_FORMAT_RE = re.compile(r"\s*\bFORMAT\s+\w+\s*;?\s*$", re.I)
 _QUERY_SETTINGS_RE = re.compile(r"\s*\bSETTINGS\s+\w+\s*=\s*[^;]*;?\s*$", re.I)
 
+# ClickHouse `numbers(N)` / `numbers(offset, N)` table function →
+# Spark's `range()` table-valued function (column `id`, aliased back
+# to ClickHouse's `number`).  `system.numbers` without a bound is
+# rejected later by normal resolution (it is infinite in ClickHouse).
+_NUMBERS_RE = re.compile(
+    r"\bnumbers\s*\(\s*(?P<a>\d+)\s*(?:,\s*(?P<b>\d+)\s*)?\)", re.I
+)
+
+
+def _rewrite_numbers(query: str) -> str:
+    def _sub(m: "re.Match[str]") -> str:
+        a, b = m.group("a"), m.group("b")
+        lo, hi = ("0", a) if b is None else (a, str(int(a) + int(b)))
+        return f"(SELECT id AS number FROM range({lo}, {hi}))"
+
+    return _NUMBERS_RE.sub(_sub, query)
+
 
 # `ORDER BY … LIMIT n BY cols [LIMIT m]` at the query tail (the
 # canonical ClickHouse shape: LIMIT BY keeps the first n rows per
@@ -930,12 +947,15 @@ def _rewrite_clauses(query: str) -> str:
       (Spark's broadcast/shuffle decision is AQE's job)
     - trailing ``FORMAT X`` / ``SETTINGS k=v`` → stripped (wire-format
       and server knobs have no meaning here)
+    - ``numbers(N)`` / ``numbers(offset, N)`` → Spark's ``range()``
+      table function with the column aliased back to ``number``
     - ``ORDER BY o LIMIT n BY c [LIMIT m]`` → per-group top-n via a
       ``row_number`` window filter (see :func:`_rewrite_limit_by`)
     """
     query = _TRAILING_FORMAT_RE.sub("", query)
     query = _QUERY_SETTINGS_RE.sub("", query)
     query = _GLOBAL_RE.sub("", query)
+    query = _rewrite_numbers(query)
     query = _rewrite_limit_by(query)
     query = _rewrite_with_fill(query)
 

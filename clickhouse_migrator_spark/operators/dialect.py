@@ -256,3 +256,25 @@ def dialect_final_replacing_latest(spark: SparkSession, sf_dir: str) -> DataFram
     ).localCheckpoint()  # materialize: the table is dropped next
     execute_statement(spark, "DROP TABLE dq_final_orders")
     return out
+
+
+@register(
+    "dialect_numbers_grid",
+    oracle="""
+    SELECT range % 7 AS d, count(*) AS n, sum(range) AS total
+    FROM range(1000) GROUP BY 1
+    """,
+)
+def dialect_numbers_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``numbers(N)`` table function — the idiom behind
+    generated grids, date spines, and synthetic benchmarks — rewritten
+    to Spark's ``range()`` table-valued function (a parallel,
+    partitioned source: no data file, no driver loop).  The raw
+    ClickHouse text runs through ``rewrite_query`` unchanged."""
+    from ..migrate import execute_and_inflate
+
+    return execute_and_inflate(
+        spark,
+        "SELECT number % 7 AS d, count(*) AS n, sum(number) AS total "
+        "FROM numbers(1000) GROUP BY d",
+    )

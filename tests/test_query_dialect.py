@@ -112,3 +112,18 @@ def test_with_totals_rewrite(spark, db):
     )
     # per-group rows plus ONE all-groups totals row (keys NULL there)
     assert rows == [("e", 15), ("w", 7), (None, 22)]
+
+
+def test_numbers_table_function_rewrite(spark):
+    from clickhouse_migrator_spark.migrate import _rewrite_numbers, rewrite_query
+
+    assert (
+        _rewrite_numbers("SELECT number FROM numbers(10)")
+        == "SELECT number FROM (SELECT id AS number FROM range(0, 10))"
+    )
+    # offset form: numbers(5, 10) = 5..14
+    q = rewrite_query(spark, "SELECT max(number) AS m FROM numbers(5, 10)")
+    assert spark.sql(q).collect()[0].m == 14
+    # non-literal args and identifiers named `numbers` are untouched
+    assert _rewrite_numbers("SELECT numbers FROM t") == "SELECT numbers FROM t"
+    assert _rewrite_numbers("SELECT numbers(x) FROM t") == "SELECT numbers(x) FROM t"

@@ -744,3 +744,69 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.groupBy("event_type").applyInPandas(
         fn, "event_type string, x_us long, y double, sel_idx int"
     )
+
+
+@register(
+    "ts_decompose_additive",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ), t AS (
+      SELECT bucket, n,
+             avg(n) OVER (ORDER BY bucket
+                          ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS trend
+      FROM hourly
+    ), d AS (
+      SELECT bucket, n, trend, n - trend AS detr,
+             EXTRACT(hour FROM bucket) AS hod
+      FROM t
+    ), s AS (
+      SELECT d.*,
+             avg(detr) OVER (PARTITION BY hod) AS s_raw,
+             avg(detr) OVER ()                 AS s_mean
+      FROM d
+    )
+    SELECT bucket, CAST(n AS BIGINT) AS n,
+           round(trend, 4)                      AS trend,
+           round(s_raw - s_mean, 4)             AS seasonal,
+           round(detr - (s_raw - s_mean), 4)    AS residual
+    FROM s
+    """,
+)
+def ts_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the hourly click-count
+    series (the SQL-expressible analogue of ClickHouse's
+    ``seriesDecomposeSTL``): trend = 24-point centered moving average,
+    seasonal = mean hour-of-day deviation from trend (re-centered so
+    components sum back to the observation), residual = remainder.
+
+    Scale shape: the fact stream reduces to the hourly grid in one
+    partial-agg pass; every later window runs over grid rows (the
+    trend MA is a ROWS frame on the time order, the seasonal means are
+    24-key partitions).  Components are certified by the oracle,
+    and n = trend + seasonal + residual by construction."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts").cast("timestamp"))
+        .cast("timestamp_ntz")
+        .alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    w_ma = Window.orderBy("bucket").rowsBetween(-11, 12)
+    t = hourly.withColumn("trend", F.avg("n").over(w_ma))
+    d = t.withColumn("detr", F.col("n") - F.col("trend")).withColumn(
+        "hod", F.hour("bucket")
+    )
+    s = d.withColumn(
+        "s_raw", F.avg("detr").over(Window.partitionBy("hod"))
+    ).withColumn("s_mean", F.avg("detr").over(Window.partitionBy()))
+    return s.select(
+        "bucket",
+        F.col("n").cast("long").alias("n"),
+        F.round("trend", 4).alias("trend"),
+        F.round(F.col("s_raw") - F.col("s_mean"), 4).alias("seasonal"),
+        F.round(
+            F.col("detr") - (F.col("s_raw") - F.col("s_mean")), 4
+        ).alias("residual"),
+    )

@@ -94,3 +94,17 @@ def test_lttb_selected_x_monotone(spark, sf_dir):
         xs = [r.x_us for r in rows]
         assert xs == sorted(xs), "LTTB must preserve time order"
         assert len(rows) == LTTB_N_OUT
+
+
+def test_decompose_components_reconstruct(spark, sf_dir):
+    from clickhouse_migrator_spark.operators.stats import ts_decompose_additive
+
+    rows = ts_decompose_additive(spark, sf_dir).collect()
+    assert rows, "decomposition produced no buckets"
+    # additive identity: n == trend + seasonal + residual (up to the
+    # 4-decimal rounding each component carries)
+    for r in rows:
+        assert abs(r.n - (r.trend + r.seasonal + r.residual)) < 3e-4
+    # the seasonal component is mean-centered across the series
+    mean_seasonal = sum(r.seasonal for r in rows) / len(rows)
+    assert abs(mean_seasonal) < 1e-3

@@ -922,3 +922,181 @@ def agg_sparkbar_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.transform(entries, lambda s: s.ch), "").alias("bar"),
         F.max("mx").alias("n_peak"),
     )
+
+
+@register(
+    "agg_avg_weighted",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+             AS price_per_unit,
+           round(avg(l_extendedprice), 4) AS unweighted_avg,
+           CAST(sum(l_quantity) AS DOUBLE) AS total_weight
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_avg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``avgWeighted(x, w)`` — weighted mean as the ratio
+    of two plain sums, next to the unweighted mean for contrast.
+    Fully partial-aggregatable: one hash aggregate, map-side combine,
+    no extra pass for the weight normalization."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+            / F.sum("l_quantity"),
+            4,
+        ).alias("price_per_unit"),
+        F.round(F.avg("l_extendedprice"), 4).alias("unweighted_avg"),
+        F.sum("l_quantity").cast("double").alias("total_weight"),
+    )
+
+
+@register(
+    "agg_group_concat",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+             AS statuses,
+           count(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupConcat`` / ``arrayStringConcat(groupUniqArray(x))``
+    — distinct values of a group folded into one ordered, delimited
+    string.  Spark side: collect_set → array_sort → concat_ws, all
+    JVM built-ins; the set is collected per group with map-side
+    partial aggregation, and the deterministic sort inside the array
+    (not a row sort) makes the output order-stable on any cluster."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus"))).alias(
+            "statuses"
+        ),
+        F.count_distinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
+@register(
+    "agg_uniq_upto",
+    oracle="""
+    SELECT o_orderpriority,
+           least(count(DISTINCT o_custkey), 300) AS uniq_upto_300,
+           CASE WHEN count(DISTINCT o_custkey) > 300 THEN true ELSE false END
+             AS saturated
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_uniq_upto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``uniqUpTo(N)(x)`` — exact distinct count capped at
+    N, with a saturation flag ("more than N" is all the caller needs).
+    At 100 TB the cap is the point: ClickHouse keeps at most N+1 hash
+    entries per group; Spark's exact count-distinct expands rows, so
+    for hot keys the HLL path (approx_count_distinct) is the sibling —
+    this query keeps exact semantics to stay oracle-checkable."""
+    o = table(spark, sf_dir, "orders")
+    nd = F.count_distinct("o_custkey")
+    return o.groupBy("o_orderpriority").agg(
+        F.least(nd, F.lit(300)).alias("uniq_upto_300"),
+        (nd > 300).alias("saturated"),
+    )
+
+
+@register(
+    "agg_group_array_insert_at",
+    oracle="""
+    WITH months AS (SELECT unnest(generate_series(1, 12)) AS m),
+    counts AS (
+      SELECT o_orderpriority, EXTRACT(month FROM o_orderdate) AS m,
+             count(*) AS n
+      FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+      GROUP BY 1, 2
+    ), grid AS (
+      SELECT p.o_orderpriority, months.m, coalesce(c.n, 0) AS n
+      FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+      CROSS JOIN months
+      LEFT JOIN counts c
+        ON c.o_orderpriority = p.o_orderpriority AND c.m = months.m
+    )
+    SELECT o_orderpriority,
+           string_agg(CAST(n AS VARCHAR), ',' ORDER BY m) AS monthly_counts,
+           CAST(sum(n) AS BIGINT)                         AS total_1996
+    FROM grid GROUP BY o_orderpriority
+    """,
+)
+def agg_group_array_insert_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupArrayInsertAt(default, 12)(n, month-1)`` —
+    values placed at fixed slots of a dense array (order counts into
+    month positions 1..12 of 1996, zero-filled where absent).
+
+    Spark shape: aggregate to (priority, month) counts, fold them into
+    a map per priority (map_from_entries over collect_list), then
+    densify with transform(sequence(1,12)) — the zero-fill happens in
+    a per-row JVM expression, never as a row-expanding join.  The only
+    shuffle is the (priority, month) hash aggregate, which map-side
+    combines down to ≤ 5×12 rows no matter the input size."""
+    o = table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1996)
+    counts = o.groupBy(
+        "o_orderpriority", F.month("o_orderdate").alias("m")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    per_prio = counts.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("m"), F.col("n")))
+        ).alias("by_month")
+    )
+    slots = F.transform(
+        F.sequence(F.lit(1), F.lit(12)),
+        lambda m: F.coalesce(
+            F.element_at(F.col("by_month"), m), F.lit(0)
+        ).cast("string"),
+    )
+    dense = F.transform(
+        F.sequence(F.lit(1), F.lit(12)),
+        lambda m: F.coalesce(F.element_at(F.col("by_month"), m), F.lit(0)),
+    )
+    return per_prio.select(
+        "o_orderpriority",
+        F.array_join(slots, ",").alias("monthly_counts"),
+        F.aggregate(dense, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "total_1996"
+        ),
+    )
+
+
+@register(
+    "agg_corr_matrix",
+    oracle="""
+    SELECT 'l_quantity'      AS x, 'l_extendedprice' AS y,
+           round(corr(l_quantity, l_extendedprice), 6) AS r
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount',
+           round(corr(l_quantity, l_discount), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount',
+           round(corr(l_extendedprice, l_discount), 6)
+    FROM lineitem
+    """,
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``corrMatrix(x1, x2, x3)`` — the upper triangle of
+    the pairwise Pearson matrix, emitted as (x, y, r) rows.  All three
+    co-moments come out of ONE aggregation pass over the fact table
+    (a single hash aggregate computing three corr accumulators), then
+    unpivot to rows with stack() — not three scans."""
+    li = table(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("r_qe"),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("r_qd"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("r_ed"),
+    )
+    return m.select(
+        F.expr(
+            "stack(3, "
+            "'l_quantity', 'l_extendedprice', r_qe, "
+            "'l_quantity', 'l_discount', r_qd, "
+            "'l_extendedprice', 'l_discount', r_ed) AS (x, y, r)"
+        )
+    )

@@ -796,3 +796,102 @@ def scalar_array_fill_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(compact_entries, lambda s: s.v).alias("arr_compact"),
         F.sum(F.col("is_new_run").cast("long")).alias("n_runs"),
     )
+
+
+@register(
+    "scalar_array_set_ops",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' ')[1:12],
+                                       x -> x <> '')) AS head,
+             list_distinct(list_filter(string_split(text, ' ')[13:24],
+                                       x -> x <> '')) AS tail
+      FROM documents
+    )
+    SELECT doc_id,
+           coalesce(array_to_string(list_sort(list_intersect(head, tail)), ','),
+                    '')                                                AS both_str,
+           CAST(len(list_intersect(head, tail)) AS INT)                AS n_both,
+           CAST(len(list_distinct(list_concat(head, tail))) AS INT)    AS n_union,
+           CAST(len(list_filter(head, x -> NOT list_contains(tail, x)))
+                AS INT)                                                AS n_only_head
+    FROM t
+    """,
+)
+def scalar_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``arrayIntersect`` / union / ``arrayExcept`` over
+    per-document token windows (first 12 vs next 12 words).  All four
+    set operations are Spark JVM built-ins (array_intersect /
+    array_union / array_except) running inside whole-stage codegen —
+    narrow per-row work, no shuffle, no UDF.  Outputs are sorted
+    inside each array so the result is order-stable regardless of the
+    engines' internal set layouts."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    t = d.select(
+        "doc_id",
+        F.array_distinct(F.slice(F.split(F.col("text"), " "), 1, 12)).alias("_h"),
+        F.array_distinct(F.slice(F.split(F.col("text"), " "), 13, 12)).alias("_t"),
+    ).select(
+        "doc_id",
+        F.filter(F.col("_h"), lambda x: x != "").alias("head"),
+        F.filter(F.col("_t"), lambda x: x != "").alias("tail"),
+    )
+    both = F.array_intersect(F.col("head"), F.col("tail"))
+    return t.select(
+        "doc_id",
+        F.array_join(F.array_sort(both), ",").alias("both_str"),
+        F.size(both).alias("n_both"),
+        F.size(F.array_union(F.col("head"), F.col("tail"))).alias("n_union"),
+        F.size(F.array_except(F.col("head"), F.col("tail"))).alias("n_only_head"),
+    )
+
+
+@register(
+    "scalar_array_enumerate_uniq",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' ')[1:20],
+                         x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(
+             list_transform(toks,
+               (x, i) -> CAST(len(list_filter(toks[1:i], y -> y = x)) AS VARCHAR)),
+             ',') AS occ_idx,
+           CAST(len(toks) AS INT)                AS n_toks,
+           CAST(len(list_distinct(toks)) AS INT) AS n_uniq
+    FROM t
+    """,
+)
+def scalar_array_enumerate_uniq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``arrayEnumerateUniq(arr)`` — each element labeled
+    with its occurrence ordinal (1 for the first time a value appears,
+    2 for its second appearance, ...).  Implemented with indexed
+    higher-order functions: transform((x, i) -> count of equal values
+    in the prefix).  Quadratic in the ARRAY length (capped at 20
+    tokens here), constant per row, embarrassingly parallel — exactly
+    the shape that survives a 100 TB scan untouched."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.filter(
+            F.slice(F.split(F.lower(F.col("text")), " "), 1, 20), lambda x: x != ""
+        ).alias("toks"),
+    )
+    toks = F.col("toks")
+    occ = F.transform(
+        toks,
+        lambda x, i: F.size(
+            F.filter(F.slice(toks, 1, i + 1), lambda y: y == x)
+        ).cast("string"),
+    )
+    return t.select(
+        "doc_id",
+        F.array_join(occ, ",").alias("occ_idx"),
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    )

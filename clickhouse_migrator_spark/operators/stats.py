@@ -810,3 +810,165 @@ def ts_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("detr") - (F.col("s_raw") - F.col("s_mean")), 4
         ).alias("residual"),
     )
+
+
+@register(
+    "agg_student_ttest",
+    oracle="""
+    WITH p AS (
+      SELECT count(*) AS n, avg(value) AS m, var_samp(value) AS v
+      FROM events WHERE event_type = 'purchase'
+    ), e AS (
+      SELECT count(*) AS n, avg(value) AS m, var_samp(value) AS v
+      FROM events WHERE event_type = 'error'
+    ), sp AS (
+      SELECT p.n AS n_p, e.n AS n_e, p.m AS m_p, e.m AS m_e,
+             ((p.n - 1) * p.v + (e.n - 1) * e.v) / (p.n + e.n - 2) AS s2
+      FROM p, e
+    )
+    SELECT round((m_p - m_e) / sqrt(s2 * (1.0 / n_p + 1.0 / n_e)), 6) AS t_stat,
+           n_p + n_e - 2                                              AS df,
+           round(m_p - m_e, 6)                                        AS mean_diff
+    FROM sp
+    """,
+)
+def agg_student_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``studentTTest(value, class)`` — EQUAL-variance
+    two-sample t-statistic (pooled variance), the classical sibling of
+    the Welch test above.  Same scale shape: two single-row moment
+    aggregates (count/avg/var are all partial-aggregatable) joined by
+    a broadcast cross join; zero wide shuffles over the fact stream."""
+    ev = table(spark, sf_dir, "events")
+
+    def side(t: str, suffix: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == t).agg(
+            F.count(F.lit(1)).alias(f"n_{suffix}"),
+            F.avg("value").alias(f"m_{suffix}"),
+            F.var_samp("value").alias(f"v_{suffix}"),
+        )
+
+    j = side("purchase", "p").crossJoin(F.broadcast(side("error", "e")))
+    n_p, n_e = F.col("n_p"), F.col("n_e")
+    s2 = ((n_p - 1) * F.col("v_p") + (n_e - 1) * F.col("v_e")) / (n_p + n_e - 2)
+    diff = F.col("m_p") - F.col("m_e")
+    return j.select(
+        F.round(diff / F.sqrt(s2 * (1.0 / n_p + 1.0 / n_e)), 6).alias("t_stat"),
+        (n_p + n_e - 2).alias("df"),
+        F.round(diff, 6).alias("mean_diff"),
+    )
+
+
+@register(
+    "ml_ols_two_features",
+    oracle="""
+    WITH m AS (
+      SELECT var_pop(l_quantity)                       AS v11,
+             covar_pop(l_quantity, l_discount)         AS v12,
+             var_pop(l_discount)                       AS v22,
+             covar_pop(l_quantity, l_extendedprice)    AS c1,
+             covar_pop(l_discount, l_extendedprice)    AS c2,
+             avg(l_quantity)      AS mx1,
+             avg(l_discount)      AS mx2,
+             avg(l_extendedprice) AS my,
+             count(*)             AS n
+      FROM lineitem
+    ), b AS (
+      SELECT n, mx1, mx2, my,
+             (c1 * v22 - c2 * v12) / (v11 * v22 - v12 * v12) AS b1,
+             (c2 * v11 - c1 * v12) / (v11 * v22 - v12 * v12) AS b2
+      FROM m
+    )
+    SELECT round(b1, 6)                         AS beta_quantity,
+           round(b2, 6)                         AS beta_discount,
+           round(my - b1 * mx1 - b2 * mx2, 4)   AS intercept,
+           n
+    FROM b
+    """,
+)
+def ml_ols_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression (ClickHouse
+    ``stochasticLinearRegression`` target, solved in CLOSED FORM):
+    regress l_extendedprice on (l_quantity, l_discount) by the normal
+    equations on CENTERED data — the 2x2 covariance system solved by
+    Cramer's rule, intercept recovered from the means.
+
+    Centering first (covar_pop/var_pop instead of raw sum-of-products)
+    keeps the determinant numerically stable, so Spark and the oracle
+    agree to 6 decimals despite different summation orders.  Scale
+    shape: ONE pass of partial-aggregatable co-moments over the fact
+    table, then O(1) driver-side algebra inside the same plan — no
+    iteration, no shuffle beyond the single global aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.var_pop("l_quantity").alias("v11"),
+        F.covar_pop("l_quantity", "l_discount").alias("v12"),
+        F.var_pop("l_discount").alias("v22"),
+        F.covar_pop("l_quantity", "l_extendedprice").alias("c1"),
+        F.covar_pop("l_discount", "l_extendedprice").alias("c2"),
+        F.avg("l_quantity").alias("mx1"),
+        F.avg("l_discount").alias("mx2"),
+        F.avg("l_extendedprice").alias("my"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    det = F.col("v11") * F.col("v22") - F.col("v12") * F.col("v12")
+    b1 = (F.col("c1") * F.col("v22") - F.col("c2") * F.col("v12")) / det
+    b2 = (F.col("c2") * F.col("v11") - F.col("c1") * F.col("v12")) / det
+    return m.select(
+        F.round(b1, 6).alias("beta_quantity"),
+        F.round(b2, 6).alias("beta_discount"),
+        F.round(F.col("my") - b1 * F.col("mx1") - b2 * F.col("mx2"), 4).alias(
+            "intercept"
+        ),
+        F.col("n"),
+    )
+
+
+@register(
+    "agg_information_value",
+    oracle="""
+    WITH cell AS (
+      SELECT event_type,
+             sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS g,
+             sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS b
+      FROM events GROUP BY event_type
+    ), tot AS (
+      SELECT cell.*, sum(g) OVER () AS tg, sum(b) OVER () AS tb FROM cell
+    )
+    SELECT event_type,
+           round((CAST(g AS DOUBLE) / tg - CAST(b AS DOUBLE) / tb)
+                 * ln((CAST(g AS DOUBLE) / tg) / (CAST(b AS DOUBLE) / tb)),
+                 6) AS iv_component,
+           CAST(g AS BIGINT) AS n_good,
+           CAST(b AS BIGINT) AS n_bad
+    FROM tot
+    """,
+)
+def agg_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``categoricalInformationValue(cat, outcome)`` — the
+    weight-of-evidence information-value component per category
+    (outcome classes split deterministically on user parity so both
+    classes are populated in every category).
+
+    Scale shape: one partial-aggregatable conditional-count pass over
+    the fact stream to the per-category cell frame; the class totals
+    come from a window over those ≤ |categories| rows, not a second
+    fact scan (same discipline as the Cramér's V query)."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    cell = e.groupBy("event_type").agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("g"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)).alias("b"),
+    )
+    w = Window.partitionBy()
+    t = cell.withColumn("tg", F.sum("g").over(w)).withColumn(
+        "tb", F.sum("b").over(w)
+    )
+    pg = F.col("g").cast("double") / F.col("tg")
+    pb = F.col("b").cast("double") / F.col("tb")
+    return t.select(
+        "event_type",
+        F.round((pg - pb) * F.log(pg / pb), 6).alias("iv_component"),
+        F.col("g").cast("long").alias("n_good"),
+        F.col("b").cast("long").alias("n_bad"),
+    )

@@ -376,3 +376,59 @@ def text_hashing_trick_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(entries, lambda s: s.bucket).alias("feat_idx"),
         F.transform(entries, lambda s: s.n).alias("feat_cnt"),
     )
+
+
+@register(
+    "text_pii_redaction",
+    oracle="""
+    WITH synth AS (
+      SELECT doc_id,
+             'reach user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' re: '
+               || substr(text, 1, 40) AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(raw, '[a-z0-9._]+@[a-z0-9]+\\.[a-z]+', '<EMAIL>', 'g'),
+             '\\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')            AS redacted,
+           CAST(len(regexp_extract_all(raw,
+                '[a-z0-9._]+@[a-z0-9]+\\.[a-z]+')) AS INT)        AS n_emails,
+           CAST(len(regexp_extract_all(raw,
+                '\\+1-[0-9]{3}-[0-9]{4}')) AS INT)                AS n_phones
+    FROM synth
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training-data curation: e-mail and phone
+    patterns replaced with typed placeholder tokens, plus per-document
+    match counts for audit.  (The synthetic corpus carries no real
+    PII, so the query plants deterministic addresses derived from
+    doc_id into each document before scrubbing — the regex path under
+    test is the real one.)
+
+    Scale shape: pure per-row regexp_replace / regexp_count inside
+    whole-stage codegen — narrow, no shuffle, no UDF; the same two
+    passes a 100 TB curation sweep would run.  Patterns stay in the
+    RE2-compatible subset so Spark (Java regex) and the oracle (RE2)
+    agree byte-for-byte."""
+    d = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" re: "),
+        F.substring("text", 1, 40),
+    )
+    email = r"[a-z0-9._]+@[a-z0-9]+\.[a-z]+"
+    phone = r"\+1-[0-9]{3}-[0-9]{4}"
+    s = d.select("doc_id", raw.alias("raw"))
+    return s.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("redacted"),
+        F.regexp_count(F.col("raw"), F.lit(email)).alias("n_emails"),
+        F.regexp_count(F.col("raw"), F.lit(phone)).alias("n_phones"),
+    )

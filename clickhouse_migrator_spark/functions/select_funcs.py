@@ -326,6 +326,45 @@ RULES: dict[str, Rule] = {
     "concatWithSeparator": _rename("concat_ws"),
     "arrayStringConcat": _rename("array_join"),
     "arrayFlatten": _rename("flatten"),
+    # arrays round 2 (set ops / stack ops / enumeration)
+    "arrayIntersect": lambda a: (
+        f"array_intersect({a[0]}, {a[1]})" if len(a) == 2 else None
+    ),
+    "arrayZip": _rename("arrays_zip"),
+    "arrayPushBack": _rename("array_append"),
+    "arrayPushFront": _rename("array_prepend"),
+    "arrayPopBack": _tpl("slice({0}, 1, greatest(size({0}) - 1, 0))"),
+    "arrayPopFront": _tpl("slice({0}, 2, greatest(size({0}) - 1, 0))"),
+    "arrayUniq": lambda a: (
+        f"size(array_distinct({a[0]}))" if len(a) == 1 else None
+    ),
+    "arrayEnumerate": _tpl("sequence(1, size({0}))"),
+    "arrayEnumerateUniq": lambda a: (
+        # occurrence ordinal of each element within its array (1-based)
+        f"transform({a[0]}, (_x, _i) -> "
+        f"size(filter(slice({a[0]}, 1, _i + 1), _y -> _y = _x)))"
+        if len(a) == 1
+        else None
+    ),
+    "arrayElement": _rename("element_at"),
+    # ClickHouse arrayMin/Max/Sum/Avg: 1-arg form only (the lambda
+    # form would need the functional composition — rules decline it)
+    "arrayMin": lambda a: f"array_min({a[0]})" if len(a) == 1 else None,
+    "arrayMax": lambda a: f"array_max({a[0]})" if len(a) == 1 else None,
+    "arraySum": lambda a: (
+        f"aggregate({a[0]}, CAST(0 AS DOUBLE), (_acc, _x) -> _acc + _x)"
+        if len(a) == 1
+        else None
+    ),
+    "arrayAvg": lambda a: (
+        f"(aggregate({a[0]}, CAST(0 AS DOUBLE), (_acc, _x) -> _acc + _x)"
+        f" / size({a[0]}))"
+        if len(a) == 1
+        else None
+    ),
+    "groupConcat": lambda a: (
+        f"listagg({a[0]})" if len(a) == 1 else None
+    ),
     # maps / tuples
     "mapKeys": _rename("map_keys"),
     "mapValues": _rename("map_values"),

@@ -482,3 +482,67 @@ def test_rewriter_fixed_point_and_oracle_safety():
 )
 def test_rewrite_shapes_round3(src, expected):
     assert rewrite_functions(src) == expected
+
+
+@pytest.mark.parametrize(
+    "src,expected",
+    [
+        (
+            "SELECT arrayIntersect(a, b) FROM t",
+            "SELECT array_intersect(a, b) FROM t",
+        ),
+        # 3-arg arrayIntersect has no binary Spark spelling: rule declines
+        (
+            "SELECT arrayIntersect(a, b, c) FROM t",
+            "SELECT arrayIntersect(a, b, c) FROM t",
+        ),
+        (
+            "SELECT arrayZip(a, b), arrayPushBack(a, 1) FROM t",
+            "SELECT arrays_zip(a, b), array_append(a, 1) FROM t",
+        ),
+        (
+            "SELECT arrayPopBack(a) FROM t",
+            "SELECT slice(a, 1, greatest(size(a) - 1, 0)) FROM t",
+        ),
+        (
+            "SELECT arrayUniq(a), arrayEnumerate(a), arrayElement(a, 2) FROM t",
+            "SELECT size(array_distinct(a)), sequence(1, size(a)),"
+            " element_at(a, 2) FROM t",
+        ),
+        (
+            "SELECT arrayEnumerateUniq(a) FROM t",
+            "SELECT transform(a, (_x, _i) ->"
+            " size(filter(slice(a, 1, _i + 1), _y -> _y = _x))) FROM t",
+        ),
+        (
+            "SELECT arrayMin(a), arrayMax(a) FROM t",
+            "SELECT array_min(a), array_max(a) FROM t",
+        ),
+        (
+            "SELECT arraySum(a) FROM t",
+            "SELECT aggregate(a, CAST(0 AS DOUBLE), (_acc, _x) -> _acc + _x)"
+            " FROM t",
+        ),
+        ("SELECT groupConcat(x) FROM t", "SELECT listagg(x) FROM t"),
+    ],
+)
+def test_rewrite_shapes_arrays_round2(src, expected):
+    assert rewrite_functions(src) == expected
+
+
+def test_array_round2_rewrites_execute(spark):
+    """The rewritten spellings are legal Spark SQL with correct values."""
+    row = spark.sql(
+        rewrite_functions(
+            "SELECT arrayIntersect(array(1, 2, 3), array(2, 3, 4)) AS i, "
+            "arrayUniq(array(1, 1, 2)) AS u, "
+            "arrayEnumerateUniq(array('a', 'b', 'a')) AS e, "
+            "arraySum(array(1, 2, 3)) AS s, "
+            "arrayPopBack(array(7, 8, 9)) AS p"
+        )
+    ).first()
+    assert sorted(row.i) == [2, 3]
+    assert row.u == 2
+    assert list(row.e) == [1, 1, 2]
+    assert row.s == 6.0
+    assert list(row.p) == [7, 8]

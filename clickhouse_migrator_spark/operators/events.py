@@ -1552,62 +1552,58 @@ def events_window_funnel_strict_increase(
 @register(
     "events_histogram_equidepth",
     oracle="""
-    WITH g AS (
-      SELECT value AS v, count(*) AS n_v
-      FROM events WHERE event_type = 'purchase' GROUP BY value
-    ), c AS (
-      SELECT v, n_v,
-             coalesce(sum(n_v) OVER (ORDER BY v
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS cum_before,
-             sum(n_v) OVER () AS total
-      FROM g
+    WITH q AS (
+      SELECT quantile_cont(value,
+               [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bounds
+      FROM events WHERE event_type = 'purchase'
     ), b AS (
-      SELECT least(CAST(floor(cum_before * 8 / total) AS BIGINT), 7) AS bucket,
-             v, n_v
-      FROM c
+      SELECT CAST(len(list_filter(q.bounds, x -> e.value > x)) AS BIGINT)
+               AS bucket,
+             e.value AS v
+      FROM events e, q WHERE e.event_type = 'purchase'
     )
     SELECT bucket,
-           CAST(sum(n_v) AS BIGINT) AS n_rows,
-           round(min(v), 6)         AS lo,
-           round(max(v), 6)         AS hi,
-           round(sum(v * n_v) / sum(n_v), 6) AS mean_v
+           count(*)                          AS n_rows,
+           round(min(v), 6)                  AS lo,
+           round(max(v), 6)                  AS hi,
+           round(avg(v), 6)                  AS mean_v
     FROM b GROUP BY bucket
     """,
 )
 def events_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (quantile-boundary) histogram of purchase values —
-    the exact-arithmetic cousin of ClickHouse's adaptive ``histogram``
-    and ``quantiles`` family: 8 buckets holding ~total/8 rows each,
-    ties kept together (a value never straddles buckets, so the
-    result is deterministic in any engine).
+    the exact-arithmetic cousin of ClickHouse's adaptive ``histogram``:
+    8 buckets bounded at the exact octile values.
 
-    Scale shape: the fact stream collapses to the DISTINCT-VALUE GRID
-    first (one partial-aggregatable groupBy); the running-count window
-    and the bucket rule run on grid rows only — integer math
-    ``floor(cum_before * k / total)``, no global row sort, no
-    per-row window over the raw stream."""
-    from pyspark.sql import Window
-
-    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    g = e.groupBy(F.col("value").alias("v")).agg(F.count(F.lit(1)).alias("n_v"))
-    w = (
-        Window.orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    Scale shape (the purchase values are near-continuous, so a
+    distinct-value grid would be row-sized — no window pass is
+    allowed here): pass 1 computes the 7 interior boundaries with the
+    ``percentile`` AGGREGATE (partial-aggregatable, no global sort;
+    identical interpolation to the oracle's quantile_cont), pass 2
+    broadcasts that single boundary row and buckets every value with a
+    per-row array scan, then hash-aggregates the 8 cells.  The only
+    single-partition exchange merges the 1-row percentile accumulator;
+    exact percentile buffers the distinct-value map, so the 100 TB
+    swap is ``percentile_approx`` (t-digest, constant memory) at the
+    cost of the oracle's exactness."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
     )
-    c = g.withColumn(
-        "cum_before", F.coalesce(F.sum("n_v").over(w), F.lit(0))
-    ).withColumn("total", F.sum("n_v").over(Window.partitionBy()))
-    b = c.select(
-        F.least(
-            F.floor(F.col("cum_before") * 8 / F.col("total")), F.lit(7)
-        ).alias("bucket"),
-        "v",
-        "n_v",
+    q = e.agg(
+        F.percentile(
+            F.col("value"),
+            F.array(*[F.lit(i / 8.0) for i in range(1, 8)]),
+        ).alias("bounds")
+    )
+    b = e.crossJoin(F.broadcast(q)).select(
+        F.size(
+            F.filter(F.col("bounds"), lambda x: F.col("value") > x)
+        ).cast("long").alias("bucket"),
+        F.col("value").alias("v"),
     )
     return b.groupBy("bucket").agg(
-        F.sum("n_v").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_rows"),
         F.round(F.min("v"), 6).alias("lo"),
         F.round(F.max("v"), 6).alias("hi"),
-        F.round(F.sum(F.col("v") * F.col("n_v")) / F.sum("n_v"), 6).alias("mean_v"),
+        F.round(F.avg("v"), 6).alias("mean_v"),
     )

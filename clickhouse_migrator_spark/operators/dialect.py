@@ -278,3 +278,67 @@ def dialect_numbers_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT number % 7 AS d, count(*) AS n, sum(number) AS total "
         "FROM numbers(1000) GROUP BY d",
     )
+
+
+@register(
+    "dialect_array_lambdas",
+    oracle="""
+    WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents)
+    SELECT lang,
+           round(avg(list_sum(list_transform(toks,
+                 w -> CAST(length(w) AS DOUBLE)))), 4) AS avg_chars,
+           CAST(max(len(list_distinct(toks))) AS INT)  AS max_uniq
+    FROM t GROUP BY lang
+    """,
+)
+def dialect_array_lambdas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse array higher-order vocabulary in raw SQL:
+    ``splitByChar`` (→ split, args swapped), ``arrayMap`` (→ transform,
+    lambda moved last), ``arraySum`` (→ aggregate fold), ``arrayUniq``
+    (→ size∘array_distinct).  Everything rewrites to JVM built-ins
+    running inside whole-stage codegen; the only shuffle is the
+    per-lang hash aggregate."""
+    from ..migrate import execute_and_inflate
+
+    v = _view(spark, sf_dir, "documents")
+    return execute_and_inflate(
+        spark,
+        f"""
+        SELECT lang,
+               round(avg(arraySum(arrayMap(w -> length(w), toks))), 4)
+                 AS avg_chars,
+               max(arrayUniq(toks)) AS max_uniq
+        FROM (SELECT lang, splitByChar(' ', text) AS toks FROM {v})
+        GROUP BY lang
+        """,
+    )
+
+
+@register(
+    "dialect_group_uniq_concat",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+             AS statuses
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def dialect_group_uniq_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``arrayStringConcat(arraySort(groupUniqArray(x)), sep)`` — the
+    canonical ClickHouse spelling for "distinct values as one ordered
+    string" — rewritten to array_join∘array_sort∘collect_set.  The
+    sort happens inside each group's (tiny) array, not as a row sort,
+    so the text is deterministic on any partitioning."""
+    from ..migrate import execute_and_inflate
+
+    v = _view(spark, sf_dir, "orders")
+    return execute_and_inflate(
+        spark,
+        f"""
+        SELECT o_orderpriority,
+               arrayStringConcat(arraySort(groupUniqArray(o_orderstatus)), ',')
+                 AS statuses
+        FROM {v}
+        GROUP BY o_orderpriority
+        """,
+    )

@@ -265,6 +265,33 @@ RULES: dict[str, Rule] = {
     "countDistinctIf": _tpl("count(DISTINCT CASE WHEN {1} THEN {0} END)"),
     "anyIf": _tpl("any_value(CASE WHEN {1} THEN {0} END, true)"),
     "avgWeighted": _tpl("(sum(({0}) * ({1})) / sum({1}))"),
+    # -OrNull combinator: NULL on empty input.  sum/avg/min/max already
+    # return NULL over zero rows in Spark, so the base aggregate IS the
+    # OrNull form; count needs the explicit nullif.
+    "sumOrNull": _rename("sum"),
+    "avgOrNull": _rename("avg"),
+    "minOrNull": _rename("min"),
+    "maxOrNull": _rename("max"),
+    "countOrNull": _tpl("nullif(count({0}), 0)"),
+    # -OrDefault combinator: the type's default on empty input (the
+    # numeric default 0 — ClickHouse's own behavior for plain sum()).
+    "sumOrDefault": _tpl("coalesce(sum({0}), 0)"),
+    "avgOrDefault": _tpl("coalesce(avg({0}), 0.0)"),
+    "minOrDefault": _tpl("coalesce(min({0}), 0)"),
+    "maxOrDefault": _tpl("coalesce(max({0}), 0)"),
+    # -Array combinator: aggregate over every ELEMENT of an array
+    # column (sumArray(a) ≡ sum over all a[i] of all rows)
+    "sumArray": _tpl(
+        "sum(aggregate({0}, CAST(0 AS DOUBLE), (_a, _x) -> _a + _x))"
+    ),
+    "countArray": _tpl("sum(size({0}))"),
+    "minArray": _tpl("min(array_min({0}))"),
+    "maxArray": _tpl("max(array_max({0}))"),
+    "avgArray": _tpl(
+        "(sum(aggregate({0}, CAST(0 AS DOUBLE), (_a, _x) -> _a + _x))"
+        " / sum(size({0})))"
+    ),
+    "groupArrayArray": _tpl("flatten(collect_list({0}))"),
     "sumIf": _agg_if("sum"),
     "avgIf": _agg_if("avg"),
     "minIf": _agg_if("min"),

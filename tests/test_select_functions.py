@@ -546,3 +546,51 @@ def test_array_round2_rewrites_execute(spark):
     assert list(row.e) == [1, 1, 2]
     assert row.s == 6.0
     assert list(row.p) == [7, 8]
+
+
+@pytest.mark.parametrize(
+    "src,expected",
+    [
+        ("SELECT sumOrNull(x) FROM t", "SELECT sum(x) FROM t"),
+        ("SELECT countOrNull(x) FROM t", "SELECT nullif(count(x), 0) FROM t"),
+        (
+            "SELECT sumOrDefault(x), avgOrDefault(x) FROM t",
+            "SELECT coalesce(sum(x), 0), coalesce(avg(x), 0.0) FROM t",
+        ),
+        (
+            "SELECT sumArray(a) FROM t",
+            "SELECT sum(aggregate(a, CAST(0 AS DOUBLE), (_a, _x) -> _a + _x))"
+            " FROM t",
+        ),
+        (
+            "SELECT countArray(a), minArray(a), maxArray(a) FROM t",
+            "SELECT sum(size(a)), min(array_min(a)), max(array_max(a)) FROM t",
+        ),
+        (
+            "SELECT groupArrayArray(a) FROM t",
+            "SELECT flatten(collect_list(a)) FROM t",
+        ),
+    ],
+)
+def test_rewrite_agg_combinators(src, expected):
+    assert rewrite_functions(src) == expected
+
+
+def test_agg_combinators_execute(spark):
+    row = spark.sql(
+        rewrite_functions(
+            "SELECT sumArray(a) AS s, countArray(a) AS c, avgArray(a) AS av, "
+            "minArray(a) AS mn, groupArrayArray(a) AS g "
+            "FROM VALUES (array(1.0, 2.0)), (array(3.0)) AS t(a)"
+        )
+    ).first()
+    assert row.s == 6.0 and row.c == 3 and row.av == 2.0 and row.mn == 1.0
+    assert sorted(row.g) == [1.0, 2.0, 3.0]
+    # OrNull / OrDefault on an EMPTY input
+    row2 = spark.sql(
+        rewrite_functions(
+            "SELECT sumOrNull(x) AS sn, countOrNull(x) AS cn, "
+            "sumOrDefault(x) AS sd FROM (SELECT 1 AS x WHERE false)"
+        )
+    ).first()
+    assert row2.sn is None and row2.cn is None and row2.sd == 0

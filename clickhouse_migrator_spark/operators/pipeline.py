@@ -262,3 +262,87 @@ def pipeline_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.countDistinct("shingle").alias("n_shared_grams"))
         .filter(F.col("n_shared_grams") >= 3)
     )
+
+
+CHUNK_TOKENS = 32  # tokens per training chunk
+CHUNK_STRIDE = 24  # chunk start step (overlap = CHUNK_TOKENS - CHUNK_STRIDE)
+
+
+@register(
+    "pipeline_chunk_documents",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents),
+    n AS (
+      SELECT doc_id, toks, len(toks) AS n_tokens,
+             1 + CAST(floor((greatest(len(toks) - {CHUNK_TOKENS}, 0)
+                             + {CHUNK_STRIDE} - 1) / {CHUNK_STRIDE}) AS BIGINT)
+                 AS n_chunks
+      FROM t)
+    SELECT doc_id, k AS chunk_id, k * {CHUNK_STRIDE} AS start_tok,
+           least({CHUNK_TOKENS}, n_tokens - k * {CHUNK_STRIDE}) AS chunk_len,
+           md5(array_to_string(
+               list_slice(toks, k * {CHUNK_STRIDE} + 1,
+                          k * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ')) AS chunk_hash
+    FROM n, unnest(generate_series(0, n_chunks - 1)) AS u(k)
+    """,
+)
+def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence chunking for training: split each document's token
+    stream into fixed-size overlapping chunks (size {CHUNK_TOKENS},
+    stride {CHUNK_STRIDE} — the sliding-context-window preprocessing
+    step of an LLM data pipeline), emitting per-chunk offsets, lengths
+    and a content hash.
+
+    Plan shape: chunk starts are a generated `sequence()` exploded
+    row-locally — NO shuffle at all; the whole op is a single scan
+    whose fan-out (~n_tokens/stride rows per doc) is absorbed by the
+    downstream consumer.  At 100 TB this is the ideal shape: chunking
+    is embarrassingly parallel, and the explode never materializes the
+    token arrays more than once per partition."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", _tokens().alias("toks"))
+        .withColumn("n_tokens", F.size("toks"))
+        .withColumn(
+            "n_chunks",
+            (
+                F.lit(1)
+                + F.floor(
+                    (
+                        F.greatest(F.col("n_tokens") - CHUNK_TOKENS, F.lit(0))
+                        + (CHUNK_STRIDE - 1)
+                    )
+                    / CHUNK_STRIDE
+                )
+            ).cast("bigint"),
+        )
+    )
+    return (
+        d.select(
+            "doc_id",
+            "n_tokens",
+            "toks",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n_chunks") - 1)).alias(
+                "chunk_id"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            (F.col("chunk_id") * CHUNK_STRIDE).alias("start_tok"),
+            F.least(
+                F.lit(CHUNK_TOKENS).cast("bigint"),
+                F.col("n_tokens") - F.col("chunk_id") * CHUNK_STRIDE,
+            ).alias("chunk_len"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        f"slice(toks, chunk_id * {CHUNK_STRIDE} + 1, {CHUNK_TOKENS})"
+                    ),
+                )
+            ).alias("chunk_hash"),
+        )
+    )

@@ -206,30 +206,36 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     timeout fires and flushes.  Output (sentinel excluded) equals the
     batch gaps-and-islands sessionization — certified by the same
     oracle."""
+    import datetime as _dt
+    import glob as _glob
     import os
     import shutil
     import tempfile
     import time as _time
 
-    import pandas as _pd
-
     src = tempfile.mkdtemp(prefix="stateful_stream_")
     try:
         shutil.copy(f"{sf_dir}/events.parquet", f"{src}/a_events.parquet")
-        _pd.DataFrame(
-            {
-                "event_id": [10**9],
-                "ts": [_pd.Timestamp("2030-01-01 00:00:00")],
-                "user_id": [999_999_999],
-                "event_type": ["view"],
-                "value": [0.0],
-                "props": ["{}"],
-            }
-        ).to_parquet(f"{src}/b_sentinel.parquet")
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        # Write the sentinel with Spark against the fixture's own schema so
+        # the parquet timestamp annotation (unit + ntz/ltz) matches batch 1
+        # exactly — a pandas-written file can carry nanosecond timestamps the
+        # vectorized reader refuses to convert.
+        ts_far = _dt.datetime(2030, 1, 1)
+        sent_ts: Any = ts_far
+        if dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get("ts") == "bigint":
+            sent_ts = int(ts_far.timestamp() * 1_000_000_000)
+        sent_dir = tempfile.mkdtemp(prefix="stateful_sentinel_")
+        spark.createDataFrame(
+            [(10**9, sent_ts, 999_999_999, "view", 0.0, "{}")], schema=raw_schema
+        ).coalesce(1).write.mode("overwrite").parquet(sent_dir)
+        shutil.move(
+            _glob.glob(f"{sent_dir}/part-*.parquet")[0], f"{src}/b_sentinel.parquet"
+        )
+        shutil.rmtree(sent_dir, ignore_errors=True)
         now = _time.time()
         os.utime(f"{src}/a_events.parquet", (now - 100, now - 100))
         os.utime(f"{src}/b_sentinel.parquet", (now, now))
-        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
         stream = (
             spark.readStream.schema(raw_schema)
             .option("maxFilesPerTrigger", "1")

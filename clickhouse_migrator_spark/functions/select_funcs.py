@@ -117,8 +117,10 @@ def _scan_args(sql: str, start: int) -> tuple[list[str], int]:
             buf.append(sql[i : j + 1])
             i = j + 1
             continue
-        if ch == "(":
+        if ch == "(" or ch == "[":
             depth += 1
+        elif ch == "]":
+            depth -= 1
         elif ch == ")":
             depth -= 1
             if depth == 0:
@@ -497,6 +499,134 @@ RULES: dict[str, Rule] = {
     "bitShiftLeft": _rename("shiftleft"),
     "bitShiftRight": _rename("shiftright"),
     "bitCount": _rename("bit_count"),
+    # round 3: array search / reshape (ClickHouse puts the lambda first)
+    "arrayCount": lambda a: (
+        f"size(filter({a[0]}, _x -> _x != 0))"
+        if len(a) == 1
+        else f"size(filter({a[1]}, {a[0]}))"
+        if len(a) == 2
+        else None
+    ),
+    # get() is 0-based and NULL out-of-bounds — ANSI-safe on empty matches
+    "arrayFirst": lambda a: (
+        f"get(filter({a[1]}, {a[0]}), 0)" if len(a) == 2 else None
+    ),
+    "arrayLast": lambda a: (
+        f"get(reverse(filter({a[1]}, {a[0]})), 0)" if len(a) == 2 else None
+    ),
+    # array_position returns 0 when absent — same convention as ClickHouse
+    "arrayFirstIndex": lambda a: (
+        f"array_position(transform({a[1]}, {a[0]}), true)" if len(a) == 2 else None
+    ),
+    "arrayReverseSort": lambda a: (
+        f"reverse(array_sort({a[0]}))" if len(a) == 1 else None
+    ),
+    "arrayResize": lambda a: (
+        f"slice(concat({a[0]}, array_repeat("
+        f"{a[2].strip() if len(a) == 3 else 'NULL'}, "
+        f"greatest(CAST({a[1]} AS INT) - size({a[0]}), 0))), 1, CAST({a[1]} AS INT))"
+        if len(a) in (2, 3)
+        else None
+    ),
+    # round 3: strings
+    "countSubstrings": lambda a: (
+        f"CAST((length({a[0]}) - length(replace({a[0]}, {a[1]}, ''))) "
+        f"/ length({a[1]}) AS BIGINT)"
+        if len(a) == 2
+        else None
+    ),
+    "multiSearchAny": lambda a: (
+        f"exists({a[1]}, _n -> contains({a[0]}, _n))" if len(a) == 2 else None
+    ),
+    "substringIndex": _rename("substring_index"),
+    "splitByWhitespace": lambda a: (
+        f"split(trim({a[0]}), '\\\\s+')" if len(a) == 1 else None
+    ),
+    # round 3: rounding / guarded arithmetic
+    "roundBankers": _rename("bround"),
+    "intDivOrZero": lambda a: (
+        f"(CASE WHEN {a[1]} = 0 THEN 0 ELSE {a[0]} DIV {a[1]} END)"
+        if len(a) == 2
+        else None
+    ),
+    "moduloOrZero": lambda a: (
+        f"(CASE WHEN {a[1]} = 0 THEN 0 ELSE {a[0]} % {a[1]} END)"
+        if len(a) == 2
+        else None
+    ),
+    # round 3: value mapping — ClickHouse transform(x, from, to[, default]).
+    # ONLY the 3/4-arg form rewrites; 2-arg Spark higher-order transform()
+    # passes through untouched.
+    "transform": lambda a: (
+        f"coalesce(try_element_at(map_from_arrays({a[1]}, {a[2]}), {a[0]}), "
+        f"{a[3].strip() if len(a) == 4 else a[0]})"
+        if len(a) in (3, 4)
+        else None
+    ),
+    # round 3: dates
+    "age": lambda a: (
+        f"timestampdiff({a[0].strip()[1:-1].upper()}, {a[1]}, {a[2]})"
+        if len(a) == 3 and a[0].strip().startswith("'")
+        else None
+    ),
+    # ClickHouse timeSlot: floor to the half-hour
+    "timeSlot": lambda a: (
+        f"timestamp_seconds(CAST(floor(unix_timestamp({a[0]}) / 1800) "
+        f"* 1800 AS BIGINT))"
+        if len(a) == 1
+        else None
+    ),
+    "toRelativeDayNum": _tpl("datediff(CAST({0} AS DATE), DATE'1970-01-01')"),
+    "toRelativeHourNum": _tpl("CAST(floor(unix_timestamp({0}) / 3600) AS BIGINT)"),
+    "toRelativeMinuteNum": _tpl("CAST(floor(unix_timestamp({0}) / 60) AS BIGINT)"),
+    "toLastDayOfMonth": _rename("last_day"),
+    "toYYYYMMDDhhmmss": _tpl("CAST(date_format({0}, 'yyyyMMddHHmmss') AS BIGINT)"),
+    "addQuarters": _add_unit("QUARTER"),
+    "subtractQuarters": _add_unit("QUARTER", "-"),
+    # round 3: window-function aliases (ClickHouse's in-frame variants —
+    # Spark's lag/lead are frame-insensitive, the common usage matches)
+    "lagInFrame": _rename("lag"),
+    "leadInFrame": _rename("lead"),
+    # round 3: case-insensitive / regex search
+    "positionCaseInsensitive": lambda a: (
+        f"locate(lower({a[1]}), lower({a[0]}))" if len(a) == 2 else None
+    ),
+    "countMatches": lambda a: (
+        f"size(regexp_extract_all({a[0]}, {a[1]}, 0))" if len(a) == 2 else None
+    ),
+    # ClickHouse extract(haystack, re) — first match; the standard-SQL
+    # extract(unit FROM ts) form scans as ONE arg and passes through
+    "extract": lambda a: (
+        f"regexp_extract({a[0]}, {a[1]}, 0)" if len(a) == 2 else None
+    ),
+    "ilike": lambda a: (
+        f"(lower({a[0]}) LIKE lower({a[1]}))" if len(a) == 2 else None
+    ),
+    "notLike": lambda a: (
+        f"(NOT {a[0]} LIKE {a[1]})" if len(a) == 2 else None
+    ),
+    "dateName": lambda a: (
+        (
+            lambda unit: (
+                f"date_format({a[1]}, '{_DATE_NAME_FMT[unit]}')"
+                if unit in _DATE_NAME_FMT
+                else None
+            )
+        )(a[0].strip().strip("'").lower())
+        if len(a) == 2 and a[0].strip().startswith("'")
+        else None
+    ),
+}
+
+# dateName('unit', t) → date_format pattern (string-valued, like ClickHouse)
+_DATE_NAME_FMT = {
+    "year": "yyyy",
+    "month": "MMMM",
+    "weekday": "EEEE",
+    "dayofmonth": "d",
+    "hour": "H",
+    "minute": "m",
+    "second": "s",
 }
 del RULES["length"]  # identity — no rewrite needed, avoid useless loop work
 
@@ -538,6 +668,43 @@ _PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
 _IDENT_RE = re.compile(r"(?<![\w.`'])([A-Za-z_][A-Za-z0-9_]*)\s*\(")
 
 
+def _rewrite_array_literals(sql: str) -> str:
+    """ClickHouse ``[a, b, …]`` array literals → Spark ``array(a, b, …)``.
+
+    Only literal-START brackets rewrite: a ``[`` immediately preceded
+    by an identifier character, ``)`` or ``]`` is element ACCESS
+    (``arr[1]``) and is left untouched — ClickHouse indexing is
+    1-based while Spark's bracket access is 0-based, so silent
+    translation would be wrong; use ``arrayElement`` → ``element_at``
+    (both 1-based) for portable indexing."""
+    while True:
+        mask = _string_mask(sql)
+        start = -1
+        for i, ch in enumerate(sql):
+            if ch != "[" or mask[i]:
+                continue
+            j = i - 1
+            if j >= 0 and (sql[j].isalnum() or sql[j] in "_)]`'"):
+                continue
+            start = i
+            break
+        if start == -1:
+            return sql
+        depth, k = 0, start
+        while k < len(sql):
+            if not mask[k]:
+                if sql[k] == "[":
+                    depth += 1
+                elif sql[k] == "]":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            k += 1
+        if depth != 0:
+            return sql  # unbalanced — leave for Spark's parser to report
+        sql = sql[:start] + "array(" + sql[start + 1 : k] + ")" + sql[k + 1 :]
+
+
 def rewrite_functions(sql: str) -> str:
     """Translate ClickHouse function spellings in ``sql`` to Spark SQL.
 
@@ -547,6 +714,7 @@ def rewrite_functions(sql: str) -> str:
     untouched — Spark raises its own error for genuinely unsupported
     functions, with the original spelling intact.
     """
+    sql = _rewrite_array_literals(sql)
     progress = True
     while progress:
         progress = False

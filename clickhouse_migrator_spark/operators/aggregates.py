@@ -1100,3 +1100,79 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'l_extendedprice', 'l_discount', r_ed) AS (x, y, r)"
         )
     )
+
+
+@register(
+    "agg_bitmap_audience_overlap",
+    oracle="""
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    card AS (SELECT event_type, count(*) AS c FROM du GROUP BY event_type),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS and_card
+      FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT type_a, type_b, and_card,
+           ca.c + cb.c - and_card       AS or_card,
+           ca.c - and_card              AS andnot_card,
+           ca.c + cb.c - 2 * and_card   AS xor_card,
+           round(and_card / CAST(ca.c + cb.c - and_card AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN card ca ON ca.event_type = type_a
+    JOIN card cb ON cb.event_type = type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def agg_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse bitmap aggregate family (``groupBitmap``,
+    ``bitmapAndCardinality`` / ``bitmapOrCardinality`` /
+    ``bitmapAndnotCardinality`` / ``bitmapXorCardinality``,
+    ``bitmapJaccardIndex``) — audience-overlap cardinalities between
+    every pair of event types.
+
+    Deliberately NOT materialized as bitmaps: a roaring bitmap per
+    group is driver-poison at 100 TB (one array holding every user of
+    a type).  Instead the AND cardinality comes from a per-user
+    co-occurrence self-join of the distinct (type, user) set, and the
+    OR/ANDNOT/XOR/Jaccard values follow by inclusion–exclusion from
+    per-type cardinalities — three key-partitioned aggregations, no
+    giant state anywhere, linear scale-out.  |A∪B| = |A|+|B|−|A∩B|,
+    |A∖B| = |A|−|A∩B|, |A△B| = |A|+|B|−2|A∩B|."""
+    du = (
+        table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    card = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    inter = (
+        du.alias("a")
+        .join(
+            du.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("and_card"))
+    )
+    ca = F.broadcast(card).alias("ca")
+    cb = F.broadcast(card).alias("cb")
+    return (
+        inter.join(ca, F.col("ca.event_type") == F.col("type_a"))
+        .join(cb, F.col("cb.event_type") == F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            "and_card",
+            (F.col("ca.c") + F.col("cb.c") - F.col("and_card")).alias("or_card"),
+            (F.col("ca.c") - F.col("and_card")).alias("andnot_card"),
+            (F.col("ca.c") + F.col("cb.c") - 2 * F.col("and_card")).alias("xor_card"),
+            F.round(
+                F.col("and_card")
+                / (F.col("ca.c") + F.col("cb.c") - F.col("and_card")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

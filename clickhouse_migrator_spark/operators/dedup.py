@@ -382,42 +382,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("vec_a", "vec_b", F.round("_cos", 6).alias("cosine"))
 
 
-@register(
-    "dedup_components_clusters",
-    oracle=f"""
-    WITH RECURSIVE {_SHINGLE_SQL},
-    edges AS (SELECT doc_a, doc_b FROM pair_jaccard WHERE jaccard >= {JACCARD_T}),
-    sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
-            UNION SELECT doc_b, doc_a FROM edges),
-    reach(src, dst) AS (
-      SELECT src, dst FROM sym
-      UNION
-      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
-    comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
-             FROM reach GROUP BY src)
-    SELECT component,
-           count(*)            AS n_members,
-           min(doc_id)         AS min_doc,
-           max(doc_id)         AS max_doc
-    FROM comp GROUP BY component
-    ORDER BY component
-    """,
-)
-def dedup_components_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTERS: connected components over the Jaccard pair
-    graph via iterative min-label propagation — the step that turns
-    pairwise dup detection into "keep one document per cluster".
-
-    Scale: each iteration is one shuffle join (edges ⨝ labels) + a
-    min-aggregate; iterations needed = component diameter, and near-dup
-    clusters are shallow (dups of a common ancestor), so 3–5 rounds
-    converge.  `localCheckpoint` truncates the growing loop lineage —
-    without it the plan doubles every round and the driver, not the
-    data, becomes the bottleneck.  (At extreme skew the alternating
-    large-star/small-star variant halves rounds; same join shape.)
-    The DuckDB oracle computes the same components with a recursive
-    transitive closure — feasible only because sf-scale graphs are
-    tiny; the Spark path is the one that scales."""
+def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, component) labels for every document that appears in a
+    near-dup pair — iterative min-label propagation (see
+    :func:`dedup_components_clusters` for the scale rationale)."""
     pairs = _exact_jaccard_pairs(spark, sf_dir).filter(
         F.col("jaccard") >= JACCARD_T
     ).select("doc_a", "doc_b")
@@ -454,12 +422,122 @@ def dedup_components_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    return labels
+
+
+@register(
+    "dedup_components_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    edges AS (SELECT doc_a, doc_b FROM pair_jaccard WHERE jaccard >= {JACCARD_T}),
+    sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+            UNION SELECT doc_b, doc_a FROM edges),
+    reach(src, dst) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+    comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+             FROM reach GROUP BY src)
+    SELECT component,
+           count(*)            AS n_members,
+           min(doc_id)         AS min_doc,
+           max(doc_id)         AS max_doc
+    FROM comp GROUP BY component
+    ORDER BY component
+    """,
+)
+def dedup_components_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the Jaccard pair
+    graph via iterative min-label propagation — the step that turns
+    pairwise dup detection into "keep one document per cluster".
+
+    Scale: each iteration is one shuffle join (edges ⨝ labels) + a
+    min-aggregate; iterations needed = component diameter, and near-dup
+    clusters are shallow (dups of a common ancestor), so 3–5 rounds
+    converge.  `localCheckpoint` truncates the growing loop lineage —
+    without it the plan doubles every round and the driver, not the
+    data, becomes the bottleneck.  (At extreme skew the alternating
+    large-star/small-star variant halves rounds; same join shape.)
+    The DuckDB oracle computes the same components with a recursive
+    transitive closure — feasible only because sf-scale graphs are
+    tiny; the Spark path is the one that scales."""
+    labels = component_labels(spark, sf_dir)
     return (
         labels.groupBy("component")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
             F.min("doc_id").alias("min_doc"),
             F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("component")
+    )
+
+
+@register(
+    "dedup_keep_best_quality",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    edges AS (SELECT doc_a, doc_b FROM pair_jaccard WHERE jaccard >= {JACCARD_T}),
+    sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+            UNION SELECT doc_b, doc_a FROM edges),
+    reach(src, dst) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+    comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+             FROM reach GROUP BY src),
+    lab AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+                   d.n_chars
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+    ranked AS (
+      SELECT component, doc_id, n_chars,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY n_chars DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY component) AS n_members
+      FROM lab)
+    SELECT component, doc_id AS rep_doc, n_members, n_chars AS rep_chars
+    FROM ranked WHERE rk = 1 ORDER BY component
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection over near-dup clusters: every document
+    gets a component label (docs in no pair are their own singleton
+    cluster), and each cluster keeps its highest-quality member —
+    quality = ``n_chars`` here, doc_id as the deterministic tiebreak.
+    This is the step that turns dup DETECTION into a curated corpus:
+    drop count = Σ(n_members − 1).
+
+    Scale: the labels frame is tiny relative to the corpus (only docs
+    appearing in pairs), so the label join is broadcast-able; the
+    per-cluster argmax is a window over the component key — state is
+    one row per cluster, partition-parallel.  No full-corpus shuffle
+    beyond the one component-key exchange."""
+    from pyspark.sql import Window
+
+    labels = component_labels(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    lab = d.join(F.broadcast(labels), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        "n_chars",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        lab.select(
+            "component",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy("component")).alias("n_members"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("rep_doc"),
+            "n_members",
+            F.col("n_chars").alias("rep_chars"),
         )
         .orderBy("component")
     )

@@ -342,3 +342,88 @@ def dialect_group_uniq_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """,
     )
+
+
+@register(
+    "dialect_string_search_round3",
+    oracle="""
+    WITH t AS (
+      SELECT source, text,
+             string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents)
+    SELECT source,
+           sum(CAST((length(text) - length(replace(text, 'data', '')))
+                    / 4 AS BIGINT))                              AS n_data_hits,
+           count(*) FILTER (WHERE text LIKE '%spark%'
+                               OR text LIKE '%batch%'
+                               OR text LIKE '%window%')          AS n_any_hit,
+           max(len(list_filter(toks, w -> length(w) > 4)))       AS max_long_words,
+           min(list_filter(toks, w -> length(w) > 4)[1])         AS first_long_word
+    FROM t GROUP BY source ORDER BY source
+    """,
+)
+def dialect_string_search_round3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 ClickHouse string/array-search vocabulary, end to end
+    from raw ClickHouse SQL: ``countSubstrings`` (occurrence count via
+    the length-difference identity), ``multiSearchAny`` with a bracket
+    array literal (``[…]`` → ``array(…)``), ``splitByWhitespace``,
+    ``arrayCount`` and ``arrayFirst`` (lambda-first forms).  All of it
+    rewrites to codegen'd built-ins; one scan + one hash aggregate on
+    ``source``."""
+    from ..migrate import execute_and_inflate
+
+    v = _view(spark, sf_dir, "documents")
+    return execute_and_inflate(
+        spark,
+        f"""
+        SELECT source,
+               sum(countSubstrings(text, 'data')) AS n_data_hits,
+               countIf(multiSearchAny(text, ['spark', 'batch', 'window']))
+                 AS n_any_hit,
+               max(arrayCount(w -> length(w) > 4, splitByWhitespace(text)))
+                 AS max_long_words,
+               min(arrayFirst(w -> length(w) > 4, splitByWhitespace(text)))
+                 AS first_long_word
+        FROM {v} GROUP BY source ORDER BY source
+        """,
+    )
+
+
+@register(
+    "dialect_time_round3",
+    oracle="""
+    SELECT CASE event_type WHEN 'purchase' THEN 'conversion'
+                           WHEN 'error' THEN 'failure'
+                           ELSE 'other' END AS bucket,
+           count(*) AS n,
+           min(time_bucket(INTERVAL '30 minutes', ts)) AS first_slot,
+           max(monthname(ts)) AS max_month_name,
+           max(CAST(floor((epoch(ts) - epoch(TIMESTAMP '2020-01-01 00:00:00'))
+                          / 3600) AS BIGINT)) AS max_age_h
+    FROM events
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def dialect_time_round3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 ClickHouse time/value-mapping vocabulary from raw SQL:
+    ``transform(x, from, to, default)`` (→ a broadcast-free
+    map-literal lookup), ``timeSlot`` (half-hour floor), ``dateName``
+    (→ date_format), ``age`` (elapsed complete units — matches Spark's
+    ``timestampdiff``), with bracket array literals in the transform
+    call.  Single scan, one aggregate on the mapped bucket."""
+    from ..migrate import execute_and_inflate
+
+    v = _view(spark, sf_dir, "events")
+    return execute_and_inflate(
+        spark,
+        f"""
+        SELECT transform(event_type, ['purchase', 'error'],
+                         ['conversion', 'failure'], 'other') AS bucket,
+               count(*) AS n,
+               min(timeSlot(ts)) AS first_slot,
+               max(dateName('month', ts)) AS max_month_name,
+               max(age('hour', toDateTime('2020-01-01 00:00:00'), ts)) AS max_age_h
+        FROM {v}
+        GROUP BY bucket ORDER BY bucket
+        """,
+    )

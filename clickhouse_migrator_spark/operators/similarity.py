@@ -387,3 +387,68 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "sim_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    s AS (
+      SELECT label, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM v),
+    e AS (
+      SELECT label, scale,
+             list_sum(list_transform(
+                 v, x -> pow(x - round(x / scale) * scale, 2))) / len(v) AS mse,
+             list_max(list_transform(
+                 v, x -> abs(x - round(x / scale) * scale))) AS maxerr
+      FROM s)
+    SELECT label, count(*) AS n_vecs,
+           round(avg(scale), 6)  AS avg_scale,
+           round(avg(mse), 6)    AS avg_mse,
+           round(max(maxerr), 6) AS max_abs_err
+    FROM e GROUP BY label ORDER BY label
+    """,
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 vector quantization (the storage/ANN compression
+    step of an embedding pipeline): per-vector scale = max|x|/127,
+    codes = round(x/scale), then the reconstruction-error audit
+    (per-label mean squared error and worst absolute error) that
+    decides whether int8 is safe for a corpus.
+
+    Everything is higher-order array expressions on the JVM — one scan,
+    one partial-agg'd groupBy(label); no Python, no shuffle of the
+    vectors themselves, only 4 doubles per label cross the exchange.
+    At 100 TB the same plan quantizes shards independently and the
+    audit cost stays O(#labels)."""
+    v = _vecs(spark, sf_dir)
+    s = v.withColumn(
+        "scale",
+        F.array_max(F.transform("v", lambda x: F.abs(x))) / F.lit(127.0),
+    )
+    dq_err = F.transform(
+        "v", lambda x: x - F.round(x / F.col("scale")) * F.col("scale")
+    )
+    e = s.select(
+        "label",
+        "scale",
+        (
+            F.aggregate(dq_err, F.lit(0.0), lambda a, z: a + z * z)
+            / F.size("v")
+        ).alias("mse"),
+        F.array_max(F.transform(dq_err, lambda z: F.abs(z))).alias("maxerr"),
+    )
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("scale"), 6).alias("avg_scale"),
+            F.round(F.avg("mse"), 6).alias("avg_mse"),
+            F.round(F.max("maxerr"), 6).alias("max_abs_err"),
+        )
+        .orderBy("label")
+    )

@@ -9,7 +9,7 @@ scan of the corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..registry import register
 from ..tables import table
@@ -431,4 +431,99 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("redacted"),
         F.regexp_count(F.col("raw"), F.lit(email)).alias("n_emails"),
         F.regexp_count(F.col("raw"), F.lit(phone)).alias("n_phones"),
+    )
+
+
+@register(
+    "ml_naive_bayes_langid",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents),
+    cls AS (SELECT lang AS c, count(*) AS n_docs FROM documents GROUP BY lang),
+    tot AS (SELECT count(*) AS n FROM documents),
+    ctok AS (SELECT lang AS c, count(*) AS n_tok FROM tok GROUP BY lang),
+    voc AS (SELECT count(DISTINCT token) AS v FROM tok),
+    tc AS (SELECT lang AS c, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+    scored AS (
+      SELECT t.doc_id, t.lang AS actual, cls.c,
+             ln(cls.n_docs) - ln(tot.n)
+               - count(*) * ln(ctok.n_tok + voc.v)
+               + sum(ln(coalesce(tc.cnt, 0) + 1)) AS score
+      FROM tok t
+      CROSS JOIN tot CROSS JOIN voc CROSS JOIN cls
+      JOIN ctok ON ctok.c = cls.c
+      LEFT JOIN tc ON tc.c = cls.c AND tc.token = t.token
+      GROUP BY t.doc_id, t.lang, cls.c, cls.n_docs, ctok.n_tok, tot.n, voc.v),
+    pred AS (
+      SELECT doc_id, actual, c AS predicted,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, c) AS rk
+      FROM scored)
+    SELECT actual, predicted, count(*) AS n_docs
+    FROM pred WHERE rk = 1
+    GROUP BY actual, predicted
+    ORDER BY actual, predicted
+    """,
+)
+def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language ID, trained AND scored
+    in-engine (the classic distributed text classifier — training is
+    pure counting, so it is one aggregation pass, not an iterative
+    solver).  Laplace-smoothed token likelihoods per class, log-score
+    every document against every class, argmax, and emit the confusion
+    matrix against the labeled ``lang`` column.
+
+    Scale shape: the model (class priors + per-class token counts) is
+    a dimension table — broadcast into the scoring join; the corpus
+    side is scanned once, exploded, and aggregated per (doc, class).
+    With C classes the fan-out is C× the token stream, all map-side;
+    the only wide exchanges are keyed on token / (doc, class).  At
+    100 TB the model tables stay MBs and the plan is unchanged."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.col("lang").alias("actual"), F.explode(_tokens()).alias("token")
+    )
+    cls = d.groupBy(F.col("lang").alias("c")).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    ctok = tok.groupBy(F.col("actual").alias("c")).agg(
+        F.count(F.lit(1)).alias("n_tok")
+    )
+    voc = tok.agg(F.countDistinct("token").alias("v"))
+    tc = tok.groupBy(F.col("actual").alias("c"), "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    model = (
+        cls.join(ctok, "c")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(voc))
+    )
+    scored = (
+        tok.crossJoin(F.broadcast(model))
+        .join(F.broadcast(tc), ["c", "token"], "left")
+        .groupBy("doc_id", "actual", "c", "n_docs", "n_tok", "n", "v")
+        .agg(
+            F.count(F.lit(1)).alias("len_doc"),
+            F.sum(F.log(F.coalesce(F.col("cnt"), F.lit(0)) + 1)).alias("sum_ln"),
+        )
+        .select(
+            "doc_id",
+            "actual",
+            "c",
+            (
+                F.log("n_docs")
+                - F.log("n")
+                - F.col("len_doc") * F.log(F.col("n_tok") + F.col("v"))
+                + F.col("sum_ln")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("c"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .groupBy("actual", F.col("c").alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("actual", "predicted")
     )

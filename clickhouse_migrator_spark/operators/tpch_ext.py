@@ -566,3 +566,60 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH natsupp AS (
+      SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'),
+    value_by_part AS (
+      SELECT l_partkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+      FROM lineitem JOIN natsupp ON l_suppkey = s_suppkey
+      GROUP BY l_partkey)
+    SELECT l_partkey AS p_partkey, part_value
+    FROM value_by_part
+    WHERE part_value > (SELECT avg(part_value) * 2 FROM value_by_part)
+    ORDER BY part_value DESC, p_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted: no ``partsupp`` fixture — "stock value"
+    becomes observed shipped revenue per part from one nation's
+    suppliers; threshold relaxed to 2x the mean per-part value, stable across scale factors):
+    parts representing an outsized share of a nation's supply value.
+
+    Scale: the nation's supplier keys are a broadcast semi-join into
+    the fact scan (no fact shuffle for the filter); one groupBy on
+    partkey; the national total is a 1-row aggregate broadcast back
+    into the threshold filter — the correlated subquery never becomes
+    a per-row recompute."""
+    nat = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    vals = (
+        table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(nat), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("part_value")
+        )
+    )
+    thresh = vals.agg((F.avg("part_value") * 2).alias("threshold"))
+    return (
+        vals.join(F.broadcast(thresh))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select(F.col("l_partkey").alias("p_partkey"), "part_value")
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+    )

@@ -440,10 +440,16 @@ def test_rewriter_fixed_point_and_oracle_safety():
     """Two safety invariants over the whole registry: (1) rewriting is
     idempotent — output is always a fixed point (no rewrite loops, no
     double-mangling); (2) ordinary SQL is untouched — the registry's
-    own DuckDB oracle strings pass through unchanged, except the one
-    that uses `median()`, which maps to the semantically identical
+    own DuckDB oracle strings pass through unchanged, except (a) the
+    one that uses `median()`, which maps to the semantically identical
     `percentile(x, 0.5)` (ClickHouse's `median` must translate; Spark's
-    own median IS the 0.5 percentile)."""
+    own median IS the 0.5 percentile), and (b) `[…]` list literals,
+    which DuckDB spells exactly like ClickHouse array literals — those
+    normalize to `array(…)` by design, so they are factored out of the
+    comparison here."""
+    from clickhouse_migrator_spark.functions.select_funcs import (
+        _rewrite_array_literals,
+    )
     from clickhouse_migrator_spark.registry import all_specs
 
     changed = set()
@@ -452,7 +458,7 @@ def test_rewriter_fixed_point_and_oracle_safety():
             continue
         once = rewrite_functions(spec.oracle)
         assert rewrite_functions(once) == once, f"not idempotent: {name}"
-        if once != spec.oracle:
+        if once != _rewrite_array_literals(spec.oracle):
             changed.add(name)
     assert changed == {"agg_order_statistics"}
 
@@ -594,3 +600,113 @@ def test_agg_combinators_execute(spark):
         )
     ).first()
     assert row2.sn is None and row2.cn is None and row2.sd == 0
+
+
+@pytest.mark.parametrize(
+    "src,expected",
+    [
+        (
+            "SELECT arrayCount(x -> x > 2, a) FROM t",
+            "SELECT size(filter(a, x -> x > 2)) FROM t",
+        ),
+        (
+            "SELECT arrayCount(a) FROM t",
+            "SELECT size(filter(a, _x -> _x != 0)) FROM t",
+        ),
+        (
+            "SELECT arrayFirst(x -> x > 2, a) FROM t",
+            "SELECT get(filter(a, x -> x > 2), 0) FROM t",
+        ),
+        (
+            "SELECT arrayFirstIndex(x -> x > 2, a) FROM t",
+            "SELECT array_position(transform(a, x -> x > 2), true) FROM t",
+        ),
+        (
+            "SELECT arrayReverseSort(a) FROM t",
+            "SELECT reverse(array_sort(a)) FROM t",
+        ),
+        (
+            "SELECT multiSearchAny(s, ['a','b']) FROM t",
+            "SELECT exists(array('a','b'), _n -> contains(s, _n)) FROM t",
+        ),
+        (
+            "SELECT roundBankers(v, 2) FROM t",
+            "SELECT bround(v, 2) FROM t",
+        ),
+        (
+            "SELECT substringIndex(s, ' ', 2) FROM t",
+            "SELECT substring_index(s, ' ', 2) FROM t",
+        ),
+        # ClickHouse 4-arg transform rewrites; Spark's 2-arg higher-order
+        # transform passes through
+        (
+            "SELECT transform(a, x -> x + 1) FROM t",
+            "SELECT transform(a, x -> x + 1) FROM t",
+        ),
+        # array literals: literal-start brackets rewrite, indexing doesn't
+        (
+            "SELECT [1, 2][1] AS x, a[1] FROM t",
+            "SELECT array(1, 2)[1] AS x, a[1] FROM t",
+        ),
+        (
+            "SELECT '[not an array]' AS s FROM t",
+            "SELECT '[not an array]' AS s FROM t",
+        ),
+    ],
+)
+def test_rewrite_shapes_round3_vocab(src, expected):
+    assert rewrite_functions(src) == expected
+
+
+def test_round3_rewrites_execute(spark):
+    row = spark.sql(
+        rewrite_functions(
+            "SELECT arrayCount(x -> x > 1, [1, 2, 3]) AS c, "
+            "arrayFirst(x -> x > 1, [1, 2, 3]) AS f, "
+            "arrayFirst(x -> x > 9, [1, 2, 3]) AS f_none, "
+            "arrayLast(x -> x > 1, [1, 2, 3]) AS l, "
+            "arrayFirstIndex(x -> x > 2, [1, 2, 3]) AS fi, "
+            "arrayResize([1, 2], 4, 0) AS rz, "
+            "arrayResize([1, 2, 3], 2) AS shrink, "
+            "countSubstrings('abcabc', 'bc') AS cs, "
+            "multiSearchAny('haystack', ['xyz', 'stack']) AS ms, "
+            "transform('b', ['a', 'b'], ['x', 'y'], 'z') AS tr, "
+            "transform('q', ['a', 'b'], ['x', 'y'], 'z') AS tr_def, "
+            "intDivOrZero(7, 0) AS dz, moduloOrZero(7, 0) AS mz, "
+            "roundBankers(2.5) AS rb, "
+            "age('day', toDateTime('2020-01-01 00:00:00'), "
+            "toDateTime('2020-01-03 12:00:00')) AS age_d, "
+            "dateName('month', toDateTime('2020-03-05 00:00:00')) AS mn, "
+            "toLastDayOfMonth(toDate('2020-02-05')) AS ld, "
+            "splitByWhitespace('  a  b c ') AS sw, "
+            "substringIndex('a.b.c', '.', 2) AS si"
+        )
+    ).first()
+    assert row.c == 2 and row.f == 2 and row.f_none is None and row.l == 3
+    assert row.fi == 3 and row.rz == [1, 2, 0, 0] and row.shrink == [1, 2]
+    assert row.cs == 2 and row.ms is True
+    assert row.tr == "y" and row.tr_def == "z"
+    assert row.dz == 0 and row.mz == 0 and row.rb == 2.0
+    assert row.age_d == 2 and row.mn == "March"
+    assert str(row.ld) == "2020-02-29" and row.sw == ["a", "b", "c"]
+    assert row.si == "a.b"
+
+
+def test_round3_search_aliases(spark):
+    assert rewrite_functions("SELECT lagInFrame(v) OVER w FROM t") == (
+        "SELECT lag(v) OVER w FROM t"
+    )
+    assert rewrite_functions("SELECT extract(y FROM ts) FROM t") == (
+        "SELECT extract(y FROM ts) FROM t"
+    )
+    row = spark.sql(
+        rewrite_functions(
+            "SELECT positionCaseInsensitive('Haystack', 'STACK') AS p, "
+            "countMatches('a1b22c333', '[0-9]+') AS cm, "
+            "extract('a1b22', '[0-9]+') AS ex, "
+            "ilike('HayStack', 'hay%') AS il, "
+            "notLike('abc', 'a%') AS nl"
+        )
+    ).first()
+    assert row.p == 4 and row.cm == 3 and row.ex == "1"
+    assert row.il is True and row.nl is False

@@ -972,3 +972,174 @@ def agg_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("g").cast("long").alias("n_good"),
         F.col("b").cast("long").alias("n_bad"),
     )
+
+
+@register(
+    "agg_anova_event_values",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, count(*) AS n_g, sum(value) AS s_g,
+             sum(value * value) AS ss_g
+      FROM events GROUP BY event_type),
+    tot AS (
+      SELECT count(*) AS k, sum(n_g) AS n, sum(s_g) AS s,
+             sum(ss_g) AS ss, sum(s_g * s_g / n_g) AS sb
+      FROM g)
+    SELECT k, n,
+           round(sb - s * s / n, 4)              AS ss_between,
+           round(ss - sb, 4)                     AS ss_within,
+           round(((sb - s * s / n) / (k - 1))
+                 / ((ss - sb) / (n - k)), 6)     AS f_stat
+    FROM tot
+    """,
+)
+def agg_anova_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``analysisOfVariance(value, group)`` — one-way ANOVA
+    F-statistic across event types, computed in CLOSED FORM from
+    per-group (n, Σx, Σx²): SS_between = Σ(S_g²/n_g) − S²/N,
+    SS_within = ΣΣx² − Σ(S_g²/n_g), F = (SSB/(k−1)) / (SSW/(N−k)).
+
+    Two-level aggregation — per-group partials then a 1-row combine —
+    so the fact table is scanned once and only k rows cross the
+    exchange; the same plan at 100 TB is map-side partials + a
+    constant-size final reduce."""
+    g = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum("value").alias("s_g"),
+            F.sum(F.col("value") * F.col("value")).alias("ss_g"),
+        )
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("ss_g").alias("ss"),
+        F.sum(F.col("s_g") * F.col("s_g") / F.col("n_g")).alias("sb"),
+    )
+    sb_minus = F.col("sb") - F.col("s") * F.col("s") / F.col("n")
+    ssw = F.col("ss") - F.col("sb")
+    return tot.select(
+        "k",
+        "n",
+        F.round(sb_minus, 4).alias("ss_between"),
+        F.round(ssw, 4).alias("ss_within"),
+        F.round((sb_minus / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 6).alias(
+            "f_stat"
+        ),
+    )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS from_state,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_state
+      FROM events),
+    pairs AS (
+      SELECT from_state, to_state, count(*) AS n_transitions
+      FROM seq WHERE to_state IS NOT NULL
+      GROUP BY from_state, to_state)
+    SELECT from_state, to_state, n_transitions,
+           round(n_transitions / CAST(sum(n_transitions)
+                 OVER (PARTITION BY from_state) AS DOUBLE), 6) AS p
+    FROM pairs
+    ORDER BY from_state, to_state
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: count (state → next state) pairs, normalize per source
+    state.  The behavioral-model summary behind next-event prediction
+    and anomalous-flow detection.
+
+    One user_id shuffle for the lead() window, one hash aggregate on
+    the (from, to) pair, and the normalizing ratio-to-total runs over
+    the TINY aggregated matrix (|states|² rows), never the raw
+    stream — the same pattern as `events_type_share`."""
+    seq = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("from_state"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("to_state"),
+    )
+    pairs = (
+        seq.filter(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    w = Window.partitionBy("from_state")
+    return pairs.select(
+        "from_state",
+        "to_state",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(w).cast("double"), 6
+        ).alias("p"),
+    ).orderBy("from_state", "to_state")
+
+
+@register(
+    "text_zipf_slope",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents),
+    freq AS (SELECT token, count(*) AS f FROM tok GROUP BY token),
+    ranked AS (
+      SELECT ln(row_number() OVER (ORDER BY f DESC, token)) AS lr,
+             ln(f) AS lf
+      FROM freq),
+    m AS (
+      SELECT count(*) AS n, sum(lr) AS sx, sum(lf) AS sy,
+             sum(lr * lr) AS sxx, sum(lr * lf) AS sxy, sum(lf * lf) AS syy
+      FROM ranked)
+    SELECT n AS vocab_size,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           round(pow(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM m
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    ln(frequency) against ln(rank) (natural language ≈ −1) plus R² —
+    the corpus-health diagnostic that flags synthetic or degenerate
+    training data (a near-flat or near-perfect fit is suspicious).
+
+    The rank window is global but runs over the DISTINCT-token
+    frequency table, not the token stream — vocabulary is sublinear in
+    corpus size (Heaps' law), so even at 100 TB the ranked set is
+    millions of rows, one range-partitioned sort.  The OLS fit is the
+    same closed-form moment aggregation as `agg_linear_regression`."""
+    tok = table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("f"))
+    ranked = freq.select(
+        F.log(
+            F.row_number().over(Window.orderBy(F.col("f").desc(), "token"))
+        ).alias("lr"),
+        F.log("f").alias("lf"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lr").alias("sx"),
+        F.sum("lf").alias("sy"),
+        F.sum(F.col("lr") * F.col("lr")).alias("sxx"),
+        F.sum(F.col("lr") * F.col("lf")).alias("sxy"),
+        F.sum(F.col("lf") * F.col("lf")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        F.col("n").alias("vocab_size"),
+        F.round(num / den, 6).alias("zipf_slope"),
+        F.round(F.pow(num, 2) / (den * deny), 6).alias("r2"),
+    )

@@ -427,3 +427,43 @@ def dialect_time_round3(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY bucket ORDER BY bucket
         """,
     )
+
+
+@register(
+    "dialect_with_rollup_hierarchy",
+    oracle="""
+    SELECT coalesce(r_name, 'ALL') AS region_name,
+           coalesce(n_name, 'ALL') AS nation_name,
+           count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY region_name, nation_name
+    """,
+)
+def dialect_with_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``GROUP BY … WITH ROLLUP`` — the clause passes
+    through the dialect layer untouched because Spark SQL accepts the
+    identical spelling (proved end-to-end by running the raw text
+    through ``execute_and_inflate``'s rewrite path).  Rollup plans as
+    ONE Expand + hash aggregate (each input row expanded to its
+    grouping sets map-side), not one aggregation per level."""
+    from ..migrate import execute_and_inflate
+
+    c = _view(spark, sf_dir, "customer")
+    n = _view(spark, sf_dir, "nation")
+    r = _view(spark, sf_dir, "region")
+    return execute_and_inflate(
+        spark,
+        f"""
+        SELECT coalesce(r_name, 'ALL') AS region_name,
+               coalesce(n_name, 'ALL') AS nation_name,
+               count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+        FROM {c}
+        JOIN {n} ON c_nationkey = n_nationkey
+        JOIN {r} ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name WITH ROLLUP
+        ORDER BY region_name, nation_name
+        """,
+    )

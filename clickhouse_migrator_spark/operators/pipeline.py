@@ -346,3 +346,74 @@ def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_hash"),
         )
     )
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, lang, n_chars,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+             md5(lower(trim(text))) AS h
+      FROM documents),
+    per_source AS (
+      SELECT source,
+             count(*)                         AS n_docs,
+             sum(n_tokens)                    AS total_tokens,
+             round(avg(n_tokens), 4)          AS avg_tokens,
+             round(avg(n_chars), 4)           AS avg_chars,
+             count(DISTINCT lang)             AS n_langs,
+             count(DISTINCT h)                AS n_unique_texts
+      FROM t GROUP BY source),
+    tot AS (SELECT sum(total_tokens) AS all_tokens FROM per_source)
+    SELECT source, n_docs, total_tokens, avg_tokens, avg_chars, n_langs,
+           round(1 - n_unique_texts / CAST(n_docs AS DOUBLE), 6)   AS dup_rate,
+           round(total_tokens / CAST(all_tokens AS DOUBLE), 6)     AS token_share
+    FROM per_source CROSS JOIN tot
+    ORDER BY source
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source "dataset card": document/token counts, average
+    lengths, language diversity, exact-dup rate and token share — the
+    summary table a training run's data recipe is negotiated over.
+
+    One exploded-free scan (token counts are array sizes, not
+    explodes), one hash aggregate per source, and the global token
+    total is a 1-row broadcast back into the share column.  Exactly
+    the plan shape that stays cheap at 100 TB: per-source state is a
+    handful of counters."""
+    t = table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(_tokens()).alias("n_tokens"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
+    )
+    per_source = t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("h").alias("n_unique_texts"),
+    )
+    tot = per_source.agg(F.sum("total_tokens").alias("all_tokens"))
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "avg_tokens",
+            "avg_chars",
+            "n_langs",
+            F.round(
+                1 - F.col("n_unique_texts") / F.col("n_docs").cast("double"), 6
+            ).alias("dup_rate"),
+            F.round(
+                F.col("total_tokens") / F.col("all_tokens").cast("double"), 6
+            ).alias("token_share"),
+        )
+        .orderBy("source")
+    )

@@ -527,3 +527,59 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("actual", "predicted")
     )
+
+
+@register(
+    "text_keywords_per_doc",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(n.n_docs / CAST(df.df AS DOUBLE)), 6) AS tfidf,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf * ln(n.n_docs / CAST(df.df AS DOUBLE))
+                                         DESC, tf.term) AS rk
+      FROM tf JOIN df USING (term) CROSS JOIN n)
+    SELECT doc_id, rk AS keyword_rank, term, tfidf
+    FROM scored WHERE rk <= 3 AND tfidf > 0
+    ORDER BY doc_id, keyword_rank
+    """,
+)
+def text_keywords_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: top-3 TF-IDF terms PER DOCUMENT (the
+    per-item sibling of the corpus-level `text_tfidf_top20`) — the
+    tagging/indexing primitive of a curation pipeline.
+
+    Scale: same two aggregations as tfidf (tf keyed on (doc, term),
+    vocabulary-sized df broadcast back); the per-doc top-3 is a window
+    over the doc_id key — millions of small partitions, no global
+    sort.  Zero-idf terms (present in every doc) are excluded so the
+    keywords are discriminative."""
+    d = table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    toks = d.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("raw"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("raw").desc(), "term")
+    return (
+        scored.select(
+            "doc_id",
+            F.row_number().over(w).alias("keyword_rank"),
+            "term",
+            F.round("raw", 6).alias("tfidf"),
+        )
+        .filter((F.col("keyword_rank") <= 3) & (F.col("tfidf") > 0))
+        .orderBy("doc_id", "keyword_rank")
+    )

@@ -102,3 +102,23 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     pushdown, vectorized scan)."""
     ensure_runtime_confs(spark)
     return spark.read.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Opaque-binary ingestion (`binaryFile` source) — the entry point
+    of the multimodal pipeline: each file becomes one row of
+    (path, modificationTime, length, content BINARY), ready for the
+    `operators.multimodal` decode/feature UDF stages.
+
+    Scale notes: binary files don't split, so parallelism = #files;
+    at 100 TB pack media into a few-MB-per-object layout (or tar-shard
+    into parquet binary columns first) rather than millions of tiny
+    files that drown the driver in listing. `pathGlobFilter` prunes at
+    listing time — cheaper than a post-read filter on `path`."""
+    ensure_runtime_confs(spark)
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)

@@ -99,3 +99,16 @@ def test_orc_roundtrip(spark, sf_dir, tmp_path):
     back = read_orc(spark, out)
     assert back.schema == nation.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_binary_file_reader(spark, tmp_path):
+    from clickhouse_migrator_spark.sources.readers import read_binary_files
+
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01payload")
+    (tmp_path / "b.bin").write_bytes(b"\xff" * 16)
+    (tmp_path / "skip.txt").write_text("not binary")
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.bin", "b.bin"}
+    assert rows["a.bin"].length == 9 and bytes(rows["a.bin"].content)[2:] == b"payload"
+    assert df.schema["content"].dataType.typeName() == "binary"

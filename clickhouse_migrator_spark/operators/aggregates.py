@@ -1176,3 +1176,56 @@ def agg_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "agg_hll_sketch_merge",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d, event_type, user_id
+      FROM events)
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_uniques,
+           true AS within_2pct
+    FROM daily GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``uniqState`` / ``uniqMerge`` — the MERGEABLE-sketch
+    combinator pattern: per-day HyperLogLog sketches built once
+    (``hll_sketch_agg``), then rolled up to per-type uniques by
+    UNIONING the sketches (``hll_union_agg`` + ``hll_sketch_estimate``)
+    without touching raw rows again.  THE incremental-rollup shape at
+    100 TB: daily partials are kilobytes, re-aggregation cost is
+    O(days), not O(events).
+
+    The oracle pins the exact distinct count plus a 2%-tolerance flag
+    on the sketch estimate (lgConfigK=14 keeps sub-percent error at
+    these cardinalities, but sketch internals — coupon collisions —
+    make bit-exact equality an unsound contract), so the check still
+    fails loudly if the sketch pipeline breaks."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("d"), "event_type")
+        .agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sketch"))
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias("merged_estimate")
+    )
+    exact = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_uniques"))
+    )
+    return (
+        exact.join(merged, "event_type")
+        .select(
+            "event_type",
+            "exact_uniques",
+            (
+                F.abs(F.col("merged_estimate") - F.col("exact_uniques"))
+                <= 0.02 * F.col("exact_uniques")
+            ).alias("within_2pct"),
+        )
+        .orderBy("event_type")
+    )

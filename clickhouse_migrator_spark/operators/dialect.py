@@ -467,3 +467,34 @@ def dialect_with_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame
         ORDER BY region_name, nation_name
         """,
     )
+
+
+@register(
+    "dialect_group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def dialect_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``GROUP BY ALL`` (group by every non-aggregate select
+    expression) — Spark SQL accepts the identical spelling, so the
+    clause passes through the dialect layer untouched; run end-to-end
+    here with ClickHouse function vocabulary (``round``/``sum``) in the
+    same statement.  Plans as the ordinary single hash aggregate."""
+    from ..migrate import execute_and_inflate
+
+    v = _view(spark, sf_dir, "orders")
+    return execute_and_inflate(
+        spark,
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM {v}
+        GROUP BY ALL
+        ORDER BY o_orderstatus, o_orderpriority
+        """,
+    )

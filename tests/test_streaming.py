@@ -63,17 +63,19 @@ def test_stateful_sessionizer_matches_batch(spark, sf_dir, tmp_path):
     src = str(tmp_path / "stream_src")
     os.makedirs(src)
     shutil.copy(f"{sf_dir}/events.parquet", f"{src}/a_events.parquet")
-    sentinel = pd.DataFrame(
-        {
-            "event_id": [10**9],
-            "ts": [pd.Timestamp("2024-06-01 00:00:00")],
-            "user_id": [999_999],
-            "event_type": ["view"],
-            "value": [0.0],
-            "props": ["{}"],
-        }
-    )
-    sentinel.to_parquet(f"{src}/b_sentinel.parquet")
+    # written with Spark against the fixture's own schema — a pandas
+    # write would carry nanosecond timestamps the vectorized reader
+    # refuses against the declared stream schema
+    import datetime as dt
+    import glob
+
+    sent_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sent_dir = str(tmp_path / "sentinel_tmp")
+    spark.createDataFrame(
+        [(10**9, dt.datetime(2024, 6, 1), 999_999, "view", 0.0, "{}")],
+        schema=sent_schema,
+    ).coalesce(1).write.mode("overwrite").parquet(sent_dir)
+    shutil.move(glob.glob(f"{sent_dir}/part-*.parquet")[0], f"{src}/b_sentinel.parquet")
     now = time.time()
     os.utime(f"{src}/a_events.parquet", (now - 100, now - 100))
     os.utime(f"{src}/b_sentinel.parquet", (now, now))

@@ -228,6 +228,38 @@ def main() -> None:
     isl.write.format("noop").mode("overwrite").save()
     stage(f"islands_{nisl//10**6}m_events", t0)
 
+    # overlapping sequence chunking (pipeline_chunk_documents shape) over
+    # 10M synthetic ~96-token docs → ~40M chunk rows with content hashes:
+    # pure row-local explode, no shuffle until the summarizing aggregate
+    nchunk = int(10e6 * SC)
+    t0 = time.perf_counter()
+    toks_c = F.transform(
+        F.sequence(F.lit(0), F.lit(95)),
+        lambda i: F.concat(F.lit("t"), ((F.col("id") * 17 + i * 3) % 9973)),
+    )
+    CH, ST = 32, 24
+    chunks = (
+        spark.range(nchunk)
+        .select("id", toks_c.alias("toks"))
+        .withColumn(
+            "n_chunks",
+            (F.lit(1) + F.floor((F.greatest(F.size("toks") - CH, F.lit(0)) + (ST - 1)) / ST)).cast("bigint"),
+        )
+        .select(
+            "id",
+            "toks",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n_chunks") - 1)).alias("k"),
+        )
+        .select(
+            "id",
+            F.xxhash64(F.concat_ws(" ", F.expr(f"slice(toks, k * {ST} + 1, {CH})"))).alias("h"),
+        )
+    )
+    chunks.groupBy(F.col("h") % 1024).agg(F.count(F.lit(1))).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    stage(f"chunk_{nchunk//10**6}m_docs", t0)
+
     ncow = int(10e6 * SC)
     M.create_db(spark, "scaledb")
     spark.catalog.setCurrentDatabase("scaledb")

@@ -605,6 +605,13 @@ RULES: dict[str, Rule] = {
     "notLike": lambda a: (
         f"(NOT {a[0]} LIKE {a[1]})" if len(a) == 2 else None
     ),
+    # set-Jaccard of two arrays (array_intersect/union already dedupe)
+    "arrayJaccardIndex": lambda a: (
+        f"(size(array_intersect({a[0]}, {a[1]})) "
+        f"/ CAST(size(array_union({a[0]}, {a[1]})) AS DOUBLE))"
+        if len(a) == 2
+        else None
+    ),
     "dateName": lambda a: (
         (
             lambda unit: (
@@ -661,6 +668,22 @@ _PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
     # groupArray(N): first N collected values (collect order caveat as
     # for the plain form)
     "groupArray": lambda p, a: (
+        f"slice(collect_list({', '.join(a)}), 1, {int(p[0])})"
+    ),
+    # timing/deterministic quantile variants: ClickHouse's are
+    # approximation strategies of the same statistic — exact percentile
+    # is a strict upgrade; quantileDeterministic's determinator arg is
+    # dropped (exact needs no tie-breaking seed)
+    "quantileTiming": lambda p, a: (
+        f"percentile({a[0]}, {p[0] if p else '0.5'})"
+    ),
+    "quantileDeterministic": lambda p, a: (
+        f"percentile({a[0]}, {p[0] if p else '0.5'})"
+    ),
+    # groupArraySample(N[, seed]): ClickHouse samples randomly; mapped to
+    # the first-N slice — deterministic, documented divergence (use the
+    # engine's hash-based sampling operators for reproducible samples)
+    "groupArraySample": lambda p, a: (
         f"slice(collect_list({', '.join(a)}), 1, {int(p[0])})"
     ),
 }

@@ -623,3 +623,78 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_partkey").alias("p_partkey"), "part_value")
         .orderBy(F.col("part_value").desc(), "p_partkey")
     )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+    WITH flagged AS (
+      SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'),
+    per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+      FROM flagged GROUP BY l_orderkey),
+    waiting AS (
+      SELECT DISTINCT f.l_orderkey, f.l_suppkey
+      FROM flagged f JOIN per_order p ON f.l_orderkey = p.l_orderkey
+      WHERE f.late AND p.n_supp >= 2 AND p.n_late_supp = 1)
+    SELECT s_name, count(*) AS numwait
+    FROM waiting JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (adapted: no ``l_commitdate``/``l_receiptdate`` in the
+    fixtures — "kept the order waiting" becomes shipping more than 60
+    days after the order date): suppliers who were the SOLE late
+    supplier on a multi-supplier finalized order.  The original's
+    EXISTS (another supplier) / NOT EXISTS (another late supplier)
+    double-correlation is re-expressed as one per-order aggregate
+    producing both counts — same topology, one pass.
+
+    Scale: lineitem⨝orders is the one fact-fact shuffle (both sides
+    hash on orderkey; the per-order aggregate reuses that exchange);
+    supplier is broadcast; the final count is supplier-keyed.  No
+    correlated re-scans — the classic Q21 trap at 100 TB."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    flagged = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias(
+            "late"
+        ),
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    waiting = (
+        flagged.filter(F.col("late"))
+        .join(
+            per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)),
+            "l_orderkey",
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )

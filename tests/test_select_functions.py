@@ -710,3 +710,16 @@ def test_round3_search_aliases(spark):
     ).first()
     assert row.p == 4 and row.cm == 3 and row.ex == "1"
     assert row.il is True and row.nl is False
+
+
+def test_round3_quantile_variants_and_jaccard(spark):
+    assert rewrite_functions("SELECT quantileTiming(0.9)(v) FROM t") == (
+        "SELECT percentile(v, 0.9) FROM t"
+    )
+    assert rewrite_functions("SELECT quantileDeterministic(0.5)(v, d) FROM t") == (
+        "SELECT percentile(v, 0.5) FROM t"
+    )
+    row = spark.sql(
+        rewrite_functions("SELECT arrayJaccardIndex([1,2,3], [2,3,4]) AS j")
+    ).first()
+    assert abs(row.j - 0.5) < 1e-12

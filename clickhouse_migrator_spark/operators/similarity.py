@@ -307,27 +307,42 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = len(vecs.select("v").head()[0])
     train = vecs.filter(F.pmod(F.xxhash64("vec_id"), F.lit(KMEANS_TRAIN_MOD)) == 0)
 
+    def nearest_from(vcol: str) -> Column:
+        # `cents` is an array<struct<dist-expr input cv, cid>> COLUMN from
+        # the broadcast 1-row centroid frame — embedding centroids as
+        # float literals instead costs a fresh whole-stage-codegen compile
+        # of a K×dim-literal expression tree per iteration (measured ~5 s
+        # per plan at K=8, d=64; the data itself is milliseconds)
+        best = F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(F.col(vcol), c["cv"], lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0),
+                        lambda a, z: a + z,
+                    ).alias("dist"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )
+        return best["cid"]
+
+    def cent_arr(centroids: DataFrame) -> DataFrame:
+        # K tiny rows folded into ONE array row — broadcast-joined so the
+        # corpus side never shuffles and the plan stays constant-size
+        return centroids.agg(
+            F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias("cents")
+        )
+
     centroids = (
         train.orderBy("vec_id").limit(KMEANS_K)
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        .localCheckpoint()
     )
     for _ in range(KMEANS_ITERS):
-        c = centroids.collect()  # K tiny rows — broadcast as literals
-        arr = F.array(*[F.array(*[F.lit(float(x)) for x in r.cv]) for r in c])
-        cids = F.array(*[F.lit(r.cid) for r in c])
-        dists = F.transform(
-            arr,
-            lambda cv: F.aggregate(
-                F.zip_with(F.col("v"), cv, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda a, z: a + z,
-            ),
-        )
-        assigned = train.select(
-            "vec_id",
-            "v",
-            F.element_at(cids, F.array_position(dists, F.array_min(dists)).cast("int"))
-            .alias("list_id"),
+        assigned = train.crossJoin(F.broadcast(cent_arr(centroids))).select(
+            "vec_id", "v", nearest_from("v").alias("list_id")
         )
         # per-dimension mean as `dim` parallel aggregates: one partial-agg
         # shuffle of (list, d sums) — aggregates can't nest inside
@@ -340,32 +355,20 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("list_id").alias("cid"),
                 F.array(*[F.col(f"d{i}") for i in range(dim)]).alias("cv"),
             )
+            .localCheckpoint()  # truncate loop lineage; K rows
         )
 
-    c = centroids.collect()
-    arr = F.array(*[F.array(*[F.lit(float(x)) for x in r.cv]) for r in c])
-    cids = F.array(*[F.lit(r.cid) for r in c])
-
-    def nearest_list(vcol: str) -> Column:
-        dists = F.transform(
-            arr,
-            lambda cv: F.aggregate(
-                F.zip_with(F.col(vcol), cv, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda a, z: a + z,
-            ),
-        )
-        return F.element_at(
-            cids, F.array_position(dists, F.array_min(dists)).cast("int")
-        )
-
-    corpus = vecs.select("vec_id", "v", nearest_list("v").alias("list_id"))
+    final_cents = F.broadcast(cent_arr(centroids))
+    corpus = vecs.crossJoin(final_cents).select(
+        "vec_id", "v", nearest_from("v").alias("list_id")
+    )
     queries = (
         vecs.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(final_cents)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
-            nearest_list("v").alias("list_id"),
+            nearest_from("v").alias("list_id"),
         )
     )
     norm = lambda col: F.sqrt(_dot(col, col))  # noqa: E731

@@ -146,7 +146,15 @@ def _rename(new: str) -> Rule:
 
 
 def _tpl(template: str) -> Rule:
-    def rule(a: list[str]) -> str:
+    # exact arity from the template's highest placeholder: a call with
+    # the wrong argument count DECLINES (returns None → passthrough)
+    # instead of crashing on too-few or silently DROPPING extra args —
+    # Spark then reports the error with the original spelling intact
+    needed = 1 + max(int(m) for m in re.findall(r"\{(\d+)\}", template))
+
+    def rule(a: list[str]) -> "str | None":
+        if len(a) != needed:
+            return None
         return template.format(*a)
 
     return rule
@@ -751,20 +759,26 @@ def rewrite_functions(sql: str) -> str:
             args, end = _scan_args(sql, m.end())
             rest = sql[end:]
             stripped = rest.lstrip()
-            if name in _PARAMETRIC and stripped.startswith("("):
-                # name(params)(args) — the combinator form
-                inner_start = end + (len(rest) - len(stripped)) + 1
-                inner_args, end = _scan_args(sql, inner_start)
-                repl = _PARAMETRIC[name](args, inner_args)
-            elif name in RULES:
-                maybe = RULES[name](args)
-                if maybe is None:
-                    continue
-                repl = maybe
-            else:
-                # bare form of a parametric aggregate: ClickHouse
-                # defaults apply (quantile/median → p=0.5, uniqUpTo → 5)
-                repl = _PARAMETRIC[name]([], args)
+            # a rule that raises on malformed arity/params DECLINES the
+            # call (Spark reports the error with the original spelling) —
+            # a malformed user statement must never crash the rewriter
+            try:
+                if name in _PARAMETRIC and stripped.startswith("("):
+                    # name(params)(args) — the combinator form
+                    inner_start = end + (len(rest) - len(stripped)) + 1
+                    inner_args, end = _scan_args(sql, inner_start)
+                    repl = _PARAMETRIC[name](args, inner_args)
+                elif name in RULES:
+                    maybe = RULES[name](args)
+                    if maybe is None:
+                        continue
+                    repl = maybe
+                else:
+                    # bare form of a parametric aggregate: ClickHouse
+                    # defaults apply (quantile/median → p=0.5, uniqUpTo → 5)
+                    repl = _PARAMETRIC[name]([], args)
+            except (IndexError, KeyError, TypeError, ValueError):
+                continue
             sql = sql[: m.start()] + repl + sql[end:]
             progress = True
             break

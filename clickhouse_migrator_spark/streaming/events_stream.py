@@ -441,3 +441,56 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         .select("user_id", "event_type", "minute_bucket")
     )
     return spark.table(run_to_memory(dedup, mode="append"))
+
+
+@register(
+    "streaming_hourly_uniques_hll",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket_start,
+           count(DISTINCT user_id) AS exact_uniques,
+           true AS within_2pct
+    FROM events
+    GROUP BY 1
+    """,
+)
+def streaming_hourly_uniques_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cardinality via mergeable sketches: per-hour distinct
+    users computed by a REAL streaming aggregation with
+    ``approx_count_distinct`` (exact count-distinct is not expressible
+    in streaming — distinct state is unbounded; the HLL sketch is the
+    production answer, with per-window state constant-size and
+    mergeable across micro-batches).
+
+    Certified like `agg_hll_sketch_merge`: the batch oracle pins the
+    exact per-hour uniques and a 2%-tolerance flag on the streamed
+    estimate — hourly cardinalities here sit far below the rsd=0.01
+    sketch's error knee, so a tolerance breach means broken plumbing,
+    not sketch noise."""
+    est = (
+        stream_events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("est_uniques"))
+        .select(F.col("w.start").alias("bucket_start"), "est_uniques")
+    )
+    streamed = spark.table(run_to_memory(est))
+    exact = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket_start"))
+        .agg(F.countDistinct("user_id").alias("exact_uniques"))
+    )
+    return (
+        exact.join(
+            streamed,
+            exact.bucket_start.cast("timestamp_ntz")
+            == streamed.bucket_start.cast("timestamp_ntz"),
+        )
+        .select(
+            exact.bucket_start.alias("bucket_start"),
+            "exact_uniques",
+            (
+                F.abs(F.col("est_uniques") - F.col("exact_uniques"))
+                <= 0.02 * F.col("exact_uniques")
+            ).alias("within_2pct"),
+        )
+        .orderBy("bucket_start")
+    )

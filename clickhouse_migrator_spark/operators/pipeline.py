@@ -398,10 +398,15 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lang").alias("n_langs"),
         F.countDistinct("h").alias("n_unique_texts"),
     )
-    tot = per_source.agg(F.sum("total_tokens").alias("all_tokens"))
+    from pyspark.sql import Window
+
+    # ratio-to-total over the ALREADY-aggregated per-source frame (a few
+    # rows) — a frame-less window here avoids recomputing the corpus
+    # aggregate for a 1-row total (the crossJoin(tot) spelling doubles
+    # the scan unless exchange reuse kicks in)
+    w_all = Window.partitionBy()
     return (
-        per_source.crossJoin(F.broadcast(tot))
-        .select(
+        per_source.select(
             "source",
             "n_docs",
             "total_tokens",
@@ -412,7 +417,9 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1 - F.col("n_unique_texts") / F.col("n_docs").cast("double"), 6
             ).alias("dup_rate"),
             F.round(
-                F.col("total_tokens") / F.col("all_tokens").cast("double"), 6
+                F.col("total_tokens")
+                / F.sum("total_tokens").over(w_all).cast("double"),
+                6,
             ).alias("token_share"),
         )
         .orderBy("source")

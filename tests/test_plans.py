@@ -202,3 +202,52 @@ def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
 
     df = pipeline.pipeline_decontaminate_ngrams(spark, sf_dir)
     assert count_broadcasts(df) >= 2
+
+
+def test_chunking_has_zero_shuffles(spark, sf_dir):
+    from clickhouse_migrator_spark.operators import pipeline
+
+    df = pipeline.pipeline_chunk_documents(spark, sf_dir)
+    # chunk explode is row-local; the whole op must be a single scan
+    assert count_shuffles(df) == 0, _plan_string(df)
+
+
+def test_naive_bayes_model_broadcasts_into_scoring(spark, sf_dir):
+    from clickhouse_migrator_spark.operators import text
+
+    df = text.ml_naive_bayes_langid(spark, sf_dir)
+    plan = _plan_string(df)
+    # the model (priors + token-class counts) joins the exploded corpus
+    # as broadcasts — the corpus stream itself never shuffles for the join
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2, plan
+
+
+def test_bitmap_overlap_no_bitmap_materialization(spark, sf_dir):
+    from clickhouse_migrator_spark.operators import aggregates
+
+    df = aggregates.agg_bitmap_audience_overlap(spark, sf_dir)
+    plan = _plan_string(df)
+    # inclusion-exclusion formulation: no collect_list/collect_set of
+    # the user universe anywhere in the plan
+    assert "collect_set" not in plan and "collect_list" not in plan, plan
+
+
+def test_q21_single_fact_fact_exchange_reused(spark, sf_dir):
+    from clickhouse_migrator_spark.operators import tpch_ext
+
+    df = tpch_ext.q21_waiting_suppliers(spark, sf_dir)
+    plan = _plan_string(df)
+    # supplier is broadcast; the per-order aggregate and the flagged
+    # self-join both key on l_orderkey
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(l_orderkey" in plan, plan
+
+
+def test_dataset_card_single_source_aggregate(spark, sf_dir):
+    from clickhouse_migrator_spark.operators import pipeline
+
+    df = pipeline.pipeline_dataset_card(spark, sf_dir)
+    # per-source agg + 1-row total broadcast + final sort — no more
+    assert count_shuffles(df) <= 3, _plan_string(df)

@@ -455,3 +455,100 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+TRUNC_DIMS = 16
+
+
+@register(
+    "sim_truncated_recall",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS fv
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, fv AS qv FROM v WHERE vec_id < {N_QUERIES}),
+    full_scored AS (
+      SELECT query_id, v.vec_id,
+             list_sum(list_transform(range(1, 65),
+                 i -> qv[i] * fv[i]))
+               / (sqrt(list_sum(list_transform(fv, x -> x * x)))
+                  * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS c,
+             row_number() OVER (PARTITION BY query_id ORDER BY
+                 list_sum(list_transform(range(1, 65), i -> qv[i] * fv[i]))
+               / (sqrt(list_sum(list_transform(fv, x -> x * x)))
+                  * sqrt(list_sum(list_transform(qv, x -> x * x)))) DESC,
+                 v.vec_id) AS rk
+      FROM v JOIN q ON v.vec_id != query_id),
+    trunc_scored AS (
+      SELECT query_id, v.vec_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY
+                 list_sum(list_transform(range(1, {TRUNC_DIMS + 1}),
+                     i -> qv[i] * fv[i]))
+               / (sqrt(list_sum(list_transform(list_slice(fv, 1, {TRUNC_DIMS}),
+                                               x -> x * x)))
+                  * sqrt(list_sum(list_transform(list_slice(qv, 1, {TRUNC_DIMS}),
+                                                 x -> x * x)))) DESC,
+                 v.vec_id) AS rk
+      FROM v JOIN q ON v.vec_id != query_id)
+    SELECT f.query_id,
+           count(*) FILTER (WHERE t.rk <= {TOP_K}) AS n_overlap,
+           round(count(*) FILTER (WHERE t.rk <= {TOP_K})
+                 / CAST({TOP_K} AS DOUBLE), 4) AS recall_at_{TOP_K}
+    FROM full_scored f JOIN trunc_scored t
+      ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+    WHERE f.rk <= {TOP_K}
+    GROUP BY f.query_id ORDER BY f.query_id
+    """,
+)
+def sim_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation recall audit (the Matryoshka/short-vector
+    question): score every query's exact top-{TOP_K} under FULL 64-dim
+    cosine against the top-{TOP_K} under the first {TRUNC_DIMS} dims
+    only, and report the per-query overlap.  This is the measurement
+    that decides whether truncated embeddings are usable as a cheap
+    first-pass filter.
+
+    Scale: both rankings share one broadcast of the query set; the
+    corpus is scanned once per ranking (the truncated pass reads the
+    same vectors — at 100 TB you'd store the prefix as its own column
+    to cut I/O, which this audit would justify)."""
+    v = _vecs(spark, sf_dir)
+    q = (
+        v.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    )
+    norm = lambda col: F.sqrt(_dot(col, col))  # noqa: E731
+
+    def ranked(vec_expr, qv_expr):
+        scored = (
+            v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "vec_id",
+                (_dot(vec_expr, qv_expr) / (norm(vec_expr) * norm(qv_expr))).alias("c"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("vec_id"))
+        return scored.select("query_id", "vec_id", F.row_number().over(w).alias("rk"))
+
+    full_rk = ranked(F.col("v"), F.col("qv"))
+    trunc_rk = ranked(
+        F.slice(F.col("v"), 1, TRUNC_DIMS), F.slice(F.col("qv"), 1, TRUNC_DIMS)
+    )
+    return (
+        full_rk.filter(F.col("rk") <= TOP_K)
+        .join(
+            trunc_rk.select(
+                "query_id", "vec_id", F.col("rk").alias("trk")
+            ),
+            ["query_id", "vec_id"],
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.when(F.col("trk") <= TOP_K, 1)).alias("n_overlap"),
+            F.round(
+                F.count(F.when(F.col("trk") <= TOP_K, 1)) / float(TOP_K), 4
+            ).alias(f"recall_at_{TOP_K}"),
+        )
+        .orderBy("query_id")
+    )

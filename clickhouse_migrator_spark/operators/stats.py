@@ -1143,3 +1143,68 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num / den, 6).alias("zipf_slope"),
         F.round(F.pow(num, 2) / (den * deny), 6).alias("r2"),
     )
+
+
+ACF_MAX_LAG = 6
+
+
+@register(
+    "ts_autocorrelation",
+    oracle=f"""
+    WITH series AS (
+      SELECT date_trunc('hour', ts) AS h, count(*) AS y
+      FROM events GROUP BY 1),
+    m AS (SELECT avg(y) AS mu, count(*) AS n FROM series),
+    lagged AS (
+      SELECT k, (a.y - mu) * (b.y - mu) AS prod
+      FROM series a
+      CROSS JOIN m
+      JOIN (SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS k) lags ON true
+      JOIN series b ON b.h = a.h + k * INTERVAL '1 hour'),
+    denom AS (SELECT sum(pow(y - mu, 2)) AS ss FROM series CROSS JOIN m)
+    SELECT k AS lag_hours,
+           round(sum(prod) / (SELECT ss FROM denom), 6) AS acf
+    FROM lagged GROUP BY k ORDER BY k
+    """,
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the hourly event-count series at
+    lags 1..{ACF_MAX_LAG} (the seasonality probe behind
+    `ts_decompose_additive`: a daily cycle shows as a peak at lag 24,
+    white noise decays immediately).
+
+    The series is an aggregated frame (#hours rows), so every step after
+    the first rollup — mean, lag self-join, normalization — runs on
+    tiny data; the lag join is an equi-join on the shifted hour key,
+    not a window over the raw stream.  One fact shuffle total."""
+    series = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    # mean via a frame-less window over the tiny aggregated series
+    stats = series.select(
+        F.avg("y").over(Window.partitionBy()).alias("mu"), "h", "y"
+    )
+    denom = stats.agg(F.sum(F.pow(F.col("y") - F.col("mu"), 2)).alias("ss"))
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("k"))
+    a = stats.alias("a")
+    b = stats.select(F.col("h").alias("bh"), F.col("y").alias("by")).alias("b")
+    lagged = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.col("bh")
+            == F.col("a.h") + F.make_interval(hours=F.col("k").cast("int")),
+        )
+        .select(
+            "k", ((F.col("a.y") - F.col("a.mu")) * (F.col("by") - F.col("a.mu"))).alias("prod")
+        )
+    )
+    return (
+        lagged.groupBy("k")
+        .agg(F.sum("prod").alias("num"))
+        .crossJoin(F.broadcast(denom))
+        .select(F.col("k").alias("lag_hours"), F.round(F.col("num") / F.col("ss"), 6).alias("acf"))
+        .orderBy("lag_hours")
+    )

@@ -1288,3 +1288,47 @@ def agg_count_min_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type STRING, exact_count BIGINT, "
         "cms_at_least_exact BOOLEAN, cms_within_1pct BOOLEAN",
     ).orderBy("event_type")
+
+
+@register(
+    "agg_tdigest_percentile_audit",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+           round(quantile_cont(l_extendedprice, 0.99), 2) AS exact_p99,
+           true AS p50_within_1pct,
+           true AS p99_within_1pct
+    FROM lineitem GROUP BY l_returnflag ORDER BY flag
+    """,
+)
+def agg_tdigest_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``quantileTDigest`` — the third mergeable sketch next
+    to HLL (`agg_hll_sketch_merge`) and Count-Min
+    (`agg_count_min_frequencies`): ``approx_percentile`` keeps
+    constant-memory centroid state per group and merges across
+    partitions, vs exact ``percentile``'s per-group value buffer.  At
+    100 TB the exact spelling is the one that breaks; this audit pins
+    how much accuracy the sketch trades (accuracy parameter 10000 →
+    well under 1% on these distributions).
+
+    Both spellings run in ONE aggregation pass; the oracle pins the
+    exact quantiles plus tolerance flags on the sketch values —
+    bit-exact equality is unsound for sketches."""
+    li = table(spark, sf_dir, "lineitem")
+    both = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.percentile("l_extendedprice", 0.5).alias("e50"),
+        F.percentile("l_extendedprice", 0.99).alias("e99"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("a50"),
+        F.expr("approx_percentile(l_extendedprice, 0.99, 10000)").alias("a99"),
+    )
+    return both.select(
+        "flag",
+        F.round("e50", 2).alias("exact_p50"),
+        F.round("e99", 2).alias("exact_p99"),
+        (F.abs(F.col("a50") - F.col("e50")) <= 0.01 * F.col("e50")).alias(
+            "p50_within_1pct"
+        ),
+        (F.abs(F.col("a99") - F.col("e99")) <= 0.01 * F.col("e99")).alias(
+            "p99_within_1pct"
+        ),
+    ).orderBy("flag")

@@ -895,3 +895,70 @@ def scalar_array_enumerate_uniq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_toks"),
         F.size(F.array_distinct(toks)).alias("n_uniq"),
     )
+
+
+# a fixed convex test polygon (pentagon) over the synthetic coordinate
+# space used by scalar_geo_haversine — literal on both engines
+_POLY = [(0.0, 0.0), (40.0, 5.0), (50.0, 40.0), (20.0, 55.0), (-10.0, 30.0)]
+
+
+@register(
+    "scalar_point_in_polygon",
+    oracle="""
+    WITH pts AS (
+      SELECT event_id,
+             (CAST(event_id % 120 AS DOUBLE) - 30) AS px,
+             (CAST((event_id * 7) % 90 AS DOUBLE) - 20) AS py
+      FROM events),
+    edges(x1, y1, x2, y2) AS (VALUES (0.0, 0.0, 40.0, 5.0), (40.0, 5.0, 50.0, 40.0), (50.0, 40.0, 20.0, 55.0), (20.0, 55.0, -10.0, 30.0), (-10.0, 30.0, 0.0, 0.0)),
+    crossings AS (
+      SELECT p.event_id,
+             count(*) FILTER (
+               WHERE ((e.y1 > py) != (e.y2 > py))
+                 AND px < (e.x2 - e.x1) * (py - e.y1) / (e.y2 - e.y1) + e.x1
+             ) AS n_cross
+      FROM pts p CROSS JOIN edges e
+      GROUP BY p.event_id)
+    SELECT count(*) FILTER (WHERE n_cross % 2 = 1) AS n_inside,
+           count(*) FILTER (WHERE n_cross % 2 = 0) AS n_outside
+    FROM crossings
+    """,
+)
+def scalar_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``pointInPolygon((x, y), [(x1, y1), …])`` — ray-casting
+    point-in-polygon, computed entirely as array expressions: the
+    polygon is a broadcast literal array of edges; each point counts
+    edges its rightward ray crosses (odd → inside).  No UDF, no join —
+    per-row O(#edges) arithmetic inside codegen, the shape that holds
+    at any scale.  Points are synthesized from event_id (the fixtures
+    carry no coordinates), aggregated to inside/outside totals."""
+    ev = table(spark, sf_dir, "events")
+    px = (F.col("event_id") % 120).cast("double") - 30
+    py = ((F.col("event_id") * 7) % 90).cast("double") - 20
+    edges = F.array(
+        *[
+            F.struct(
+                F.lit(float(x1)).alias("x1"),
+                F.lit(float(y1)).alias("y1"),
+                F.lit(float(x2)).alias("x2"),
+                F.lit(float(y2)).alias("y2"),
+            )
+            for (x1, y1), (x2, y2) in zip(_POLY, _POLY[1:] + _POLY[:1])
+        ]
+    )
+    pts = ev.select(px.alias("px"), py.alias("py"), edges.alias("edges"))
+    n_cross = F.size(
+        F.filter(
+            F.col("edges"),
+            lambda e: ((e.y1 > F.col("py")) != (e.y2 > F.col("py")))
+            & (
+                F.col("px")
+                < (e.x2 - e.x1) * (F.col("py") - e.y1) / (e.y2 - e.y1) + e.x1
+            ),
+        )
+    )
+    flagged = pts.select((n_cross % 2 == 1).alias("inside"))
+    return flagged.agg(
+        F.count(F.when(F.col("inside"), 1)).alias("n_inside"),
+        F.count(F.when(~F.col("inside"), 1)).alias("n_outside"),
+    )

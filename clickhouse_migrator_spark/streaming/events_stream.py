@@ -494,3 +494,116 @@ def streaming_hourly_uniques_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_start")
     )
+
+
+SPEND_ALARM_THRESHOLD = 300.0
+ALARM_STATE_SCHEMA = "cum DOUBLE, fired BOOLEAN"
+ALARM_OUT_SCHEMA = "user_id BIGINT, alarm_ts TIMESTAMP, cum_value DOUBLE"
+
+
+def spend_alarm_with_state(
+    events: DataFrame, threshold: float = SPEND_ALARM_THRESHOLD
+) -> DataFrame:
+    """Second custom stateful operator next to the sessionizer: per user,
+    emit ONE alarm at the first purchase that lifts cumulative spend
+    over ``threshold``.  The running total must survive micro-batch
+    boundaries — exactly what ``applyInPandasWithState`` per-key state
+    provides; no timeout needed (the alarm fires on data, not on
+    time)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        cum, fired = state.get if state.exists else (0.0, False)
+        out = []
+        if not fired:
+            rows = pd.concat(list(pdfs)).sort_values("event_id")
+            for _, r in rows.iterrows():
+                cum += float(r["value"])
+                if cum >= threshold:
+                    out.append((user_id, r["ts"], round(cum, 2)))
+                    fired = True
+                    break
+        state.update((cum, fired))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "alarm_ts", "cum_value"]
+            )
+
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=ALARM_OUT_SCHEMA,
+            stateStructType=ALARM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+@register(
+    "streaming_spend_alarm",
+    oracle=f"""
+    WITH cum AS (
+      SELECT user_id, ts, event_id,
+             sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                              ROWS UNBOUNDED PRECEDING) AS c
+      FROM events WHERE event_type = 'purchase'),
+    first_cross AS (
+      SELECT user_id, ts AS alarm_ts, round(c, 2) AS cum_value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id) AS rk
+      FROM cum WHERE c >= {SPEND_ALARM_THRESHOLD})
+    SELECT user_id, alarm_ts, cum_value
+    FROM first_cross WHERE rk = 1
+    """,
+)
+def streaming_spend_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spend-alarm stateful operator run as a REAL two-micro-batch
+    stream: purchases are split at the median event_id into two files
+    (maxFilesPerTrigger=1), so users whose crossing purchase falls in
+    batch 2 prove the running total SURVIVES the batch boundary in the
+    state store.  Accumulation order is arrival order (event_id —
+    unique, so the split is provably batch-monotone per user; ordering
+    by ts would make batch assignment ambiguous under ties), in both
+    the state function and the oracle."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+        )
+    median_id = raw.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = tempfile.mkdtemp(prefix="alarm_stream_")
+    for tag, part in (
+        ("a_early", raw.filter(F.col("event_id") <= median_id)),
+        ("b_late", raw.filter(F.col("event_id") > median_id)),
+    ):
+        tdir = tempfile.mkdtemp(prefix=f"alarm_{tag}_")
+        part.coalesce(1).write.mode("overwrite").parquet(tdir)
+        shutil.move(_glob.glob(f"{tdir}/part-*.parquet")[0], f"{src}/{tag}.parquet")
+        shutil.rmtree(tdir, ignore_errors=True)
+    now = _time.time()
+    os.utime(f"{src}/a_early.parquet", (now - 100, now - 100))
+    os.utime(f"{src}/b_late.parquet", (now, now))
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    name = run_to_memory(spend_alarm_with_state(stream), mode="append", timeout_s=180)
+    return spark.table(name).select(
+        "user_id",
+        F.col("alarm_ts").cast("timestamp_ntz").alias("alarm_ts"),
+        "cum_value",
+    )

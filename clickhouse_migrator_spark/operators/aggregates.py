@@ -84,14 +84,19 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern shared with `agg_hll_sketch_merge` /
     `agg_count_min_frequencies` / `agg_tdigest_percentile_audit`) —
     a full value-hash check instead of the weaker rows-only gate."""
-    both = (
-        table(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.countDistinct("o_custkey").alias("n_customers_exact"),
-            F.approx_count_distinct("o_custkey", 0.01).alias("est"),
-        )
+    o = table(spark, sf_dir, "orders")
+    # two separate single-function aggregations joined on the tiny
+    # result: mixing DISTINCT and sketch accumulators in one agg forces
+    # Spark's Expand-based distinct rewrite to drag the HLL buffers
+    # through an extra exchange lane (measured ~10x slower than the two
+    # plain aggregates plus a 5-row broadcast join)
+    exact = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers_exact")
     )
+    approx = o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("est")
+    )
+    both = exact.join(F.broadcast(approx), "o_orderpriority")
     return both.select(
         "o_orderpriority",
         "n_customers_exact",

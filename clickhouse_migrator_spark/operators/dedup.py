@@ -541,3 +541,42 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH {_SHINGLE_SQL}
+    SELECT CASE WHEN jaccard >= 0.9 THEN '0.9'
+                WHEN jaccard >= 0.7 THEN '0.7'
+                WHEN jaccard >= 0.5 THEN '0.5'
+                ELSE '<0.5' END AS threshold_band,
+           count(*) AS n_pairs,
+           round(min(jaccard), 6) AS min_jaccard,
+           round(max(jaccard), 6) AS max_jaccard
+    FROM pair_jaccard
+    GROUP BY 1 ORDER BY threshold_band
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard threshold sensitivity in ONE pass: candidate pairs
+    bucketed by the threshold band they'd survive (≥0.9 / ≥0.7 / ≥0.5 /
+    below) — the sweep that picks a dedup operating point WITHOUT
+    re-running the pipeline per threshold.  Pair generation cost is paid
+    once; the bands are a row-local CASE over the scored pairs."""
+    pairs = _exact_jaccard_pairs(spark, sf_dir)
+    band = (
+        F.when(F.col("jaccard") >= 0.9, "0.9")
+        .when(F.col("jaccard") >= 0.7, "0.7")
+        .when(F.col("jaccard") >= 0.5, "0.5")
+        .otherwise("<0.5")
+    )
+    return (
+        pairs.groupBy(band.alias("threshold_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.min("jaccard"), 6).alias("min_jaccard"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+        .orderBy("threshold_band")
+    )

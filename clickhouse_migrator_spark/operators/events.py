@@ -11,7 +11,7 @@ the same plan a 100 TB sessionization wants (no global sort).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..registry import register
 from ..tables import table
@@ -1607,3 +1607,43 @@ def events_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("v"), 6).alias("hi"),
         F.round(F.avg("v"), 6).alias("mean_v"),
     )
+
+
+@register(
+    "events_growth_rates",
+    oracle="""
+    WITH weekly AS (
+      SELECT date_trunc('week', ts) AS week, count(*) AS n,
+             round(sum(value), 2) AS total_value
+      FROM events GROUP BY 1)
+    SELECT week, n, total_value,
+           lag(n) OVER (ORDER BY week) AS prev_n,
+           round((n - lag(n) OVER (ORDER BY week))
+                 / CAST(lag(n) OVER (ORDER BY week) AS DOUBLE) * 100, 4)
+             AS wow_pct
+    FROM weekly ORDER BY week
+    """,
+)
+def events_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period growth: weekly event volume with
+    week-over-week % change — the reporting staple.  The lag window
+    runs over the AGGREGATED weeks frame (tens of rows), so the
+    single-partition window is constant-size, never the raw stream;
+    the only full-data work is one hash aggregate."""
+    weekly = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("week", "ts").cast("date").alias("week"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    w = Window.orderBy("week")
+    prev = F.lag("n").over(w)
+    return weekly.select(
+        "week",
+        "n",
+        "total_value",
+        prev.alias("prev_n"),
+        F.round((F.col("n") - prev) / prev.cast("double") * 100, 4).alias("wow_pct"),
+    ).orderBy("week")

@@ -17,7 +17,7 @@ merge_asof variant).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..registry import register
 from ..tables import table
@@ -353,4 +353,75 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         err.join(pur, cond, "left")
         .groupBy("event_id", "ts")
         .agg(F.max("p_ts").alias("last_purchase_1h"))
+    )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+    p AS (
+      SELECT user_id, ts AS pts, value FROM events WHERE event_type = 'purchase'),
+    scored AS (
+      SELECT e.event_id, e.user_id, e.ts, p.pts, p.value,
+             round(abs(epoch(e.ts) - epoch(p.pts)), 6) AS dt,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY abs(epoch(e.ts) - epoch(p.pts)), p.pts) AS rk
+      FROM e JOIN p ON e.user_id = p.user_id)
+    SELECT event_id, user_id, ts AS error_ts, pts AS nearest_purchase_ts,
+           value AS purchase_value, dt AS dt_seconds
+    FROM scored WHERE rk = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-neighbor as-of join (pandas ``merge_asof(direction=
+    'nearest')``): for every error event, the same user's purchase with
+    the smallest absolute time distance, in either direction —
+    completing the as-of family next to the backward / forward /
+    tolerance variants.
+
+    Shape: one user-keyed equi-join (both sides hash on user_id), then
+    a per-error argmin window.  Per-user candidate fan-out is
+    |errors|×|purchases| for that user — fine while per-user activity
+    is bounded; at extreme per-user volumes, pre-bucket both sides by
+    coarse time and union the adjacent-bucket joins to cap the
+    product."""
+    ev = table(spark, sf_dir, "events")
+    e = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("pts"), "value"
+    )
+    scored = e.join(p, F.col("user_id") == F.col("p_user")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "pts",
+        "value",
+        # fractional seconds — a cast to long would truncate microseconds
+        # and disagree with the oracle's epoch() on both the value and,
+        # under sub-second ties, the argmin itself
+        F.round(
+            F.abs(
+                F.col("ts").cast("timestamp").cast("double")
+                - F.col("pts").cast("timestamp").cast("double")
+            ),
+            6,
+        ).alias("dt"),
+    )
+    w = Window.partitionBy("event_id").orderBy("dt", "pts")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("error_ts"),
+            F.col("pts").alias("nearest_purchase_ts"),
+            F.col("value").alias("purchase_value"),
+            F.col("dt").alias("dt_seconds"),
+        )
     )

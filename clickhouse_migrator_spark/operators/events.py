@@ -1647,3 +1647,58 @@ def events_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_n"),
         F.round((F.col("n") - prev) / prev.cast("double") * 100, 4).alias("wow_pct"),
     ).orderBy("week")
+
+
+@register(
+    "events_dau_wau_mau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events),
+    days AS (SELECT DISTINCT day FROM ud)
+    SELECT d.day,
+           count(DISTINCT CASE WHEN u.day = d.day THEN u.user_id END) AS dau,
+           count(DISTINCT CASE WHEN u.day > d.day - 7 THEN u.user_id END) AS wau,
+           count(DISTINCT u.user_id) AS mau
+    FROM days d
+    JOIN ud u ON u.day <= d.day AND u.day > d.day - 30
+    GROUP BY d.day ORDER BY d.day
+    """,
+)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU: for every active day, distinct users over the
+    trailing 1 / 7 / 30 days — the canonical engagement dashboard, and
+    a metric exact sliding windows make expensive if computed naively
+    over raw events.
+
+    Shape: the raw stream first collapses to DISTINCT (user, day)
+    pairs (one hash aggregate — the only full-data work; at 100 TB this
+    is users x days rows, orders of magnitude smaller than events).
+    The trailing-window counts are then a range join of that compact
+    frame against the day grid with per-day conditional distincts —
+    all three windows from ONE join, no per-window rescan."""
+    ud = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .distinct()
+    )
+    days = ud.select("day").distinct().select(F.col("day").alias("d"))
+    joined = ud.join(
+        days,
+        (F.col("day") <= F.col("d")) & (F.col("day") > F.date_sub(F.col("d"), 30)),
+    )
+    return (
+        joined.groupBy(F.col("d").alias("day"))
+        .agg(
+            F.countDistinct(
+                F.when(F.col("day") == F.col("d"), F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct(
+                F.when(F.col("day") > F.date_sub(F.col("d"), 7), F.col("user_id"))
+            ).alias("wau"),
+            F.countDistinct("user_id").alias("mau"),
+        )
+        .orderBy("day")
+    )

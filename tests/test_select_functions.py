@@ -723,3 +723,48 @@ def test_round3_quantile_variants_and_jaccard(spark):
         rewrite_functions("SELECT arrayJaccardIndex([1,2,3], [2,3,4]) AS j")
     ).first()
     assert abs(row.j - 0.5) < 1e-12
+
+
+def test_migration_dml_round3_vocabulary(spark):
+    """Round-3 vocabulary (transform value-mapping with bracket array
+    literals, dateName, roundBankers, age) reaches the copy-on-write
+    DML path the same way earlier rounds do — migrations written for
+    ClickHouse run unchanged."""
+    import uuid
+
+    from clickhouse_migrator_spark import migrate as M
+
+    name = "fndml3_" + uuid.uuid4().hex[:8]
+    M.create_db(spark, name)
+    prev = spark.catalog.currentDatabase()
+    spark.catalog.setCurrentDatabase(name)
+    try:
+        M.execute_statement(
+            spark,
+            "CREATE TABLE ev3 (id UInt32, d DateTime, tier String) "
+            "ENGINE = MergeTree ORDER BY (id)",
+        )
+        spark.sql(
+            "INSERT INTO ev3 VALUES (1, TIMESTAMP'2020-03-05 00:00:00', 'a'), "
+            "(2, TIMESTAMP'2021-07-01 12:00:00', 'b'), "
+            "(3, TIMESTAMP'2022-01-01 00:00:00', 'q')"
+        )
+        M.execute_statement(
+            spark,
+            "ALTER TABLE ev3 ADD COLUMN mn String DEFAULT dateName('month', d)",
+        )
+        M.execute_statement(
+            spark,
+            "ALTER TABLE ev3 UPDATE tier = transform(tier, ['a', 'b'], "
+            "['alpha', 'beta'], 'other') "
+            "WHERE age('year', toDateTime('2019-01-01 00:00:00'), d) >= 1",
+        )
+        rows = {r.id: (r.mn, r.tier) for r in spark.table("ev3").collect()}
+        assert rows == {
+            1: ("March", "alpha"),
+            2: ("July", "beta"),
+            3: ("January", "other"),
+        }
+    finally:
+        spark.catalog.setCurrentDatabase(prev)
+        spark.sql(f"DROP DATABASE `{name}` CASCADE")

@@ -1208,3 +1208,55 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("k").alias("lag_hours"), F.round(F.col("num") / F.col("ss"), 6).alias("acf"))
         .orderBy("lag_hours")
     )
+
+
+@register(
+    "agg_gini_spend",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, sum(value) AS spend
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    ranked AS (
+      SELECT spend,
+             row_number() OVER (ORDER BY spend, user_id) AS i,
+             count(*) OVER () AS n, sum(spend) OVER () AS s
+      FROM per_user)
+    SELECT CAST(max(n) AS BIGINT) AS n_users,
+           round(max(s), 2) AS total_spend,
+           round(2.0 * sum(i * spend) / (max(n) * max(s))
+                 - (max(n) + 1.0) / max(n), 6) AS gini
+    FROM ranked
+    """,
+)
+def agg_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user purchase spend — the inequality
+    summary behind "what share of revenue comes from whales":
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over spend sorted ascending.
+
+    The rank runs over the per-user AGGREGATE (one row per purchasing
+    user), not raw events — the only full-data work is the per-user
+    sum.  At 100 TB the user frame is still range-sortable; the final
+    Gini is a 1-row reduce."""
+    per_user = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("spend"))
+    )
+    w = Window.orderBy("spend", "user_id")
+    wall = Window.partitionBy()
+    ranked = per_user.select(
+        "spend",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("spend").over(wall).alias("s"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_users"),
+        F.round(F.max("s"), 2).alias("total_spend"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("spend")) / (F.max("n") * F.max("s"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )

@@ -583,3 +583,60 @@ def text_keywords_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("keyword_rank") <= 3) & (F.col("tfidf") > 0))
         .orderBy("doc_id", "keyword_rank")
     )
+
+
+@register(
+    "text_vocab_growth",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents),
+    firsts AS (
+      SELECT token, min(doc_id) AS first_doc FROM tok GROUP BY token),
+    mx AS (SELECT max(doc_id) + 1 AS n FROM documents),
+    entering AS (
+      SELECT least(10, 1 + CAST(floor(first_doc * 10.0 / n) AS BIGINT)) AS decile,
+             count(*) AS new_tokens
+      FROM firsts CROSS JOIN mx GROUP BY 1)
+    SELECT decile, new_tokens,
+           sum(new_tokens) OVER (ORDER BY decile
+                                 ROWS UNBOUNDED PRECEDING) AS vocab_size
+    FROM entering ORDER BY decile
+    """,
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law, the companion diagnostic to
+    `text_zipf_slope`): distinct-token count after each decile of the
+    corpus.  Computed WITHOUT ten passes: each token reduces to its
+    FIRST document (one aggregate), tokens bucket by the decile that
+    first doc falls in, and the curve is a cumulative sum over ten
+    rows.  Sublinear growth is healthy natural text; near-linear means
+    unbounded junk vocabulary (serial numbers, hashes) — a curation
+    red flag."""
+    tok = table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(_tokens()).alias("token")
+    )
+    firsts = tok.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    mx = table(spark, sf_dir, "documents").agg(
+        (F.max("doc_id") + 1).alias("n")
+    )
+    entering = (
+        firsts.crossJoin(F.broadcast(mx))
+        .select(
+            F.least(
+                F.lit(10),
+                1 + F.floor(F.col("first_doc") * 10.0 / F.col("n")),
+            )
+            .cast("bigint")
+            .alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("new_tokens"))
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return entering.select(
+        "decile",
+        "new_tokens",
+        F.sum("new_tokens").over(w).alias("vocab_size"),
+    ).orderBy("decile")

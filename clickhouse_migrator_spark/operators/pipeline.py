@@ -424,3 +424,57 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "pipeline_incremental_dedup",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, md5(lower(trim(text))) AS h,
+             ({_sql_bucket('doc_id')} < {_P} * 0.1) AS is_new
+      FROM documents),
+    corpus AS (SELECT DISTINCT h FROM t WHERE NOT is_new)
+    SELECT t.source,
+           count(*) AS n_new_docs,
+           count(*) FILTER (WHERE t.h IN (SELECT h FROM corpus)) AS n_dup_of_corpus,
+           count(*) FILTER (WHERE t.h NOT IN (SELECT h FROM corpus)) AS n_novel
+    FROM t WHERE t.is_new
+    GROUP BY t.source ORDER BY t.source
+    """,
+)
+def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup: a deterministic 10% hash-selected
+    "new batch" is checked against the existing corpus's fingerprint
+    set — the shape every CONTINUOUS training-data pipeline runs on
+    arrival, where re-deduplicating the full corpus per batch would be
+    quadratic over time.
+
+    Scale: the corpus side reduces to DISTINCT fingerprints once (in
+    production: a materialized fingerprint table, not a rescan); the
+    new batch semi-joins / anti-joins against it keyed on the hash —
+    both joins reuse one exchange of the small batch side."""
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
+        (hash_bucket(F.col("doc_id")) < _P * 0.1).alias("is_new"),
+    )
+    corpus = t.filter(~F.col("is_new")).select("h").distinct()
+    new = t.filter(F.col("is_new"))
+    dup = new.join(corpus, "h", "left_semi").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_dup_of_corpus")
+    )
+    base = new.groupBy("source").agg(F.count(F.lit(1)).alias("n_new_docs"))
+    return (
+        base.join(dup, "source", "left")
+        .select(
+            "source",
+            "n_new_docs",
+            F.coalesce(F.col("n_dup_of_corpus"), F.lit(0)).alias("n_dup_of_corpus"),
+            (
+                F.col("n_new_docs")
+                - F.coalesce(F.col("n_dup_of_corpus"), F.lit(0))
+            ).alias("n_novel"),
+        )
+        .orderBy("source")
+    )

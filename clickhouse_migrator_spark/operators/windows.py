@@ -383,3 +383,52 @@ def window_ntile_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+@register(
+    "window_percent_of_parent",
+    oracle="""
+    WITH nat AS (
+      SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name)
+    SELECT r_name, n_name, revenue,
+           round(revenue / sum(revenue) OVER (PARTITION BY r_name) * 100, 4)
+             AS pct_of_region,
+           round(revenue / sum(revenue) OVER () * 100, 4) AS pct_of_total
+    FROM nat ORDER BY r_name, n_name
+    """,
+)
+def window_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent at two hierarchy levels (nation within region,
+    region within world) — the BI drill-down staple.  Both ratio
+    windows run over the AGGREGATED (region, nation) frame (25 rows),
+    so the unpartitioned total window is constant-size; the fact table
+    pays exactly one aggregation after broadcast dim joins."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nat = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w_region = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    return nat.select(
+        "r_name",
+        "n_name",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w_region) * 100, 4).alias(
+            "pct_of_region"
+        ),
+        F.round(F.col("revenue") / F.sum("revenue").over(w_all) * 100, 4).alias(
+            "pct_of_total"
+        ),
+    ).orderBy("r_name", "n_name")

@@ -1702,3 +1702,85 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+    paths AS (
+      SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path, count(*) AS n
+      FROM seq WHERE e3 IS NOT NULL
+      GROUP BY 1)
+    SELECT path, n FROM paths ORDER BY n DESC, path LIMIT 5
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event PATHS: the most common 3-step event-type sequences
+    across all users (the path-analysis view behind funnel discovery —
+    windowFunnel tests a KNOWN chain; this surfaces the chains worth
+    testing).  Ordering is arrival order (event_id), matching the
+    spend-alarm semantics.
+
+    One user_id shuffle for the lead windows, then a hash aggregate on
+    the path string whose key space is |event_types|³ — tiny — so the
+    partial aggregation absorbs the per-user fan-out before the final
+    top-k (TakeOrderedAndProject)."""
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(" > ", "e1", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(5)
+    )
+
+
+@register(
+    "events_weekday_hour_matrix",
+    oracle="""
+    WITH m AS (
+      SELECT dayofweek(ts) AS dow, hour(ts) AS hr, count(*) AS n
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT sum(n) AS s FROM m)
+    SELECT dow, hr, n, round(n / CAST(s AS DOUBLE) * 100, 4) AS pct
+    FROM m CROSS JOIN tot
+    ORDER BY dow, hr
+    """,
+)
+def events_weekday_hour_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday x hour activity matrix with share-of-total — the
+    seasonality heatmap (feeds the same intuition `ts_autocorrelation`
+    quantifies).  One hash aggregate on a 168-cell key space; the share
+    ratio is a frame-less window over the aggregated matrix.  DuckDB's
+    dayofweek is 0=Sunday; Spark's dayofweek is 1=Sunday, so the Spark
+    side shifts by one to agree."""
+    m = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            (F.dayofweek("ts") - 1).alias("dow"), F.hour("ts").alias("hr")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_all = Window.partitionBy()
+    return m.select(
+        "dow",
+        "hr",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_all).cast("double") * 100, 4).alias(
+            "pct"
+        ),
+    ).orderBy("dow", "hr")

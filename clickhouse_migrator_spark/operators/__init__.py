@@ -7,6 +7,7 @@ from . import (  # noqa: F401
     dedup,
     dialect,
     events,
+    graph,
     joins,
     multimodal,
     pipeline,

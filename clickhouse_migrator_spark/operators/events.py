@@ -1784,3 +1784,61 @@ def events_weekday_hour_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct"
         ),
     ).orderBy("dow", "hr")
+
+
+@register(
+    "events_time_to_convert",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    conv AS (
+      SELECT s.user_id,
+             min(epoch(e.ts) - epoch(s.signup_ts)) AS delta_s
+      FROM s JOIN events e
+        ON e.user_id = s.user_id
+       AND e.event_type = 'purchase' AND e.ts > s.signup_ts
+      GROUP BY s.user_id)
+    SELECT count(*) AS n_converted,
+           round(avg(delta_s), 4) AS avg_seconds,
+           round(quantile_cont(delta_s, 0.25), 4) AS p25_seconds,
+           round(quantile_cont(delta_s, 0.50), 4) AS p50_seconds,
+           round(quantile_cont(delta_s, 0.75), 4) AS p75_seconds
+    FROM conv
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every user, seconds from first
+    signup to first subsequent purchase, summarized as mean + quartiles
+    — the latency companion to `events_funnel_signup_to_purchase`'s
+    conversion COUNTS.
+
+    Both "firsts" are min-aggregates keyed on user_id, so the whole
+    query reuses one user exchange; the quartiles run over the
+    converted-users frame (one row per converted user)."""
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
+    )
+    conv = (
+        s.join(p, (F.col("user_id") == F.col("p_user")) & (F.col("pts") > F.col("signup_ts")))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.col("pts").cast("timestamp").cast("double")
+                - F.col("signup_ts").cast("timestamp").cast("double")
+            ).alias("delta_s")
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.avg("delta_s"), 4).alias("avg_seconds"),
+        F.round(F.percentile("delta_s", 0.25), 4).alias("p25_seconds"),
+        F.round(F.percentile("delta_s", 0.50), 4).alias("p50_seconds"),
+        F.round(F.percentile("delta_s", 0.75), 4).alias("p75_seconds"),
+    )

@@ -216,3 +216,55 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "embedding": embs})
 
     return docs.mapInPandas(featurize, "doc_id BIGINT, embedding ARRAY<DOUBLE>")
+
+
+@register(
+    "multimodal_dedup_payloads",
+    oracle="""
+    WITH h AS (
+      -- md5 over the UTF-8 bytes: DuckDB's md5 takes VARCHAR and hashes
+      -- its UTF-8 encoding, which IS the payload here
+      SELECT doc_id, md5(text) AS digest,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents),
+    g AS (
+      SELECT digest, min(n_bytes) AS n_bytes, count(*) AS n_copies,
+             min(doc_id) AS keeper
+      FROM h GROUP BY digest)
+    SELECT count(*)                                   AS n_unique_payloads,
+           sum(n_copies)                              AS n_payloads,
+           sum(n_copies) - count(*)                   AS n_dropped,
+           sum(CASE WHEN n_copies > 1 THEN 1 END)     AS n_dup_groups,
+           sum(n_bytes * (n_copies - 1))              AS bytes_reclaimed
+    FROM g
+    """,
+)
+def multimodal_dedup_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact BINARY dedup — content-addressed storage for media blobs:
+    hash each payload (md5 over raw bytes, JVM-side), keep one copy per
+    digest, report the reclaimable bytes.  This is the first pass of
+    every multimodal ingestion pipeline (identical files re-crawled
+    under different URLs), and it never decodes anything.
+
+    One scan computing (digest, length) per blob — the blobs themselves
+    never shuffle, only the 16-byte digests — then a digest-keyed
+    aggregate and a 5-number summary.  At 100 TB the digests-only
+    shuffle is what makes this tractable."""
+    p = binary_docs(spark, sf_dir)
+    h = p.select(
+        "doc_id",
+        F.md5("payload").alias("digest"),
+        F.length("payload").alias("n_bytes"),
+    )
+    g = h.groupBy("digest").agg(
+        F.min("n_bytes").alias("n_bytes"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keeper"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_unique_payloads"),
+        F.sum("n_copies").alias("n_payloads"),
+        (F.sum("n_copies") - F.count(F.lit(1))).alias("n_dropped"),
+        F.sum(F.when(F.col("n_copies") > 1, 1)).alias("n_dup_groups"),
+        F.sum(F.col("n_bytes") * (F.col("n_copies") - 1)).alias("bytes_reclaimed"),
+    )

@@ -640,3 +640,53 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_tokens",
         F.sum("new_tokens").over(w).alias("vocab_size"),
     ).orderBy("decile")
+
+
+@register(
+    "text_redundancy_scores",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents),
+    b AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_distinct,
+             len(list_distinct(list_transform(
+                 range(1, greatest(len(toks), 2)),
+                 i -> toks[i] || ' ' || toks[i + 1]))) AS n_distinct_bigrams
+      FROM t)
+    SELECT doc_id, n_tokens,
+           round(n_distinct / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+           round(1 - n_distinct_bigrams
+                     / CAST(greatest(n_tokens - 1, 1) AS DOUBLE), 6)
+             AS bigram_redundancy
+    FROM b
+    """,
+)
+def text_redundancy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redundancy scoring — the cheap SQL proxy for compressibility
+    (the gzip-ratio quality filter of training pipelines, without a
+    UDF): type-token ratio (distinct/total tokens) and repeated-bigram
+    rate (1 − distinct bigrams / bigrams).  Highly repetitive documents
+    (boilerplate, keyword stuffing, generated spam) score low TTR and
+    high bigram redundancy.  Pure row-local array expressions — one
+    scan, no shuffle, no Python."""
+    toks = _tokens()
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)) / F.size(toks).cast("double"), 6
+        ).alias("ttr"),
+        F.round(
+            1
+            - F.size(F.array_distinct(bigrams))
+            / F.greatest(F.size(toks) - 1, F.lit(1)).cast("double"),
+            6,
+        ).alias("bigram_redundancy"),
+    )

@@ -330,3 +330,59 @@ def sample_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+@register(
+    "sample_temporal_holdout",
+    oracle="""
+    WITH cut AS (
+      SELECT quantile_disc(ts, 0.8) AS c FROM events),
+    labeled AS (
+      SELECT CASE WHEN ts <= cut.c THEN 'train' ELSE 'test' END AS split,
+             user_id, ts
+      FROM events CROSS JOIN cut)
+    SELECT split, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+           min(ts) AS first_ts, max(ts) AS last_ts
+    FROM labeled GROUP BY split ORDER BY split
+    """,
+)
+def sample_temporal_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split at the 80th time percentile — the
+    holdout discipline for FORECASTING-style tasks, where the hash
+    splits in this pack would leak the future into training.  The
+    cutoff is quantile_disc (an actual observed timestamp, identical in
+    both engines — interpolated quantiles between timestamps are not),
+    broadcast as a 1-row scalar into the labeling scan.
+
+    Note the deliberate contrast documented across the sampling pack:
+    hash splits are reproducible under data REORDERING; the temporal
+    split is reproducible under data GROWTH up to the cutoff — pick by
+    leakage model."""
+    ev = table(spark, sf_dir, "events")
+    # percentile_disc rejects timestamps — rank in epoch-micros space
+    # (order-isomorphic) and convert the chosen value back
+    cut = ev.agg(
+        F.timestamp_micros(
+            F.expr(
+                "percentile_disc(0.8) WITHIN GROUP "
+                "(ORDER BY unix_micros(CAST(ts AS TIMESTAMP)))"
+            ).cast("bigint")
+        )
+        .cast("timestamp_ntz")
+        .alias("c")
+    )
+    labeled = ev.crossJoin(F.broadcast(cut)).select(
+        F.when(F.col("ts") <= F.col("c"), "train").otherwise("test").alias("split"),
+        "user_id",
+        "ts",
+    )
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("split")
+    )

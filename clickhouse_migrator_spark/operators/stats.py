@@ -1260,3 +1260,101 @@ def agg_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "agg_ab_test_lift",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT user_id,
+             CASE WHEN (((((((CAST(0 AS BIGINT)) + CAST(user_id AS BIGINT)) % 1000003 * 999983) % 1000003) + 12345) * 999983 % 1000003) + 67890) * 999983 % 1000003 < 1000003 * 0.5
+                  THEN 'A' ELSE 'B' END AS arm,
+             max(CASE WHEN event_type = 'purchase' AND value > 150
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id),
+    arms AS (
+      SELECT arm, count(*) AS n, sum(converted) AS conv,
+             sum(converted) / CAST(count(*) AS DOUBLE) AS rate
+      FROM assigned GROUP BY arm),
+    wide AS (
+      SELECT max(CASE WHEN arm = 'A' THEN n END)    AS na,
+             max(CASE WHEN arm = 'A' THEN conv END) AS ca,
+             max(CASE WHEN arm = 'A' THEN rate END) AS ra,
+             max(CASE WHEN arm = 'B' THEN n END)    AS nb,
+             max(CASE WHEN arm = 'B' THEN conv END) AS cb,
+             max(CASE WHEN arm = 'B' THEN rate END) AS rb
+      FROM arms)
+    SELECT na, ca, round(ra, 6) AS rate_a,
+           nb, cb, round(rb, 6) AS rate_b,
+           round(rb - ra, 6) AS abs_lift,
+           round((rb - ra) / sqrt(
+               ((ca + cb) / CAST(na + nb AS DOUBLE))
+               * (1 - (ca + cb) / CAST(na + nb AS DOUBLE))
+               * (1.0 / na + 1.0 / nb)), 6) AS z_stat
+    FROM wide
+    """,
+)
+def agg_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment: users split into
+    deterministic hash arms (the same portable bucketing the sampling
+    pack uses, so assignment is reproducible across engines and runs),
+    conversion = ever made a >150-value purchase (every fixture user
+    purchases SOMETHING, which would degenerate the pooled variance to
+    zero), z = (p_B − p_A)/√(p̂(1−p̂)(1/n_A+1/n_B))
+    with the pooled rate p̂ — the decision statistic of every
+    experimentation platform.
+
+    One user-level aggregate (reusing a single user exchange), a 2-row
+    arm rollup, and a 1-row closed-form reduce."""
+    from .sampling import _P, hash_bucket
+
+    assigned = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .select(
+            F.when(hash_bucket(F.col("user_id")) < _P * 0.5, "A")
+            .otherwise("B")
+            .alias("arm"),
+            "converted",
+        )
+    )
+    arms = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").alias("conv"),
+        (F.sum("converted") / F.count(F.lit(1)).cast("double")).alias("rate"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("conv"))).alias("ca"),
+        F.max(F.when(F.col("arm") == "A", F.col("rate"))).alias("ra"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("conv"))).alias("cb"),
+        F.max(F.when(F.col("arm") == "B", F.col("rate"))).alias("rb"),
+    )
+    pooled = (F.col("ca") + F.col("cb")) / (F.col("na") + F.col("nb")).cast("double")
+    return wide.select(
+        "na",
+        "ca",
+        F.round("ra", 6).alias("rate_a"),
+        "nb",
+        "cb",
+        F.round("rb", 6).alias("rate_b"),
+        F.round(F.col("rb") - F.col("ra"), 6).alias("abs_lift"),
+        F.round(
+            (F.col("rb") - F.col("ra"))
+            / F.sqrt(
+                pooled
+                * (1 - pooled)
+                * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+            ),
+            6,
+        ).alias("z_stat"),
+    )

@@ -432,3 +432,45 @@ def window_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_of_total"
         ),
     ).orderBy("r_name", "n_name")
+
+
+@register(
+    "window_rolling_correlation",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS buy_v,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks
+      FROM events GROUP BY 1)
+    SELECT day, round(buy_v, 2) AS buy_v, clicks,
+           round(corr(buy_v, clicks) OVER (ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS corr_7d
+    FROM daily ORDER BY day
+    """,
+)
+def window_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day correlation between two daily series (purchase
+    value vs click volume) — the co-movement monitor behind "did the
+    metric coupling break this week".  corr() runs as a WINDOW
+    aggregate over the daily frame (tens of rows after the one real
+    aggregation), so the trailing frame is a constant-size state
+    machine, never a re-scan of events."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+            ).alias("buy_v"),
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("clicks"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.round("buy_v", 2).alias("buy_v"),
+        "clicks",
+        F.round(F.corr("buy_v", "clicks").over(w), 6).alias("corr_7d"),
+    ).orderBy("day")

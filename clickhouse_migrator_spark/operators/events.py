@@ -1842,3 +1842,115 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("delta_s", 0.50), 4).alias("p50_seconds"),
         F.round(F.percentile("delta_s", 0.75), 4).alias("p75_seconds"),
     )
+
+
+@register(
+    "events_weekly_churn",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events),
+    weeks AS (SELECT DISTINCT week FROM uw),
+    pairs AS (
+      SELECT w.week,
+             count(*) AS active,
+             count(*) FILTER (WHERE nxt.user_id IS NULL) AS churned
+      FROM weeks w
+      JOIN uw cur ON cur.week = w.week
+      LEFT JOIN uw nxt ON nxt.user_id = cur.user_id
+                      AND nxt.week = w.week + INTERVAL 7 DAY
+      WHERE w.week < (SELECT max(week) FROM weeks)
+      GROUP BY w.week)
+    SELECT week, active, churned,
+           round(churned / CAST(active AS DOUBLE), 6) AS churn_rate
+    FROM pairs ORDER BY week
+    """,
+)
+def events_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly churn: the share of week-W actives with NO activity in
+    week W+1 (the last week is excluded — its successor is
+    unobserved).  The inverse metric of `events_cohort_retention`.
+
+    Shape: the stream collapses once to distinct (user, week) pairs;
+    churn is a self left-join of that compact frame on (user, week+1) —
+    the NULL side of the join IS the churn set, no per-user windowing
+    over raw events."""
+    uw = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+        )
+        .distinct()
+    )
+    last_week = uw.agg(F.max("week").alias("mx"))
+    nxt = uw.select(
+        F.col("user_id").alias("n_user"), F.date_sub(F.col("week"), 7).alias("n_week")
+    )
+    pairs = (
+        uw.crossJoin(F.broadcast(last_week))
+        .filter(F.col("week") < F.col("mx"))
+        .join(
+            nxt,
+            (F.col("user_id") == F.col("n_user")) & (F.col("week") == F.col("n_week")),
+            "left",
+        )
+    )
+    return (
+        pairs.groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("active"),
+            F.count(F.when(F.col("n_user").isNull(), 1)).alias("churned"),
+        )
+        .select(
+            "week",
+            "active",
+            "churned",
+            F.round(F.col("churned") / F.col("active").cast("double"), 6).alias(
+                "churn_rate"
+            ),
+        )
+        .orderBy("week")
+    )
+
+
+@register(
+    "events_id_gap_audit",
+    oracle="""
+    WITH s AS (
+      SELECT event_id,
+             lead(event_id) OVER (ORDER BY event_id) AS nxt
+      FROM events WHERE event_type = 'purchase')
+    SELECT event_id AS gap_after, nxt AS resume_at,
+           nxt - event_id - 1 AS n_missing
+    FROM s WHERE nxt - event_id > 1
+    ORDER BY gap_after LIMIT 25
+    """,
+)
+def events_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap audit: ranges of missing event_ids in the purchase
+    stream (the ingestion integrity check that catches dropped batches —
+    a run of absent ids is a lost file, scattered singles are producer
+    retries; audited per-topic, here the purchase topic, because the
+    global id space interleaves topics).  Top-25 earliest gaps.
+
+    The lead() window needs a total order over ids — at 100 TB that's
+    a range-partitioned sort, still one pass; the cheaper fleet-scale
+    variant aggregates (min, max, count) per ingestion partition and
+    compares count to max−min+1, flagging only partitions that need
+    the full sort."""
+    w = Window.orderBy("event_id")
+    s = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", F.lead("event_id").over(w).alias("nxt"))
+    )
+    return (
+        s.filter(F.col("nxt") - F.col("event_id") > 1)
+        .select(
+            F.col("event_id").alias("gap_after"),
+            F.col("nxt").alias("resume_at"),
+            (F.col("nxt") - F.col("event_id") - 1).alias("n_missing"),
+        )
+        .orderBy("gap_after")
+        .limit(25)
+    )

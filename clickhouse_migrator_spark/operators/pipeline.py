@@ -478,3 +478,65 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "pipeline_quality_quarantine",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks,
+             length(text) AS n_chars
+      FROM documents),
+    routed AS (
+      SELECT source,
+             CASE WHEN len(toks) < 20 THEN 'too_short'
+                  WHEN n_chars / CAST(len(toks) AS DOUBLE) < 3 THEN 'tokens_too_short'
+                  WHEN n_chars / CAST(len(toks) AS DOUBLE) > 12 THEN 'tokens_too_long'
+                  WHEN {_sql_stop_hits(STOP_EN)} = 0
+                   AND {_sql_stop_hits(STOP_ES)} = 0
+                   AND {_sql_stop_hits(STOP_DE)} = 0 THEN 'no_known_language'
+                  ELSE 'pass' END AS verdict
+      FROM t)
+    SELECT verdict, count(*) AS n_docs,
+           count(DISTINCT source) AS n_sources
+    FROM routed GROUP BY verdict ORDER BY verdict
+    """,
+)
+def pipeline_quality_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine routing with REASON CODES: every document gets the
+    first gate it fails (too short → token-shape anomalies → unknown
+    language) or 'pass' — the triage report that tells a curation team
+    WHICH filter is eating their corpus, not just how much survived
+    (the pass-rate-only view is `pipeline_curate_corpus`).
+
+    Ordered CASE evaluation = deterministic single reason per doc;
+    one scan, one small aggregate on (verdict)."""
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        _tokens().alias("toks"),
+        F.length("text").alias("n_chars"),
+    )
+    ratio = F.col("n_chars") / F.size("toks").cast("double")
+    verdict = (
+        F.when(F.size("toks") < 20, "too_short")
+        .when(ratio < 3, "tokens_too_short")
+        .when(ratio > 12, "tokens_too_long")
+        .when(
+            (_stop_hits(F.col("toks"), STOP_EN) == 0)
+            & (_stop_hits(F.col("toks"), STOP_ES) == 0)
+            & (_stop_hits(F.col("toks"), STOP_DE) == 0),
+            "no_known_language",
+        )
+        .otherwise("pass")
+    )
+    return (
+        t.select("source", verdict.alias("verdict"))
+        .groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("verdict")
+    )

@@ -1954,3 +1954,149 @@ def events_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("gap_after")
         .limit(25)
     )
+
+
+@register(
+    "events_cohort_ltv",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+      FROM events GROUP BY user_id),
+    rev AS (
+      SELECT f.cohort,
+             CAST(floor(date_diff('day', f.cohort, CAST(e.ts AS DATE)) / 7)
+                  AS BIGINT) AS week_offset,
+             e.value
+      FROM events e
+      JOIN first_seen f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'),
+    cohort_sizes AS (
+      SELECT cohort, count(*) AS n_users FROM first_seen GROUP BY cohort),
+    weekly AS (
+      SELECT cohort, week_offset, sum(value) AS rev
+      FROM rev GROUP BY cohort, week_offset)
+    SELECT w.cohort, w.week_offset,
+           round(sum(w2.rev), 2) AS cum_revenue,
+           round(sum(w2.rev) / s.n_users, 4) AS ltv_per_user
+    FROM weekly w
+    JOIN weekly w2 ON w2.cohort = w.cohort AND w2.week_offset <= w.week_offset
+    JOIN cohort_sizes s ON s.cohort = w.cohort
+    GROUP BY w.cohort, w.week_offset, s.n_users
+    ORDER BY w.cohort, w.week_offset
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: cumulative purchase revenue per signup-week
+    cohort at each week offset, normalized per cohort user — the
+    payback-period view that prices acquisition (the revenue companion
+    to `events_retention_matrix_weekly`'s activity counts).
+
+    Shape: first-seen is one user aggregate; revenue buckets to
+    (cohort, offset) cells; the cumulative sum runs over the CELL frame
+    (cohorts x offsets — tiny) via a running window, never re-joining
+    the fact table per offset."""
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+    )
+    sizes = first_seen.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_users"))
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .select(
+            "cohort",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("cohort")) / 7
+            ).alias("week_offset"),
+            "value",
+        )
+    )
+    weekly = rev.groupBy("cohort", "week_offset").agg(F.sum("value").alias("rev"))
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        weekly.select(
+            "cohort", "week_offset", F.sum("rev").over(w).alias("cum")
+        )
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "week_offset",
+            F.round("cum", 2).alias("cum_revenue"),
+            F.round(F.col("cum") / F.col("n_users"), 4).alias("ltv_per_user"),
+        )
+        .orderBy("cohort", "week_offset")
+    )
+
+
+@register(
+    "events_session_stats",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ), per_session AS (
+      SELECT user_id, sid, count(*) AS n_events,
+             epoch(max(ts)) - epoch(min(ts)) AS dur_s
+      FROM sess GROUP BY user_id, sid)
+    SELECT count(*) AS n_sessions,
+           round(avg(n_events), 4) AS avg_events,
+           round(avg(dur_s), 4) AS avg_duration_s,
+           round(quantile_cont(dur_s, 0.5), 4) AS p50_duration_s,
+           round(quantile_cont(dur_s, 0.9), 4) AS p90_duration_s,
+           count(*) FILTER (WHERE n_events = 1) AS n_bounces
+    FROM per_session
+    """,
+)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-duration distribution: count, mean events, mean/median/
+    p90 duration, and single-event "bounce" sessions — the summary
+    layer over `events_session_30m`'s raw sessions (same 30-minute gap
+    rule, same gaps-and-islands shape, one user exchange; the
+    percentiles run over the per-session frame)."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    ev = table(spark, sf_dir, "events")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("timestamp").cast("double")
+                - F.lag(F.col("ts").cast("timestamp")).over(w).cast("double")
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = marked.withColumn("sid", F.sum("new_sess").over(wrun))
+    per_session = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.max(F.col("ts").cast("timestamp").cast("double"))
+            - F.min(F.col("ts").cast("timestamp").cast("double"))
+        ).alias("dur_s"),
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg("n_events"), 4).alias("avg_events"),
+        F.round(F.avg("dur_s"), 4).alias("avg_duration_s"),
+        F.round(F.percentile("dur_s", 0.5), 4).alias("p50_duration_s"),
+        F.round(F.percentile("dur_s", 0.9), 4).alias("p90_duration_s"),
+        F.count(F.when(F.col("n_events") == 1, 1)).alias("n_bounces"),
+    )

@@ -591,6 +591,15 @@ RULES: dict[str, Rule] = {
     "toYYYYMMDDhhmmss": _tpl("CAST(date_format({0}, 'yyyyMMddHHmmss') AS BIGINT)"),
     "addQuarters": _add_unit("QUARTER"),
     "subtractQuarters": _add_unit("QUARTER", "-"),
+    # toInterval*: ClickHouse interval constructors → make_interval
+    # (usable in +/- date arithmetic on both sides)
+    "toIntervalYear": _tpl("make_interval({0})"),
+    "toIntervalMonth": _tpl("make_interval(0, {0})"),
+    "toIntervalWeek": _tpl("make_interval(0, 0, {0})"),
+    "toIntervalDay": _tpl("make_interval(0, 0, 0, {0})"),
+    "toIntervalHour": _tpl("make_interval(0, 0, 0, 0, {0})"),
+    "toIntervalMinute": _tpl("make_interval(0, 0, 0, 0, 0, {0})"),
+    "toIntervalSecond": _tpl("make_interval(0, 0, 0, 0, 0, 0, {0})"),
     # round 3: window-function aliases (ClickHouse's in-frame variants —
     # Spark's lag/lead are frame-insensitive, the common usage matches)
     "lagInFrame": _rename("lag"),

@@ -2100,3 +2100,65 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("dur_s", 0.9), 4).alias("p90_duration_s"),
         F.count(F.when(F.col("n_events") == 1, 1)).alias("n_bounces"),
     )
+
+
+@register(
+    "events_rfm_segments",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             epoch(TIMESTAMP '2024-02-01 00:00:00') - epoch(max(ts)) AS recency_s,
+             count(*) AS frequency,
+             sum(value) AS monetary
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    scored AS (
+      SELECT user_id,
+             ntile(5) OVER (ORDER BY recency_s DESC, user_id) AS r,
+             ntile(5) OVER (ORDER BY frequency, user_id) AS f,
+             ntile(5) OVER (ORDER BY monetary, user_id) AS m
+      FROM per_user)
+    SELECT r || '-' || f || '-' || m AS segment,
+           count(*) AS n_users
+    FROM scored
+    GROUP BY segment HAVING count(*) >= 2
+    ORDER BY n_users DESC, segment
+    """,
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every purchasing user scored 1-5 on Recency
+    (recent = high), Frequency and Monetary value via quintile ntiles,
+    then bucketed into R-F-M segments (5-5-5 = champions, 1-1-1 =
+    lost) — the classic lifecycle-marketing partition.
+
+    The ntiles run over the per-user AGGREGATE (one row per purchasing
+    user; at 100 TB a global ntile becomes a range-partitioned sort or
+    an approx-quantile cut — same 1-5 output).  Ties break on user_id
+    so both engines assign identical quintiles; segments with a single
+    user are suppressed."""
+    anchor = F.lit("2024-02-01 00:00:00").cast("timestamp").cast("double")
+    per_user = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            (anchor - F.max(F.col("ts").cast("timestamp").cast("double"))).alias(
+                "recency_s"
+            ),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("value").alias("monetary"),
+        )
+    )
+    scored = per_user.select(
+        F.ntile(5).over(Window.orderBy(F.col("recency_s").desc(), "user_id")).alias("r"),
+        F.ntile(5).over(Window.orderBy("frequency", "user_id")).alias("f"),
+        F.ntile(5).over(Window.orderBy("monetary", "user_id")).alias("m"),
+    )
+    return (
+        scored.select(
+            F.concat_ws("-", "r", "f", "m").alias("segment")
+        )
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .filter(F.col("n_users") >= 2)
+        .orderBy(F.col("n_users").desc(), "segment")
+    )

@@ -474,3 +474,37 @@ def window_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clicks",
         F.round(F.corr("buy_v", "clicks").over(w), 6).alias("corr_7d"),
     ).orderBy("day")
+
+
+@register(
+    "window_moving_median",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             round(sum(value), 2) AS rev
+      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT day, rev,
+           round(quantile_cont(rev, 0.5) OVER (ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med_7d
+    FROM daily ORDER BY day
+    """,
+)
+def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving 7-day MEDIAN of daily revenue — the robust trend line
+    (a moving average follows one spiky day; the median doesn't).
+    percentile() runs as a window aggregate over the daily frame, so
+    the trailing frame holds ≤7 values; at raw-stream scale an exact
+    windowed median would need an order-statistics tree, which is why
+    the aggregate-then-window layering matters."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("rev"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        "rev",
+        F.round(F.percentile("rev", 0.5).over(w), 4).alias("med_7d"),
+    ).orderBy("day")

@@ -768,3 +768,19 @@ def test_migration_dml_round3_vocabulary(spark):
     finally:
         spark.catalog.setCurrentDatabase(prev)
         spark.sql(f"DROP DATABASE `{name}` CASCADE")
+
+
+def test_to_interval_constructors(spark):
+    assert rewrite_functions("SELECT d + toIntervalDay(3) FROM t") == (
+        "SELECT d + make_interval(0, 0, 0, 3) FROM t"
+    )
+    row = spark.sql(
+        rewrite_functions(
+            "SELECT CAST(toDateTime('2020-01-31 00:00:00') + toIntervalMonth(1) "
+            "AS DATE) AS m, "
+            "CAST(toDateTime('2020-01-01 00:00:00') + toIntervalWeek(2) AS DATE) AS w, "
+            "toDateTime('2020-01-01 00:00:00') - toIntervalHour(1) AS h"
+        )
+    ).first()
+    assert str(row.m) == "2020-02-29" and str(row.w) == "2020-01-15"
+    assert str(row.h).startswith("2019-12-31 23:00")

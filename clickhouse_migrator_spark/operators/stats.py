@@ -1358,3 +1358,115 @@ def agg_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_stat"),
     )
+
+
+@register(
+    "agg_benford_first_digit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(floor(o_totalprice / pow(10, floor(log10(o_totalprice))))
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0),
+    obs AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    tot AS (SELECT sum(n) AS total FROM obs)
+    SELECT digit, n,
+           round(n / CAST(total AS DOUBLE), 6) AS observed_p,
+           round(log10(1 + 1.0 / digit), 6) AS benford_p,
+           round(pow(n / CAST(total AS DOUBLE) - log10(1 + 1.0 / digit), 2)
+                 / log10(1 + 1.0 / digit) * total, 4) AS chi2_term
+    FROM obs CROSS JOIN tot ORDER BY digit
+    """,
+)
+def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: observed first-digit
+    frequencies against log10(1+1/d), with per-digit chi-square terms —
+    the forensic screen for fabricated or truncated numeric columns
+    (natural multi-scale amounts follow Benford; capped, binned or
+    invented ones don't).
+
+    First digit is pure arithmetic (no string casts): x / 10^floor(log10 x).
+    One scan → 9-row aggregate; the total is a frame-less broadcast."""
+    d = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.floor(
+                F.col("o_totalprice")
+                / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+            )
+            .cast("bigint")
+            .alias("digit")
+        )
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    p = F.col("n") / F.col("total").cast("double")
+    bp = F.log10(1 + 1.0 / F.col("digit"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(p, 6).alias("observed_p"),
+            F.round(bp, 6).alias("benford_p"),
+            F.round(F.pow(p - bp, 2) / bp * F.col("total"), 4).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+@register(
+    "agg_pareto_concentration",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, sum(value) AS spend
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    ranked AS (
+      SELECT spend,
+             row_number() OVER (ORDER BY spend DESC, user_id) AS i,
+             count(*) OVER () AS n,
+             sum(spend) OVER () AS total,
+             sum(spend) OVER (ORDER BY spend DESC, user_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM per_user)
+    SELECT CAST(min(CASE WHEN cum >= 0.8 * total THEN i END) AS BIGINT)
+             AS users_for_80pct,
+           CAST(max(n) AS BIGINT) AS n_users,
+           round(min(CASE WHEN cum >= 0.8 * total THEN i END)
+                 / CAST(max(n) AS DOUBLE) * 100, 4) AS pct_users_for_80pct
+    FROM ranked
+    """,
+)
+def agg_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 check: how few top spenders cover 80% of revenue —
+    the concentration headline (`agg_gini_spend` gives the same story
+    as one coefficient; this gives the operational number: how many
+    accounts your retention team must keep).
+
+    Descending running sum over the per-user aggregate, then the first
+    rank whose cumulative share crosses 80% — a 1-row reduce.  Same
+    scale posture as Gini: the global sort touches one row per
+    purchasing user, not raw events."""
+    per_user = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("spend"))
+    )
+    w = Window.orderBy(F.col("spend").desc(), "user_id")
+    wall = Window.partitionBy()
+    ranked = per_user.select(
+        "spend",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("spend").over(wall).alias("total"),
+        F.sum("spend").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    crossing = F.min(F.when(F.col("cum") >= 0.8 * F.col("total"), F.col("i")))
+    return ranked.agg(
+        crossing.cast("bigint").alias("users_for_80pct"),
+        F.max("n").cast("bigint").alias("n_users"),
+        F.round(crossing / F.max("n").cast("double") * 100, 4).alias(
+            "pct_users_for_80pct"
+        ),
+    )

@@ -2162,3 +2162,55 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_users") >= 2)
         .orderBy(F.col("n_users").desc(), "segment")
     )
+
+
+@register(
+    "events_purchase_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events WHERE event_type = 'purchase'),
+    grp AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                        AS INTEGER) AS anchor
+      FROM days),
+    streaks AS (
+      SELECT user_id, count(*) AS len
+      FROM grp GROUP BY user_id, anchor)
+    SELECT max(len) AS longest_streak_days,
+           count(DISTINCT user_id) AS n_users,
+           count(*) FILTER (WHERE len >= 3) AS n_streaks_3plus,
+           round(avg(len), 4) AS avg_streak_days
+    FROM streaks
+    """,
+)
+def events_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day purchase streaks — the habit/engagement
+    metric, via the date-minus-row_number gaps-and-islands trick: in a
+    run of consecutive days, day − rank is CONSTANT, so the anchor
+    groups each streak with zero joins.
+
+    The stream collapses to distinct (user, day) first (the only
+    full-data aggregate); ranks and streak counts run over that
+    compact frame on the user key."""
+    days = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.select(
+        "user_id",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("anchor"),
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.agg(
+        F.max("len").alias("longest_streak_days"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.when(F.col("len") >= 3, 1)).alias("n_streaks_3plus"),
+        F.round(F.avg("len"), 4).alias("avg_streak_days"),
+    )

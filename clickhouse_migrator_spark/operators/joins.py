@@ -425,3 +425,36 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dt").alias("dt_seconds"),
         )
     )
+
+
+@register(
+    "join_salted_equivalence",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def join_salted_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salting primitive (`operators.skew.salted_join`) certified
+    through the oracle gate: a salted events⨝customer join must be
+    row-identical to the plain join, so its aggregate hash-matches the
+    plain-join oracle.  16 salts scatter each key over 16 (key, salt)
+    shuffle partitions — the manual fallback for hot keys AQE can't
+    split (measured against AQE in `tools/scale_smoke.py`)."""
+    from .skew import salted_join
+
+    ev = table(spark, sf_dir, "events").select("user_id", "value")
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        salted_join(ev, cust, "user_id", n_salts=16)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -2214,3 +2214,47 @@ def events_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("len") >= 3, 1)).alias("n_streaks_3plus"),
         F.round(F.avg("len"), 4).alias("avg_streak_days"),
     )
+
+
+@register(
+    "events_new_vs_returning",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS first_day
+      FROM events GROUP BY user_id)
+    SELECT CAST(date_trunc('day', e.ts) AS DATE) AS day,
+           count(DISTINCT CASE WHEN CAST(date_trunc('day', e.ts) AS DATE)
+                                    = f.first_day
+                               THEN e.user_id END) AS new_users,
+           count(DISTINCT CASE WHEN CAST(date_trunc('day', e.ts) AS DATE)
+                                    > f.first_day
+                               THEN e.user_id END) AS returning_users,
+           count(*) AS n_events
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY 1 ORDER BY day
+    """,
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split — the acquisition/retention
+    top-line.  First-seen day is one user aggregate broadcast back into
+    the daily rollup; both distinct counts come out of the same
+    aggregate pass (conditional distincts), not two scans."""
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("first_day")
+    )
+    day = F.date_trunc("day", "ts").cast("date")
+    return (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .groupBy(day.alias("day"))
+        .agg(
+            F.countDistinct(
+                F.when(day == F.col("first_day"), F.col("user_id"))
+            ).alias("new_users"),
+            F.countDistinct(
+                F.when(day > F.col("first_day"), F.col("user_id"))
+            ).alias("returning_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("day")
+    )

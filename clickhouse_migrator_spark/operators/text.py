@@ -690,3 +690,75 @@ def text_redundancy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("bigram_redundancy"),
     )
+
+
+@register(
+    "text_js_divergence_sources",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents WHERE source IN ('src0', 'src1')),
+    counts AS (
+      SELECT source, token, count(*) AS c FROM tok GROUP BY source, token),
+    tots AS (
+      SELECT source, sum(c) AS t FROM counts GROUP BY source),
+    p AS (
+      SELECT c.token,
+             max(CASE WHEN c.source = 'src0' THEN c.c / CAST(t.t AS DOUBLE) END) AS p0,
+             max(CASE WHEN c.source = 'src1' THEN c.c / CAST(t.t AS DOUBLE) END) AS p1
+      FROM counts c JOIN tots t ON c.source = t.source
+      GROUP BY c.token),
+    filled AS (
+      SELECT coalesce(p0, 0) AS p0, coalesce(p1, 0) AS p1,
+             (coalesce(p0, 0) + coalesce(p1, 0)) / 2 AS m
+      FROM p)
+    SELECT round(0.5 * sum(CASE WHEN p0 > 0 THEN p0 * ln(p0 / m) ELSE 0 END)
+                 + 0.5 * sum(CASE WHEN p1 > 0 THEN p1 * ln(p1 / m) ELSE 0 END), 6)
+             AS js_divergence_nats,
+           count(*) AS vocab_union
+    FROM filled
+    """,
+)
+def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between two sources' token
+    distributions — the corpus-drift detector (is src1 the same KIND of
+    text as src0? did this week's crawl shift?).  Symmetric, bounded by
+    ln 2, and defined even where supports differ — exactly why it beats
+    raw KL for drift monitoring.
+
+    Per-source distributions are one token aggregate each; the
+    divergence is a vocabulary-keyed full merge (pivoted here) plus a
+    1-row reduce.  At 100 TB the state is vocabulary-sized, not
+    corpus-sized (Heaps' law — see `text_vocab_growth`)."""
+    tok = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("source").isin("src0", "src1"))
+        .select("source", F.explode(_tokens()).alias("token"))
+    )
+    counts = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    tots = counts.groupBy("source").agg(F.sum("c").alias("t"))
+    p = (
+        counts.join(tots, "source")
+        .groupBy("token")
+        .agg(
+            F.max(
+                F.when(F.col("source") == "src0", F.col("c") / F.col("t").cast("double"))
+            ).alias("p0"),
+            F.max(
+                F.when(F.col("source") == "src1", F.col("c") / F.col("t").cast("double"))
+            ).alias("p1"),
+        )
+    )
+    filled = p.select(
+        F.coalesce("p0", F.lit(0.0)).alias("p0"),
+        F.coalesce("p1", F.lit(0.0)).alias("p1"),
+        ((F.coalesce("p0", F.lit(0.0)) + F.coalesce("p1", F.lit(0.0))) / 2).alias("m"),
+    )
+    kl = lambda x: F.when(F.col(x) > 0, F.col(x) * F.log(F.col(x) / F.col("m"))).otherwise(0.0)  # noqa: E731
+    return filled.agg(
+        F.round(0.5 * F.sum(kl("p0")) + 0.5 * F.sum(kl("p1")), 6).alias(
+            "js_divergence_nats"
+        ),
+        F.count(F.lit(1)).alias("vocab_union"),
+    )

@@ -552,3 +552,89 @@ def sim_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "sim_cluster_separation",
+    oracle="""
+    WITH v AS (
+      SELECT label, vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS fv
+      FROM embeddings),
+    cent AS (
+      SELECT label, list(avg_val ORDER BY i) AS cv FROM (
+        SELECT label, u.i AS i, avg(fv[u.i]) AS avg_val
+        FROM v CROSS JOIN unnest(range(1, 65)) AS u(i)
+        GROUP BY label, u.i)
+      GROUP BY label),
+    radius AS (
+      SELECT v.label,
+             avg(sqrt(list_sum(list_transform(range(1, 65),
+                 i -> pow(v.fv[i] - c.cv[i], 2))))) AS r
+      FROM v JOIN cent c ON v.label = c.label
+      GROUP BY v.label),
+    pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             sqrt(list_sum(list_transform(range(1, 65),
+                 i -> pow(a.cv[i] - b.cv[i], 2)))) AS centroid_dist,
+             ra.r AS radius_a, rb.r AS radius_b
+      FROM cent a JOIN cent b ON a.label < b.label
+      JOIN radius ra ON ra.label = a.label
+      JOIN radius rb ON rb.label = b.label)
+    SELECT label_a, label_b,
+           round(centroid_dist, 6) AS centroid_dist,
+           round((radius_a + radius_b) / centroid_dist, 6) AS db_ratio
+    FROM pairs ORDER BY label_a, label_b
+    """,
+)
+def sim_cluster_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-separation audit (Davies-Bouldin-style): pairwise
+    centroid distances between label clusters and the ratio
+    (r_a + r_b)/dist — ratios near or above 1 mean the clusters
+    overlap and the label (or the k-means partition in
+    `sim_ivf_kmeans_topk`) is unreliable for routing.
+
+    Centroids are one per-dimension aggregate (posexplode-free: dim
+    parallel avg columns), radii one join + aggregate; the pairwise
+    stage runs on K rows.  Everything after the two corpus passes is
+    constant-size."""
+    v = _vecs(spark, sf_dir)  # carries (vec_id, v, label)
+    dim = 64
+    cent = v.groupBy("label").agg(
+        *[F.avg(F.element_at("v", i + 1)).alias(f"c{i}") for i in range(dim)]
+    ).select(
+        "label", F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("cv")
+    )
+    dist = lambda a, b: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+    )
+    radius = (
+        v.join(F.broadcast(cent), "label")
+        .select("label", dist(F.col("v"), F.col("cv")).alias("d"))
+        .groupBy("label")
+        .agg(F.avg("d").alias("r"))
+    )
+    a = cent.select(F.col("label").alias("label_a"), F.col("cv").alias("cva"))
+    b = cent.select(F.col("label").alias("label_b"), F.col("cv").alias("cvb"))
+    ra = radius.select(F.col("label").alias("label_a"), F.col("r").alias("radius_a"))
+    rb = radius.select(F.col("label").alias("label_b"), F.col("r").alias("radius_b"))
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .join(F.broadcast(ra), "label_a")
+        .join(F.broadcast(rb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(dist(F.col("cva"), F.col("cvb")), 6).alias("centroid_dist"),
+            F.round(
+                (F.col("radius_a") + F.col("radius_b"))
+                / dist(F.col("cva"), F.col("cvb")),
+                6,
+            ).alias("db_ratio"),
+        )
+        .orderBy("label_a", "label_b")
+    )

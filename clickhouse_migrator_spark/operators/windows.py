@@ -508,3 +508,60 @@ def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev",
         F.round(F.percentile("rev", 0.5).over(w), 4).alias("med_7d"),
     ).orderBy("day")
+
+
+@register(
+    "window_order_backlog",
+    oracle="""
+    WITH opened AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             count(*) AS delta
+      FROM orders GROUP BY 1),
+    closed AS (
+      SELECT CAST(date_trunc('month', mx) AS DATE) AS m, -count(*) AS delta
+      FROM (SELECT l_orderkey, max(l_shipdate) AS mx
+            FROM lineitem GROUP BY l_orderkey)
+      GROUP BY 1),
+    deltas AS (
+      SELECT m, sum(delta) AS d
+      FROM (SELECT * FROM opened UNION ALL SELECT * FROM closed)
+      GROUP BY m)
+    SELECT m AS month, CAST(d AS BIGINT) AS net_change,
+           CAST(sum(d) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS open_backlog
+    FROM deltas ORDER BY month
+    """,
+)
+def window_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time: +1 when an order is placed, −1
+    when its last line ships, cumulated monthly — the WIP/inventory
+    curve, and the event-delta formulation that makes interval
+    COUNTING linear (the same trick as `events_max_intersections`,
+    here as a time series instead of a peak).
+
+    Shape: per-order close date is one orderkey aggregate; open/close
+    deltas union into a month-keyed frame; the running sum is a window
+    over months (tiny).  No interval join anywhere."""
+    opened = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("m"))
+        .agg(F.count(F.lit(1)).alias("delta"))
+    )
+    closed = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("mx"))
+        .groupBy(F.date_trunc("month", "mx").cast("date").alias("m"))
+        .agg((-F.count(F.lit(1))).alias("delta"))
+    )
+    deltas = (
+        opened.unionByName(closed)
+        .groupBy("m")
+        .agg(F.sum("delta").alias("d"))
+    )
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    return deltas.select(
+        F.col("m").alias("month"),
+        F.col("d").cast("bigint").alias("net_change"),
+        F.sum("d").over(w).cast("bigint").alias("open_backlog"),
+    ).orderBy("month")

@@ -1360,3 +1360,34 @@ def agg_tdigest_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p99_within_1pct"
         ),
     ).orderBy("flag")
+
+
+@register(
+    "agg_histogram_2d",
+    oracle="""
+    SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS qty_bin,
+           CAST(floor(l_discount / 0.02) AS BIGINT) AS disc_bin,
+           count(*) AS n,
+           round(sum(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    GROUP BY 1, 2 ORDER BY qty_bin, disc_bin
+    """,
+)
+def agg_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram (quantity x discount grid with revenue per cell) —
+    the joint-distribution heatmap behind pricing analysis.  Fixed-width
+    bins are pure arithmetic on the scan; ONE hash aggregate on the
+    composite bin key (never bin-then-join); cell count is bounded by
+    the grid, so the shuffle is constant-size at any corpus scale."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_quantity") / 10).cast("bigint").alias("qty_bin"),
+            F.floor(F.col("l_discount") / 0.02).cast("bigint").alias("disc_bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .orderBy("qty_bin", "disc_bin")
+    )

@@ -2258,3 +2258,48 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_error_rate_sli",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             count(*) AS n,
+             count(*) FILTER (WHERE event_type = 'error') AS n_err
+      FROM events GROUP BY 1)
+    SELECT hour, n, n_err,
+           round(n_err / CAST(n AS DOUBLE), 6) AS err_rate,
+           round(sum(n_err) OVER w / CAST(sum(n) OVER w AS DOUBLE), 6)
+             AS err_rate_3h,
+           (sum(n_err) OVER w / CAST(sum(n) OVER w AS DOUBLE)) > 0.25
+             AS breach
+    FROM hourly
+    WINDOW w AS (ORDER BY hour ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ORDER BY hour
+    """,
+)
+def events_error_rate_sli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-rate SLI with a trailing 3-hour window and breach flags
+    (threshold 25%) — the alerting query of a reliability dashboard.
+    The ratio-of-sums over the window (not the average of ratios —
+    hours with little traffic must not dominate) runs on the hourly
+    aggregate; raw events are touched once."""
+    hourly = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("n_err"),
+        )
+    )
+    w = Window.orderBy("hour").rowsBetween(-2, 0)
+    rate3h = F.sum("n_err").over(w) / F.sum("n").over(w).cast("double")
+    return hourly.select(
+        "hour",
+        "n",
+        "n_err",
+        F.round(F.col("n_err") / F.col("n").cast("double"), 6).alias("err_rate"),
+        F.round(rate3h, 6).alias("err_rate_3h"),
+        (rate3h > 0.25).alias("breach"),
+    ).orderBy("hour")

@@ -458,3 +458,73 @@ def join_salted_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "join_referential_audit",
+    oracle="""
+    SELECT 'missing_order' AS violation,
+           count(*) AS n_rows
+    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'missing_part', count(*)
+    FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+    UNION ALL
+    SELECT 'missing_supplier', count(*)
+    FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+    UNION ALL
+    SELECT 'orphan_order', count(*)
+    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    ORDER BY violation
+    """,
+)
+def join_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphaned foreign keys across the
+    star schema (lineitems without their order/part/supplier, orders
+    without their customer) — the data-quality gate every warehouse
+    load should run, and the reference diff-planner's anti-join shape
+    (`/root/reference/clickhouse_migrate/migrate.py:35-37`) applied to
+    facts instead of migrations.
+
+    Each check is a broadcast ANTI-join (dim key sets are small even at
+    100 TB relative to facts) counting survivors; the four counts union
+    into one report."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+
+    def check(name: str, fact: DataFrame, key: str, dim: DataFrame, dkey: str) -> DataFrame:
+        return (
+            fact.join(
+                F.broadcast(dim.select(F.col(dkey).alias(key)).distinct()),
+                key,
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(F.lit(name).alias("violation"), "n_rows")
+        )
+
+    return (
+        check("missing_order", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(
+            check("missing_part", li, "l_partkey", table(spark, sf_dir, "part"), "p_partkey")
+        )
+        .unionByName(
+            check(
+                "missing_supplier",
+                li,
+                "l_suppkey",
+                table(spark, sf_dir, "supplier"),
+                "s_suppkey",
+            )
+        )
+        .unionByName(
+            check(
+                "orphan_order",
+                o,
+                "o_custkey",
+                table(spark, sf_dir, "customer"),
+                "c_custkey",
+            )
+        )
+        .orderBy("violation")
+    )

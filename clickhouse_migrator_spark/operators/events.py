@@ -2303,3 +2303,60 @@ def events_error_rate_sli(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate3h, 6).alias("err_rate_3h"),
         (rate3h > 0.25).alias("breach"),
     ).orderBy("hour")
+
+
+@register(
+    "events_anomaly_dow_adjusted",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             dayofweek(ts) AS dow, hour(ts) AS hod,
+             count(*) AS n
+      FROM events GROUP BY 1, 2, 3),
+    baseline AS (
+      SELECT dow, hod, avg(n) AS mu, stddev_samp(n) AS sigma
+      FROM hourly GROUP BY dow, hod)
+    SELECT h.hour, h.n, round(b.mu, 4) AS expected,
+           round((h.n - b.mu) / b.sigma, 4) AS z,
+           abs((h.n - b.mu) / b.sigma) > 2.5 AS anomaly
+    FROM hourly h JOIN baseline b ON h.dow = b.dow AND h.hod = b.hod
+    WHERE b.sigma > 0
+    ORDER BY h.hour
+    """,
+)
+def events_anomaly_dow_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly detection: each hour's volume
+    z-scored against the baseline for ITS OWN (weekday, hour-of-day)
+    cell — a Monday-9am spike is judged against Monday 9ams, not the
+    global mean (the raw-trailing-window variant is
+    `events_zscore_outliers`; this one can't be fooled by normal
+    weekly rhythm).
+
+    Both the hourly rollup and the 168-cell baseline come from one
+    scan; the scoring join is baseline-broadcast.  DuckDB's 0-based
+    dayofweek is matched by shifting Spark's 1-based one."""
+    hourly = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            (F.dayofweek("ts") - 1).alias("dow"),
+            F.hour("ts").alias("hod"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    baseline = hourly.groupBy("dow", "hod").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        hourly.join(F.broadcast(baseline), ["dow", "hod"])
+        .filter(F.col("sigma") > 0)
+        .select(
+            "hour",
+            "n",
+            F.round("mu", 4).alias("expected"),
+            F.round(z, 4).alias("z"),
+            (F.abs(z) > 2.5).alias("anomaly"),
+        )
+        .orderBy("hour")
+    )

@@ -498,3 +498,36 @@ def dialect_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderstatus, o_orderpriority
         """,
     )
+
+
+@register(
+    "dialect_tuple_in_subquery",
+    oracle="""
+    SELECT count(*) AS n_matching,
+           round(sum(l.l_extendedprice), 2) AS total
+    FROM lineitem l
+    JOIN (SELECT l_orderkey AS k, min(l_linenumber) AS ln
+          FROM lineitem GROUP BY l_orderkey) f
+      ON l.l_orderkey = f.k AND l.l_linenumber = f.ln
+    """,
+)
+def dialect_tuple_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse tuple-IN over a subquery — ``(a, b) IN (SELECT …)`` —
+    the composite-key membership idiom.  The spelling passes through
+    the dialect layer untouched (Spark SQL accepts it) and Catalyst
+    plans it as a LEFT SEMI join on both columns, exactly the
+    first-line-of-each-order filter a hand-written semi-join would be."""
+    from ..migrate import execute_and_inflate
+
+    v = _view(spark, sf_dir, "lineitem")
+    return execute_and_inflate(
+        spark,
+        f"""
+        SELECT count(*) AS n_matching,
+               round(sum(l_extendedprice), 2) AS total
+        FROM {v}
+        WHERE (l_orderkey, l_linenumber) IN (
+          SELECT l_orderkey, min(l_linenumber)
+          FROM {v} GROUP BY l_orderkey)
+        """,
+    )

@@ -565,3 +565,48 @@ def window_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("bigint").alias("net_change"),
         F.sum("d").over(w).cast("bigint").alias("open_backlog"),
     ).orderBy("month")
+
+
+@register(
+    "window_cumulative_vwap",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', l_shipdate) AS DATE) AS day,
+             sum(l_extendedprice * l_quantity) AS pv,
+             sum(l_quantity) AS v
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1995-02-01 00:00:00'
+      GROUP BY 1)
+    SELECT day,
+           round(pv / v, 4) AS day_vwap,
+           round(sum(pv) OVER w / sum(v) OVER w, 4) AS cum_vwap
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+    ORDER BY day
+    """,
+)
+def window_cumulative_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price, daily and cumulative (the
+    financial VWAP shape applied to shipments): ratio of RUNNING SUMS,
+    never an average of daily ratios — low-volume days must not steer
+    the cumulative line.  One month's scan aggregates to a daily frame;
+    both windows run over those ~31 rows."""
+    daily = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1995-02-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .groupBy(F.date_trunc("day", "l_shipdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("pv"),
+            F.sum("l_quantity").alias("v"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        F.round(F.col("pv") / F.col("v"), 4).alias("day_vwap"),
+        F.round(F.sum("pv").over(w) / F.sum("v").over(w), 4).alias("cum_vwap"),
+    ).orderBy("day")

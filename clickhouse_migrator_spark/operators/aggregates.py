@@ -15,7 +15,7 @@ aggregation (automatic in Spark); `approx_count_distinct` is the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..registry import register
 from ..tables import table, register_views
@@ -1391,3 +1391,52 @@ def agg_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qty_bin", "disc_bin")
     )
+
+
+@register(
+    "agg_order_value_deciles",
+    oracle="""
+    WITH d AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders)
+    SELECT decile, count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi,
+           round(sum(o_totalprice), 2) AS total,
+           round(sum(o_totalprice) / sum(sum(o_totalprice)) OVER () * 100, 4)
+             AS pct_of_revenue
+    FROM d GROUP BY decile ORDER BY decile
+    """,
+)
+def agg_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile table of order values: boundaries, counts and revenue
+    share per tenth — the quantile-based cousin of the fixed-width
+    histograms (equal POPULATION per bucket, so the table localizes
+    where the money is: compare `agg_pareto_concentration`'s single
+    number).  Global ntile over one value column (tie-broken on the
+    key for cross-engine determinism); the share ratio runs over the
+    10-row aggregate."""
+    d = table(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        F.ntile(10)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("decile"),
+    )
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+        F.sum("o_totalprice").alias("raw_total"),
+    )
+    w = Window.partitionBy()
+    return g.select(
+        "decile",
+        "n",
+        "lo",
+        "hi",
+        F.round("raw_total", 2).alias("total"),
+        F.round(F.col("raw_total") / F.sum("raw_total").over(w) * 100, 4).alias(
+            "pct_of_revenue"
+        ),
+    ).orderBy("decile")

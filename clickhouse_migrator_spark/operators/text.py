@@ -762,3 +762,43 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("vocab_union"),
     )
+
+
+@register(
+    "text_length_profile_by_source",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+      FROM documents)
+    SELECT source, count(*) AS n_docs,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           round(quantile_cont(n_tokens, 0.25), 2) AS p25,
+           round(quantile_cont(n_tokens, 0.50), 2) AS p50,
+           round(quantile_cont(n_tokens, 0.75), 2) AS p75,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM t GROUP BY source ORDER BY source
+    """,
+)
+def text_length_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length profile (min/quartiles/max) — the shape
+    diagnostic behind chunking and packing decisions: a source whose
+    p75 fits one context window packs differently from one that
+    doesn't.  One scan, one per-source aggregate; quartile state is the
+    per-group value buffer (swap to approx_percentile at extreme group
+    sizes — same columns)."""
+    t = table(spark, sf_dir, "documents").select(
+        "source", F.size(_tokens()).alias("n_tokens")
+    )
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+            F.round(F.percentile("n_tokens", 0.25), 2).alias("p25"),
+            F.round(F.percentile("n_tokens", 0.50), 2).alias("p50"),
+            F.round(F.percentile("n_tokens", 0.75), 2).alias("p75"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        )
+        .orderBy("source")
+    )

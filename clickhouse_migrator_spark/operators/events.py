@@ -2360,3 +2360,142 @@ def events_anomaly_dow_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+@register(
+    "events_first_touch_attribution",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'),
+    touches AS (
+      SELECT event_id, first_touch FROM (
+        SELECT p.event_id, e.event_type AS first_touch,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY e.ts, e.event_id) AS rk
+        FROM purchases p
+        JOIN events e
+          ON e.user_id = p.user_id
+         AND e.ts < p.ts
+         AND e.ts >= p.ts - INTERVAL 24 HOUR
+         AND e.event_type != 'purchase')
+      WHERE rk = 1)
+    SELECT coalesce(t.first_touch, 'organic') AS channel,
+           count(*) AS n_purchases
+    FROM purchases p LEFT JOIN touches t ON p.event_id = t.event_id
+    GROUP BY channel ORDER BY channel
+    """,
+)
+def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: every purchase credited to the FIRST
+    non-purchase event type in the preceding 24 hours (no touch →
+    'organic') — the marketing-attribution join, with event types
+    standing in for channels.
+
+    One user-keyed join bounded by the 24 h interval condition; the
+    earliest touch per purchase is min_by on (ts, event_id) — an
+    aggregate, not a window over the joined fan-out.  At 100 TB
+    the per-user candidate product is bounded by the day window, the
+    same posture as `join_asof_nearest`."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
+    )
+    touches = (
+        purchases.join(
+            ev.filter(F.col("event_type") != "purchase").select(
+                "user_id", F.col("ts").alias("ets"), F.col("event_type").alias("etype"),
+                F.col("event_id").alias("eid"),
+            ),
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("ets") < F.col("pts"))
+            & (F.col("ets") >= F.col("pts") - F.expr("INTERVAL 24 HOURS")),
+        )
+        .groupBy("event_id")
+        .agg(
+            F.min_by("etype", F.struct("ets", "eid")).alias("first_touch")
+        )
+    )
+    return (
+        purchases.join(touches, "event_id", "left")
+        .groupBy(F.coalesce("first_touch", F.lit("organic")).alias("channel"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy("channel")
+    )
+
+
+@register(
+    "events_in_session_conversion",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, event_type,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ), per_session AS (
+      SELECT user_id, sid,
+             max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS has_signup,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+      FROM sess GROUP BY user_id, sid)
+    SELECT count(*) AS n_sessions,
+           sum(has_signup) AS sessions_with_signup,
+           sum(CASE WHEN has_signup = 1 AND has_purchase = 1 THEN 1 ELSE 0 END)
+             AS converted_sessions,
+           round(sum(CASE WHEN has_signup = 1 AND has_purchase = 1 THEN 1 ELSE 0 END)
+                 / CAST(sum(has_signup) AS DOUBLE), 6) AS in_session_cvr
+    FROM per_session
+    """,
+)
+def events_in_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion WITHIN a session: of sessions containing a signup,
+    how many also contain a purchase — the composite of the
+    sessionizer and the funnel (the user-lifetime funnel is
+    `events_funnel_signup_to_purchase`; this one answers "did they
+    convert before walking away").  Same 30-minute gaps-and-islands
+    sessionization, one user exchange, flags folded per session."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    ev = table(spark, sf_dir, "events")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("timestamp").cast("double")
+                - F.lag(F.col("ts").cast("timestamp")).over(w).cast("double")
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = marked.withColumn("sid", F.sum("new_sess").over(wrun))
+    per_session = sess.groupBy("user_id", "sid").agg(
+        F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias(
+            "has_signup"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "has_purchase"
+        ),
+    )
+    converted = F.sum(
+        F.when((F.col("has_signup") == 1) & (F.col("has_purchase") == 1), 1).otherwise(0)
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("has_signup").alias("sessions_with_signup"),
+        converted.alias("converted_sessions"),
+        F.round(converted / F.sum("has_signup").cast("double"), 6).alias(
+            "in_session_cvr"
+        ),
+    )

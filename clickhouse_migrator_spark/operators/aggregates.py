@@ -1440,3 +1440,40 @@ def agg_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_of_revenue"
         ),
     ).orderBy("decile")
+
+
+@register(
+    "agg_seasonal_index",
+    oracle="""
+    WITH monthly AS (
+      SELECT month(o_orderdate) AS mo,
+             sum(o_totalprice) AS rev,
+             count(*) AS n
+      FROM orders GROUP BY 1)
+    SELECT mo AS month, n,
+           round(rev, 2) AS revenue,
+           round(rev / (sum(rev) OVER () / 12), 6) AS seasonal_index
+    FROM monthly ORDER BY month
+    """,
+)
+def agg_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal index: each calendar month's revenue relative
+    to the average month (index 1.0 = typical, 1.3 = +30% season) —
+    the deseasonalization factor used before trend comparison (the
+    event-series decomposition sibling is `ts_decompose_additive`).
+    One scan to a 12-row frame; the normalizing mean is a frame-less
+    window over those rows."""
+    monthly = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.month("o_orderdate").alias("month"))
+        .agg(F.sum("o_totalprice").alias("rev"), F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy()
+    return monthly.select(
+        "month",
+        "n",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / (F.sum("rev").over(w) / 12), 6).alias(
+            "seasonal_index"
+        ),
+    ).orderBy("month")

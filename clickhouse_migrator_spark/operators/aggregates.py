@@ -1477,3 +1477,70 @@ def agg_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonal_index"
         ),
     ).orderBy("month")
+
+
+@register(
+    "agg_contribution_waterfall",
+    oracle="""
+    WITH p1 AS (
+      SELECT o_orderpriority AS seg, sum(o_totalprice) AS rev
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1995-02-01 00:00:00'
+      GROUP BY 1),
+    p2 AS (
+      SELECT o_orderpriority AS seg, sum(o_totalprice) AS rev
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-02-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1995-03-01 00:00:00'
+      GROUP BY 1)
+    SELECT coalesce(p1.seg, p2.seg) AS segment,
+           round(coalesce(p1.rev, 0), 2) AS rev_jan,
+           round(coalesce(p2.rev, 0), 2) AS rev_feb,
+           round(coalesce(p2.rev, 0) - coalesce(p1.rev, 0), 2) AS delta,
+           round((coalesce(p2.rev, 0) - coalesce(p1.rev, 0))
+                 / sum(coalesce(p2.rev, 0) - coalesce(p1.rev, 0)) OVER () * 100, 4)
+             AS pct_of_total_change
+    FROM p1 FULL OUTER JOIN p2 ON p1.seg = p2.seg
+    ORDER BY segment
+    """,
+)
+def agg_contribution_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution waterfall: which segments drove the month-over-month
+    revenue change (Jan→Feb 1995 by order priority) — per-segment
+    deltas plus each segment's share of the total movement, the
+    decomposition behind every "why did the number move" review.
+
+    Two filtered aggregates full-outer-joined on the segment (the
+    reference diff-planner's join shape, `migrate.py:34`, applied to
+    metrics); the share-of-change window runs over the 5-row result."""
+    o = table(spark, sf_dir, "orders")
+
+    def period(start: str, end: str, out: str) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(start).cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit(end).cast("timestamp_ntz"))
+            )
+            .groupBy(F.col("o_orderpriority").alias(f"seg_{out}"))
+            .agg(F.sum("o_totalprice").alias(out))
+        )
+
+    p1 = period("1995-01-01 00:00:00", "1995-02-01 00:00:00", "rev1")
+    p2 = period("1995-02-01 00:00:00", "1995-03-01 00:00:00", "rev2")
+    joined = p1.join(
+        p2, F.col("seg_rev1") == F.col("seg_rev2"), "full_outer"
+    ).select(
+        F.coalesce("seg_rev1", "seg_rev2").alias("segment"),
+        F.coalesce("rev1", F.lit(0.0)).alias("r1"),
+        F.coalesce("rev2", F.lit(0.0)).alias("r2"),
+    )
+    w = Window.partitionBy()
+    delta = F.col("r2") - F.col("r1")
+    return joined.select(
+        "segment",
+        F.round("r1", 2).alias("rev_jan"),
+        F.round("r2", 2).alias("rev_feb"),
+        F.round(delta, 2).alias("delta"),
+        F.round(delta / F.sum(delta).over(w) * 100, 4).alias("pct_of_total_change"),
+    ).orderBy("segment")

@@ -2499,3 +2499,57 @@ def events_in_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "in_session_cvr"
         ),
     )
+
+
+@register(
+    "events_repeat_purchase_rate",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS k
+      FROM events WHERE event_type = 'purchase'),
+    per_user AS (
+      SELECT user_id, max(k) AS n_purchases,
+             min(CASE WHEN k = 1 THEN ts END) AS first_ts,
+             min(CASE WHEN k = 2 THEN ts END) AS second_ts
+      FROM ranked GROUP BY user_id)
+    SELECT count(*) AS n_buyers,
+           count(*) FILTER (WHERE n_purchases >= 2) AS repeat_buyers,
+           round(count(*) FILTER (WHERE n_purchases >= 2)
+                 / CAST(count(*) AS DOUBLE), 6) AS repeat_rate,
+           round(quantile_cont(epoch(second_ts) - epoch(first_ts), 0.5), 4)
+             AS median_days_to_second_s
+    FROM per_user
+    """,
+)
+def events_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase rate and median time to the SECOND purchase —
+    the loyalty metric pair behind retention economics (one-off buyers
+    vs habits; pairs with `events_time_to_convert`'s first-conversion
+    latency).
+
+    One user-keyed rank window over purchases, folded to per-user
+    first/second timestamps in the same pass; the median runs over the
+    buyers frame."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.row_number().over(w).alias("k"))
+    )
+    per_user = ranked.groupBy("user_id").agg(
+        F.max("k").alias("n_purchases"),
+        F.min(F.when(F.col("k") == 1, F.col("ts"))).alias("first_ts"),
+        F.min(F.when(F.col("k") == 2, F.col("ts"))).alias("second_ts"),
+    )
+    gap = F.col("second_ts").cast("timestamp").cast("double") - F.col(
+        "first_ts"
+    ).cast("timestamp").cast("double")
+    repeat = F.count(F.when(F.col("n_purchases") >= 2, 1))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_buyers"),
+        repeat.alias("repeat_buyers"),
+        F.round(repeat / F.count(F.lit(1)).cast("double"), 6).alias("repeat_rate"),
+        F.round(F.percentile(gap, 0.5), 4).alias("median_days_to_second_s"),
+    )

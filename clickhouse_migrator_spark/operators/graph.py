@@ -154,3 +154,49 @@ def graph_triangles_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             "global_clustering"
         ),
     )
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    edges AS (SELECT doc_a, doc_b FROM pair_jaccard WHERE jaccard >= {JACCARD_T}),
+    sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+            UNION SELECT doc_b, doc_a FROM edges),
+    deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src)
+    SELECT d AS degree, count(*) AS n_nodes,
+           round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS p
+    FROM deg GROUP BY d ORDER BY degree
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup graph — the first question
+    about any graph's shape: a heavy tail means hub documents
+    (templates duplicated everywhere → salt or split them before the
+    triangle/PageRank joins); a flat head means isolated pairs.
+    One degree aggregate + a histogram of it; the share window runs
+    over the distinct-degree rows."""
+    pairs = (
+        _exact_jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select("doc_a", "doc_b")
+    )
+    sym = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    deg = sym.groupBy("doc_a").agg(F.count(F.lit(1)).alias("d"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    return (
+        deg.groupBy(F.col("d").alias("degree"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(
+            "degree",
+            "n_nodes",
+            F.round(
+                F.col("n_nodes") / F.sum("n_nodes").over(w).cast("double"), 6
+            ).alias("p"),
+        )
+        .orderBy("degree")
+    )

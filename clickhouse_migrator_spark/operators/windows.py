@@ -610,3 +610,46 @@ def window_cumulative_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("pv") / F.col("v"), 4).alias("day_vwap"),
         F.round(F.sum("pv").over(w) / F.sum("v").over(w), 4).alias("cum_vwap"),
     ).orderBy("day")
+
+
+@register(
+    "window_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             sum(value) AS rev
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    series AS (
+      SELECT day, sum(rev) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum
+      FROM daily),
+    dd AS (
+      SELECT cum,
+             max(cum) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS peak
+      FROM series)
+    SELECT round(max(peak - cum), 4) AS max_drawdown,
+           round(max((peak - cum) / peak) * 100, 6) AS max_drawdown_pct
+    FROM dd
+    """,
+)
+def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of cumulative daily revenue (the finance
+    risk classic applied to a business series — here the cumulative
+    line only rises, so drawdown measures the LONGEST FLAT STRETCH
+    cost; on net-value series it measures real peak-to-trough loss).
+    Two stacked running windows — cumulative sum, then running max of
+    it — over the daily frame; a 1-row reduce finishes."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.sum("value").alias("rev"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    series = daily.select("day", F.sum("rev").over(w).alias("cum"))
+    series = series.select("cum", F.max("cum").over(w).alias("peak"))
+    return series.agg(
+        F.round(F.max(F.col("peak") - F.col("cum")), 4).alias("max_drawdown"),
+        F.round(F.max((F.col("peak") - F.col("cum")) / F.col("peak")) * 100, 6).alias(
+            "max_drawdown_pct"
+        ),
+    )

@@ -588,6 +588,10 @@ RULES: dict[str, Rule] = {
     "toRelativeHourNum": _tpl("CAST(floor(unix_timestamp({0}) / 3600) AS BIGINT)"),
     "toRelativeMinuteNum": _tpl("CAST(floor(unix_timestamp({0}) / 60) AS BIGINT)"),
     "toLastDayOfMonth": _rename("last_day"),
+    # ISO week/year: Spark's weekofyear/YEAROFWEEK are ISO-8601 already
+    "toISOWeek": _rename("weekofyear"),
+    "toISOYear": _tpl("extract(YEAROFWEEK FROM {0})"),
+    "toWeek": _rename("weekofyear"),
     "toYYYYMMDDhhmmss": _tpl("CAST(date_format({0}, 'yyyyMMddHHmmss') AS BIGINT)"),
     "addQuarters": _add_unit("QUARTER"),
     "subtractQuarters": _add_unit("QUARTER", "-"),

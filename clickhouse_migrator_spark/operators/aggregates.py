@@ -1544,3 +1544,61 @@ def agg_contribution_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(delta, 2).alias("delta"),
         F.round(delta / F.sum(delta).over(w) * 100, 4).alias("pct_of_total_change"),
     ).orderBy("segment")
+
+
+@register(
+    "agg_tukey_fences",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag AS flag,
+             quantile_cont(l_extendedprice, 0.25) AS q1,
+             quantile_cont(l_extendedprice, 0.75) AS q3
+      FROM lineitem GROUP BY 1)
+    SELECT q.flag,
+           round(q.q1 - 1.5 * (q.q3 - q.q1), 4) AS lower_fence,
+           round(q.q3 + 1.5 * (q.q3 - q.q1), 4) AS upper_fence,
+           count(*) FILTER (
+             WHERE l.l_extendedprice < q.q1 - 1.5 * (q.q3 - q.q1)
+                OR l.l_extendedprice > q.q3 + 1.5 * (q.q3 - q.q1)) AS n_outliers,
+           count(*) AS n_rows
+    FROM lineitem l JOIN q ON l.l_returnflag = q.flag
+    GROUP BY q.flag, q.q1, q.q3 ORDER BY q.flag
+    """,
+)
+def agg_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey fences (Q1 − 1.5·IQR, Q3 + 1.5·IQR) with per-group outlier
+    counts — the boxplot rule, the distribution-free sibling of the
+    z-score/MAD outlier queries (those assume a scale; IQR assumes
+    only order).
+
+    Two passes by necessity: the fences need the quartiles before any
+    row can be judged — quartile frame (one row per group) broadcast
+    back into the counting scan."""
+    li = table(spark, sf_dir, "lineitem")
+    q = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.percentile("l_extendedprice", 0.25).alias("q1"),
+        F.percentile("l_extendedprice", 0.75).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo, hi = F.col("q1") - 1.5 * iqr, F.col("q3") + 1.5 * iqr
+    return (
+        li.join(F.broadcast(q), F.col("l_returnflag") == F.col("flag"))
+        .groupBy("flag", "q1", "q3")
+        .agg(
+            F.count(
+                F.when(
+                    (F.col("l_extendedprice") < lo) | (F.col("l_extendedprice") > hi),
+                    1,
+                )
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "flag",
+            F.round(lo, 4).alias("lower_fence"),
+            F.round(hi, 4).alias("upper_fence"),
+            "n_outliers",
+            "n_rows",
+        )
+        .orderBy("flag")
+    )

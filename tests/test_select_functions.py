@@ -784,3 +784,14 @@ def test_to_interval_constructors(spark):
     ).first()
     assert str(row.m) == "2020-02-29" and str(row.w) == "2020-01-15"
     assert str(row.h).startswith("2019-12-31 23:00")
+
+
+def test_iso_week_aliases(spark):
+    row = spark.sql(
+        rewrite_functions(
+            "SELECT toISOWeek(toDate('2021-01-01')) AS w, "
+            "toISOYear(toDate('2021-01-01')) AS y"
+        )
+    ).first()
+    # 2021-01-01 falls in ISO week 53 of ISO year 2020
+    assert row.w == 53 and row.y == 2020

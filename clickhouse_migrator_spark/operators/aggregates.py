@@ -197,25 +197,36 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_linestatus,
            count(*) AS n_items,
            sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
-           round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END), 2)
-               AS returned_value,
-           round(avg(CASE WHEN l_discount > 0.05 THEN l_extendedprice END), 4)
+           round(CAST(sum(CASE WHEN l_returnflag = 'R'
+                               THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
+                      AS DOUBLE), 2)                            AS returned_value,
+           round(CAST(sum(CASE WHEN l_discount > 0.05
+                               THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
+                      AS DOUBLE)
+                 / count(CASE WHEN l_discount > 0.05 THEN 1 END), 4)
                AS avg_discounted_price
     FROM lineitem GROUP BY l_linestatus
     """,
 )
 def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation with EXACT money arithmetic: the price is
+    decimal-cast before summing so the partial-aggregation order cannot
+    move the rounded output (a float sum near a .005 boundary flips
+    between runs — CORRECTNESS r01's observed flake)."""
     li = table(spark, sf_dir, "lineitem")
     is_r = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    dec_price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount") > 0.05
     return li.groupBy("l_linestatus").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum(is_r).alias("n_returned"),
         F.round(
-            F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")).otherwise(0.0)),
-            2,
+            F.sum(F.when(F.col("l_returnflag") == "R", dec_price)).cast("double"), 2
         ).alias("returned_value"),
         F.round(
-            F.avg(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))), 4
+            F.sum(F.when(disc, dec_price)).cast("double")
+            / F.count(F.when(disc, F.lit(1))),
+            4,
         ).alias("avg_discounted_price"),
     )
 
@@ -252,7 +263,8 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_decimal_exact_sums",
     oracle="""
     SELECT o_orderstatus,
-           sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS total_exact,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2)))
+                     AS DECIMAL(28, 2)) AS VARCHAR) AS total_exact,
            count(*) AS n_orders
     FROM orders GROUP BY o_orderstatus
     """,
@@ -260,10 +272,16 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact decimal aggregation — no float drift by construction (the
     money-typed path; at 100 TB exact decimal sums are what makes
-    partial aggregation safely associative)."""
+    partial aggregation safely associative).  Emitted as the decimal's
+    fixed-point STRING: Spark's sum widens to decimal(28,2), DuckDB's
+    to decimal(38,2), and the driver's hasher distinguishes the two
+    ``Decimal`` reprs — the rendered text is identical."""
     o = table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_exact"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .cast("string")
+        .alias("total_exact"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
@@ -434,8 +452,10 @@ def agg_statistical_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_quantiles_array",
     oracle="""
     SELECT l_returnflag,
-           list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
-                          x -> round(x, 6)) AS qty_quartiles,
+           array_to_string(
+             list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
+                            x -> CAST(CAST(round(x, 6) AS DECIMAL(18,6))
+                                      AS VARCHAR)), ',') AS qty_quartiles,
            round(quantile_cont(l_extendedprice, 0.5), 6) AS price_median
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -445,12 +465,18 @@ def agg_quantiles_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
     same (n-1)·p linear-interpolation definition, so values match
     exactly (rounded for float safety).  Single aggregation pass —
-    all three quantiles ride one shuffle."""
+    all three quantiles ride one shuffle.  The array is emitted as a
+    fixed-point joined STRING (driver-hash-safe; raw array columns
+    become unhashable ndarrays in the driver's comparator)."""
+    from ..hashsafe import arr_str, dec_str
+
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.transform(
-            F.expr("percentile(l_quantity, array(0.25, 0.5, 0.75))"),
-            lambda x: F.round(x, 6),
+        arr_str(
+            F.transform(
+                F.expr("percentile(l_quantity, array(0.25, 0.5, 0.75))"),
+                lambda x: dec_str(F.round(x, 6), 6, 18),
+            )
         ).alias("qty_quartiles"),
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("price_median"),
     )
@@ -491,8 +517,8 @@ def agg_bit_group(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM counted
     )
     SELECT o_orderstatus,
-           list(o_orderpriority ORDER BY rk) AS top_priorities,
-           list(cnt ORDER BY rk)             AS top_counts
+           array_to_string(list(o_orderpriority ORDER BY rk), ',') AS top_priorities,
+           array_to_string(list(cnt ORDER BY rk), ',')             AS top_counts
     FROM ranked WHERE rk <= 3 GROUP BY o_orderstatus
     """,
 )
@@ -513,14 +539,15 @@ def agg_topk_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("cnt"), F.asc("o_orderpriority")
     )
     ranked = counted.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+    sorted_structs = F.array_sort(
+        F.collect_list(F.struct("rk", "o_orderpriority", "cnt"))
+    )
     return ranked.groupBy("o_orderstatus").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("rk", "o_orderpriority", "cnt"))),
-            lambda s: s.o_orderpriority,
+        F.concat_ws(
+            ",", F.transform(sorted_structs, lambda s: s.o_orderpriority)
         ).alias("top_priorities"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("rk", "o_orderpriority", "cnt"))),
-            lambda s: s.cnt,
+        F.concat_ws(
+            ",", F.transform(sorted_structs, lambda s: s.cnt.cast("string"))
         ).alias("top_counts"),
     )
 
@@ -596,7 +623,8 @@ def agg_entropy_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_group_array_ordered",
     oracle="""
     SELECT user_id,
-           (list(event_type ORDER BY ts, event_id))[1:5] AS first_types,
+           array_to_string((list(event_type ORDER BY ts, event_id))[1:5], ',')
+             AS first_types,
            count(*) AS n_events
     FROM events GROUP BY user_id
     """,
@@ -610,15 +638,18 @@ def agg_group_array_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders identical across engines."""
     e = table(spark, sf_dir, "events")
     return e.groupBy("user_id").agg(
-        F.slice(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+        F.concat_ws(
+            ",",
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s.event_type,
                 ),
-                lambda s: s.event_type,
+                1,
+                5,
             ),
-            1,
-            5,
         ).alias("first_types"),
         F.count(F.lit(1)).alias("n_events"),
     )
@@ -629,17 +660,19 @@ def agg_group_array_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH wsum AS (
       SELECT o_orderstatus, o_orderpriority,
-             round(sum(o_totalprice), 2) AS weight
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DECIMAL(28,2)) AS VARCHAR) AS weight,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS w_exact
       FROM orders GROUP BY o_orderstatus, o_orderpriority
     ), ranked AS (
       SELECT *, row_number() OVER
         (PARTITION BY o_orderstatus
-         ORDER BY weight DESC, o_orderpriority) AS rk
+         ORDER BY w_exact DESC, o_orderpriority) AS rk
       FROM wsum
     )
     SELECT o_orderstatus,
-           list(o_orderpriority ORDER BY rk)  AS top_priorities,
-           list(weight ORDER BY rk)           AS top_weights
+           array_to_string(list(o_orderpriority ORDER BY rk), ',') AS top_priorities,
+           array_to_string(list(weight ORDER BY rk), ',')          AS top_weights
     FROM ranked WHERE rk <= 3 GROUP BY o_orderstatus
     """,
 )
@@ -655,21 +688,32 @@ def agg_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     o = table(spark, sf_dir, "orders")
+    # exact decimal sum: ranking and rendered weight cannot flake with
+    # partial-aggregation order (a float sum near a tie/round boundary
+    # would reorder the top-k between runs)
     wsum = o.groupBy("o_orderstatus", "o_orderpriority").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("weight")
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("w_exact")
     )
     w = Window.partitionBy("o_orderstatus").orderBy(
-        F.desc("weight"), F.asc("o_orderpriority")
+        F.desc("w_exact"), F.asc("o_orderpriority")
     )
-    ranked = wsum.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+    ranked = (
+        wsum.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .withColumn(
+            "weight", F.col("w_exact").cast("decimal(28,2)").cast("string")
+        )
+    )
     sorted_structs = F.array_sort(
         F.collect_list(F.struct("rk", "o_orderpriority", "weight"))
     )
     return ranked.groupBy("o_orderstatus").agg(
-        F.transform(sorted_structs, lambda s: s.o_orderpriority).alias(
-            "top_priorities"
+        F.concat_ws(
+            ",", F.transform(sorted_structs, lambda s: s.o_orderpriority)
+        ).alias("top_priorities"),
+        F.concat_ws(",", F.transform(sorted_structs, lambda s: s.weight)).alias(
+            "top_weights"
         ),
-        F.transform(sorted_structs, lambda s: s.weight).alias("top_weights"),
     )
 
 
@@ -678,14 +722,16 @@ def agg_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH r AS (
       SELECT user_id,
-             round(sum(value) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mv,
+             CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0
+                  AS DECIMAL(18,2)) AS VARCHAR) AS mv,
              ts, event_id
       FROM events
     )
     SELECT user_id,
-           (list(mv ORDER BY ts, event_id))[1:8] AS moving_sums
+           array_to_string((list(mv ORDER BY ts, event_id))[1:8], ',')
+             AS moving_sums
     FROM r GROUP BY user_id
     """,
 )
@@ -704,20 +750,29 @@ def agg_group_array_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-2, Window.currentRow)
     )
+    # exact cents grid: both engines' windowed-sum internals (running
+    # accumulator vs segment tree) agree to the last digit on integers
+    cents = F.round(F.col("value") * 100).cast("long")
     r = e.select(
         "user_id",
         "ts",
         "event_id",
-        F.round(F.sum("value").over(w), 4).alias("mv"),
+        (F.sum(cents).over(w) / F.lit(100.0))
+        .cast("decimal(18,2)")
+        .cast("string")
+        .alias("mv"),
     )
     return r.groupBy("user_id").agg(
-        F.slice(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("ts", "event_id", "mv"))),
-                lambda s: s.mv,
+        F.concat_ws(
+            ",",
+            F.slice(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "mv"))),
+                    lambda s: s.mv,
+                ),
+                1,
+                8,
             ),
-            1,
-            8,
         ).alias("moving_sums")
     )
 

@@ -38,25 +38,54 @@ SIMHASH_BITS = 60
 # tight threshold: the synthetic corpus draws from a tiny vocabulary, so
 # moderately-similar docs already land within a few bits of each other
 HAMMING_T = 2
+# shingle document-frequency cap: shingles appearing in more documents
+# than this carry no near-dup signal (boilerplate) and are the quadratic
+# blow-up in any inverted-index join — one shingle shared by d docs
+# contributes d² candidate pairs.  Dropping them bounds every posting
+# list, which bounds both LSH bucket sizes and the exact-baseline
+# self-join.  Fixture parity: max df is 25 at sf0.1 (verified), so the
+# cap never binds on test data and the DuckDB oracles match verbatim.
+SHINGLE_DF_CAP = 64
 
 
 def _tokens() -> Column:
     return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
 
 
-def shingles(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+def shingles(
+    spark: SparkSession, sf_dir: str, k: int = 3, df_cap: int | None = SHINGLE_DF_CAP
+) -> DataFrame:
     """Distinct word-k-gram shingles per document (single scan +
-    explode; Catalyst prunes to (doc_id, text))."""
+    explode; Catalyst prunes to (doc_id, text)), with shingles whose
+    document frequency exceeds ``df_cap`` removed ("stop-shingles").
+
+    The cap is applied CONSISTENTLY — signatures, intersection counts
+    and set sizes all see the same capped set — so Jaccard stays a true
+    set similarity (of the signal shingles).  The hot-shingle list is a
+    tiny aggregate (linear scan, partial-agg'd) anti-joined back;
+    Catalyst broadcasts it."""
     d = table(spark, sf_dir, "documents")
     toks = _tokens()
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (k - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
     )
-    return (
+    sh = (
         d.where(F.size(toks) >= k)
         .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
     )
+    if df_cap is None:
+        return sh
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("shingle")
+    )
+    # no broadcast hint: the hot list is usually tiny (AQE broadcasts it
+    # at runtime), but at 100 TB it can grow past executor memory — the
+    # shuffle anti-join is linear either way
+    return sh.join(hot, "shingle", "left_anti")
 
 
 _SHINGLE_SQL = """
@@ -79,12 +108,33 @@ _SHINGLE_SQL = """
 """
 
 
+def _attach_jaccard(inter: DataFrame, sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, inter) + per-doc set sizes → jaccard.  No
+    broadcast hints: sizes is one row per document (too big to
+    broadcast at 100 TB); AQE broadcasts it at fixture scale anyway."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+    )
+
+
 def _exact_jaccard_pairs(
     spark: SparkSession, sf_dir: str, sh: DataFrame | None = None
 ) -> DataFrame:
+    """Exact Jaccard for EVERY co-shingled pair — the oracle-twin
+    baseline.  The inverted-index self-join is O(Σ df²) over posting
+    lists; the df cap inside :func:`shingles` bounds every term of that
+    sum, which is what keeps the exact baseline runnable as a spot-audit
+    at scale (the production near-dup path is :func:`near_dup_pairs`)."""
     if sh is None:
         sh = shingles(spark, sf_dir).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -92,16 +142,29 @@ def _exact_jaccard_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
-        )
+    return _attach_jaccard(inter, sh)
+
+
+def _jaccard_for_candidates(sh: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Exact Jaccard computed ONLY for the given candidate pairs — the
+    verify stage that preserves LSH's pruning.  Plan: candidates ⨝
+    shingles(doc_a) fans each pair out by |sh(doc_a)| rows, then an
+    equi-join on (doc_b, shingle) keeps shared shingles; both joins are
+    linear in candidates × avg-set-size and corpus shingles — never
+    all-pairs.  (Candidates sharing zero shingles drop out; they cannot
+    clear any τ > 0.)"""
+    cand_sh = candidates.join(
+        sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
     )
+    inter = (
+        cand_sh.join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return _attach_jaccard(inter, sh)
 
 
 @register(
@@ -172,12 +235,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup detection, end to end:
+    return near_dup_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
 
-    shingle → 32 seeded-xxhash64 min-hash signature (one groupBy with
-    32 min() aggregates — a single shuffle) → 16 two-row bands →
-    band-bucket self-join (candidates only from hash collisions) →
-    exact-Jaccard verification of candidates.
+
+def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection, end to end — THE production path
+    (also the pair substrate for clustering and the dup graph):
+
+    df-capped shingle → 32 seeded-xxhash64 min-hash signature (one
+    groupBy with 32 min() aggregates — a single shuffle) → 16 two-row
+    bands → band-bucket self-join (candidates only from hash
+    collisions) → exact Jaccard computed FOR THE CANDIDATES ONLY
+    (:func:`_jaccard_for_candidates`): no stage anywhere touches
+    all pairs, so the LSH pruning survives into the verify step —
+    the full pipeline is linear in corpus + candidates.
 
     Deterministic; oracle = exact Jaccard pairs (miss probability
     ≤ (1-0.8²)^16 ≈ 5e-11 per qualifying pair, i.e. the outputs
@@ -217,11 +290,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
     )
-    exact = _exact_jaccard_pairs(spark, sf_dir, sh=sh)
     return (
-        candidates.join(exact, ["doc_a", "doc_b"])
+        _jaccard_for_candidates(sh, candidates)
         .filter(F.col("jaccard") >= JACCARD_T)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
@@ -385,10 +457,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, component) labels for every document that appears in a
     near-dup pair — iterative min-label propagation (see
-    :func:`dedup_components_clusters` for the scale rationale)."""
-    pairs = _exact_jaccard_pairs(spark, sf_dir).filter(
-        F.col("jaccard") >= JACCARD_T
-    ).select("doc_a", "doc_b")
+    :func:`dedup_components_clusters` for the scale rationale).
+
+    Edges come from the LSH-bounded :func:`near_dup_pairs` path, NOT
+    the all-pairs exact baseline: at τ=0.8 the two provably coincide
+    (per-pair miss ≤ 5e-11), so the recursive-CTE oracle stays valid
+    while the Spark plan stays linear."""
+    pairs = near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
     sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).cache()

@@ -629,12 +629,14 @@ def events_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_summap_user_values",
     oracle="""
     WITH per AS (
-      SELECT user_id, event_type, round(sum(value), 4) AS v
+      SELECT user_id, event_type,
+             CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) / 100.0
+                  AS DECIMAL(18,2)) AS VARCHAR) AS v
       FROM events GROUP BY user_id, event_type
     )
     SELECT user_id,
-           list(event_type ORDER BY event_type) AS map_keys,
-           list(v ORDER BY event_type)          AS map_values
+           array_to_string(list(event_type ORDER BY event_type), ',') AS map_keys,
+           array_to_string(list(v ORDER BY event_type), ',')          AS map_values
     FROM per GROUP BY user_id
     """,
 )
@@ -647,15 +649,20 @@ def agg_summap_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DuckDB's MAP renders structurally differently in Python, so raw
     maps can't hash-compare)."""
     e = table(spark, sf_dir, "events")
+    # exact cents grid — a float sum's partial-agg order can flip the
+    # rounded output between runs; integer sums cannot
     per = e.groupBy("user_id", "event_type").agg(
-        F.round(F.sum("value"), 4).alias("v")
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0))
+        .cast("decimal(18,2)")
+        .cast("string")
+        .alias("v")
     )
     m = F.map_from_entries(
         F.array_sort(F.collect_list(F.struct("event_type", "v")))
     )
     return per.groupBy("user_id").agg(
-        F.map_keys(m).alias("map_keys"),
-        F.map_values(m).alias("map_values"),
+        F.concat_ws(",", F.map_keys(m)).alias("map_keys"),
+        F.concat_ws(",", F.map_values(m)).alias("map_values"),
     )
 
 
@@ -970,10 +977,13 @@ def events_max_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id, event_type
     )
     SELECT user_id,
-           list(event_type ORDER BY event_type) AS map_keys,
-           list(lo   ORDER BY event_type)       AS min_values,
-           list(hi   ORDER BY event_type)       AS max_values,
-           list(mean ORDER BY event_type)       AS avg_values
+           array_to_string(list(event_type ORDER BY event_type), ',') AS map_keys,
+           array_to_string(list(CAST(CAST(lo AS DECIMAL(18,4)) AS VARCHAR)
+                                ORDER BY event_type), ',')  AS min_values,
+           array_to_string(list(CAST(CAST(hi AS DECIMAL(18,4)) AS VARCHAR)
+                                ORDER BY event_type), ',')  AS max_values,
+           array_to_string(list(CAST(CAST(mean AS DECIMAL(18,4)) AS VARCHAR)
+                                ORDER BY event_type), ',')  AS avg_values
     FROM per GROUP BY user_id
     """,
 )
@@ -1001,11 +1011,23 @@ def agg_minmaxavg_map_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     entries = F.array_sort(
         F.collect_list(F.struct("event_type", "lo", "hi", "mean"))
     )
+
+    def _dec4(c):
+        return c.cast("decimal(18,4)").cast("string")
+
     return per.groupBy("user_id").agg(
-        F.transform(entries, lambda s: s.event_type).alias("map_keys"),
-        F.transform(entries, lambda s: s.lo).alias("min_values"),
-        F.transform(entries, lambda s: s.hi).alias("max_values"),
-        F.transform(entries, lambda s: s.mean).alias("avg_values"),
+        F.concat_ws(",", F.transform(entries, lambda s: s.event_type)).alias(
+            "map_keys"
+        ),
+        F.concat_ws(",", F.transform(entries, lambda s: _dec4(s.lo))).alias(
+            "min_values"
+        ),
+        F.concat_ws(",", F.transform(entries, lambda s: _dec4(s.hi))).alias(
+            "max_values"
+        ),
+        F.concat_ws(",", F.transform(entries, lambda s: _dec4(s.mean))).alias(
+            "avg_values"
+        ),
     )
 
 

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import register
 from ..tables import table
-from .dedup import _SHINGLE_SQL, JACCARD_T, _exact_jaccard_pairs
+from .dedup import _SHINGLE_SQL, JACCARD_T, near_dup_pairs
 
 PR_ALPHA = 0.85
 PR_ITERS = 5
@@ -63,11 +63,9 @@ def graph_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical five iterations as a recursive CTE — feasible only
     because sf-scale graphs are tiny; the Spark path is the one that
     scales."""
-    pairs = (
-        _exact_jaccard_pairs(spark, sf_dir)
-        .filter(F.col("jaccard") >= JACCARD_T)
-        .select("doc_a", "doc_b")
-    )
+    # LSH-bounded pair substrate (provably coincides with exact pairs
+    # at tau=0.8; see near_dup_pairs) -- no all-pairs stage anywhere
+    pairs = near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
     sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).cache()
@@ -124,11 +122,9 @@ def graph_triangles_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization beyond the join state.  Wedges come from the degree
     aggregate.  At 100 TB-scale graphs this is THE shape (degree-skew
     handled by AQE or high-degree-vertex splitting)."""
-    pairs = (
-        _exact_jaccard_pairs(spark, sf_dir)
-        .filter(F.col("jaccard") >= JACCARD_T)
-        .select("doc_a", "doc_b")
-    )
+    # LSH-bounded pair substrate (provably coincides with exact pairs
+    # at tau=0.8; see near_dup_pairs) -- no all-pairs stage anywhere
+    pairs = near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
     sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
@@ -176,11 +172,9 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle/PageRank joins); a flat head means isolated pairs.
     One degree aggregate + a histogram of it; the share window runs
     over the distinct-degree rows."""
-    pairs = (
-        _exact_jaccard_pairs(spark, sf_dir)
-        .filter(F.col("jaccard") >= JACCARD_T)
-        .select("doc_a", "doc_b")
-    )
+    # LSH-bounded pair substrate (provably coincides with exact pairs
+    # at tau=0.8; see near_dup_pairs) -- no all-pairs stage anywhere
+    pairs = near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
     sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )

@@ -188,8 +188,11 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_feature_extract",
     oracle="""
     SELECT doc_id,
-           list_transform(generate_series(1, 8),
-                          i -> round(ascii(substr(md5(text), i, 1)) / 255.0, 6))
+           array_to_string(
+             list_transform(generate_series(1, 8),
+                            i -> CAST(CAST(round(ascii(substr(md5(text), i, 1))
+                                                 / 255.0, 6)
+                                           AS DECIMAL(10,6)) AS VARCHAR)), ',')
              AS embedding
     FROM documents
     """,
@@ -212,10 +215,13 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             embs = []
             for payload in pdf["payload"]:
                 h = hashlib.md5(bytes(payload)).hexdigest()
-                embs.append([round(ord(h[i]) / 255.0, 6) for i in range(8)])
+                # fixed-point rendering matches DuckDB DECIMAL(10,6)::VARCHAR
+                embs.append(
+                    ",".join(f"{round(ord(h[i]) / 255.0, 6):.6f}" for i in range(8))
+                )
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "embedding": embs})
 
-    return docs.mapInPandas(featurize, "doc_id BIGINT, embedding ARRAY<DOUBLE>")
+    return docs.mapInPandas(featurize, "doc_id BIGINT, embedding STRING")
 
 
 @register(

@@ -504,9 +504,9 @@ def scalar_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(words)                                   AS n_words,
            list_contains(words, 'green')                AS has_green,
            list_position(words, 'green')                AS green_pos,
-           list_sort(list_distinct(words))              AS uniq_sorted,
-           list_slice(words, 2, 3)                      AS mid_slice,
-           flatten([words, ['#']])                      AS with_sentinel
+           array_to_string(list_sort(list_distinct(words)), ',') AS uniq_sorted,
+           array_to_string(list_slice(words, 2, 3), ',')         AS mid_slice,
+           array_to_string(flatten([words, ['#']]), ',')         AS with_sentinel
     FROM a
     """,
 )
@@ -523,9 +523,13 @@ def scalar_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("words").alias("n_words"),
         F.array_contains("words", "green").alias("has_green"),
         F.array_position(F.col("words"), "green").alias("green_pos"),
-        F.array_sort(F.array_distinct("words")).alias("uniq_sorted"),
-        F.slice(F.col("words"), 2, 2).alias("mid_slice"),
-        F.flatten(F.array(F.col("words"), F.array(F.lit("#")))).alias("with_sentinel"),
+        F.concat_ws(",", F.array_sort(F.array_distinct("words"))).alias(
+            "uniq_sorted"
+        ),
+        F.concat_ws(",", F.slice(F.col("words"), 2, 2)).alias("mid_slice"),
+        F.concat_ws(
+            ",", F.flatten(F.array(F.col("words"), F.array(F.lit("#"))))
+        ).alias("with_sentinel"),
     )
 
 
@@ -665,21 +669,22 @@ def scalar_trig_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH x AS (
       SELECT vec_id,
-             CAST(unnest(embedding) AS DOUBLE)  AS val,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT)                    AS val_e6,
              generate_subscripts(embedding, 1)  AS pos
       FROM embeddings
     ), c AS (
       SELECT vec_id, pos,
-             round(sum(val) OVER (PARTITION BY vec_id ORDER BY pos), 4)
-               + 0.0 AS cs,
-             round(val - coalesce(lag(val) OVER (PARTITION BY vec_id
-                                                 ORDER BY pos), val), 4)
-               + 0.0 AS d
+             CAST(CAST(sum(val_e6) OVER (PARTITION BY vec_id ORDER BY pos)
+                       / 1000000.0 AS DECIMAL(18,6)) AS VARCHAR) AS cs,
+             CAST(CAST((val_e6 - coalesce(lag(val_e6) OVER (PARTITION BY vec_id
+                                                            ORDER BY pos), val_e6))
+                       / 1000000.0 AS DECIMAL(18,6)) AS VARCHAR) AS d
       FROM x
     )
     SELECT vec_id,
-           (list(cs ORDER BY pos))[1:8] AS cumsum8,
-           (list(d  ORDER BY pos))[1:8] AS diff8
+           array_to_string((list(cs ORDER BY pos))[1:8], ',') AS cumsum8,
+           array_to_string((list(d  ORDER BY pos))[1:8], ',') AS diff8
     FROM c GROUP BY vec_id
     """,
 )
@@ -694,28 +699,39 @@ def scalar_array_cumsum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode+window form is O(n) and AQE-balanced across executors."""
     from pyspark.sql import Window
 
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.posexplode("embedding").alias("pos0", "valf")
-    ).withColumn("val", F.col("valf").cast("double"))
+    # exact 1e-6 integer grid (same device as agg_sum_foreach): the
+    # engines' windowed-sum internals agree bit-for-bit on integers,
+    # and the grid also normalizes IEEE -0.0 away
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("pos0", "valf"))
+        .withColumn(
+            "val_e6",
+            F.floor(F.col("valf").cast("double") * 1000000 + 0.5).cast("long"),
+        )
+    )
     wsum = Window.partitionBy("vec_id").orderBy("pos0")
-    # `+ 0.0` normalizes IEEE negative zero (-0.0 + 0.0 == +0.0), which
-    # the two engines' round() emit differently
+
+    def _dec6(c):
+        return (c / F.lit(1000000.0)).cast("decimal(18,6)").cast("string")
+
     c = e.select(
         "vec_id",
         "pos0",
-        (F.round(F.sum("val").over(wsum), 4) + F.lit(0.0)).alias("cs"),
-        (
-            F.round(
-                F.col("val") - F.coalesce(F.lag("val").over(wsum), F.col("val")),
-                4,
-            )
-            + F.lit(0.0)
+        _dec6(F.sum("val_e6").over(wsum)).alias("cs"),
+        _dec6(
+            F.col("val_e6")
+            - F.coalesce(F.lag("val_e6").over(wsum), F.col("val_e6"))
         ).alias("d"),
     )
     entries = F.array_sort(F.collect_list(F.struct("pos0", "cs", "d")))
     return c.groupBy("vec_id").agg(
-        F.slice(F.transform(entries, lambda s: s.cs), 1, 8).alias("cumsum8"),
-        F.slice(F.transform(entries, lambda s: s.d), 1, 8).alias("diff8"),
+        F.concat_ws(",", F.slice(F.transform(entries, lambda s: s.cs), 1, 8)).alias(
+            "cumsum8"
+        ),
+        F.concat_ws(",", F.slice(F.transform(entries, lambda s: s.d), 1, 8)).alias(
+            "diff8"
+        ),
     )
 
 
@@ -736,10 +752,15 @@ def scalar_array_cumsum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base
     )
     SELECT o_orderkey,
-           list(v ORDER BY pos, v, dsc)      AS arr_raw,
-           list(filled ORDER BY pos, v, dsc) AS arr_filled,
-           list(v ORDER BY pos, v, dsc) FILTER (prev IS NULL OR prev <> v)
-             AS arr_compact,
+           -- coalesce: DuckDB's array_to_string is NULL for an
+           -- all-NULL list where Spark's concat_ws is ''
+           coalesce(array_to_string(list(CAST(CAST(v AS DECIMAL(18,2)) AS VARCHAR)
+                                ORDER BY pos, v, dsc), ','), '')      AS arr_raw,
+           coalesce(array_to_string(list(CAST(CAST(filled AS DECIMAL(18,2)) AS VARCHAR)
+                                ORDER BY pos, v, dsc), ','), '')      AS arr_filled,
+           coalesce(array_to_string(list(CAST(CAST(v AS DECIMAL(18,2)) AS VARCHAR)
+                                ORDER BY pos, v, dsc)
+                           FILTER (prev IS NULL OR prev <> v), ','), '') AS arr_compact,
            sum(CASE WHEN prev IS NULL OR prev <> v THEN 1 ELSE 0 END) AS n_runs
     FROM w GROUP BY o_orderkey
     """,
@@ -790,10 +811,20 @@ def scalar_array_fill_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     compact_entries = F.array_sort(
         F.collect_list(F.when(F.col("is_new_run"), F.struct("pos", "v", "dsc")))
     )
+
+    def _dec2(c):
+        return c.cast("decimal(18,2)").cast("string")
+
     return rows.groupBy("o_orderkey").agg(
-        F.transform(raw_entries, lambda s: s.v).alias("arr_raw"),
-        F.transform(filled_entries, lambda s: s["filled"]).alias("arr_filled"),
-        F.transform(compact_entries, lambda s: s.v).alias("arr_compact"),
+        F.concat_ws(",", F.transform(raw_entries, lambda s: _dec2(s.v))).alias(
+            "arr_raw"
+        ),
+        F.concat_ws(
+            ",", F.transform(filled_entries, lambda s: _dec2(s["filled"]))
+        ).alias("arr_filled"),
+        F.concat_ws(
+            ",", F.transform(compact_entries, lambda s: _dec2(s.v))
+        ).alias("arr_compact"),
         F.sum(F.col("is_new_run").cast("long")).alias("n_runs"),
     )
 

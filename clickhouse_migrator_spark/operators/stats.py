@@ -386,7 +386,7 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_group_uniq_array",
     oracle="""
     SELECT o_orderpriority,
-           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
            count(DISTINCT o_orderstatus)           AS n_statuses
     FROM orders GROUP BY o_orderpriority
     """,
@@ -398,7 +398,9 @@ def agg_group_uniq_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation state, the distributed analogue."""
     o = table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus"))).alias(
+            "statuses"
+        ),
         F.countDistinct("o_orderstatus").alias("n_statuses"),
     )
 
@@ -553,10 +555,10 @@ def events_max_intersections_position(spark: SparkSession, sf_dir: str) -> DataF
     "scalar_regex_funcs",
     oracle="""
     SELECT p_partkey,
-           regexp_extract_all(p_name, '[a-z]+')      AS name_tokens,
+           array_to_string(regexp_extract_all(p_name, '[a-z]+'), ',') AS name_tokens,
            len(regexp_extract_all(p_name, '[a-z]+')) AS n_name_tokens,
            regexp_extract(p_name, '^[a-z]+')         AS first_token,
-           string_split_regex(p_type, '\\s+')        AS type_words,
+           array_to_string(string_split_regex(p_type, '\\s+'), ',')   AS type_words,
            regexp_replace(p_type, '[AEIOU]', '', 'g') AS type_no_vowels,
            regexp_matches(p_name, '[0-9]')           AS has_digit
     FROM part
@@ -570,12 +572,14 @@ def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
-        F.expr("regexp_extract_all(p_name, '[a-z]+', 0)").alias("name_tokens"),
+        F.concat_ws(",", F.expr("regexp_extract_all(p_name, '[a-z]+', 0)")).alias(
+            "name_tokens"
+        ),
         F.size(F.expr("regexp_extract_all(p_name, '[a-z]+', 0)")).alias(
             "n_name_tokens"
         ),
         F.regexp_extract("p_name", "^[a-z]+", 0).alias("first_token"),
-        F.split("p_type", r"\s+").alias("type_words"),
+        F.concat_ws(",", F.split("p_type", r"\s+")).alias("type_words"),
         F.regexp_replace("p_type", "[AEIOU]", "").alias("type_no_vowels"),
         F.col("p_name").rlike("[0-9]").alias("has_digit"),
     )

@@ -344,8 +344,8 @@ def text_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, bucket, count(*) AS n FROM b GROUP BY doc_id, bucket
     )
     SELECT doc_id,
-           list(bucket ORDER BY bucket) AS feat_idx,
-           list(n      ORDER BY bucket) AS feat_cnt
+           array_to_string(list(bucket ORDER BY bucket), ',') AS feat_idx,
+           array_to_string(list(n      ORDER BY bucket), ',') AS feat_cnt
     FROM per GROUP BY doc_id
     """,
 )
@@ -373,8 +373,12 @@ def text_hashing_trick_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     entries = F.array_sort(F.collect_list(F.struct("bucket", "n")))
     return per.groupBy("doc_id").agg(
-        F.transform(entries, lambda s: s.bucket).alias("feat_idx"),
-        F.transform(entries, lambda s: s.n).alias("feat_cnt"),
+        F.concat_ws(
+            ",", F.transform(entries, lambda s: s.bucket.cast("string"))
+        ).alias("feat_idx"),
+        F.concat_ws(",", F.transform(entries, lambda s: s.n.cast("string"))).alias(
+            "feat_cnt"
+        ),
     )
 
 

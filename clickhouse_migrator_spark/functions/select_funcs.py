@@ -160,6 +160,49 @@ def _tpl(template: str) -> Rule:
     return rule
 
 
+def _regex_group_index(pattern_sql: str) -> int:
+    """1 if a string-literal regex contains a capturing group, else 0.
+
+    Mirrors ClickHouse extract(): a '(' that is not backslash-escaped
+    and not a non-capturing/lookaround '(?...)' opens a capturing
+    group.  Non-literal patterns (column refs, concat(...)) can't be
+    inspected → 0 (whole match)."""
+    p = pattern_sql.strip()
+    if len(p) < 2 or p[0] != "'" or p[-1] != "'":
+        return 0
+    body = p[1:-1]
+    # phase 1 — SQL string-literal unescape (Spark/Hive: '\X' → 'X'),
+    # so the scan sees the pattern the regex engine will receive
+    rx, i = [], 0
+    while i < len(body):
+        if body[i] == "\\" and i + 1 < len(body):
+            rx.append(body[i + 1])
+            i += 2
+        else:
+            rx.append(body[i])
+            i += 1
+    rx = "".join(rx)
+    # phase 2 — regex-level scan for an unescaped capturing '('
+    i = 0
+    while i < len(rx):
+        if rx[i] == "\\":
+            i += 2
+            continue
+        if rx[i] == "(" and not rx.startswith("(?", i):
+            return 1
+        i += 1
+    return 0
+
+
+# MySQL/ClickHouse WEEK mode 0: Sunday-first, week 0 = days before the
+# year's first Sunday.  dayofweek() is 1=Sunday in Spark, so the first
+# Sunday falls on day (8 - dayofweek(Jan1)) % 7 + 1 of the year.
+_WEEK_MODE0_TPL = (
+    "CAST(floor((dayofyear({0}) - "
+    "((8 - dayofweek(trunc(CAST({0} AS DATE), 'YEAR'))) % 7) + 6) / 7) AS INT)"
+)
+
+
 def _agg_if(agg: str) -> Rule:
     return _tpl(f"{agg}(CASE WHEN {{1}} THEN {{0}} END)")
 
@@ -515,7 +558,12 @@ RULES: dict[str, Rule] = {
         if len(a) == 2
         else None
     ),
-    # get() is 0-based and NULL out-of-bounds — ANSI-safe on empty matches
+    # get() is 0-based and NULL out-of-bounds — ANSI-safe on empty matches.
+    # DOCUMENTED DIVERGENCE: when no element matches, ClickHouse returns
+    # the element type's default value (0, '', …) while this returns
+    # NULL — the type isn't visible at rewrite time, so a faithful
+    # default can't be synthesized; wrap in coalesce at the call site if
+    # the downstream expression can't absorb NULL.
     "arrayFirst": lambda a: (
         f"get(filter({a[1]}, {a[0]}), 0)" if len(a) == 2 else None
     ),
@@ -564,10 +612,16 @@ RULES: dict[str, Rule] = {
     ),
     # round 3: value mapping — ClickHouse transform(x, from, to[, default]).
     # ONLY the 3/4-arg form rewrites; 2-arg Spark higher-order transform()
-    # passes through untouched.
+    # passes through untouched.  array_position (FIRST occurrence) not
+    # map_from_arrays: a duplicate key in `from` must take the first
+    # match (a map build would throw DUPLICATE_MAP_KEY), and a NULL in
+    # `to` must map to NULL (a coalesce would mask it into the default).
+    # x is evaluated twice — acceptable for the scalar/column args this
+    # sees; wrap the call site if x has side effects.
     "transform": lambda a: (
-        f"coalesce(try_element_at(map_from_arrays({a[1]}, {a[2]}), {a[0]}), "
-        f"{a[3].strip() if len(a) == 4 else a[0]})"
+        f"(CASE WHEN array_position({a[1]}, {a[0]}) > 0 "
+        f"THEN element_at({a[2]}, CAST(array_position({a[1]}, {a[0]}) AS INT)) "
+        f"ELSE {a[3].strip() if len(a) == 4 else a[0]} END)"
         if len(a) in (3, 4)
         else None
     ),
@@ -591,7 +645,20 @@ RULES: dict[str, Rule] = {
     # ISO week/year: Spark's weekofyear/YEAROFWEEK are ISO-8601 already
     "toISOWeek": _rename("weekofyear"),
     "toISOYear": _tpl("extract(YEAROFWEEK FROM {0})"),
-    "toWeek": _rename("weekofyear"),
+    # ClickHouse toWeek defaults to MODE 0 (Sunday-first, weeks 0-53),
+    # NOT ISO — weekofyear would silently shift week numbers (e.g.
+    # toWeek('2021-01-01') = 0 vs weekofyear = 53).  Mode 0 formula:
+    # offset = days before the year's first Sunday; week =
+    # floor((doy - offset + 6) / 7)  (0 for days before that Sunday).
+    # Explicit mode 3 = ISO → weekofyear; other modes decline
+    # (passthrough) rather than translate wrongly.
+    "toWeek": lambda a: (
+        _WEEK_MODE0_TPL.format(a[0])
+        if len(a) == 1 or (len(a) == 2 and a[1].strip() == "0")
+        else f"weekofyear({a[0]})"
+        if len(a) == 2 and a[1].strip() == "3"
+        else None
+    ),
     "toYYYYMMDDhhmmss": _tpl("CAST(date_format({0}, 'yyyyMMddHHmmss') AS BIGINT)"),
     "addQuarters": _add_unit("QUARTER"),
     "subtractQuarters": _add_unit("QUARTER", "-"),
@@ -615,10 +682,16 @@ RULES: dict[str, Rule] = {
     "countMatches": lambda a: (
         f"size(regexp_extract_all({a[0]}, {a[1]}, 0))" if len(a) == 2 else None
     ),
-    # ClickHouse extract(haystack, re) — first match; the standard-SQL
-    # extract(unit FROM ts) form scans as ONE arg and passes through
+    # ClickHouse extract(haystack, re) — returns the FIRST CAPTURING
+    # GROUP when the pattern has one, else the whole match; the
+    # standard-SQL extract(unit FROM ts) form scans as ONE arg and
+    # passes through.  Group detection inspects string-literal patterns
+    # for an unescaped '(' not starting a (?...) construct; non-literal
+    # patterns default to whole-match (documented).
     "extract": lambda a: (
-        f"regexp_extract({a[0]}, {a[1]}, 0)" if len(a) == 2 else None
+        f"regexp_extract({a[0]}, {a[1]}, {_regex_group_index(a[1])})"
+        if len(a) == 2
+        else None
     ),
     "ilike": lambda a: (
         f"(lower({a[0]}) LIKE lower({a[1]}))" if len(a) == 2 else None

@@ -26,8 +26,8 @@ from ..tables import table, register_views
     oracle="""
     SELECT o_orderstatus,
            count(*)                    AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price,
-           round(avg(o_totalprice), 4) AS avg_price,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(o_totalprice), 4) AS avg_price,
            round(min(o_totalprice), 2) AS min_price,
            round(max(o_totalprice), 2) AS max_price
     FROM orders GROUP BY o_orderstatus
@@ -39,8 +39,8 @@ def agg_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).alias("total_price"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double") / F.count("o_totalprice"), 4).alias("avg_price"),
             F.round(F.min("o_totalprice"), 2).alias("min_price"),
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
         )
@@ -110,7 +110,7 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_rollup_region_nation",
     oracle="""
-    SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+    SELECT r_name, n_name, count(*) AS n_customers, round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_acctbal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
                   JOIN region ON n_regionkey = r_regionkey
     GROUP BY ROLLUP (r_name, n_name)
@@ -126,7 +126,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2).alias("total_acctbal"),
         )
     )
 
@@ -135,7 +135,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cube_status_priority",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -146,7 +146,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).alias("total_price"),
         )
     )
 
@@ -173,7 +173,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_having_big_customers",
     oracle="""
-    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+    SELECT o_custkey, count(*) AS n_orders, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
     FROM orders GROUP BY o_custkey
     HAVING count(*) >= 8 AND sum(o_totalprice) > 100000
     """,
@@ -337,7 +337,7 @@ def agg_order_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_unpivot_measures",
     oracle="""
-    SELECT measure, round(avg(val), 4) AS avg_val, round(sum(val), 2) AS sum_val
+    SELECT measure, round(CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) / count(val), 4) AS avg_val, round(CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_val
     FROM (SELECT measure, val
           FROM lineitem
           UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax)))
@@ -360,8 +360,8 @@ def agg_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("measure")
         .agg(
-            F.round(F.avg("val"), 4).alias("avg_val"),
-            F.round(F.sum("val"), 2).alias("sum_val"),
+            F.round(F.sum(F.col("val").cast("decimal(18,2)")).cast("double") / F.count("val"), 4).alias("avg_val"),
+            F.round(F.sum(F.col("val").cast("decimal(18,2)")).cast("double"), 2).alias("sum_val"),
         )
         .orderBy("measure")
     )
@@ -1010,10 +1010,12 @@ def agg_sparkbar_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_avg_weighted",
     oracle="""
     SELECT l_returnflag,
-           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+           round(CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4)))
+                      AS DOUBLE)
+                 / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4)
              AS price_per_unit,
-           round(avg(l_extendedprice), 4) AS unweighted_avg,
-           CAST(sum(l_quantity) AS DOUBLE) AS total_weight
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice), 4) AS unweighted_avg,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_weight
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -1025,12 +1027,16 @@ def agg_avg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(
-            F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
-            / F.sum("l_quantity"),
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,4)")
+            ).cast("double")
+            / F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"),
             4,
         ).alias("price_per_unit"),
-        F.round(F.avg("l_extendedprice"), 4).alias("unweighted_avg"),
-        F.sum("l_quantity").cast("double").alias("total_weight"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / F.count("l_extendedprice"), 4).alias("unweighted_avg"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias(
+            "total_weight"
+        ),
     )
 
 
@@ -1423,7 +1429,7 @@ def agg_tdigest_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS qty_bin,
            CAST(floor(l_discount / 0.02) AS BIGINT) AS disc_bin,
            count(*) AS n,
-           round(sum(l_extendedprice), 2) AS total_price
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
     FROM lineitem
     GROUP BY 1, 2 ORDER BY qty_bin, disc_bin
     """,
@@ -1442,7 +1448,7 @@ def agg_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2).alias("total_price"),
         )
         .orderBy("qty_bin", "disc_bin")
     )
@@ -1458,8 +1464,10 @@ def agg_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT decile, count(*) AS n,
            round(min(o_totalprice), 2) AS lo,
            round(max(o_totalprice), 2) AS hi,
-           round(sum(o_totalprice), 2) AS total,
-           round(sum(o_totalprice) / sum(sum(o_totalprice)) OVER () * 100, 4)
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / CAST(sum(sum(CAST(o_totalprice AS DECIMAL(18,2)))) OVER ()
+                        AS DOUBLE) * 100, 4)
              AS pct_of_revenue
     FROM d GROUP BY decile ORDER BY decile
     """,
@@ -1482,7 +1490,7 @@ def agg_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
-        F.sum("o_totalprice").alias("raw_total"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("raw_total"),
     )
     w = Window.partitionBy()
     return g.select(
@@ -1490,10 +1498,12 @@ def agg_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "lo",
         "hi",
-        F.round("raw_total", 2).alias("total"),
-        F.round(F.col("raw_total") / F.sum("raw_total").over(w) * 100, 4).alias(
-            "pct_of_revenue"
-        ),
+        F.round(F.col("raw_total").cast("double"), 2).alias("total"),
+        F.round(
+            F.col("raw_total").cast("double")
+            / F.sum("raw_total").over(w).cast("double") * 100,
+            4,
+        ).alias("pct_of_revenue"),
     ).orderBy("decile")
 
 
@@ -1502,12 +1512,13 @@ def agg_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH monthly AS (
       SELECT month(o_orderdate) AS mo,
-             sum(o_totalprice) AS rev,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
              count(*) AS n
       FROM orders GROUP BY 1)
     SELECT mo AS month, n,
-           round(rev, 2) AS revenue,
-           round(rev / (sum(rev) OVER () / 12), 6) AS seasonal_index
+           round(CAST(rev AS DOUBLE), 2) AS revenue,
+           round(CAST(rev AS DOUBLE)
+                 / (CAST(sum(rev) OVER () AS DOUBLE) / 12), 6) AS seasonal_index
     FROM monthly ORDER BY month
     """,
 )
@@ -1521,16 +1532,20 @@ def agg_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = (
         table(spark, sf_dir, "orders")
         .groupBy(F.month("o_orderdate").alias("month"))
-        .agg(F.sum("o_totalprice").alias("rev"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )
     w = Window.partitionBy()
     return monthly.select(
         "month",
         "n",
-        F.round("rev", 2).alias("revenue"),
-        F.round(F.col("rev") / (F.sum("rev").over(w) / 12), 6).alias(
-            "seasonal_index"
-        ),
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / (F.sum("rev").over(w).cast("double") / 12),
+            6,
+        ).alias("seasonal_index"),
     ).orderBy("month")
 
 
@@ -1538,23 +1553,27 @@ def agg_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_contribution_waterfall",
     oracle="""
     WITH p1 AS (
-      SELECT o_orderpriority AS seg, sum(o_totalprice) AS rev
+      SELECT o_orderpriority AS seg,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
       FROM orders
       WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
         AND o_orderdate <  TIMESTAMP '1995-02-01 00:00:00'
       GROUP BY 1),
     p2 AS (
-      SELECT o_orderpriority AS seg, sum(o_totalprice) AS rev
+      SELECT o_orderpriority AS seg,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
       FROM orders
       WHERE o_orderdate >= TIMESTAMP '1995-02-01 00:00:00'
         AND o_orderdate <  TIMESTAMP '1995-03-01 00:00:00'
       GROUP BY 1)
     SELECT coalesce(p1.seg, p2.seg) AS segment,
-           round(coalesce(p1.rev, 0), 2) AS rev_jan,
-           round(coalesce(p2.rev, 0), 2) AS rev_feb,
-           round(coalesce(p2.rev, 0) - coalesce(p1.rev, 0), 2) AS delta,
-           round((coalesce(p2.rev, 0) - coalesce(p1.rev, 0))
-                 / sum(coalesce(p2.rev, 0) - coalesce(p1.rev, 0)) OVER () * 100, 4)
+           round(CAST(coalesce(p1.rev, 0) AS DOUBLE), 2) AS rev_jan,
+           round(CAST(coalesce(p2.rev, 0) AS DOUBLE), 2) AS rev_feb,
+           round(CAST(coalesce(p2.rev, 0) - coalesce(p1.rev, 0) AS DOUBLE), 2)
+             AS delta,
+           round(CAST(coalesce(p2.rev, 0) - coalesce(p1.rev, 0) AS DOUBLE)
+                 / CAST(sum(coalesce(p2.rev, 0) - coalesce(p1.rev, 0)) OVER ()
+                        AS DOUBLE) * 100, 4)
              AS pct_of_total_change
     FROM p1 FULL OUTER JOIN p2 ON p1.seg = p2.seg
     ORDER BY segment
@@ -1578,7 +1597,7 @@ def agg_contribution_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("o_orderdate") < F.lit(end).cast("timestamp_ntz"))
             )
             .groupBy(F.col("o_orderpriority").alias(f"seg_{out}"))
-            .agg(F.sum("o_totalprice").alias(out))
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(out))
         )
 
     p1 = period("1995-01-01 00:00:00", "1995-02-01 00:00:00", "rev1")
@@ -1587,17 +1606,19 @@ def agg_contribution_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         p2, F.col("seg_rev1") == F.col("seg_rev2"), "full_outer"
     ).select(
         F.coalesce("seg_rev1", "seg_rev2").alias("segment"),
-        F.coalesce("rev1", F.lit(0.0)).alias("r1"),
-        F.coalesce("rev2", F.lit(0.0)).alias("r2"),
+        F.coalesce("rev1", F.lit(0).cast("decimal(18,2)")).alias("r1"),
+        F.coalesce("rev2", F.lit(0).cast("decimal(18,2)")).alias("r2"),
     )
     w = Window.partitionBy()
     delta = F.col("r2") - F.col("r1")
     return joined.select(
         "segment",
-        F.round("r1", 2).alias("rev_jan"),
-        F.round("r2", 2).alias("rev_feb"),
-        F.round(delta, 2).alias("delta"),
-        F.round(delta / F.sum(delta).over(w) * 100, 4).alias("pct_of_total_change"),
+        F.round(F.col("r1").cast("double"), 2).alias("rev_jan"),
+        F.round(F.col("r2").cast("double"), 2).alias("rev_feb"),
+        F.round(delta.cast("double"), 2).alias("delta"),
+        F.round(
+            delta.cast("double") / F.sum(delta).over(w).cast("double") * 100, 4
+        ).alias("pct_of_total_change"),
     ).orderBy("segment")
 
 

@@ -66,7 +66,9 @@ def dialect_limit_by_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE value > 10
     )
     SELECT tok, count(*) AS n,
-           round(sum(CASE WHEN value > 50 THEN value END), 4) AS hot_value
+           round(CAST(sum(CASE WHEN value > 50
+                               THEN CAST(value AS DECIMAL(18,2)) END)
+                      AS DOUBLE), 4) AS hot_value
     FROM e GROUP BY tok
     """,
 )
@@ -83,7 +85,7 @@ def dialect_ch_sql_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         f"""
         SELECT tok, count(*) AS n,
-               round(sumIf(value, value > 50), 4) AS hot_value
+               round(CAST(sumIf(CAST(value AS DECIMAL(18,2)), value > 50) AS DOUBLE), 4) AS hot_value
         FROM {v}
         ARRAY JOIN splitByChar('_', event_type) AS tok
         PREWHERE value > 10
@@ -134,7 +136,7 @@ def dialect_with_fill_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus,
            count(*)                    AS n,
-           round(sum(o_totalprice), 2) AS total
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
     FROM orders GROUP BY GROUPING SETS ((o_orderstatus), ())
     """,
 )
@@ -153,7 +155,7 @@ def dialect_with_totals_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         SELECT o_orderstatus,
                count(*) AS n,
-               round(sum(o_totalprice), 2) AS total
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
         FROM {v}
         GROUP BY o_orderstatus WITH TOTALS
         """,
@@ -434,7 +436,7 @@ def dialect_time_round3(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT coalesce(r_name, 'ALL') AS region_name,
            coalesce(n_name, 'ALL') AS nation_name,
-           count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+           count(*) AS n_customers, round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -459,7 +461,7 @@ def dialect_with_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame
         f"""
         SELECT coalesce(r_name, 'ALL') AS region_name,
                coalesce(n_name, 'ALL') AS nation_name,
-               count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+               count(*) AS n_customers, round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
         FROM {c}
         JOIN {n} ON c_nationkey = n_nationkey
         JOIN {r} ON n_regionkey = r_regionkey
@@ -473,7 +475,7 @@ def dialect_with_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame
     "dialect_group_by_all",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           count(*) AS n, round(sum(o_totalprice), 2) AS total
+           count(*) AS n, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
     FROM orders
     GROUP BY o_orderstatus, o_orderpriority
     ORDER BY o_orderstatus, o_orderpriority
@@ -492,7 +494,7 @@ def dialect_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         f"""
         SELECT o_orderstatus, o_orderpriority,
-               count(*) AS n, round(sum(o_totalprice), 2) AS total
+               count(*) AS n, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
         FROM {v}
         GROUP BY ALL
         ORDER BY o_orderstatus, o_orderpriority
@@ -504,7 +506,8 @@ def dialect_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dialect_tuple_in_subquery",
     oracle="""
     SELECT count(*) AS n_matching,
-           round(sum(l.l_extendedprice), 2) AS total
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total
     FROM lineitem l
     JOIN (SELECT l_orderkey AS k, min(l_linenumber) AS ln
           FROM lineitem GROUP BY l_orderkey) f
@@ -524,7 +527,7 @@ def dialect_tuple_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         f"""
         SELECT count(*) AS n_matching,
-               round(sum(l_extendedprice), 2) AS total
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
         FROM {v}
         WHERE (l_orderkey, l_linenumber) IN (
           SELECT l_orderkey, min(l_linenumber)

@@ -21,7 +21,7 @@ from ..tables import table
     "events_tumbling_hourly",
     oracle="""
     SELECT date_trunc('hour', ts) AS bucket_start, event_type,
-           count(*) AS n_events, round(sum(value), 2) AS total_value
+           count(*) AS n_events, round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -32,7 +32,7 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("total_value"),
         )
         .select(
             F.col("w.start").cast("timestamp_ntz").alias("bucket_start"),
@@ -47,7 +47,7 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sliding_2h_1h",
     oracle="""
     SELECT date_trunc('hour', ts) - k * INTERVAL '1 hour' AS window_start,
-           count(*) AS n_events, round(sum(value), 2) AS total_value
+           count(*) AS n_events, round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
     FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) offsets
     GROUP BY 1
     """,
@@ -61,7 +61,7 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("total_value"),
         )
         .select(
             F.col("w.start").cast("timestamp_ntz").alias("window_start"),
@@ -87,7 +87,7 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM marked
     )
     SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-           count(*) AS n_events, round(sum(value), 2) AS total_value
+           count(*) AS n_events, round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
     FROM sess GROUP BY user_id, sid
     """,
 )
@@ -103,7 +103,7 @@ def events_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("total_value"),
         )
         .select("user_id", "session_start", "session_end", "n_events", "total_value")
     )
@@ -246,7 +246,7 @@ def events_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket FROM bounds),
     actual AS (
       SELECT date_trunc('hour', ts) AS bucket, count(*) AS n_events,
-             round(sum(value), 2) AS total_value
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
       FROM events GROUP BY 1)
     SELECT g.bucket, coalesce(a.n_events, 0) AS n_events,
            coalesce(a.total_value, 0.0) AS total_value
@@ -277,7 +277,7 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.date_trunc("hour", "ts").alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("tv"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("tv"),
         )
     )
     return (
@@ -296,7 +296,7 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH hourly AS (
       SELECT user_id, date_trunc('hour', ts) AS bucket,
-             round(avg(value), 4) AS avg_value
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 4) AS avg_value
       FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
     bounds AS (
       SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
@@ -330,7 +330,7 @@ def events_locf_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (
         e.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("value"), 4).alias("avg_value"))
     )
     bounds = e.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
@@ -759,7 +759,9 @@ def events_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id,
-           round(sum(CASE WHEN delta > 0 THEN delta ELSE 0 END), 6) AS delta_sum
+           round(CAST(sum(CASE WHEN delta > 0
+                               THEN CAST(delta AS DECIMAL(18,2)) END)
+                      AS DOUBLE), 6) AS delta_sum
     FROM d GROUP BY user_id
     """,
 )
@@ -778,7 +780,9 @@ def events_delta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.groupBy("user_id").agg(
         F.round(
-            F.sum(F.when(F.col("delta") > 0, F.col("delta")).otherwise(F.lit(0.0))),
+            F.sum(
+                F.when(F.col("delta") > 0, F.col("delta").cast("decimal(18,2)"))
+            ).cast("double"),
             6,
         ).alias("delta_sum")
     )
@@ -1036,7 +1040,7 @@ def agg_minmaxavg_map_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH hourly AS (
       SELECT user_id, date_trunc('hour', ts) AS bucket,
-             round(avg(value), 4) AS avg_value
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 4) AS avg_value
       FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
     bounds AS (
       SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
@@ -1100,7 +1104,7 @@ def events_linear_interp_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (
         e.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("value"), 4).alias("avg_value"))
     )
     bounds = e.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
@@ -1588,7 +1592,8 @@ def events_window_funnel_strict_increase(
            count(*)                          AS n_rows,
            round(min(v), 6)                  AS lo,
            round(max(v), 6)                  AS hi,
-           round(avg(v), 6)                  AS mean_v
+           round(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / count(v), 6)
+             AS mean_v
     FROM b GROUP BY bucket
     """,
 )
@@ -1627,7 +1632,9 @@ def events_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.min("v"), 6).alias("lo"),
         F.round(F.max("v"), 6).alias("hi"),
-        F.round(F.avg("v"), 6).alias("mean_v"),
+        F.round(
+            F.sum(F.col("v").cast("decimal(18,2)")).cast("double") / F.count("v"), 6
+        ).alias("mean_v"),
     )
 
 
@@ -1636,7 +1643,7 @@ def events_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH weekly AS (
       SELECT date_trunc('week', ts) AS week, count(*) AS n,
-             round(sum(value), 2) AS total_value
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
       FROM events GROUP BY 1)
     SELECT week, n, total_value,
            lag(n) OVER (ORDER BY week) AS prev_n,
@@ -1657,7 +1664,7 @@ def events_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("week", "ts").cast("date").alias("week"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("total_value"),
         )
     )
     w = Window.orderBy("week")
@@ -1995,11 +2002,12 @@ def events_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort_sizes AS (
       SELECT cohort, count(*) AS n_users FROM first_seen GROUP BY cohort),
     weekly AS (
-      SELECT cohort, week_offset, sum(value) AS rev
+      SELECT cohort, week_offset,
+             sum(CAST(value AS DECIMAL(18,2))) AS rev
       FROM rev GROUP BY cohort, week_offset)
     SELECT w.cohort, w.week_offset,
-           round(sum(w2.rev), 2) AS cum_revenue,
-           round(sum(w2.rev) / s.n_users, 4) AS ltv_per_user
+           round(CAST(sum(w2.rev) AS DOUBLE), 2) AS cum_revenue,
+           round(CAST(sum(w2.rev) AS DOUBLE) / s.n_users, 4) AS ltv_per_user
     FROM weekly w
     JOIN weekly w2 ON w2.cohort = w.cohort AND w2.week_offset <= w.week_offset
     JOIN cohort_sizes s ON s.cohort = w.cohort
@@ -2033,7 +2041,9 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
-    weekly = rev.groupBy("cohort", "week_offset").agg(F.sum("value").alias("rev"))
+    weekly = rev.groupBy("cohort", "week_offset").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("rev")
+    )
     w = (
         Window.partitionBy("cohort")
         .orderBy("week_offset")
@@ -2047,8 +2057,10 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "cohort",
             "week_offset",
-            F.round("cum", 2).alias("cum_revenue"),
-            F.round(F.col("cum") / F.col("n_users"), 4).alias("ltv_per_user"),
+            F.round(F.col("cum").cast("double"), 2).alias("cum_revenue"),
+            F.round(
+                F.col("cum").cast("double") / F.col("n_users"), 4
+            ).alias("ltv_per_user"),
         )
         .orderBy("cohort", "week_offset")
     )

@@ -140,7 +140,7 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_broadcast_geo_rollout",
     oracle="""
-    SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+    SELECT r_name, count(*) AS n_customers, round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -160,7 +160,7 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2).alias("total_acctbal"),
         )
         .orderBy("r_name")
     )
@@ -169,7 +169,7 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_range_value_buckets",
     oracle="""
-    SELECT lo, hi, count(*) AS n_events, round(sum(value), 2) AS total_value
+    SELECT lo, hi, count(*) AS n_events, round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
     FROM events
     JOIN (VALUES (0, 50), (50, 100), (100, 200), (200, 500)) b(lo, hi)
       ON value >= lo AND value < hi
@@ -189,7 +189,7 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lo", "hi")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("total_value"),
         )
     )
 
@@ -431,7 +431,7 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_salted_equivalence",
     oracle="""
     SELECT c_mktsegment, count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
@@ -454,7 +454,7 @@ def join_salted_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("total_value"),
         )
         .orderBy("c_mktsegment")
     )

@@ -64,7 +64,7 @@ def _sql_bucket(*keys: str) -> str:
     oracle=f"""
     SELECT l_returnflag,
            count(*) AS n_sampled,
-           round(sum(l_extendedprice), 2) AS sampled_price
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sampled_price
     FROM lineitem
     WHERE {_sql_bucket('l_orderkey', 'l_linenumber')} < {_P} * 0.10
     GROUP BY l_returnflag
@@ -84,7 +84,7 @@ def sample_hash_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sampled_price"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2).alias("sampled_price"),
         )
         .orderBy("l_returnflag")
     )
@@ -255,7 +255,8 @@ def sample_temperature_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT r.event_type,
            count(*)                 AS n_kept,
            max(c.n_total)           AS n_total,
-           round(avg(r.value), 4)   AS avg_value_kept
+           round(CAST(sum(CAST(r.value AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(r.value), 4) AS avg_value_kept
     FROM ranked r CROSS JOIN floor_n f JOIN counts c USING (event_type)
     WHERE r.rk <= f.n_min
     GROUP BY r.event_type
@@ -297,7 +298,7 @@ def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
             F.max("n_total").alias("n_total"),
-            F.round(F.avg("value"), 4).alias("avg_value_kept"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("value"), 4).alias("avg_value_kept"),
         )
     )
 
@@ -308,7 +309,7 @@ def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT {_sql_bucket('o_orderkey')} % 5 AS fold,
            count(*)                        AS n_orders,
            count(DISTINCT o_custkey)       AS n_customers,
-           round(sum(o_totalprice), 2)     AS total_price
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)     AS total_price
     FROM orders GROUP BY 1
     """,
 )
@@ -327,7 +328,7 @@ def sample_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.countDistinct("o_custkey").alias("n_customers"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).alias("total_price"),
         )
     )
 

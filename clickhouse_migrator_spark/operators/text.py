@@ -677,10 +677,19 @@ def text_redundancy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     high bigram redundancy.  Pure row-local array expressions — one
     scan, no shuffle, no Python."""
     toks = _tokens()
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-    )
+    # guard: a one-token document has NO bigrams — without it Spark's
+    # concat_ws would emit the bare token (1 distinct "bigram") while
+    # the oracle's `||` yields NULL that list_distinct drops (0),
+    # flipping bigram_redundancy between 0 and 1 for such docs
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return table(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(toks).alias("n_tokens"),

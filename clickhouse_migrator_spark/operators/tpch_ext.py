@@ -62,10 +62,11 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q7_volume_shipping",
     oracle="""
-    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    SELECT supp_nation, cust_nation, l_year,
+           round(CAST(sum(volume) AS DOUBLE), 2) AS revenue
     FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                  EXTRACT(year FROM l_shipdate) AS l_year,
-                 l_extendedprice * (1 - l_discount) AS volume
+                 CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume
           FROM supplier
           JOIN lineitem ON s_suppkey = l_suppkey
           JOIN orders   ON o_orderkey = l_orderkey
@@ -109,10 +110,12 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
             "cust_nation",
             F.year("l_shipdate").alias("l_year"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,6)")
+            .alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .agg(F.round(F.sum("volume").cast("double"), 2).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -121,10 +124,11 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q8_market_share",
     oracle="""
     SELECT o_year,
-           round(sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END)
-                 / sum(volume), 4) AS mkt_share
+           round(CAST(sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END)
+                      AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 4) AS mkt_share
     FROM (SELECT EXTRACT(year FROM o_orderdate) AS o_year,
-                 l_extendedprice * (1 - l_discount) AS volume,
+                 CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume,
                  n2.n_name AS nation
           FROM part
           JOIN lineitem ON p_partkey = l_partkey
@@ -169,8 +173,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_year")
         .agg(
             F.round(
-                F.sum(F.when(F.col("nation") == "NATION_1", F.col("volume")).otherwise(0.0))
-                / F.sum("volume"),
+                F.sum(
+                    F.when(F.col("nation") == "NATION_1", F.col("volume")).otherwise(
+                        F.lit(0).cast("decimal(18,6)")
+                    )
+                ).cast("double")
+                / F.sum("volume").cast("double"),
                 4,
             ).alias("mkt_share")
         )
@@ -181,11 +189,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q9_product_type_profit",
     oracle="""
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    SELECT nation, o_year, round(CAST(sum(amount) AS DOUBLE), 2) AS sum_profit
     FROM (SELECT n_name AS nation,
                  EXTRACT(year FROM o_orderdate) AS o_year,
-                 l_extendedprice * (1 - l_discount)
-                   - p_retailprice * 0.1 * l_quantity AS amount
+                 CAST(l_extendedprice * (1 - l_discount)
+                      - p_retailprice * 0.1 * l_quantity AS DECIMAL(18,6)) AS amount
           FROM part
           JOIN lineitem ON p_partkey = l_partkey
           JOIN supplier ON s_suppkey = l_suppkey
@@ -206,9 +214,10 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = table(spark, sf_dir, "supplier")
     orders = table(spark, sf_dir, "orders")
     nation = table(spark, sf_dir, "nation")
-    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
-        "p_retailprice"
-    ) * 0.1 * F.col("l_quantity")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * 0.1 * F.col("l_quantity")
+    ).cast("decimal(18,6)")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -220,7 +229,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             amount.alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .agg(F.round(F.sum("amount").cast("double"), 2).alias("sum_profit"))
         .orderBy(F.asc("nation"), F.desc("o_year"))
     )
 
@@ -335,7 +344,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -358,7 +367,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")).cast("double"), 2).alias(
             "total_revenue"
         )
     )
@@ -407,7 +416,8 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q17_small_quantity_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2)
+             AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#23'
       AND l_quantity < (SELECT 0.2 * avg(l_quantity)
@@ -430,14 +440,20 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(per_part_avg), li.l_partkey == F.col("avg_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
     )
 
 
 @register(
     "tpch_q19_discounted_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
            AND l_quantity >= 1 AND l_quantity <= 11)
@@ -479,7 +495,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")).cast("double"), 2).alias(
                 "revenue"
             )
         )
@@ -529,7 +545,7 @@ def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q22_dormant_customers",
     oracle="""
-    SELECT n_name, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    SELECT n_name, count(*) AS numcust, round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS totacctbal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
       AND NOT EXISTS (SELECT 1 FROM orders
@@ -562,7 +578,7 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2).alias("totacctbal"),
         )
         .orderBy("n_name")
     )
@@ -576,7 +592,7 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE n_name = 'NATION_7'),
     value_by_part AS (
       SELECT l_partkey,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+             round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2) AS part_value
       FROM lineitem JOIN natsupp ON l_suppkey = s_suppkey
       GROUP BY l_partkey)
     SELECT l_partkey AS p_partkey, part_value

@@ -92,9 +92,9 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_customer_spend",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
                                          ORDER BY o_orderdate, o_orderkey
-                                         ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+                                         ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2) AS running_spend
     FROM orders
     """,
 )
@@ -107,7 +107,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"), 2).alias("running_spend"),
     )
 
 
@@ -115,9 +115,13 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_moving_avg_3",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           round(avg(o_totalprice) OVER (PARTITION BY o_custkey
-                                         ORDER BY o_orderdate, o_orderkey
-                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                        OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / count(*) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
                AS moving_avg
     FROM orders
     """,
@@ -131,7 +135,11 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.avg("o_totalprice").over(w), 4).alias("moving_avg"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            4,
+        ).alias("moving_avg"),
     )
 
 
@@ -389,7 +397,7 @@ def window_ntile_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_percent_of_parent",
     oracle="""
     WITH nat AS (
-      SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue
+      SELECT r_name, n_name, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
       FROM orders
       JOIN customer ON o_custkey = c_custkey
       JOIN nation ON c_nationkey = n_nationkey
@@ -417,7 +425,7 @@ def window_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
         .groupBy("r_name", "n_name")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).alias("revenue"))
     )
     w_region = Window.partitionBy("r_name")
     w_all = Window.partitionBy()
@@ -481,7 +489,7 @@ def window_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-             round(sum(value), 2) AS rev
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS rev
       FROM events WHERE event_type = 'purchase' GROUP BY 1)
     SELECT day, rev,
            round(quantile_cont(rev, 0.5) OVER (ORDER BY day
@@ -500,7 +508,7 @@ def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
         .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
-        .agg(F.round(F.sum("value"), 2).alias("rev"))
+        .agg(F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("rev"))
     )
     w = Window.orderBy("day").rowsBetween(-6, 0)
     return daily.select(
@@ -572,15 +580,16 @@ def window_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT CAST(date_trunc('day', l_shipdate) AS DATE) AS day,
-             sum(l_extendedprice * l_quantity) AS pv,
-             sum(l_quantity) AS v
+             sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS pv,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS v
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1995-02-01 00:00:00'
       GROUP BY 1)
     SELECT day,
-           round(pv / v, 4) AS day_vwap,
-           round(sum(pv) OVER w / sum(v) OVER w, 4) AS cum_vwap
+           round(CAST(pv AS DOUBLE) / CAST(v AS DOUBLE), 4) AS day_vwap,
+           round(CAST(sum(pv) OVER w AS DOUBLE)
+                 / CAST(sum(v) OVER w AS DOUBLE), 4) AS cum_vwap
     FROM daily
     WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
     ORDER BY day
@@ -600,15 +609,21 @@ def window_cumulative_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.date_trunc("day", "l_shipdate").cast("date").alias("day"))
         .agg(
-            F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("pv"),
-            F.sum("l_quantity").alias("v"),
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,4)")
+            ).alias("pv"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("v"),
         )
     )
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     return daily.select(
         "day",
-        F.round(F.col("pv") / F.col("v"), 4).alias("day_vwap"),
-        F.round(F.sum("pv").over(w) / F.sum("v").over(w), 4).alias("cum_vwap"),
+        F.round(F.col("pv").cast("double") / F.col("v").cast("double"), 4).alias(
+            "day_vwap"
+        ),
+        F.round(
+            F.sum("pv").over(w).cast("double") / F.sum("v").over(w).cast("double"), 4
+        ).alias("cum_vwap"),
     ).orderBy("day")
 
 

@@ -79,7 +79,7 @@ def run_to_memory(agg: DataFrame, mode: str = "complete", timeout_s: int = 120) 
     "streaming_tumbling_hourly",
     oracle="""
     SELECT date_trunc('hour', ts) AS bucket_start, event_type,
-           count(*) AS n_events, round(sum(value), 2) AS total_value
+           count(*) AS n_events, round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -93,7 +93,7 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("total_value"),
         )
         .select(
             F.col("w.start").cast("timestamp_ntz").alias("bucket_start"),
@@ -109,7 +109,7 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_sliding_2h_1h",
     oracle="""
     SELECT date_trunc('hour', ts) - k * INTERVAL '1 hour' AS window_start,
-           count(*) AS n_events, round(sum(value), 2) AS total_value
+           count(*) AS n_events, round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
     FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) offsets
     GROUP BY 1
     """,
@@ -124,7 +124,7 @@ def streaming_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("total_value"),
         )
         .select(
             F.col("w.start").cast("timestamp_ntz").alias("window_start"),
@@ -138,7 +138,7 @@ def streaming_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_enrich_mktsegment",
     oracle="""
-    SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS total_value
+    SELECT c_mktsegment, count(*) AS n_events, round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
@@ -156,7 +156,7 @@ def streaming_enrich_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("total_value"),
         )
     )
     return spark.table(run_to_memory(agg)).orderBy("c_mktsegment")
@@ -195,7 +195,7 @@ def tumbling_with_watermark(spark: SparkSession, sf_dir: str, late: str = "2 hou
       FROM marked
     )
     SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-           count(*) AS n_events, round(sum(value), 2) AS total_value
+           count(*) AS n_events, round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
     FROM sess GROUP BY user_id, sid
     """,
 )

@@ -795,3 +795,63 @@ def test_iso_week_aliases(spark):
     ).first()
     # 2021-01-01 falls in ISO week 53 of ISO year 2020
     assert row.w == 53 and row.y == 2020
+
+
+def test_to_week_mode0_semantics(spark):
+    """ClickHouse toWeek defaults to MODE 0 (Sunday-first, weeks 0-53),
+    NOT ISO: toWeek('2021-01-01') = 0 (the year's first Sunday is
+    Jan 3), toWeek('2021-01-03') = 1.  Mode 3 = ISO -> weekofyear;
+    other modes decline to passthrough rather than translate wrongly."""
+    row = spark.sql(
+        rewrite_functions(
+            "SELECT toWeek(toDate('2021-01-01')) AS w_jan1, "
+            "toWeek(toDate('2021-01-02')) AS w_jan2, "
+            "toWeek(toDate('2021-01-03')) AS w_first_sunday, "
+            "toWeek(toDate('2021-01-09')) AS w_sat, "
+            "toWeek(toDate('2021-01-10')) AS w_sun2, "
+            "toWeek(toDate('2017-01-01')) AS w_jan1_sunday, "
+            "toWeek(toDate('2021-06-15'), 3) AS w_iso"
+        )
+    ).first()
+    assert row.w_jan1 == 0 and row.w_jan2 == 0
+    assert row.w_first_sunday == 1 and row.w_sat == 1 and row.w_sun2 == 2
+    # 2017-01-01 was a Sunday: week 1 starts on Jan 1 in mode 0
+    assert row.w_jan1_sunday == 1
+    assert row.w_iso == 24
+    # unknown mode: decline (passthrough untouched)
+    assert rewrite_functions("SELECT toWeek(d, 1) FROM t") == (
+        "SELECT toWeek(d, 1) FROM t"
+    )
+
+
+def test_transform_first_match_and_null_mapping(spark):
+    """ClickHouse transform takes the FIRST match on duplicate keys and
+    returns a mapped NULL as NULL (not the default); the old
+    map_from_arrays spelling threw DUPLICATE_MAP_KEY / masked NULLs."""
+    row = spark.sql(
+        rewrite_functions(
+            "SELECT transform('a', ['a', 'a'], ['x', 'y'], 'z') AS first_match, "
+            "transform('b', ['a', 'b'], ['x', NULL], 'z') AS mapped_null, "
+            "transform('q', ['a', 'b'], ['x', 'y'], 'z') AS dflt"
+        )
+    ).first()
+    assert row.first_match == "x"
+    assert row.mapped_null is None
+    assert row.dflt == "z"
+
+
+def test_extract_capturing_group(spark):
+    """ClickHouse extract() returns the first capturing group when the
+    pattern has one, else the whole match."""
+    row = spark.sql(
+        rewrite_functions(
+            r"SELECT extract('key=42;', 'key=([0-9]+)') AS grp, "
+            r"extract('a1b22', '[0-9]+') AS whole, "
+            r"extract('x(y)z', 'x\\(y\\)') AS esc, "
+            r"extract('abc', '(?:a)(b)') AS noncap"
+        )
+    ).first()
+    assert row.grp == "42"
+    assert row.whole == "1"
+    assert row.esc == "x(y)"   # escaped parens: whole match
+    assert row.noncap == "b"   # (?:...) skipped, real group found

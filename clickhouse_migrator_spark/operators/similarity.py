@@ -285,48 +285,71 @@ KMEANS_ITERS = 3
 # every per-iteration shuffle 8×).  The final list assignment still
 # covers every vector.
 KMEANS_TRAIN_MOD = 8
+# multi-probe: each query searches its NPROBE nearest inverted lists.
+# nprobe=1 recall is bounded by how often a true neighbor lands in a
+# different list than the query (cell-boundary misses); probing 2 of 8
+# lists recovers most of those at 2× the (already 1/K) search cost.
+# The recall@k-vs-nprobe curve is pinned in tests/test_similarity_kmeans.py.
+NPROBE = 2
+SEED_POOL = 64  # candidate pool for the greedy max-min seeding
 
 
 @register("sim_ivf_kmeans_topk")  # rows-only: k-means training is iterative,
 # not SQL-expressible; recall vs the exact brute force is pinned in
 # tests/test_similarity_kmeans.py
 def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_kmeans_topk(spark, sf_dir, nprobe=NPROBE)
+
+
+def ivf_kmeans_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int = NPROBE
+) -> DataFrame:
     """True IVF-Flat ANN: k-means centroids trained in-engine (Lloyd's,
-    deterministic init = first K vectors by vec_id, fixed iteration
-    count), corpus partitioned into inverted lists by nearest centroid,
-    each query probing its nearest list only.
+    deterministic farthest-point seeding, fixed iteration count), the
+    corpus partitioned into inverted lists by nearest centroid, each
+    query probing its ``nprobe`` nearest lists.
+
+    Seeding: greedy max-min (k-means++-style spread without the
+    sequential D²-sampling passes): a {SEED_POOL}-vector hash-ordered
+    sample is collected (tiny, driver-side), and K seeds are chosen
+    greedily to maximize distance to the nearest already-chosen seed —
+    deterministic, and immune to the first-K-ids degenerate clusters
+    of naive init.
 
     Scale: training touches centroids only through a broadcast
     (corpus × K distance argmin is a map-side expression, never a
     shuffle of the corpus); per-iteration recompute is one partial-agg
-    shuffle of (list, sum-vector).  Search cost drops to ~1/K of
-    brute force per probe — the standard IVF trade: recall bounded by
-    nprobe=1, pinned by test.  Reference pattern: FAISS IVF-Flat
-    (public); all math in JVM higher-order functions."""
+    shuffle of (list, sum-vector).  Search cost is ~nprobe/K of brute
+    force.  Reference pattern: FAISS IVF-Flat multi-probe (public);
+    all search math in JVM higher-order functions."""
     vecs = _vecs(spark, sf_dir).cache()
     dim = len(vecs.select("v").head()[0])
     train = vecs.filter(F.pmod(F.xxhash64("vec_id"), F.lit(KMEANS_TRAIN_MOD)) == 0)
 
-    def nearest_from(vcol: str) -> Column:
-        # `cents` is an array<struct<dist-expr input cv, cid>> COLUMN from
-        # the broadcast 1-row centroid frame — embedding centroids as
-        # float literals instead costs a fresh whole-stage-codegen compile
-        # of a K×dim-literal expression tree per iteration (measured ~5 s
-        # per plan at K=8, d=64; the data itself is milliseconds)
-        best = F.array_min(
+    def dist2(vcol, cv) -> Column:
+        return F.aggregate(
+            F.zip_with(vcol, cv, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda a, z: a + z,
+        )
+
+    def nearest_lists(vcol: str, n: int) -> Column:
+        # `cents` is an array<struct<cid, cv>> COLUMN from the broadcast
+        # 1-row centroid frame — embedding centroids as float literals
+        # instead costs a fresh whole-stage-codegen compile of a
+        # K×dim-literal expression tree per iteration (measured ~5 s per
+        # plan at K=8, d=64; the data itself is milliseconds).  Returns
+        # the n nearest centroid ids (distance-sorted struct array).
+        ranked = F.array_sort(
             F.transform(
                 F.col("cents"),
                 lambda c: F.struct(
-                    F.aggregate(
-                        F.zip_with(F.col(vcol), c["cv"], lambda a, b: (a - b) * (a - b)),
-                        F.lit(0.0),
-                        lambda a, z: a + z,
-                    ).alias("dist"),
+                    dist2(F.col(vcol), c["cv"]).alias("dist"),
                     c["cid"].alias("cid"),
                 ),
             )
         )
-        return best["cid"]
+        return F.transform(F.slice(ranked, 1, n), lambda s: s["cid"])
 
     def cent_arr(centroids: DataFrame) -> DataFrame:
         # K tiny rows folded into ONE array row — broadcast-joined so the
@@ -335,14 +358,37 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias("cents")
         )
 
-    centroids = (
-        train.orderBy("vec_id").limit(KMEANS_K)
-        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
-        .localCheckpoint()
-    )
+    # --- greedy max-min seeding over a small deterministic sample ---
+    pool = [
+        r.v
+        for r in train.select("v", F.xxhash64("vec_id").alias("h"))
+        .orderBy("h")
+        .limit(SEED_POOL)
+        .collect()
+    ]
+    chosen = [0]
+    while len(chosen) < min(KMEANS_K, len(pool)):
+        best_i, best_d = -1, -1.0
+        for i in range(len(pool)):
+            if i in chosen:
+                continue
+            d = min(
+                sum((a - b) ** 2 for a, b in zip(pool[i], pool[j]))
+                for j in chosen
+            )
+            if d > best_d:
+                best_i, best_d = i, d
+        chosen.append(best_i)
+    centroids = spark.createDataFrame(
+        [(cid, pool[i]) for cid, i in enumerate(chosen)],
+        "cid BIGINT, cv ARRAY<DOUBLE>",
+    ).localCheckpoint()
+
     for _ in range(KMEANS_ITERS):
         assigned = train.crossJoin(F.broadcast(cent_arr(centroids))).select(
-            "vec_id", "v", nearest_from("v").alias("list_id")
+            "vec_id",
+            "v",
+            F.element_at(nearest_lists("v", 1), 1).alias("list_id"),
         )
         # per-dimension mean as `dim` parallel aggregates: one partial-agg
         # shuffle of (list, d sums) — aggregates can't nest inside
@@ -360,15 +406,19 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     final_cents = F.broadcast(cent_arr(centroids))
     corpus = vecs.crossJoin(final_cents).select(
-        "vec_id", "v", nearest_from("v").alias("list_id")
+        "vec_id",
+        "v",
+        F.element_at(nearest_lists("v", 1), 1).alias("list_id"),
     )
+    # multi-probe: explode each query's nprobe nearest lists; corpus
+    # vectors live in exactly one list, so no candidate dedup is needed
     queries = (
         vecs.filter(F.col("vec_id") < N_QUERIES)
         .crossJoin(final_cents)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
-            nearest_from("v").alias("list_id"),
+            F.explode(nearest_lists("v", nprobe)).alias("list_id"),
         )
     )
     norm = lambda col: F.sqrt(_dot(col, col))  # noqa: E731

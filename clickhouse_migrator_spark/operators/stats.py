@@ -33,6 +33,69 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..registry import register
 from ..tables import table
 
+PREFIX_BUCKETS = 64
+
+
+def grid_prefix_sums(
+    grid: DataFrame,
+    value_col: str,
+    sum_cols: list[str],
+    n_buckets: int = PREFIX_BUCKETS,
+) -> DataFrame:
+    """EXACT inclusive prefix sums of ``sum_cols`` in ``value_col``
+    order, WITHOUT a single-partition global sort — the distributed
+    two-level prefix-sum:
+
+    1. ``n_buckets − 1`` approx-quantile boundaries of the value (one
+       broadcast row; approximation only affects bucket balance, never
+       the sums);
+    2. order-preserving bucket id = #boundaries strictly below value;
+    3. within-bucket running sums — ``Window.partitionBy(bucket)``,
+       partition-parallel;
+    4. cross-bucket offsets — per-bucket totals through one tiny
+       ``n_buckets``-row ordered window, broadcast-joined back.
+
+    For a continuous score column the distinct-value grid approaches
+    the row count, so the naive ``Window.orderBy(value)`` becomes a
+    single-partition sort of the corpus; this shape caps the serial
+    work at ``n_buckets`` rows no matter how large the grid grows.
+    Returns the grid plus ``cum_<col>`` for each requested column."""
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = grid.agg(
+        F.percentile_approx(
+            value_col, F.array(*[F.lit(f) for f in fracs]), 10_000
+        ).alias("_bounds")
+    )
+    bucketed = grid.crossJoin(F.broadcast(bounds)).withColumn(
+        "_bucket",
+        F.size(F.filter(F.col("_bounds"), lambda b: b < F.col(value_col))),
+    ).drop("_bounds")
+    wb = (
+        Window.partitionBy("_bucket")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = bucketed.select(
+        "*", *[F.sum(c).over(wb).alias(f"_within_{c}") for c in sum_cols]
+    )
+    totals = bucketed.groupBy("_bucket").agg(
+        *[F.sum(c).alias(f"_tot_{c}") for c in sum_cols]
+    )
+    wo = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_bucket",
+        *[
+            F.coalesce(F.sum(f"_tot_{c}").over(wo), F.lit(0)).alias(f"_off_{c}")
+            for c in sum_cols
+        ],
+    )
+    out = within.join(F.broadcast(offsets), "_bucket")
+    for c in sum_cols:
+        out = out.withColumn(f"cum_{c}", F.col(f"_off_{c}") + F.col(f"_within_{c}"))
+    return out.drop(
+        "_bucket", *[f"_within_{c}" for c in sum_cols], *[f"_off_{c}" for c in sum_cols]
+    )
+
 
 @register(
     "agg_linear_regression",
@@ -180,15 +243,14 @@ def agg_value_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = e.groupBy("value").agg(
         F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("c_pos"),
         F.sum(F.when(~F.col("pos"), 1).otherwise(0)).alias("c_neg"),
-    )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    ranked = grid.select(
+    ).withColumn("c_tot", F.col("c_pos") + F.col("c_neg"))
+    # distributed two-level prefix sum: no single-partition sort even
+    # when the score is continuous and the grid approaches row count
+    ranked = grid_prefix_sums(grid, "value", ["c_tot"]).select(
         "c_pos",
         "c_neg",
         (
-            F.sum(F.col("c_pos") + F.col("c_neg")).over(w)
-            - (F.col("c_pos") + F.col("c_neg"))
-            + ((F.col("c_pos") + F.col("c_neg") + 1) / 2.0)
+            F.col("cum_c_tot") - F.col("c_tot") + (F.col("c_tot") + 1) / 2.0
         ).alias("avg_rank"),
     )
     npos = F.sum("c_pos")
@@ -240,9 +302,10 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("c_p"),
         F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("c_e"),
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    cum = grid.select(
-        F.sum("c_p").over(w).alias("cum_p"), F.sum("c_e").over(w).alias("cum_e")
+    # distributed two-level prefix sum (see grid_prefix_sums): the ECDF
+    # running sums stay partition-parallel at any grid cardinality
+    cum = grid_prefix_sums(grid, "value", ["c_p", "c_e"]).select(
+        F.col("cum_c_p").alias("cum_p"), F.col("cum_c_e").alias("cum_e")
     )
     totals = grid.agg(
         F.sum("c_p").alias("n_purchase"), F.sum("c_e").alias("n_error")
@@ -359,15 +422,13 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = e.groupBy("value").agg(
         F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("c_pos"),
         F.sum(F.when(~F.col("pos"), 1).otherwise(0)).alias("c_neg"),
-    )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    ranked = grid.select(
+    ).withColumn("c_tot", F.col("c_pos") + F.col("c_neg"))
+    # same distributed prefix-sum substrate as agg_value_auc
+    ranked = grid_prefix_sums(grid, "value", ["c_tot"]).select(
         "c_pos",
         "c_neg",
         (
-            F.sum(F.col("c_pos") + F.col("c_neg")).over(w)
-            - (F.col("c_pos") + F.col("c_neg"))
-            + ((F.col("c_pos") + F.col("c_neg") + 1) / 2.0)
+            F.col("cum_c_tot") - F.col("c_tot") + (F.col("c_tot") + 1) / 2.0
         ).alias("avg_rank"),
     )
     n1 = F.sum("c_pos")

@@ -1,0 +1,93 @@
+"""The near-dup substrate's scale guards: the shingle document-
+frequency cap actually binds, and the LSH verify stage computes Jaccard
+only for candidate pairs (no corpus-wide shingle self-join in the plan).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from clickhouse_migrator_spark.operators.dedup import (
+    SHINGLE_DF_CAP,
+    _jaccard_for_candidates,
+    near_dup_pairs,
+    shingles,
+)
+from clickhouse_migrator_spark.plans.inspect import _plan_string
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id BIGINT, text STRING"
+    )
+
+
+def test_df_cap_drops_hot_shingles(spark, tmp_path):
+    # 10 docs all sharing one boilerplate 3-gram; pairwise-distinct tails
+    texts = [f"common header line tail{i} x{i} y{i} z{i}" for i in range(10)]
+    d = str(tmp_path / "hotdir")
+    _docs(spark, texts).write.parquet(f"{d}/documents.parquet")
+
+    uncapped = shingles(spark, d, df_cap=None)
+    assert uncapped.filter(F.col("shingle") == "common header line").count() == 10
+
+    capped = shingles(spark, d, df_cap=5)
+    assert capped.filter(F.col("shingle") == "common header line").count() == 0
+    # low-df shingles survive
+    assert capped.filter(F.col("shingle") == "tail0 x0 y0").count() == 1
+
+
+def test_df_cap_not_binding_at_fixture_scale(spark):
+    """The default cap must not change fixture results (oracle parity
+    precondition documented in dedup.py)."""
+    sh = shingles(spark, SF_DIR, df_cap=None)
+    max_df = (
+        sh.groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_df <= SHINGLE_DF_CAP
+
+
+def test_jaccard_only_for_candidates(spark):
+    sh = shingles(spark, SF_DIR).cache()
+    cands = spark.createDataFrame([(1, 2)], "doc_a BIGINT, doc_b BIGINT")
+    out = _jaccard_for_candidates(sh, cands)
+    rows = out.collect()
+    # only the requested pair can appear (or nothing, if no overlap)
+    assert all((r.doc_a, r.doc_b) == (1, 2) for r in rows)
+
+
+def test_near_dup_plan_has_no_full_shingle_selfjoin(spark):
+    """The verify stage must join candidates→shingles (equi-join on
+    doc keys), never shingle⨝shingle over the whole corpus.  A full
+    self-join shows up as a join whose BOTH sides are the exploded
+    shingle generator with a shingle-only key; the bounded plan keys
+    every generator join by doc_id/doc_b+shingle instead."""
+    plan = _plan_string(near_dup_pairs(spark, SF_DIR))
+    # the LSH banding join is on (band, bucket); intersections join on
+    # (doc_b, shingle). A pure [shingle] equi-join = the quadratic path.
+    import re
+
+    for m in re.finditer(r"SortMergeJoin(?:\(skew=true\))? \[([^\]]*)\], \[([^\]]*)\]", plan):
+        left_keys = m.group(1)
+        assert "shingle" not in left_keys or "doc" in left_keys, plan[
+            max(m.start() - 200, 0) : m.end() + 100
+        ]
+
+
+def test_planted_near_dups_found(spark, tmp_path):
+    # two exact dup clusters + unrelated docs
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon zeta",
+        "one two three four five six seven",
+        "one two three four five six seven",
+        "totally different words here entirely now",
+    ]
+    d = str(tmp_path / "plantdir")
+    _docs(spark, texts).write.parquet(f"{d}/documents.parquet")
+    pairs = {(r.doc_a, r.doc_b) for r in near_dup_pairs(spark, d).collect()}
+    assert (0, 1) in pairs and (2, 3) in pairs
+    assert not any(4 in p for p in pairs)

@@ -1,12 +1,30 @@
-"""IVF-Flat (k-means) ANN: deterministic output and recall vs the exact
-brute-force top-k — the quality contract an approximate index must pin."""
+"""IVF-Flat (k-means) ANN: deterministic output and the recall@k-vs-
+nprobe curve against the exact brute-force top-k — the quality contract
+an approximate index must pin before anyone trusts it at scale."""
 
 from __future__ import annotations
 
 from clickhouse_migrator_spark.operators.similarity import (
+    TOP_K,
+    ivf_kmeans_topk,
     sim_ivf_kmeans,
     sim_topk_cosine,
 )
+
+
+def _recall_at_k(exact_rows, approx_rows) -> float:
+    """Fraction of each query's exact top-k found by the index."""
+    exact_sets: dict = {}
+    for r in exact_rows:
+        exact_sets.setdefault(r.query_id, set()).add(r.cand_id)
+    approx_sets: dict = {q: set() for q in exact_sets}
+    for r in approx_rows:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(
+        len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets
+    )
+    total = sum(len(s) for s in exact_sets.values())
+    return hits / total
 
 
 def test_kmeans_ivf_deterministic(spark, sf_dir):
@@ -16,24 +34,37 @@ def test_kmeans_ivf_deterministic(spark, sf_dir):
     assert len(a) > 0
 
 
-def test_kmeans_ivf_recall_vs_bruteforce(spark, sf_dir):
+def test_kmeans_ivf_recall_curve_vs_nprobe(spark, sf_dir):
+    """recall@k must rise monotonically with nprobe and approach 1 as
+    the probes cover the index — the curve that justifies the
+    nprobe/latency operating point at 100 TB."""
+    exact = sim_topk_cosine(spark, sf_dir).collect()
+    recalls = {
+        n: _recall_at_k(exact, ivf_kmeans_topk(spark, sf_dir, nprobe=n).collect())
+        for n in (1, 2, 4, 8)
+    }
+    # monotone non-decreasing in nprobe
+    assert recalls[1] <= recalls[2] <= recalls[4] <= recalls[8], recalls
+    # probing every list = exhaustive search = exact top-k
+    assert recalls[8] == 1.0, recalls
+    # the default operating point (nprobe=2 of 8 lists) must beat the
+    # single-probe floor by a usable margin
+    assert recalls[2] >= 0.4, recalls
+    assert recalls[1] >= 0.2, recalls
+
+
+def test_kmeans_ivf_scores_match_exact(spark, sf_dir):
+    """Within its probed lists the index must agree with exact cosine:
+    every returned pair's score equals the brute-force score."""
     exact = sim_topk_cosine(spark, sf_dir).collect()
     approx = sim_ivf_kmeans(spark, sf_dir).collect()
-    exact_sets = {}
-    for r in exact:
-        exact_sets.setdefault(r.query_id, set()).add(r.cand_id)
-    hits = total = 0
-    for r in approx:
-        total += 1
-        if r.vec_id in exact_sets.get(r.query_id, set()):
-            hits += 1
-    # nprobe=1 over 8 lists on random-ish vectors: recall is limited by
-    # design; the floor just pins "the index actually finds neighbors"
-    assert total > 0
-    assert hits / total >= 0.2, f"recall {hits}/{total}"
-    # within its probed list the ranking must agree with exact cosine:
-    # every returned pair's cosine matches the exact score for that pair
+    assert len(approx) > 0
     exact_scores = {(r.query_id, r.cand_id): r.cosine for r in exact}
     for r in approx:
         if (r.query_id, r.vec_id) in exact_scores:
             assert abs(r.cosine - exact_scores[(r.query_id, r.vec_id)]) < 1e-5
+    # and each query still returns a full top-k page
+    per_query: dict = {}
+    for r in approx:
+        per_query[r.query_id] = max(per_query.get(r.query_id, 0), r.rank)
+    assert all(k == TOP_K for k in per_query.values())

@@ -92,49 +92,32 @@ def main() -> None:
     )
     stage(f"window_{nw//10**6}m", t0)
 
-    # minhash signature + LSH banding over 1M synthetic docs (~30 tokens
-    # each → ~28M exploded shingles through a 32-aggregate groupBy): the
-    # corpus-dedup hot path at representative shuffle volume
+    # FULL minhash→verify near-dup path over 1M synthetic docs (~30
+    # tokens each → ~28M exploded shingles): the synthetic corpus is
+    # written as a documents.parquet and run through the PRODUCTION
+    # near_dup_pairs (df-capped shingles → 32-min-hash signature → 16
+    # bands → bucket candidates → candidate-only exact Jaccard) — this
+    # times the verify stage too, not just bucket counts.  Every 17th
+    # doc duplicates its neighbor's text so real candidate pairs exist.
+    from clickhouse_migrator_spark.operators.dedup import near_dup_pairs
+
     ndocs = int(1e6 * SC)
     t0 = time.perf_counter()
+    base = F.col("id") - (F.col("id") % 17 == 0).cast("bigint")
     words = F.transform(
         F.sequence(F.lit(0), F.lit(29)),
-        lambda i: F.concat(
-            F.lit("w"), ((F.col("id") % 100003) * 31 + i * 7) % 5000
-        ),
+        lambda i: F.concat(F.lit("w"), ((base % 999983) * 31 + i * 7) % 500009),
     )
-    docs = spark.range(ndocs).select("id", F.concat_ws(" ", words).alias("text"))
-    toks = F.split(F.col("text"), " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 2),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    docs = spark.range(ndocs).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", words).alias("text")
     )
-    sh = docs.select("id", F.explode(F.array_distinct(grams)).alias("shingle"))
-    sig = sh.groupBy("id").agg(
-        *[
-            F.min(F.xxhash64(F.concat(F.lit(f"s{i}:"), F.col("shingle")))).alias(f"h{i}")
-            for i in range(32)
-        ]
-    )
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")).alias("bucket"),
-            )
-            for b in range(16)
-        ]
-    )
-    buckets = sig.select("id", F.explode(bands).alias("bk")).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
-    )
-    (
-        buckets.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 1)
-        .write.format("noop").mode("overwrite").save()
-    )
-    stage(f"minhash_{max(ndocs//10**6,1)}m_docs", t0)
+    dedup_dir = tempfile.mkdtemp(prefix="scale_dedup_")
+    docs.write.mode("overwrite").parquet(f"{dedup_dir}/documents.parquet")
+    stage(f"minhash_gen_{max(ndocs//10**6,1)}m_docs", t0)
+    t0 = time.perf_counter()
+    n_pairs = near_dup_pairs(spark, dedup_dir).count()
+    stage(f"minhash_verify_{max(ndocs//10**6,1)}m_docs", t0)
+    assert n_pairs >= ndocs // 17 - 1, n_pairs  # the planted dup pairs survive
 
     # windowFunnel chain over 50M synthetic events / 1M users: one
     # user-shuffle into collect_list + array-expression chain scoring —

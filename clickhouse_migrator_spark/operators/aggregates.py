@@ -1477,14 +1477,21 @@ def agg_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     share per tenth — the quantile-based cousin of the fixed-width
     histograms (equal POPULATION per bucket, so the table localizes
     where the money is: compare `agg_pareto_concentration`'s single
-    number).  Global ntile over one value column (tie-broken on the
-    key for cross-engine determinism); the share ratio runs over the
-    10-row aggregate."""
-    d = table(spark, sf_dir, "orders").select(
+    number).  The decile assignment uses the distributed row-number
+    substrate (no single-partition sort of the orders table): exact
+    global rank → exact ntile arithmetic, tie-broken on the key for
+    cross-engine determinism; the share ratio runs over the 10-row
+    aggregate."""
+    from .stats import exact_ntile, with_global_row_number
+
+    o = table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranked = with_global_row_number(
+        o, ["o_totalprice", "o_orderkey"], rn_col="_rn"
+    )
+    n_total = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    d = ranked.crossJoin(F.broadcast(n_total)).select(
         "o_totalprice",
-        F.ntile(10)
-        .over(Window.orderBy("o_totalprice", "o_orderkey"))
-        .alias("decile"),
+        exact_ntile(F.col("_rn"), F.col("_n"), 10).cast("bigint").alias("decile"),
     )
     g = d.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),

@@ -463,6 +463,125 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("vec_a", "vec_b", F.round("_cos", 6).alias("cosine"))
 
 
+N_SIGN_BANDS = 2
+SIGN_BAND_DIMS = 8
+# near-dup regime: sign-LSH prunes well only for genuinely close
+# vectors (per-hyperplane agreement 1−θ/π); τ=0.4 "related" pairs are
+# the GEMM baseline's job, τ≥0.85 near-dups are LSH's
+NEARDUP_COSINE_T = 0.85
+TWIN_OFFSET = 100_000  # planted twin ids = vec_id + offset
+
+
+@register(
+    "dedup_embedding_cosine_bucketed",
+    oracle=f"""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    twins AS (
+      -- planted near-dups: every 10th vector gets a twin with dim 1
+      -- nudged by +0.05 (deterministic, reproduced identically here
+      -- and in the engine)
+      SELECT vec_id + {TWIN_OFFSET} AS vec_id,
+             list_transform(range(1, len(v) + 1),
+               i -> CASE WHEN i = 1 THEN v[i] + 0.05 ELSE v[i] END) AS v
+      FROM base WHERE vec_id % 10 = 0),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+    sig AS (
+      SELECT vec_id, v,
+             array_to_string(list_transform(v[1:{SIGN_BAND_DIMS}],
+               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS b0,
+             array_to_string(list_transform(
+               v[{SIGN_BAND_DIMS + 1}:{2 * SIGN_BAND_DIMS}],
+               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS b1
+      FROM corpus),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM sig a JOIN sig b
+        ON a.vec_id < b.vec_id AND (a.b0 = b.b0 OR a.b1 = b.b1))
+    SELECT c.vec_a, c.vec_b,
+           round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+    FROM cand c
+    JOIN corpus ea ON ea.vec_id = c.vec_a
+    JOIN corpus eb ON eb.vec_id = c.vec_b
+    WHERE list_cosine_similarity(ea.v, eb.v) >= {NEARDUP_COSINE_T}
+    """,
+)
+def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, LSH-GATED — the 100 TB path that the
+    exact all-pairs GEMM baseline (`dedup_embedding_cosine_pairs`)
+    recommends for itself: {N_SIGN_BANDS} bands of {SIGN_BAND_DIMS}
+    sign bits each (deterministic axis-hyperplane signatures, so the
+    oracle reproduces them in SQL); candidate pairs share at least one
+    band-bucket; exact cosine is computed ONLY for candidates.
+
+    The fixture corpus has no true near-dups (max pair cosine ≈ 0.51),
+    so the query PLANTS them: every 10th vector gains a twin with one
+    dim nudged — deterministic in both engines.  A qualifying pair is
+    missed only when its sign pattern differs in BOTH bands; for
+    near-identical vectors the flip probability per band is tiny
+    (recall pinned in tests/test_dedup_substrate.py).  Every stage is
+    an equi-join or hash aggregate: bucket self-joins are bounded by
+    bucket sizes, the verify join is linear in candidates."""
+    base = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    twins = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + TWIN_OFFSET).alias("vec_id"),
+        F.transform(
+            "v", lambda x, i: F.when(i == 0, x + 0.05).otherwise(x)
+        ).alias("v"),
+    )
+    vecs = base.unionByName(twins)
+
+    def band(b: int) -> Column:
+        return F.concat_ws(
+            "",
+            F.transform(
+                F.slice(F.col("v"), 1 + b * SIGN_BAND_DIMS, SIGN_BAND_DIMS),
+                lambda x: F.when(x >= 0, "1").otherwise("0"),
+            ),
+        )
+
+    sig = vecs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band(b).alias("bucket"))
+                    for b in range(N_SIGN_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    l, r = sig.alias("l"), sig.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"))
+    vb = vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"))
+    dot = F.aggregate(
+        F.zip_with(F.col("v_a"), F.col("v_b"), lambda p, q: p * q),
+        F.lit(0.0),
+        lambda a, z: a + z,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.zip_with(c, c, lambda p, q: p * q), F.lit(0.0), lambda a, z: a + z)
+    )
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cosine", dot / (norm(F.col("v_a")) * norm(F.col("v_b"))))
+        .filter(F.col("cosine") >= NEARDUP_COSINE_T)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, component) labels for every document that appears in a
     near-dup pair — iterative min-label propagation (see

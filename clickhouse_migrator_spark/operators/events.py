@@ -1962,16 +1962,29 @@ def events_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     retries; audited per-topic, here the purchase topic, because the
     global id space interleaves topics).  Top-25 earliest gaps.
 
-    The lead() window needs a total order over ids — at 100 TB that's
-    a range-partitioned sort, still one pass; the cheaper fleet-scale
-    variant aggregates (min, max, count) per ingestion partition and
-    compares count to max−min+1, flagging only partitions that need
-    the full sort."""
-    w = Window.orderBy("event_id")
-    s = (
+    The lead() needs a total order over ids, but NOT a single-partition
+    window: ids bucket by range (id div 2¹⁶), lead() runs inside each
+    bucket in parallel, and each bucket's LAST id pairs with the next
+    non-empty bucket's min via a lead over the per-bucket bounds frame
+    (2¹⁶× smaller; repeat the device if that frame ever matters).
+    Identical output to the naive global window."""
+    B = 1 << 16
+    ids = (
         table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
-        .select("event_id", F.lead("event_id").over(w).alias("nxt"))
+        .select("event_id")
+        .withColumn("_bkt", F.floor(F.col("event_id") / B))
+    )
+    wb = Window.partitionBy("_bkt").orderBy("event_id")
+    in_bucket = ids.withColumn("_nxt_in", F.lead("event_id").over(wb))
+    bounds = ids.groupBy("_bkt").agg(F.min("event_id").alias("_mn"))
+    handoff = bounds.select(
+        "_bkt",
+        F.lead("_mn").over(Window.orderBy("_bkt")).alias("_next_bucket_min"),
+    )
+    s = in_bucket.join(handoff, "_bkt").select(
+        "event_id",
+        F.coalesce("_nxt_in", "_next_bucket_min").alias("nxt"),
     )
     return (
         s.filter(F.col("nxt") - F.col("event_id") > 1)
@@ -2140,10 +2153,12 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_rfm_segments",
     oracle="""
     WITH per_user AS (
+      -- monetary on the exact cents grid: the quintile ORDER is then
+      -- engine- and accumulation-order-independent
       SELECT user_id,
              epoch(TIMESTAMP '2024-02-01 00:00:00') - epoch(max(ts)) AS recency_s,
              count(*) AS frequency,
-             sum(value) AS monetary
+             sum(CAST(round(value * 100) AS BIGINT)) AS monetary
       FROM events WHERE event_type = 'purchase' GROUP BY user_id),
     scored AS (
       SELECT user_id,
@@ -2165,10 +2180,14 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     lost) — the classic lifecycle-marketing partition.
 
     The ntiles run over the per-user AGGREGATE (one row per purchasing
-    user; at 100 TB a global ntile becomes a range-partitioned sort or
-    an approx-quantile cut — same 1-5 output).  Ties break on user_id
-    so both engines assign identical quintiles; segments with a single
-    user are suppressed."""
+    user) through the distributed row-number substrate
+    (stats.with_global_row_number + exact ntile arithmetic) — no
+    single-partition sort at any user count.  Ties break on user_id
+    so both engines assign identical quintiles; monetary rides the
+    exact cents grid so the order itself cannot flake; segments with a
+    single user are suppressed."""
+    from .stats import exact_ntile, with_global_row_number
+
     anchor = F.lit("2024-02-01 00:00:00").cast("timestamp").cast("double")
     per_user = (
         table(spark, sf_dir, "events")
@@ -2179,13 +2198,27 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "recency_s"
             ),
             F.count(F.lit(1)).alias("frequency"),
-            F.sum("value").alias("monetary"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("monetary"),
         )
+        .withColumn("neg_recency", -F.col("recency_s"))
     )
-    scored = per_user.select(
-        F.ntile(5).over(Window.orderBy(F.col("recency_s").desc(), "user_id")).alias("r"),
-        F.ntile(5).over(Window.orderBy("frequency", "user_id")).alias("f"),
-        F.ntile(5).over(Window.orderBy("monetary", "user_id")).alias("m"),
+    n_total = per_user.agg(F.count(F.lit(1)).alias("_n"))
+    ranked = with_global_row_number(
+        with_global_row_number(
+            with_global_row_number(
+                per_user, ["neg_recency", "user_id"], rn_col="rn_r"
+            ),
+            ["frequency", "user_id"],
+            rn_col="rn_f",
+        ),
+        ["monetary", "user_id"],
+        rn_col="rn_m",
+    ).crossJoin(F.broadcast(n_total))
+    n = F.col("_n")
+    scored = ranked.select(
+        exact_ntile(F.col("rn_r"), n, 5).alias("r"),
+        exact_ntile(F.col("rn_f"), n, 5).alias("f"),
+        exact_ntile(F.col("rn_m"), n, 5).alias("m"),
     )
     return (
         scored.select(

@@ -97,6 +97,90 @@ def grid_prefix_sums(
     )
 
 
+def with_global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    rn_col: str = "_rn",
+    n_buckets: int = PREFIX_BUCKETS,
+    sum_cols: list[str] | None = None,
+) -> DataFrame:
+    """Global 1-based ``row_number()`` over a total order WITHOUT a
+    single-partition sort — the row-level sibling of
+    :func:`grid_prefix_sums` (same two-level shape: approx-quantile
+    buckets on the FIRST order column, partition-parallel within-bucket
+    windows, a ``n_buckets``-row offset pass).
+
+    ``order_cols`` must form a total order (include a unique tiebreak);
+    the first column drives the bucketing and must be numeric.  Equal
+    first-column values always land in one bucket (strictly-less
+    boundary test), so the composite order is preserved.  Exact ntile /
+    percent_rank / cume_dist are row-local arithmetic on the result:
+    with n = total rows, cume = rn/n, pct_rank = (rn−1)/(n−1), and
+    ntile(k) from the standard first-buckets-bigger split.
+
+    ``sum_cols`` additionally emits ``cum_<col>`` — the inclusive
+    running sum of each column in the same total order (Lorenz-curve /
+    Pareto shapes need rank AND cumulative value together)."""
+    sum_cols = sum_cols or []
+    first = order_cols[0]
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.agg(
+        F.percentile_approx(
+            first, F.array(*[F.lit(f) for f in fracs]), 10_000
+        ).alias("_bounds")
+    )
+    b = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "_bucket",
+        F.size(F.filter(F.col("_bounds"), lambda x: x < F.col(first))),
+    ).drop("_bounds")
+    wb = Window.partitionBy("_bucket").orderBy(*order_cols)
+    wbf = wb.rowsBetween(Window.unboundedPreceding, 0)
+    within = b.select(
+        "*",
+        F.row_number().over(wb).alias("_wrn"),
+        *[F.sum(c).over(wbf).alias(f"_w_{c}") for c in sum_cols],
+    )
+    counts = b.groupBy("_bucket").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(c).alias(f"_t_{c}") for c in sum_cols],
+    )
+    wo = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_bucket",
+        F.coalesce(F.sum("_n").over(wo), F.lit(0)).alias("_off"),
+        *[
+            F.coalesce(F.sum(f"_t_{c}").over(wo), F.lit(0)).alias(f"_o_{c}")
+            for c in sum_cols
+        ],
+    )
+    out = within.join(F.broadcast(offsets), "_bucket").withColumn(
+        rn_col, F.col("_off") + F.col("_wrn")
+    )
+    for c in sum_cols:
+        out = out.withColumn(f"cum_{c}", F.col(f"_o_{c}") + F.col(f"_w_{c}"))
+    return out.drop(
+        "_bucket",
+        "_wrn",
+        "_off",
+        *[f"_w_{c}" for c in sum_cols],
+        *[f"_o_{c}" for c in sum_cols],
+    )
+
+
+def exact_ntile(rn: "F.Column", n: "F.Column", k: int) -> "F.Column":
+    """SQL ``ntile(k)`` from a global row number and the total count —
+    first ``n % k`` buckets get ``ceil(n/k)`` rows (the standard
+    semantics), as pure row-local arithmetic."""
+    big = n % k
+    size_small = F.floor(n / k)
+    size_big = size_small + 1
+    return F.when(size_small == 0, rn).otherwise(
+        F.when(
+            rn <= big * size_big, F.floor((rn - 1) / size_big) + 1
+        ).otherwise(big + F.floor((rn - big * size_big - 1) / size_small) + 1)
+    ).cast("int")
+
+
 @register(
     "agg_linear_regression",
     oracle="""
@@ -1177,19 +1261,22 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus-health diagnostic that flags synthetic or degenerate
     training data (a near-flat or near-perfect fit is suspicious).
 
-    The rank window is global but runs over the DISTINCT-token
-    frequency table, not the token stream — vocabulary is sublinear in
-    corpus size (Heaps' law), so even at 100 TB the ranked set is
-    millions of rows, one range-partitioned sort.  The OLS fit is the
-    same closed-form moment aggregation as `agg_linear_regression`."""
+    The rank runs over the DISTINCT-token frequency table (vocabulary
+    is sublinear in corpus size, Heaps' law) and through the
+    distributed row-number substrate (:func:`with_global_row_number`),
+    so even a billion-token vocabulary never single-partition-sorts.
+    The OLS fit is the same closed-form moment aggregation as
+    `agg_linear_regression`."""
     tok = table(spark, sf_dir, "documents").select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
     )
-    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("f"))
-    ranked = freq.select(
-        F.log(
-            F.row_number().over(Window.orderBy(F.col("f").desc(), "token"))
-        ).alias("lr"),
+    freq = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .withColumn("neg_f", -F.col("f"))
+    )
+    ranked = with_global_row_number(freq, ["neg_f", "token"], rn_col="_rk").select(
+        F.log(F.col("_rk").cast("double")).alias("lr"),
         F.log("f").alias("lf"),
     )
     m = ranked.agg(
@@ -1279,16 +1366,19 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_gini_spend",
     oracle="""
     WITH per_user AS (
-      SELECT user_id, sum(value) AS spend
+      -- exact cents grid: every rank, running sum and ratio below is
+      -- integer-exact, so accumulation order cannot move the output
+      SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS cents
       FROM events WHERE event_type = 'purchase' GROUP BY user_id),
     ranked AS (
-      SELECT spend,
-             row_number() OVER (ORDER BY spend, user_id) AS i,
-             count(*) OVER () AS n, sum(spend) OVER () AS s
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, user_id) AS i,
+             count(*) OVER () AS n, sum(cents) OVER () AS s
       FROM per_user)
     SELECT CAST(max(n) AS BIGINT) AS n_users,
-           round(max(s), 2) AS total_spend,
-           round(2.0 * sum(i * spend) / (max(n) * max(s))
+           round(CAST(max(s) AS DOUBLE) / 100.0, 2) AS total_spend,
+           round(2.0 * CAST(sum(i * cents) AS DOUBLE)
+                 / (CAST(max(n) AS DOUBLE) * CAST(max(s) AS DOUBLE))
                  - (max(n) + 1.0) / max(n), 6) AS gini
     FROM ranked
     """,
@@ -1299,28 +1389,31 @@ def agg_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over spend sorted ascending.
 
     The rank runs over the per-user AGGREGATE (one row per purchasing
-    user), not raw events — the only full-data work is the per-user
-    sum.  At 100 TB the user frame is still range-sortable; the final
-    Gini is a 1-row reduce."""
+    user), not raw events — and even that rank avoids a single-
+    partition sort: the distributed row-number substrate
+    (:func:`with_global_row_number`) keeps the serial work at 64 rows
+    for any user count.  The final Gini is a 1-row reduce."""
     per_user = (
         table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
-        .agg(F.sum("value").alias("spend"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
     )
-    w = Window.orderBy("spend", "user_id")
-    wall = Window.partitionBy()
-    ranked = per_user.select(
-        "spend",
-        F.row_number().over(w).alias("i"),
-        F.count(F.lit(1)).over(wall).alias("n"),
-        F.sum("spend").over(wall).alias("s"),
+    totals = per_user.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
     )
+    ranked = with_global_row_number(
+        per_user, ["cents", "user_id"], rn_col="i"
+    ).crossJoin(F.broadcast(totals))
+    # i*cents summed as decimal(38,0): exact at any user count (bigint
+    # would overflow near 1e19; the rank-weighted sum grows as n^2 x)
+    rw = F.sum((F.col("i") * F.col("cents")).cast("decimal(38,0)"))
     return ranked.agg(
         F.max("n").cast("bigint").alias("n_users"),
-        F.round(F.max("s"), 2).alias("total_spend"),
+        F.round(F.max("s").cast("double") / 100.0, 2).alias("total_spend"),
         F.round(
-            2.0 * F.sum(F.col("i") * F.col("spend")) / (F.max("n") * F.max("s"))
+            2.0 * rw.cast("double")
+            / (F.max("n").cast("double") * F.max("s").cast("double"))
             - (F.max("n") + 1.0) / F.max("n"),
             6,
         ).alias("gini"),
@@ -1484,14 +1577,16 @@ def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_pareto_concentration",
     oracle="""
     WITH per_user AS (
-      SELECT user_id, sum(value) AS spend
+      -- exact cents grid (see agg_gini_spend): the 80% crossing is a
+      -- comparison of exact integers against 0.8*total
+      SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) AS cents
       FROM events WHERE event_type = 'purchase' GROUP BY user_id),
     ranked AS (
-      SELECT spend,
-             row_number() OVER (ORDER BY spend DESC, user_id) AS i,
+      SELECT cents,
+             row_number() OVER (ORDER BY cents DESC, user_id) AS i,
              count(*) OVER () AS n,
-             sum(spend) OVER () AS total,
-             sum(spend) OVER (ORDER BY spend DESC, user_id
+             sum(cents) OVER () AS total,
+             sum(cents) OVER (ORDER BY cents DESC, user_id
                               ROWS UNBOUNDED PRECEDING) AS cum
       FROM per_user)
     SELECT CAST(min(CASE WHEN cum >= 0.8 * total THEN i END) AS BIGINT)
@@ -1510,22 +1605,25 @@ def agg_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Descending running sum over the per-user aggregate, then the first
     rank whose cumulative share crosses 80% — a 1-row reduce.  Same
-    scale posture as Gini: the global sort touches one row per
-    purchasing user, not raw events."""
+    scale posture as Gini: rank and running sum come from the
+    distributed row-number substrate (spend negated for the descending
+    order), so nothing is single-partition-sorted at any user count."""
     per_user = (
         table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
-        .agg(F.sum("value").alias("spend"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+        .withColumn("neg_cents", -F.col("cents"))
     )
-    w = Window.orderBy(F.col("spend").desc(), "user_id")
-    wall = Window.partitionBy()
-    ranked = per_user.select(
-        "spend",
-        F.row_number().over(w).alias("i"),
-        F.count(F.lit(1)).over(wall).alias("n"),
-        F.sum("spend").over(wall).alias("total"),
-        F.sum("spend").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    totals = per_user.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total")
+    )
+    ranked = (
+        with_global_row_number(
+            per_user, ["neg_cents", "user_id"], rn_col="i", sum_cols=["cents"]
+        )
+        .withColumnRenamed("cum_cents", "cum")
+        .crossJoin(F.broadcast(totals))
     )
     crossing = F.min(F.when(F.col("cum") >= 0.8 * F.col("total"), F.col("i")))
     return ranked.agg(

@@ -179,15 +179,26 @@ def window_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global ntile/percent_rank — single-partition window, correct but
-    inherently serial; at 100 TB approximate with `percentile_approx`
-    cutpoints + a broadcast bucket join instead."""
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return table(spark, sf_dir, "customer").select(
+    """Global ntile/percent_rank/cume_dist WITHOUT the single-partition
+    sort: the distributed row-number substrate
+    (:func:`..stats.with_global_row_number` — quantile-bucketed
+    parallel windows + a 64-row offset pass) gives each customer its
+    exact global rank; since the (c_acctbal, c_custkey) order is
+    tie-free, ntile/percent_rank/cume_dist are row-local arithmetic on
+    (rn, n) — bit-identical to the window functions, but the serial
+    work is 64 rows at any table size."""
+    from .stats import exact_ntile, with_global_row_number
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked = with_global_row_number(c, ["c_acctbal", "c_custkey"], rn_col="rn")
+    n_total = ranked.agg(F.count(F.lit(1)).alias("n"))
+    rn = F.col("rn")
+    n = F.col("n")
+    return ranked.crossJoin(F.broadcast(n_total)).select(
         "c_custkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        exact_ntile(rn, n, 4).alias("quartile"),
+        F.round((rn - 1).cast("double") / (n - 1), 6).alias("pct_rank"),
+        F.round(rn.cast("double") / n, 6).alias("cume"),
     )
 
 

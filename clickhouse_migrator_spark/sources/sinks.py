@@ -71,6 +71,7 @@ def write_clickhouse_jdbc(
     mode: str = "append",
     batchsize: int = 100_000,
     num_partitions: int | None = None,
+    driver: str = CLICKHOUSE_JDBC_DRIVER,
     **options: str,
 ) -> None:
     """DataFrame → ClickHouse over JDBC (url like
@@ -79,7 +80,11 @@ def write_clickhouse_jdbc(
     Scale: ``batchsize`` keeps inserts block-sized for MergeTree;
     ``num_partitions`` caps concurrent connections (each partition
     opens one).  Raises a clear error when no driver jar is on the
-    classpath."""
+    classpath.  ``driver`` is overridable so the identical option
+    plumbing/batching/mode path is integration-tested against the
+    embedded Derby that ships in Spark's classpath
+    (tests/test_sources.py) — no ClickHouse server exists in this
+    environment."""
     jvm_df = df
     if num_partitions:
         jvm_df = df.coalesce(num_partitions)
@@ -87,7 +92,7 @@ def write_clickhouse_jdbc(
         jvm_df.write.format("jdbc")
         .option("url", url)
         .option("dbtable", table)
-        .option("driver", CLICKHOUSE_JDBC_DRIVER)
+        .option("driver", driver)
         .option("batchsize", str(batchsize))
         .option("isolationLevel", "NONE")  # ClickHouse has no transactions
     )

@@ -91,3 +91,29 @@ def test_planted_near_dups_found(spark, tmp_path):
     pairs = {(r.doc_a, r.doc_b) for r in near_dup_pairs(spark, d).collect()}
     assert (0, 1) in pairs and (2, 3) in pairs
     assert not any(4 in p for p in pairs)
+
+
+def test_bucketed_cosine_finds_planted_near_dups(spark):
+    """The LSH-gated embedding pair query plants a perturbed twin for
+    every 10th vector; the banded sign-LSH must recover EVERY planted
+    pair (the perturbation touches one dim, so at least one band's
+    signature is untouched) and nothing else at the near-dup
+    threshold (the original corpus's max pair cosine is ~0.51)."""
+    import pyspark.sql.functions as F2
+
+    from clickhouse_migrator_spark.operators.dedup import (
+        TWIN_OFFSET,
+        dedup_embedding_cosine_bucketed,
+    )
+    from clickhouse_migrator_spark.tables import table as _table
+
+    rows = dedup_embedding_cosine_bucketed(spark, SF_DIR).collect()
+    n_tenth = (
+        _table(spark, SF_DIR, "embeddings")
+        .filter(F2.col("vec_id") % 10 == 0)
+        .count()
+    )
+    assert len(rows) == n_tenth
+    for r in rows:
+        assert r.vec_b == r.vec_a + TWIN_OFFSET
+        assert r.cosine >= 0.85

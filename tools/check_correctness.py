@@ -5,10 +5,16 @@ DuckDB over the same parquet fixtures, then compares row count, sorted
 column names, and order-insensitive values.  Use while iterating:
 
     python tools/check_correctness.py [sf_dir] [query ...]
+    python tools/check_correctness.py --json GATE_r2.json [sf_dir]
+
+``--json FILE`` additionally writes the full per-query result table in
+the driver's CORRECTNESS_r{N}.json row format, committed per round so
+the builder-gate and driver-sample can be diffed without re-running.
 """
 
 from __future__ import annotations
 
+import json
 import math
 import sys
 from datetime import date, datetime
@@ -44,8 +50,14 @@ def _rowset(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    results: dict[str, dict] = {}
 
     con = duckdb.connect()
     for t in TABLES:
@@ -65,9 +77,16 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failed.append(name)
+            results[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": None,
+                             "oracle_rows": None, "err": f"spark: {e}"[:300]}
             continue
         if name not in oracles:
             print(f"ok?   {name}: rows-only ({len(srows)} rows, no oracle)")
+            results[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": len(srows),
+                             "oracle_rows": None, "err": None,
+                             "rows_only": True}
             continue
         try:
             rel = con.sql(oracles[name])
@@ -76,6 +95,9 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failed.append(name)
+            results[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": len(srows),
+                             "oracle_rows": None, "err": f"duckdb: {e}"[:300]}
             continue
         problems = []
         if len(srows) != len(drows):
@@ -92,7 +114,19 @@ def main() -> int:
             failed.append(name)
         else:
             print(f"PASS  {name} ({len(srows)} rows)")
+        results[name] = {
+            "rows_match": len(srows) == len(drows),
+            "schema_match": sorted(scols) == sorted(dcols),
+            "hash_match": not problems,
+            "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+            "err": None,
+        }
 
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {json_out} ({len(results)} rows)")
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
     return 1 if failed else 0
 

@@ -194,6 +194,18 @@ def _regex_group_index(pattern_sql: str) -> int:
     return 0
 
 
+def _haversine(a: list[str]) -> str:
+    """Great-circle distance in meters on ClickHouse's sphere radius.
+    Args are (lon1, lat1, lon2, lat2) — ClickHouse's order."""
+    lon1, lat1, lon2, lat2 = (x.strip() for x in a)
+    return (
+        f"(2 * 6372797.560856 * asin(sqrt("
+        f"pow(sin(radians(({lat2} - {lat1}) / 2)), 2) + "
+        f"cos(radians({lat1})) * cos(radians({lat2})) * "
+        f"pow(sin(radians(({lon2} - {lon1}) / 2)), 2))))"
+    )
+
+
 # MySQL/ClickHouse WEEK mode 0: Sunday-first, week 0 = days before the
 # year's first Sunday.  dayofweek() is 1=Sunday in Spark, so the first
 # Sunday falls on day (8 - dayofweek(Jan1)) % 7 + 1 of the year.
@@ -577,6 +589,89 @@ RULES: dict[str, Rule] = {
     "arrayReverseSort": lambda a: (
         f"reverse(array_sort({a[0]}))" if len(a) == 1 else None
     ),
+    # round 4: array reshaping / enumeration
+    # consecutive-dup collapse: keep element 0 and every element that
+    # differs from its predecessor (0-based subscript = predecessor)
+    "arrayCompact": lambda a: (
+        f"filter({a[0]}, (_x, _i) -> _i = 0 OR NOT (_x <=> {a[0]}[_i - 1]))"
+        if len(a) == 1
+        else None
+    ),
+    # dense first-appearance ranks (array_distinct preserves first-
+    # occurrence order, array_position is 1-based — same as ClickHouse)
+    "arrayEnumerateDense": lambda a: (
+        f"transform({a[0]}, _x -> array_position(array_distinct({a[0]}), _x))"
+        if len(a) == 1
+        else None
+    ),
+    # first element 0, then pairwise deltas (ClickHouse semantics)
+    "arrayDifference": lambda a: (
+        f"transform({a[0]}, (_x, _i) -> CASE WHEN _i = 0 THEN _x - _x "
+        f"ELSE _x - {a[0]}[_i - 1] END)"
+        if len(a) == 1
+        else None
+    ),
+    # O(n²) per row but arrays are row-local; the distributed explode+
+    # window form lives in operators/scalars.py (scalar_array_cumsum_diff)
+    "arrayCumSum": lambda a: (
+        f"transform({a[0]}, (_x, _i) -> aggregate(slice({a[0]}, 1, _i + 1), "
+        f"CAST(0 AS DOUBLE), (_a, _b) -> _a + _b))"
+        if len(a) == 1
+        else None
+    ),
+    "arrayProduct": lambda a: (
+        f"aggregate({a[0]}, CAST(1 AS DOUBLE), (_a, _b) -> _a * _b)"
+        if len(a) == 1
+        else None
+    ),
+    "emptyArrayString": lambda a: (
+        "CAST(array() AS ARRAY<STRING>)" if not a else None
+    ),
+    # ClickHouse range(n): [0..n) — guard the empty case (Spark's
+    # sequence() would count DOWN for start > stop).  ONLY the 1-arg
+    # form rewrites: 2-arg range(start, end) is also DuckDB spelling
+    # (the oracle-safety property — rewriter must stay inert on oracle
+    # SQL, pinned by test_rewriter_fixed_point_and_oracle_safety) and
+    # `FROM range(...)` is Spark's table-valued function (guarded in
+    # rewrite_functions).
+    "range": lambda a: (
+        f"(CASE WHEN {a[0]} <= 0 THEN CAST(array() AS ARRAY<BIGINT>) "
+        f"ELSE sequence(CAST(0 AS BIGINT), CAST({a[0]} AS BIGINT) - 1) END)"
+        if len(a) == 1
+        else None
+    ),
+    # round 4: bits / time / maps / geo
+    "bitTest": lambda a: (
+        f"(shiftright({a[0]}, CAST({a[1]} AS INT)) & 1)" if len(a) == 2 else None
+    ),
+    "toStartOfFifteenMinutes": _tpl(
+        "timestamp_seconds(CAST(floor(unix_timestamp({0}) / 900) * 900 AS BIGINT))"
+    ),
+    "toStartOfTenMinutes": _tpl(
+        "timestamp_seconds(CAST(floor(unix_timestamp({0}) / 600) * 600 AS BIGINT))"
+    ),
+    # ClickHouse timeDiff(t1, t2) = t2 − t1 in whole seconds
+    "timeDiff": _tpl("(unix_timestamp({1}) - unix_timestamp({0}))"),
+    "mapContains": _rename("map_contains_key"),
+    # haversine on ClickHouse's sphere radius (6372797.560856 m);
+    # geoDistance's ellipsoid correction is approximated by the same
+    # formula — documented divergence ≤0.5% (the correction factor)
+    "greatCircleDistance": lambda a: (_haversine(a) if len(a) == 4 else None),
+    "geoDistance": lambda a: (_haversine(a) if len(a) == 4 else None),
+    # "1.23 million"-style humanized quantities
+    "formatReadableQuantity": lambda a: (
+        f"(CASE WHEN abs({a[0]}) >= 1e12 THEN concat(CAST(round({a[0]} / 1e12, 2) "
+        f"AS STRING), ' trillion') "
+        f"WHEN abs({a[0]}) >= 1e9 THEN concat(CAST(round({a[0]} / 1e9, 2) "
+        f"AS STRING), ' billion') "
+        f"WHEN abs({a[0]}) >= 1e6 THEN concat(CAST(round({a[0]} / 1e6, 2) "
+        f"AS STRING), ' million') "
+        f"WHEN abs({a[0]}) >= 1e3 THEN concat(CAST(round({a[0]} / 1e3, 2) "
+        f"AS STRING), ' thousand') "
+        f"ELSE CAST({a[0]} AS STRING) END)"
+        if len(a) == 1
+        else None
+    ),
     "arrayResize": lambda a: (
         f"slice(concat({a[0]}, array_repeat("
         f"{a[2].strip() if len(a) == 3 else 'NULL'}, "
@@ -822,6 +917,9 @@ def _rewrite_array_literals(sql: str) -> str:
         sql = sql[:start] + "array(" + sql[start + 1 : k] + ")" + sql[k + 1 :]
 
 
+_TABLE_VALUED_AMBIGUOUS = {"range"}
+
+
 def rewrite_functions(sql: str) -> str:
     """Translate ClickHouse function spellings in ``sql`` to Spark SQL.
 
@@ -842,6 +940,13 @@ def rewrite_functions(sql: str) -> str:
             name = m.group(1)
             if name not in RULES and name not in _PARAMETRIC:
                 continue
+            if name in _TABLE_VALUED_AMBIGUOUS:
+                # `FROM range(10)` is Spark's table-valued function —
+                # only the scalar/array usage (inside expressions) is a
+                # ClickHouse spelling to translate
+                prev = re.search(r"([A-Za-z_]+)\s*$", sql[: m.start()])
+                if prev and prev.group(1).upper() in ("FROM", "JOIN"):
+                    continue
             args, end = _scan_args(sql, m.end())
             rest = sql[end:]
             stripped = rest.lstrip()

@@ -1488,7 +1488,7 @@ def agg_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = with_global_row_number(
         o, ["o_totalprice", "o_orderkey"], rn_col="_rn"
     )
-    n_total = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    n_total = o.agg(F.count(F.lit(1)).alias("_n"))
     d = ranked.crossJoin(F.broadcast(n_total)).select(
         "o_totalprice",
         exact_ntile(F.col("_rn"), F.col("_n"), 10).cast("bigint").alias("decile"),

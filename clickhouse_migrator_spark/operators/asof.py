@@ -96,3 +96,25 @@ def asof_pandas_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     pur = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
     out = asof_join(err, pur, on="ts", by="user_id")
     return out.select("event_id", "ts", "ts_right")
+
+
+@register(
+    "asof_forward_next_purchase",
+    oracle="""
+    SELECT e.event_id, e.ts, p.ts AS ts_right
+    FROM (SELECT event_id, ts, user_id FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND p.ts >= e.ts
+    """,
+)
+def asof_forward_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for each error, the user's NEXT purchase at
+    or after it — the "did the incident block conversion" probe (the
+    backward variant answers "what preceded it").  Same grouped
+    Arrow-batched merge_asof substrate, direction flipped; DuckDB's
+    native ASOF JOIN with a ``>=`` condition is the oracle."""
+    e = table(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select("event_id", "ts", "user_id")
+    pur = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    out = asof_join(err, pur, on="ts", by="user_id", direction="forward")
+    return out.select("event_id", "ts", "ts_right")

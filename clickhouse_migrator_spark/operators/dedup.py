@@ -338,9 +338,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     of token hashes (md5-derived so both engines agree), pairs within
     Hamming ≤ {HAMMING_T}.
 
-    Scale note: the pair join here is all-pairs on signatures (fine for
-    ≤ ~100k docs); at 100 TB block by simhash prefix bands (same LSH
-    trick as MinHash) so only same-prefix pairs are compared."""
+    Candidate generation is EXACT banded blocking (pigeonhole): the 60
+    bits split into HAMMING_T+1 = 3 bands of 20; a pair differing in
+    ≤ {HAMMING_T} bits must agree exactly on ≥ 1 band, so an equi-join
+    on (band, band-bits) finds every qualifying pair with NO all-pairs
+    stage and NO recall loss — the oracle's all-pairs formulation
+    stays valid verbatim.  Verification re-checks full Hamming on the
+    (distinct) candidates only."""
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("token"))
     h = F.conv(F.substring(F.md5("token"), 1, SIMHASH_BITS // 4), 16, 10).cast("bigint")
@@ -369,15 +373,44 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("simhash")
         )
     )
-    a, b = sigs.alias("a"), sigs.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.cast("int").alias("hamming"),
+    sigs = sigs.cache()  # shared by banding + verify
+    n_bands = HAMMING_T + 1
+    band_bits = SIMHASH_BITS // n_bands
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"shiftright(simhash, {b * band_bits}) "
+                            f"& {(1 << band_bits) - 1}"
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= HAMMING_T)
     )
 
@@ -602,18 +635,33 @@ def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
-    for _ in range(20):  # diameter bound; near-dup clusters converge in <5
+    for _ in range(20):  # with pointer doubling: rounds ≈ log₂(diameter)
         neighbor_min = (
             sym.join(labels, sym.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        stepped = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer doubling: jump to my component's OWN component —
+        # chain-shaped dup graphs (doc₁≈doc₂≈…≈docₗ) otherwise need
+        # diameter-many rounds; the extra self-join halves the
+        # remaining distance every round (classic hash-to-min/
+        # shortcutting CC), so long chains converge in log rounds
+        parent = stepped.select(
+            F.col("doc_id").alias("p_id"), F.col("component").alias("p_comp")
+        )
         labels = (
-            labels.join(neighbor_min, "doc_id", "left")
+            stepped.join(parent, stepped.component == F.col("p_id"), "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                    F.col("component"),
+                    F.coalesce(F.col("p_comp"), F.col("component")),
                 ).alias("component"),
             )
             .localCheckpoint()
@@ -782,4 +830,115 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("jaccard"), 6).alias("max_jaccard"),
         )
         .orderBy("threshold_band")
+    )
+
+
+@register(
+    "dedup_shared_passage_ratio",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+                  FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
+                                       i -> array_to_string(w[i:i+7], ' '))) AS gram
+          FROM toks WHERE len(w) >= 8),
+    df AS (SELECT gram, count(*) AS d FROM g GROUP BY gram),
+    per_doc AS (
+      SELECT g.doc_id,
+             count(*) AS n_grams,
+             sum(CASE WHEN df.d > 1 THEN 1 ELSE 0 END) AS n_shared
+      FROM g JOIN df USING (gram) GROUP BY g.doc_id)
+    SELECT CASE WHEN n_shared * 10 >= n_grams * 9 THEN '0.9'
+                WHEN n_shared * 2  >= n_grams     THEN '0.5'
+                WHEN n_shared > 0                 THEN '>0'
+                ELSE 'unique' END AS shared_band,
+           count(*)      AS n_docs,
+           sum(n_grams)  AS total_grams,
+           sum(n_shared) AS total_shared
+    FROM per_doc GROUP BY 1 ORDER BY shared_band
+    """,
+)
+def dedup_shared_passage_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage audit: for every document, the
+    fraction of its distinct word-8-grams that appear in at least one
+    OTHER document — the passage-level duplication signal (templates,
+    boilerplate, syndicated text) that pairwise near-dup detection
+    misses when no single pair clears τ.  Docs are banded by shared
+    ratio (≥0.9 near-copies / ≥0.5 heavy reuse / >0 / unique).
+
+    Plan: distinct 8-grams per doc (one scan + explode), gram document
+    frequency (hash agg, partial-agg'd), a gram-keyed equi-join back,
+    then a per-doc aggregate — all linear; band thresholds compare
+    integers (n_shared·k vs n_grams·m), no float ratios to flake."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    k = 8
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    g = d.where(F.size(toks) >= k).select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
+    )
+    df_counts = g.groupBy("gram").agg(F.count(F.lit(1)).alias("d"))
+    per_doc = (
+        g.join(df_counts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("d") > 1, 1).otherwise(0)).alias("n_shared"),
+        )
+    )
+    band = (
+        F.when(F.col("n_shared") * 10 >= F.col("n_grams") * 9, "0.9")
+        .when(F.col("n_shared") * 2 >= F.col("n_grams"), "0.5")
+        .when(F.col("n_shared") > 0, ">0")
+        .otherwise("unique")
+    )
+    return (
+        per_doc.groupBy(band.alias("shared_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").alias("total_grams"),
+            F.sum("n_shared").alias("total_shared"),
+        )
+        .orderBy("shared_band")
+    )
+
+
+CONTAINMENT_T = 0.9
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_SQL}
+    SELECT doc_a, doc_b,
+           round(inter / CAST(least(sa.n, sb.n) AS DOUBLE), 6) AS containment
+    FROM pair_inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE inter >= {CONTAINMENT_T} * least(sa.n, sb.n)
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-CONTAINMENT pairs: |A∩B| / min(|A|,|B|) ≥ {CONTAINMENT_T} —
+    the asymmetric cousin of Jaccard that catches a short document
+    embedded inside a much longer one (quotes, concatenated shards),
+    which symmetric Jaccard misses (the union dilutes the overlap).
+
+    Substrate note: minhash-LSH approximates JACCARD, so its bands
+    cannot prune for containment; the pair generation is the df-capped
+    co-shingle index (`_exact_jaccard_pairs` posture — the cap bounds
+    every posting list), with the integer comparison
+    ``inter ≥ τ·min(n)`` evaluated before the float ratio."""
+    pairs = _exact_jaccard_pairs(spark, sf_dir)
+    mn = F.least(F.col("na"), F.col("nb"))
+    return (
+        pairs.filter(F.col("inter") >= CONTAINMENT_T * mn)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter") / mn.cast("double"), 6).alias("containment"),
+        )
     )

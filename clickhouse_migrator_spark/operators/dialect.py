@@ -534,3 +534,51 @@ def dialect_tuple_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM {v} GROUP BY l_orderkey)
         """,
     )
+
+
+@register(
+    "dialect_array_round4",
+    oracle="""
+    WITH base AS (
+      SELECT user_id,
+             list_transform(range(0, 6), i -> (user_id + i) % 7) AS arr
+      FROM events GROUP BY user_id)
+    SELECT user_id,
+           array_to_string(list_filter(arr,
+             (x, i) -> i = 1 OR x IS DISTINCT FROM arr[i - 1]), ',')
+             AS compact_s,
+           array_to_string(list_transform(range(1, 7),
+             i -> CAST(CASE WHEN i = 1 THEN 0
+                            ELSE arr[i] - arr[i - 1] END AS VARCHAR)), ',')
+             AS diff_s,
+           CAST(arr[1] * arr[2] * arr[3] AS DOUBLE) AS prod3,
+           user_id & 1 AS low_bit
+    FROM base
+    """,
+)
+def dialect_array_round4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 ClickHouse array/bit vocabulary end to end through the
+    dialect layer: ``range`` (guarded 0..n-1), ``arrayMap``,
+    ``arrayCompact`` (indexed-lambda consecutive-dup collapse),
+    ``arrayDifference`` (first element 0), ``arrayProduct``,
+    ``arraySlice``, ``arrayStringConcat``, ``toString`` and ``bitTest``
+    — every rewrite lands on JVM higher-order builtins, no UDFs; array
+    outputs are emitted as joined strings (driver-hash-safe)."""
+    from ..migrate import execute_and_inflate
+
+    v = _view(spark, sf_dir, "events")
+    return execute_and_inflate(
+        spark,
+        f"""
+        SELECT user_id,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                                          arrayCompact(arr)), ',') AS compact_s,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                                          arrayDifference(arr)), ',') AS diff_s,
+               arrayProduct(arraySlice(arr, 1, 3)) AS prod3,
+               bitTest(user_id, 0) AS low_bit
+        FROM (SELECT user_id,
+                     arrayMap(i -> (user_id + i) % 7, range(6)) AS arr
+              FROM {v} GROUP BY user_id)
+        """,
+    )

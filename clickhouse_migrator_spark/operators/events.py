@@ -2620,3 +2620,106 @@ def events_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(repeat / F.count(F.lit(1)).cast("double"), 6).alias("repeat_rate"),
         F.round(F.percentile(gap, 0.5), 4).alias("median_days_to_second_s"),
     )
+
+
+@register(
+    "events_session_abandonment",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_type,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ), per_session AS (
+      SELECT user_id, sid,
+             count(*) AS n_events,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_buy
+      FROM sess GROUP BY user_id, sid)
+    SELECT CASE WHEN has_view = 1 AND has_click = 1 AND has_buy = 1 THEN 'converted'
+                WHEN has_view = 1 AND has_click = 1 THEN 'abandoned'
+                WHEN has_view = 1 OR has_click = 1 THEN 'browsed'
+                ELSE 'other' END AS outcome,
+           count(*) AS n_sessions,
+           round(CAST(sum(n_events) AS DOUBLE) / count(*), 4) AS avg_events,
+           round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share
+    FROM per_session GROUP BY 1 ORDER BY outcome
+    """,
+)
+def events_session_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session outcome funnel: 30-minute-gap sessions classified as
+    converted (view + click + purchase), abandoned (engaged but no
+    purchase — THE metric e-commerce funnels optimize), browsed, or
+    other — with per-outcome session share and intensity.
+
+    Same gaps-and-islands session substrate as `events_session_stats`
+    (one user-keyed shuffle; the two stacked windows and the session
+    aggregate reuse the same exchange); outcome classification is
+    row-local flags on the tiny per-session frame; (ts, event_id)
+    ordering makes equal-timestamp sessions deterministic."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    ev = table(spark, sf_dir, "events")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("timestamp").cast("double")
+                - F.lag(F.col("ts").cast("timestamp").cast("double")).over(w)
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = marked.withColumn("sid", F.sum("new_sess").over(wrun))
+    per = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("has_view"),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "has_click"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "has_buy"
+        ),
+    )
+    outcome = (
+        F.when(
+            (F.col("has_view") == 1) & (F.col("has_click") == 1) & (F.col("has_buy") == 1),
+            "converted",
+        )
+        .when((F.col("has_view") == 1) & (F.col("has_click") == 1), "abandoned")
+        .when((F.col("has_view") == 1) | (F.col("has_click") == 1), "browsed")
+        .otherwise("other")
+    )
+    g = per.groupBy(outcome.alias("outcome")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.sum("n_events").cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_events"
+        ),
+    )
+    return g.select(
+        "outcome",
+        "n_sessions",
+        "avg_events",
+        F.round(
+            F.col("n_sessions")
+            / F.sum("n_sessions").over(Window.partitionBy()).cast("double"),
+            6,
+        ).alias("share"),
+    ).orderBy("outcome")

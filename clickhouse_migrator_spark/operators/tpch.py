@@ -49,17 +49,33 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # each decimal cast is hoisted into ONE projection (repeating the
+    # cast inside every aggregate is not CSE'd across aggregate
+    # expressions — measured 2.0 s → 1.3 s at sf0.1).  Decimal (not an
+    # integer money grid): a bigint cents/micros grid overflows 2⁶³ for
+    # the charge sum at roughly SF100 per group — the decimal's 128-bit
+    # widened sum is the representation that survives 100 TB.
+    proj = li.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("decimal(18,2)").alias("_q"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("_p"),
+        disc_price.cast("decimal(18,6)").alias("_dp"),
+        (disc_price * (1 + F.col("l_tax"))).cast("decimal(18,8)").alias("_ch"),
+        F.col("l_discount").cast("decimal(18,2)").alias("_dc"),
+    )
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
-        .groupBy("l_returnflag", "l_linestatus")
+        proj.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).alias("sum_qty"),
-            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price.cast("decimal(18,6)")).cast("double"), 2).alias("sum_disc_price"),
-            F.round(F.sum((disc_price * (1 + F.col("l_tax"))).cast("decimal(18,8)")).cast("double"), 2).alias("sum_charge"),
-            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / F.count("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / F.count("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double") / F.count("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum("_q").cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum("_p").cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum("_dp").cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum("_ch").cast("double"), 2).alias("sum_charge"),
+            F.round(F.sum("_q").cast("double") / F.count("_q"), 4).alias("avg_qty"),
+            F.round(F.sum("_p").cast("double") / F.count("_p"), 4).alias("avg_price"),
+            F.round(F.sum("_dc").cast("double") / F.count("_dc"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

@@ -115,10 +115,11 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_moving_avg_3",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+           round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                         OVER (PARTITION BY o_custkey
                               ORDER BY o_orderdate, o_orderkey
                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / 100.0
                  / count(*) OVER (PARTITION BY o_custkey
                                   ORDER BY o_orderdate, o_orderkey
                                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
@@ -135,8 +136,13 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
+        # cents grid: the 3-row frame bounds the bigint sum, so the fast
+        # integer path is overflow-safe here (unlike unbounded sums)
         F.round(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .over(w)
+            .cast("double")
+            / 100.0
             / F.count(F.lit(1)).over(w),
             4,
         ).alias("moving_avg"),
@@ -191,7 +197,9 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     ranked = with_global_row_number(c, ["c_acctbal", "c_custkey"], rn_col="rn")
-    n_total = ranked.agg(F.count(F.lit(1)).alias("n"))
+    # count from the SOURCE, not the ranked frame: counting the ranked
+    # frame would re-execute the whole substrate pipeline for one int
+    n_total = c.agg(F.count(F.lit(1)).alias("n"))
     rn = F.col("rn")
     n = F.col("n")
     return ranked.crossJoin(F.broadcast(n_total)).select(

@@ -855,3 +855,50 @@ def test_extract_capturing_group(spark):
     assert row.whole == "1"
     assert row.esc == "x(y)"   # escaped parens: whole match
     assert row.noncap == "b"   # (?:...) skipped, real group found
+
+
+def test_round4_array_reshaping(spark):
+    row = spark.sql(
+        rewrite_functions(
+            "SELECT arrayCompact([1, 1, 2, 2, 2, 1]) AS compact, "
+            "arrayEnumerateDense([10, 20, 10, 30]) AS dense, "
+            "arrayDifference([1, 4, 9, 16]) AS diff, "
+            "arrayCumSum([1, 2, 3]) AS cs, "
+            "arrayProduct([2.0, 3.0, 4.0]) AS prod, "
+            "size(emptyArrayString()) AS empt, "
+            "range(4) AS r1, range(0) AS r0"
+        )
+    ).first()
+    assert row.compact == [1, 2, 1]
+    assert row.dense == [1, 2, 1, 3]
+    assert row.diff == [0, 3, 5, 7]
+    assert row.cs == [1.0, 3.0, 6.0]
+    assert row.prod == 24.0
+    assert row.empt == 0
+    assert row.r1 == [0, 1, 2, 3] and row.r0 == []
+
+
+def test_round4_bits_time_maps_geo(spark):
+    row = spark.sql(
+        rewrite_functions(
+            "SELECT bitTest(5, 0) AS b0, bitTest(5, 1) AS b1, "
+            "toStartOfFifteenMinutes(toDateTime('2021-06-01 12:23:45')) AS q15, "
+            "toStartOfTenMinutes(toDateTime('2021-06-01 12:23:45')) AS q10, "
+            "timeDiff(toDateTime('2021-01-01 00:00:00'), "
+            "         toDateTime('2021-01-01 00:01:30')) AS td, "
+            "mapContains(map('a', 1), 'a') AS mc, "
+            "round(greatCircleDistance(-86.5813, 34.7309, "
+            "                          -86.7677, 34.7309) / 1000, 0) AS dist_km, "
+            "formatReadableQuantity(1234567) AS frq, "
+            "formatReadableQuantity(12) AS frq_small"
+        )
+    ).first()
+    assert row.b0 == 1 and row.b1 == 0
+    assert str(row.q15).startswith("2021-06-01 12:15:00")
+    assert str(row.q10).startswith("2021-06-01 12:20:00")
+    assert row.td == 90
+    assert row.mc is True
+    # ClickHouse documents greatCircleDistance for this pair as ~17 km
+    assert abs(row.dist_km - 17) <= 1
+    assert row.frq == "1.23 million"
+    assert row.frq_small == "12"

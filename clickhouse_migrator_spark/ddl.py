@@ -19,9 +19,13 @@ tiny and test-pinned:
   can never observe statement N half-applied.
 
 Unsigned integers: Spark has no unsigned types; ``UInt8/16/32 → INT/
-BIGINT`` with *signed* semantics (documented divergence — SURVEY.md
-§1.2: ``UInt32 DEFAULT -1`` stays ``-1`` instead of wrapping to
-4294967295; all reference test outcomes are unaffected).
+BIGINT`` map to the next WIDER signed type, and a negative integer
+``DEFAULT`` on an unsigned column wraps modulo 2^bits at translation
+time (``UInt32 DEFAULT -1`` → 4294967295 — matching ClickHouse's
+two's-complement reinterpretation, relied on by the reference's
+``V1_sequential_dmls.json``).  ``UInt64`` keeps signed semantics (the
+wrapped value would overflow BIGINT; documented divergence — SURVEY.md
+§1.2 — no reference test depends on it).
 """
 
 from __future__ import annotations
@@ -138,6 +142,25 @@ class Statement:
     rename_to: str | None = None
     if_exists: bool = False
     sample_by: str | None = None
+
+
+_UINT_RE = re.compile(r"^\s*UInt(8|16|32)\s*$")
+
+
+def _wrap_unsigned_default(ch_type: str, default: str | None) -> str | None:
+    """ClickHouse reinterprets a negative integer DEFAULT on an
+    unsigned column as its two's-complement value (UInt32 DEFAULT -1 →
+    4294967295).  The mapped Spark type is the next WIDER signed type,
+    so the wrapped constant always fits; UInt64 is excluded (wrap would
+    overflow BIGINT — documented signed divergence)."""
+    if default is None:
+        return None
+    m = _UINT_RE.match(ch_type)
+    lit = default.strip()
+    if m and re.fullmatch(r"-\d+", lit):
+        bits = int(m.group(1))
+        return str(int(lit) % (1 << bits))
+    return default
 
 
 _CREATE_RE = re.compile(r"^\s*CREATE\s+TABLE\s", re.I)
@@ -453,7 +476,7 @@ def translate(sql: str) -> Statement:
             table=m.group("table").strip("`"),
             column=m.group("col").strip("`"),
             col_type=map_types(m.group("type")),
-            default=m.group("default"),
+            default=_wrap_unsigned_default(m.group("type"), m.group("default")),
         )
     m = _UPDATE_RE.match(sql)
     if m:

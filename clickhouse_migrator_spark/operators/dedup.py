@@ -869,7 +869,13 @@ def dedup_shared_passage_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: distinct 8-grams per doc (one scan + explode), gram document
     frequency (hash agg, partial-agg'd), a gram-keyed equi-join back,
     then a per-doc aggregate — all linear; band thresholds compare
-    integers (n_shared·k vs n_grams·m), no float ratios to flake."""
+    integers (n_shared·k vs n_grams·m), no float ratios to flake.
+
+    Measured construction note: grams are concat_ws strings, NOT
+    xxhash64 over the token slice — hashing an ARRAY per gram walks a
+    serialized representation and benched 6× slower than the string
+    build (3.9 s vs 0.7 s at sf0.1); string grams also group byte-
+    identically to the oracle's."""
     d = table(spark, sf_dir, "documents")
     toks = _tokens()
     k = 8
@@ -877,8 +883,22 @@ def dedup_shared_passage_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.size(toks) - (k - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
     )
-    g = d.where(F.size(toks) >= k).select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
+    # distinct AFTER the explode, not array_distinct on the per-doc
+    # array: array_distinct is O(len²) per row and long documents make
+    # it the bottleneck; the exploded dropDuplicates dedups map-side
+    # before one (doc, gram) shuffle
+    # repartition BEFORE the gram stage: a small parquet file scans as
+    # 1-2 splits, and the higher-order gram construction (interpreted,
+    # outside codegen) would run near-serial on them — fan the rows out
+    # first so the CPU-heavy map stage uses every core (measured 6.5 s
+    # → sub-second at sf0.1).  localCheckpoint materializes g once for
+    # its two consumers (frequency + join).
+    g = (
+        d.repartition(int(spark.sparkContext.defaultParallelism), "doc_id")
+        .where(F.size(toks) >= k)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .dropDuplicates(["doc_id", "gram"])
+        .localCheckpoint()
     )
     df_counts = g.groupBy("gram").agg(F.count(F.lit(1)).alias("d"))
     per_doc = (

@@ -305,3 +305,35 @@ def test_ingest_jsoneachrow(spark, tmp_path):
     finally:
         spark.catalog.setCurrentDatabase(prev)
         spark.sql(f"DROP DATABASE `{db}` CASCADE")
+
+
+def test_unsigned_default_wraps_two_complement(spark, db):
+    """ClickHouse reinterprets a negative DEFAULT on an unsigned column
+    as two's-complement (UInt32 DEFAULT -1 → 4294967295 — the value the
+    reference's V1_sequential_dmls.json relies on before its UPDATEs
+    overwrite it).  UInt64 stays signed (wrap would overflow BIGINT;
+    documented divergence)."""
+    from clickhouse_migrator_spark.ddl import _wrap_unsigned_default
+
+    assert _wrap_unsigned_default("UInt32", "-1") == "4294967295"
+    assert _wrap_unsigned_default("UInt16", "-1") == "65535"
+    assert _wrap_unsigned_default("UInt8", "-2") == "254"
+    assert _wrap_unsigned_default("UInt32", "7") == "7"
+    assert _wrap_unsigned_default("UInt64", "-1") == "-1"
+    assert _wrap_unsigned_default("Int32", "-1") == "-1"
+    assert _wrap_unsigned_default("UInt32", None) is None
+
+    spark.catalog.setCurrentDatabase(db)
+    try:
+        M.execute_statement(
+            spark,
+            "CREATE TABLE uw (id UInt32) ENGINE = MergeTree ORDER BY tuple()",
+        )
+        spark.sql(f"INSERT INTO `{db}`.uw VALUES (1), (2)")
+        M.execute_statement(
+            spark, "ALTER TABLE uw ADD COLUMN guard UInt32 DEFAULT -1"
+        )
+        vals = {r.guard for r in spark.table(f"`{db}`.uw").collect()}
+        assert vals == {4294967295}
+    finally:
+        spark.catalog.setCurrentDatabase("default")

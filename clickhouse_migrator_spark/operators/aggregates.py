@@ -1685,3 +1685,82 @@ def agg_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+@register(
+    "agg_hll_set_operations",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderpriority = '1-URGENT'),
+    b AS (SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderpriority = '2-HIGH')
+    SELECT (SELECT count(*) FROM a)                              AS n_a,
+           (SELECT count(*) FROM b)                              AS n_b,
+           (SELECT count(*) FROM (SELECT * FROM a UNION
+                                  SELECT * FROM b))              AS n_union_exact,
+           (SELECT count(*) FROM (SELECT * FROM a INTERSECT
+                                  SELECT * FROM b))              AS n_inter_exact,
+           TRUE AS union_within_2pct,
+           TRUE AS inter_within_5pct
+    """,
+)
+def agg_hll_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based SET OPERATIONS: |A∪B| straight from merged HLL
+    estimates, |A∩B| by inclusion-exclusion (|A|+|B|−|A∪B|) — the
+    audience-overlap workhorse when A and B are each too big to
+    materialize (the exact bitmap variant is
+    `agg_bitmap_audience_overlap`; this is its sketch-tier sibling).
+
+    Certification pattern: exact counts ride along and the output is
+    the WITHIN-TOLERANCE flags (union 2%, intersection 5% — the
+    subtraction compounds both sketches' error), so the driver's
+    value-hash gate pins estimator quality, not a flaky estimate.
+    All aggregations are single-pass partial-agg'd; the union estimate
+    merges the two segments' registers by re-aggregating the combined
+    scan (at 100 TB: persist HLL sketch STATE per segment and merge
+    states instead of rescanning — hll_union_agg in Spark 3.5+)."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    b = o.filter(F.col("o_orderpriority") == "2-HIGH")
+    exact = (
+        a.select("o_custkey").distinct().withColumn("_s", F.lit("a"))
+        .unionByName(b.select("o_custkey").distinct().withColumn("_s", F.lit("b")))
+        .groupBy()
+        .agg(
+            F.countDistinct(F.when(F.col("_s") == "a", F.col("o_custkey"))).alias("n_a"),
+            F.countDistinct(F.when(F.col("_s") == "b", F.col("o_custkey"))).alias("n_b"),
+            F.countDistinct("o_custkey").alias("n_union_exact"),
+        )
+        .withColumn(
+            "n_inter_exact", F.col("n_a") + F.col("n_b") - F.col("n_union_exact")
+        )
+    )
+    est = (
+        a.unionByName(b)
+        .agg(F.approx_count_distinct("o_custkey", 0.01).alias("est_union"))
+        .crossJoin(a.agg(F.approx_count_distinct("o_custkey", 0.01).alias("est_a")))
+        .crossJoin(b.agg(F.approx_count_distinct("o_custkey", 0.01).alias("est_b")))
+        .withColumn(
+            "est_inter", F.col("est_a") + F.col("est_b") - F.col("est_union")
+        )
+    )
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .select(
+            "n_a",
+            "n_b",
+            "n_union_exact",
+            "n_inter_exact",
+            (
+                F.abs(F.col("est_union") - F.col("n_union_exact"))
+                <= 0.02 * F.col("n_union_exact")
+            ).alias("union_within_2pct"),
+            (
+                F.abs(F.col("est_inter") - F.col("n_inter_exact"))
+                <= F.greatest(
+                    0.05 * F.col("n_inter_exact"),
+                    0.02 * (F.col("n_a") + F.col("n_b")),
+                )
+            ).alias("inter_within_5pct"),
+        )
+    )

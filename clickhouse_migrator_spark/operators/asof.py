@@ -36,6 +36,7 @@ def asof_join(
     by: str,
     direction: str = "backward",
     suffix: str = "_right",
+    tolerance=None,
 ) -> DataFrame:
     """Distributed merge_asof: for each left row, the nearest right row
     with ``right.on <= left.on`` (backward) within the same ``by`` group.
@@ -74,7 +75,13 @@ def asof_join(
         if l.empty:
             return pd.DataFrame(columns=out_names)
         merged = pd.merge_asof(
-            l, r, left_on=on, right_on=r_on, by=by, direction=direction
+            l,
+            r,
+            left_on=on,
+            right_on=r_on,
+            by=by,
+            direction=direction,
+            tolerance=tolerance,
         )
         return merged[out_names]
 
@@ -117,4 +124,33 @@ def asof_forward_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     err = e.filter(F.col("event_type") == "error").select("event_id", "ts", "user_id")
     pur = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
     out = asof_join(err, pur, on="ts", by="user_id", direction="forward")
+    return out.select("event_id", "ts", "ts_right")
+
+
+@register(
+    "asof_tolerance_last_purchase",
+    oracle="""
+    WITH j AS (
+      SELECT e.event_id, e.ts, p.ts AS matched
+      FROM (SELECT event_id, ts, user_id FROM events WHERE event_type = 'error') e
+      ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        ON e.user_id = p.user_id AND p.ts <= e.ts)
+    SELECT event_id, ts,
+           CASE WHEN ts - matched <= INTERVAL '1 day' THEN matched END AS ts_right
+    FROM j
+    """,
+)
+def asof_tolerance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE: the last purchase before each
+    error, but only if it happened within 24 hours — stale context is
+    worse than none (feature-store point-in-time joins all carry this
+    bound).  `pd.merge_asof(tolerance=...)` inside the same bucketed
+    Arrow substrate; the oracle post-filters DuckDB's unbounded ASOF
+    match to the window."""
+    e = table(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select("event_id", "ts", "user_id")
+    pur = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    out = asof_join(
+        err, pur, on="ts", by="user_id", tolerance=pd.Timedelta(days=1)
+    )
     return out.select("event_id", "ts", "ts_right")

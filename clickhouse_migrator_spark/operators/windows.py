@@ -687,3 +687,55 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_drawdown_pct"
         ),
     )
+
+
+@register(
+    "window_bollinger_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS rev_c
+      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT day,
+           round(rev_c / 100.0, 2) AS revenue,
+           round(CAST(avg(rev_c) OVER w AS DOUBLE) / 100.0, 4)    AS ma7,
+           round(stddev_samp(rev_c / 100.0) OVER w, 4)            AS sd7,
+           round(CAST(avg(rev_c) OVER w AS DOUBLE) / 100.0
+                 + 2 * stddev_samp(rev_c / 100.0) OVER w, 4)      AS upper_band,
+           round(CAST(avg(rev_c) OVER w AS DOUBLE) / 100.0
+                 - 2 * stddev_samp(rev_c / 100.0) OVER w, 4)      AS lower_band,
+           CASE WHEN rev_c / 100.0 > CAST(avg(rev_c) OVER w AS DOUBLE) / 100.0
+                       + 2 * stddev_samp(rev_c / 100.0) OVER w THEN 1 ELSE 0 END
+             AS above_upper
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY day
+    """,
+)
+def window_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands on daily purchase revenue: 7-day moving average
+    ± 2σ with breakout flags — the mean-reversion / volatility envelope
+    (revenue spikes breaking the upper band are launch days or
+    incidents, not noise).  The stream reduces to a DAILY grid first
+    (bounded by the calendar), so the global window is small by
+    construction; revenue rides the exact cents grid and the 7-row
+    frame keeps every sum overflow-safe and engine-identical."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev_c"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    rev = F.col("rev_c") / 100.0
+    ma = F.avg("rev_c").over(w).cast("double") / 100.0
+    sd = F.stddev_samp(rev).over(w)
+    return daily.select(
+        "day",
+        F.round(rev, 2).alias("revenue"),
+        F.round(ma, 4).alias("ma7"),
+        F.round(sd, 4).alias("sd7"),
+        F.round(ma + 2 * sd, 4).alias("upper_band"),
+        F.round(ma - 2 * sd, 4).alias("lower_band"),
+        F.when(rev > ma + 2 * sd, 1).otherwise(0).alias("above_upper"),
+    ).orderBy("day")

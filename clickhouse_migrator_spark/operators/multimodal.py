@@ -274,3 +274,53 @@ def multimodal_dedup_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n_copies") > 1, 1)).alias("n_dup_groups"),
         F.sum(F.col("n_bytes") * (F.col("n_copies") - 1)).alias("bytes_reclaimed"),
     )
+
+
+@register(
+    "multimodal_payload_byte_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, text, length(text) AS n FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(range(1, n + 1)) AS i, text FROM b),
+    vals AS (
+      SELECT doc_id, ascii(substr(text, i, 1)) AS v FROM pos)
+    SELECT CAST(v // 32 AS BIGINT) AS bucket,
+           count(*) AS n_bytes,
+           CAST(min(v) AS BIGINT) AS lo,
+           CAST(max(v) AS BIGINT) AS hi,
+           CAST(count(DISTINCT v) AS BIGINT) AS n_distinct_vals
+    FROM vals GROUP BY 1 ORDER BY bucket
+    """,
+)
+def multimodal_payload_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-value histogram over opaque binary payloads (32-wide
+    buckets) — the content-type/corruption screen that needs NO
+    decoder: text-like payloads concentrate in the printable-ASCII
+    buckets, compressed/encrypted blobs spread flat, a spike at 0 is
+    padding.  Byte extraction is pure JVM expressions (posexplode over
+    the payload string's code units — the fixture payloads are UTF-8
+    text so code unit = byte), one explode → one hash aggregate on the
+    8-bucket key; no Python, no collect."""
+    d = table(spark, sf_dir, "documents")
+    # Spark's split keeps a TRAILING empty element for a between-every-
+    # char pattern (limit −1 semantics); drop it or ascii('') = 0 forges
+    # a phantom zero-bucket the oracle doesn't have
+    vals = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), "(?!^)")).alias("i", "ch"),
+        )
+        .filter(F.col("ch") != "")
+        .select(F.ascii("ch").alias("v"))
+    )
+    return (
+        vals.groupBy(F.floor(F.col("v") / 32).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_bytes"),
+            F.min("v").cast("bigint").alias("lo"),
+            F.max("v").cast("bigint").alias("hi"),
+            F.countDistinct("v").cast("bigint").alias("n_distinct_vals"),
+        )
+        .orderBy("bucket")
+    )

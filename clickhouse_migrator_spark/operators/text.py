@@ -815,3 +815,69 @@ def text_length_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_lexical_diversity_by_source",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents),
+    counts AS (
+      SELECT source, token, count(*) AS c FROM tok GROUP BY source, token),
+    tots AS (SELECT source, sum(c) AS n, count(*) AS v FROM counts GROUP BY source)
+    SELECT t.source,
+           CAST(t.n AS BIGINT) AS n_tokens,
+           CAST(t.v AS BIGINT) AS vocab,
+           round(sum(c.c * (c.c - 1))
+                 / CAST(t.n * (t.n - 1) AS DOUBLE), 6)           AS simpson_index,
+           round((-sum((c.c / CAST(t.n AS DOUBLE))
+                       * ln(c.c / CAST(t.n AS DOUBLE)))) / ln(t.v), 6)
+             AS shannon_evenness
+    FROM counts c JOIN tots t USING (source)
+    GROUP BY t.source, t.n, t.v ORDER BY t.source
+    """,
+)
+def text_lexical_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per source: Simpson's index (probability two
+    random tokens coincide — high = repetitive vocabulary) and Shannon
+    evenness (entropy / ln V ∈ [0,1] — low = a few tokens dominate).
+    The corpus-mix diagnostic that separates boilerplate-heavy sources
+    from natural text before they enter a training blend (complements
+    `text_zipf_slope`'s single global exponent with per-source scores).
+
+    One explode → (source, token) count (partial-agg'd, the only
+    full-data shuffle) → per-source totals joined back on the source
+    key → a per-source reduce.  Integer numerators (Σc·(c−1)) keep
+    Simpson exact; only the final divisions are float."""
+    tok = table(spark, sf_dir, "documents").select(
+        "source", F.explode(_tokens()).alias("token")
+    )
+    counts = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    tots = counts.groupBy("source").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    p = F.col("c") / F.col("n").cast("double")
+    return (
+        counts.join(tots, "source")
+        .groupBy("source", "n", "v")
+        .agg(
+            F.round(
+                F.sum(F.col("c") * (F.col("c") - 1))
+                / (F.col("n") * (F.col("n") - 1)).cast("double"),
+                6,
+            ).alias("simpson_index"),
+            F.round(
+                (-F.sum(p * F.log(p))) / F.log(F.col("v").cast("double")), 6
+            ).alias("shannon_evenness"),
+        )
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            F.col("v").cast("bigint").alias("vocab"),
+            "simpson_index",
+            "shannon_evenness",
+        )
+        .orderBy("source")
+    )

@@ -387,3 +387,55 @@ def sample_temporal_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             count(*) AS n,
+             stddev_samp(value) AS sd
+      FROM events GROUP BY event_type),
+    tot AS (SELECT sum(n * sd) AS w FROM s)
+    SELECT s.event_type,
+           CAST(s.n AS BIGINT) AS stratum_size,
+           round(s.sd, 4) AS stratum_sd,
+           CAST(round(1000.0 * s.n * s.sd / tot.w) AS BIGINT) AS allocated_n,
+           round(s.n * s.sd / tot.w, 6) AS allocation_share
+    FROM s CROSS JOIN tot
+    ORDER BY event_type
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman (variance-optimal) allocation for a stratified sample:
+    given a total budget of 1000 rows, each stratum gets n_h·σ_h /
+    Σ(n·σ) of it — high-variance strata are oversampled, uniform ones
+    starved, minimizing the estimator's variance at fixed cost (the
+    statistically-correct upgrade over proportional allocation for
+    survey-style metrics).
+
+    One moment aggregate per stratum (partial-agg'd single pass), a
+    1-row normalizer broadcast back — the allocation table itself is
+    #strata rows; feed it to `sampleBy` fractions or the deterministic
+    hash sampler for the actual draw."""
+    s = table(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.stddev_samp("value").alias("sd"),
+    )
+    tot = s.agg(F.sum(F.col("n") * F.col("sd")).alias("w"))
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("stratum_size"),
+            F.round("sd", 4).alias("stratum_sd"),
+            F.round(1000.0 * F.col("n") * F.col("sd") / F.col("w"))
+            .cast("bigint")
+            .alias("allocated_n"),
+            F.round(F.col("n") * F.col("sd") / F.col("w"), 6).alias(
+                "allocation_share"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -1633,3 +1633,50 @@ def agg_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_users_for_80pct"
         ),
     )
+
+
+@register(
+    "agg_weighted_median_price",
+    oracle="""
+    WITH grid AS (
+      SELECT l_extendedprice AS v,
+             sum(CAST(round(l_quantity * 100) AS BIGINT)) AS w
+      FROM lineitem GROUP BY 1),
+    c AS (
+      SELECT v, w,
+             sum(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(w) OVER () AS tw
+      FROM grid)
+    SELECT round(min(CASE WHEN 2 * cw >= tw THEN v END), 2)
+             AS weighted_median_price,
+           CAST(count(*) AS BIGINT)          AS n_distinct_prices,
+           round(CAST(max(tw) AS DOUBLE) / 100.0, 2) AS total_weight
+    FROM c
+    """,
+)
+def agg_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median: the price at which half the total QUANTITY sits
+    on each side — the robust "typical traded price" (an unweighted
+    median overweights penny lines; the volume weighting is what
+    pricing desks actually quote).  ClickHouse spells it
+    ``quantileExactWeighted(0.5)(price, qty)``.
+
+    No single-partition sort at any cardinality: the (price → summed
+    weight) grid feeds the distributed two-level prefix sum
+    (:func:`grid_prefix_sums`), and the median is the first grid row
+    whose cumulative weight crosses half the total — a 1-row reduce.
+    Weights ride the exact integer centi-quantity grid, so the
+    crossing compares exact integers."""
+    li = table(spark, sf_dir, "lineitem")
+    grid = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("w")
+    )
+    tot = grid.agg(F.sum("w").alias("tw"))
+    cum = grid_prefix_sums(grid, "v", ["w"]).crossJoin(F.broadcast(tot))
+    return cum.agg(
+        F.round(
+            F.min(F.when(2 * F.col("cum_w") >= F.col("tw"), F.col("v"))), 2
+        ).alias("weighted_median_price"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_prices"),
+        F.round(F.max("tw").cast("double") / 100.0, 2).alias("total_weight"),
+    )

@@ -739,3 +739,74 @@ def window_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ma - 2 * sd, 4).alias("lower_band"),
         F.when(rev > ma + 2 * sd, 1).otherwise(0).alias("above_upper"),
     ).orderBy("day")
+
+
+@register(
+    "window_rsi_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS rev_c
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    d AS (
+      SELECT day, rev_c,
+             rev_c - lag(rev_c) OVER (ORDER BY day) AS delta
+      FROM daily),
+    g AS (
+      SELECT day,
+             avg(CASE WHEN delta > 0 THEN delta ELSE 0 END)
+               OVER w AS avg_gain_c,
+             avg(CASE WHEN delta < 0 THEN -delta ELSE 0 END)
+               OVER w AS avg_loss_c,
+             count(delta) OVER w AS n_deltas
+      FROM d
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT day,
+           round(avg_gain_c / 100.0, 4) AS avg_gain,
+           round(avg_loss_c / 100.0, 4) AS avg_loss,
+           round(CASE WHEN avg_loss_c = 0 THEN 100.0
+                      ELSE 100.0 - 100.0 / (1.0 + avg_gain_c / avg_loss_c) END, 4)
+             AS rsi14
+    FROM g WHERE n_deltas >= 14 ORDER BY day
+    """,
+)
+def window_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSI-14 (relative strength index) on daily purchase revenue:
+    average gain vs average loss over a trailing 14-change window,
+    folded into the 0–100 oscillator — the momentum gauge that flags
+    overheated (>70) or washed-out (<30) revenue runs (simple-average
+    variant; Wilder's smoothing is an EWMA refinement of the same
+    state).  Same bounded daily-grid posture as the Bollinger query:
+    the stream reduces to #days rows before any window; deltas ride
+    the exact cents grid so every average is a ratio of exact
+    integers; warm-up rows (<14 observed changes) are suppressed."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev_c"))
+    )
+    wl = Window.orderBy("day")
+    w = wl.rowsBetween(-13, 0)
+    d = daily.select(
+        "day", (F.col("rev_c") - F.lag("rev_c").over(wl)).alias("delta")
+    )
+    gain = F.avg(F.when(F.col("delta") > 0, F.col("delta")).otherwise(0)).over(w)
+    loss = F.avg(F.when(F.col("delta") < 0, -F.col("delta")).otherwise(0)).over(w)
+    g = d.select(
+        "day",
+        gain.alias("avg_gain_c"),
+        loss.alias("avg_loss_c"),
+        F.count("delta").over(w).alias("n_deltas"),
+    ).filter(F.col("n_deltas") >= 14)
+    return g.select(
+        "day",
+        F.round(F.col("avg_gain_c") / 100.0, 4).alias("avg_gain"),
+        F.round(F.col("avg_loss_c") / 100.0, 4).alias("avg_loss"),
+        F.round(
+            F.when(F.col("avg_loss_c") == 0, 100.0).otherwise(
+                100.0 - 100.0 / (1.0 + F.col("avg_gain_c") / F.col("avg_loss_c"))
+            ),
+            4,
+        ).alias("rsi14"),
+    ).orderBy("day")

@@ -17,6 +17,7 @@ Audit table (round 2) — input bound for every allowed site:
 | windows monthly cumsum | month grid | #months |
 | windows cumulative vwap / drawdown | daily grid (1 month) | ≤31 rows |
 | windows bollinger bands | daily grid | #days (calendar) |
+| windows RSI-14 | daily grid | #days (calendar) |
 | aggregates cramers-v nn | contingency aggregate | #cat² |
 | aggregates deciles / seasonal / waterfall w_all | 10/12/5-row aggregate | ≤12 rows |
 | stats association nn | contingency aggregate | #cat² |
@@ -43,7 +44,7 @@ OPERATORS = Path(__file__).parent.parent / "clickhouse_migrator_spark"
 
 # (file, count of audited global-window sites)
 ALLOWED = {
-    "operators/windows.py": 7,
+    "operators/windows.py": 8,
     "operators/aggregates.py": 4,
     "operators/stats.py": 7,
     "operators/text.py": 1,

@@ -1764,3 +1764,46 @@ def agg_hll_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("inter_within_5pct"),
         )
     )
+
+
+@register(
+    "agg_mode_exact",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_quantity AS v, count(*) AS n
+      FROM lineitem GROUP BY 1, 2),
+    r AS (
+      SELECT l_returnflag, v, n,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY n DESC, v) AS rk
+      FROM c)
+    SELECT l_returnflag,
+           round(v, 2)          AS mode_quantity,
+           CAST(n AS BIGINT)    AS mode_count
+    FROM r WHERE rk = 1 ORDER BY l_returnflag
+    """,
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MODE per group (ClickHouse ``topK(1)`` / SQL:2023
+    ``mode()``): the most frequent quantity per return flag, ties
+    broken by the smaller value for cross-engine determinism.
+
+    Two-level shape: count per (group, value) — map-side combined, the
+    only full-data shuffle — then a top-1 window over the small
+    (group × distinct-value) grid.  Never collects value lists; the
+    per-group state in the window is one row."""
+    li = table(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_returnflag", F.col("l_quantity").alias("v")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("n"), F.asc("v"))
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.round("v", 2).alias("mode_quantity"),
+            F.col("n").cast("bigint").alias("mode_count"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -2723,3 +2723,122 @@ def events_session_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share"),
     ).orderBy("outcome")
+
+
+@register(
+    "events_survival_time_to_purchase",
+    oracle="""
+    WITH obs AS (SELECT max(CAST(date_trunc('day', ts) AS DATE)) AS end_day
+                 FROM events),
+    signup AS (
+      SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS s_day
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    first_buy AS (
+      SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS p_day
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    subj AS (
+      SELECT s.user_id,
+             CASE WHEN f.p_day >= s.s_day
+                  THEN date_diff('day', s.s_day, f.p_day) END AS event_t,
+             date_diff('day', s.s_day, o.end_day) AS censor_t
+      FROM signup s LEFT JOIN first_buy f ON s.user_id = f.user_id
+      CROSS JOIN obs o),
+    st AS (
+      SELECT user_id,
+             coalesce(least(event_t, censor_t), censor_t) AS t,
+             CASE WHEN event_t IS NOT NULL AND event_t <= censor_t
+                  THEN 1 ELSE 0 END AS observed
+      FROM subj),
+    grid AS (
+      SELECT t AS day, sum(observed) AS d
+      FROM st WHERE observed = 1 GROUP BY t),
+    risk AS (
+      SELECT g.day, g.d,
+             (SELECT count(*) FROM st WHERE st.t >= g.day) AS n_at_risk
+      FROM grid g)
+    SELECT day, CAST(d AS BIGINT) AS n_events,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           round(exp(sum(ln(1.0 - d / CAST(n_at_risk AS DOUBLE)))
+                     OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)), 6)
+             AS survival
+    FROM risk ORDER BY day
+    """,
+)
+def events_survival_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for time-to-first-purchase after
+    signup, WITH right-censoring (users who never purchase contribute
+    risk time up to the observation end instead of being dropped —
+    the bias every naive "average days to convert" metric has):
+    S(t) = Π_{dᵢ≤t} (1 − dᵢ/nᵢ).
+
+    Shape: per-user first-event aggregates (the only full-data
+    shuffles), then the event-day grid with at-risk counts via a
+    non-equi join of the tiny grid against per-user times, and the
+    product via exp(Σ ln) over the bounded day grid.  The day grid is
+    #observed-event-days rows, so the global window is small by
+    construction."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    obs_end = e.agg(F.max(day).alias("end_day"))
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(day).alias("s_day"))
+    )
+    first_buy = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(day).alias("p_day"))
+    )
+    subj = (
+        signup.join(first_buy, "user_id", "left")
+        .crossJoin(F.broadcast(obs_end))
+        .select(
+            "user_id",
+            F.when(
+                F.col("p_day") >= F.col("s_day"),
+                F.datediff("p_day", "s_day"),
+            ).alias("event_t"),
+            F.datediff("end_day", "s_day").alias("censor_t"),
+        )
+    )
+    st = subj.select(
+        F.coalesce(
+            F.least("event_t", "censor_t"), F.col("censor_t")
+        ).alias("t"),
+        F.when(
+            F.col("event_t").isNotNull()
+            & (F.col("event_t") <= F.col("censor_t")),
+            1,
+        )
+        .otherwise(0)
+        .alias("observed"),
+    )
+    grid = (
+        st.filter(F.col("observed") == 1)
+        .groupBy(F.col("t").alias("day"))
+        .agg(F.sum("observed").alias("d"))
+    )
+    # at-risk counts: tiny event-day grid against per-user times — a
+    # broadcast non-equi join, never a per-row subquery
+    risk = (
+        grid.join(st, st.t >= grid.day)
+        .groupBy("day", "d")
+        .agg(F.count(F.lit(1)).alias("n_at_risk"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return risk.select(
+        "day",
+        F.col("d").cast("bigint").alias("n_events"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.round(
+            F.exp(
+                F.sum(
+                    F.log(1.0 - F.col("d") / F.col("n_at_risk").cast("double"))
+                ).over(w)
+            ),
+            6,
+        ).alias("survival"),
+    ).orderBy("day")

@@ -31,6 +31,7 @@ Audit table (round 2) — input bound for every allowed site:
 | events conversion w_all | 1-row totals | 1 row |
 | events hourly anomaly w(hour) | hourly grid | #hours |
 | events abandonment share | 4-row outcome aggregate | 4 rows |
+| events survival cumprod | event-day grid | #days |
 | events id-gap handoff | per-bucket bounds | max_id / 2¹⁶ |
 | pipeline w_all | source aggregate | #sources |
 """
@@ -49,7 +50,7 @@ ALLOWED = {
     "operators/stats.py": 7,
     "operators/text.py": 1,
     "operators/graph.py": 1,
-    "operators/events.py": 6,
+    "operators/events.py": 7,
     "operators/pipeline.py": 1,
 }
 

@@ -1680,3 +1680,143 @@ def agg_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_distinct_prices"),
         F.round(F.max("tw").cast("double") / 100.0, 2).alias("total_weight"),
     )
+
+
+@register(
+    "ts_theil_sen_trend",
+    oracle="""
+    WITH series AS (
+      SELECT CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+      FROM orders GROUP BY 1),
+    pairs AS (
+      SELECT (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS slope
+      FROM series a JOIN series b ON b.x > a.x),
+    m AS (SELECT quantile_cont(slope, 0.5) AS slope, count(*) AS n_pairs FROM pairs),
+    r AS (
+      SELECT quantile_cont(s.y - m.slope * s.x, 0.5) AS intercept
+      FROM series s CROSS JOIN m)
+    SELECT (SELECT count(*) FROM series) AS n_days,
+           (SELECT n_pairs FROM m)       AS n_pairs,
+           round((SELECT slope FROM m), 6)     AS slope_per_day,
+           round((SELECT intercept FROM r), 2) AS intercept
+    """,
+)
+def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily order revenue: the median of all
+    pairwise slopes (breakdown point 29% — one bad ingestion day cannot
+    bend the line, unlike OLS in `ml_ols_two_features`), intercept =
+    median of (y − slope·x).
+
+    Scale shape: the fact table reduces to the CALENDAR-BOUNDED daily
+    grid first (exact decimal sums — no float-order jitter), so the
+    O(days²) pair self-join is ~3M rows regardless of corpus size —
+    constant work at 100 TB.  The exact median runs on that bounded
+    pair set (single-group percentile state ~tens of MB, again
+    scale-invariant); nothing row-scale is ever sorted."""
+    series = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+            )
+            .cast("bigint")
+            .alias("x")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    a = series.alias("a")
+    b = series.select(F.col("x").alias("bx"), F.col("y").alias("by")).alias("b")
+    pairs = a.join(b, F.col("bx") > F.col("a.x")).select(
+        ((F.col("by") - F.col("a.y")) / (F.col("bx") - F.col("a.x")).cast("double")).alias(
+            "slope"
+        )
+    )
+    m = pairs.agg(
+        F.percentile("slope", F.lit(0.5)).alias("slope"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    r = (
+        series.crossJoin(F.broadcast(m))
+        .select((F.col("y") - F.col("slope") * F.col("x")).alias("resid"))
+        .agg(F.percentile("resid", F.lit(0.5)).alias("intercept"))
+    )
+    n = series.agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        n.crossJoin(m)
+        .crossJoin(r)
+        .select(
+            "n_days",
+            "n_pairs",
+            F.round("slope", 6).alias("slope_per_day"),
+            F.round("intercept", 2).alias("intercept"),
+        )
+    )
+
+
+@register(
+    "ts_cusum_changepoint",
+    oracle="""
+    WITH series AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+      FROM orders GROUP BY 1),
+    m AS (SELECT avg(y) AS mu, stddev_pop(y) AS sigma, count(*) AS n FROM series),
+    c AS (
+      SELECT d,
+             sum((y - mu) / sigma) OVER (ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM series CROSS JOIN m),
+    top AS (
+      SELECT d, s, row_number() OVER (ORDER BY abs(s) DESC, d) AS rn FROM c)
+    SELECT (SELECT n FROM m) AS n_days,
+           d AS changepoint_day,
+           round(abs(s), 4) AS max_abs_cusum,
+           abs(s) > 3 * sqrt((SELECT n FROM m)) AS drift_detected
+    FROM top WHERE rn = 1
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on daily order revenue: standardize
+    the series, take the running sum of z-scores, and flag the day of
+    the maximum |CUSUM| excursion (the classic Page/Pettitt-style
+    level-shift locator; |S| > 3·sqrt(n) ≈ drift, not noise).
+
+    Scale shape: one partial-agg pass collapses the fact table to the
+    calendar-bounded day grid (exact decimal sums); the running sum and
+    the argmax are windows over grid rows only — the unpartitioned
+    windows are provably bounded by the calendar, never row-scale (the
+    `tests/test_global_window_audit.py` contract)."""
+    series = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    m = series.agg(
+        F.avg("y").alias("mu"),
+        F.stddev_pop("y").alias("sigma"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # day-grid running sum: bounded by the calendar, not by row count
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    c = (
+        series.crossJoin(F.broadcast(m))
+        .withColumn("s", F.sum((F.col("y") - F.col("mu")) / F.col("sigma")).over(w))
+    )
+    top = c.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.abs("s").desc(), "d"))
+    ).filter(F.col("rn") == 1)
+    return top.select(
+        F.col("n").alias("n_days"),
+        F.col("d").alias("changepoint_day"),
+        F.round(F.abs("s"), 4).alias("max_abs_cusum"),
+        (F.abs("s") > 3 * F.sqrt(F.col("n").cast("double"))).alias("drift_detected"),
+    )

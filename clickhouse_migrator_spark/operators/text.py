@@ -881,3 +881,270 @@ def text_lexical_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("source")
     )
+
+
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", §A1.1) — the
+# canonical cheap pre-filter battery for web-scale training corpora.
+STOP_GOPHER = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+@register(
+    "text_gopher_quality_flags",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, text,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents),
+    d AS (
+      SELECT source,
+             len(toks) AS n_words,
+             list_sum(list_transform(toks, t -> length(t)))
+                 / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+             len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                 / CAST(len(toks) AS DOUBLE) AS symbol_ratio,
+             len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                 / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+             {_sql_stop_hits(STOP_GOPHER)} AS stop_hits
+      FROM t),
+    f AS (
+      SELECT source,
+             (n_words < 50 OR n_words > 100000)            AS fail_word_count,
+             (mean_word_len < 3 OR mean_word_len > 10)     AS fail_mean_word_len,
+             (symbol_ratio > 0.1)                          AS fail_symbol_ratio,
+             (alpha_frac < 0.8)                            AS fail_alpha_words,
+             (stop_hits < 2)                               AS fail_stopwords
+      FROM d)
+    SELECT source,
+           count(*) AS n_docs,
+           sum(CASE WHEN fail_word_count THEN 1 ELSE 0 END)    AS n_fail_word_count,
+           sum(CASE WHEN fail_mean_word_len THEN 1 ELSE 0 END) AS n_fail_mean_word_len,
+           sum(CASE WHEN fail_symbol_ratio THEN 1 ELSE 0 END)  AS n_fail_symbol_ratio,
+           sum(CASE WHEN fail_alpha_words THEN 1 ELSE 0 END)   AS n_fail_alpha_words,
+           sum(CASE WHEN fail_stopwords THEN 1 ELSE 0 END)     AS n_fail_stopwords,
+           round(sum(CASE WHEN NOT (fail_word_count OR fail_mean_word_len
+                                    OR fail_symbol_ratio OR fail_alpha_words
+                                    OR fail_stopwords) THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS pass_rate
+    FROM f
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality battery (Rae et al. 2021 §A1.1) rolled up per
+    source: word-count bounds [50, 100k], mean word length in [3, 10],
+    symbol-to-word ratio ('#'/'...') <= 0.1, >= 80% of words containing
+    an alphabetic character, and >= 2 canonical English stopwords.
+
+    Every rule is a row-local string/array expression — one corpus scan,
+    a single hash aggregate on `source`; no Python, no extra shuffle, so
+    it runs at parquet-scan speed at 100 TB.  The per-source fail counts
+    are the drill-down a curation pipeline needs before deciding which
+    crawl snapshot to drop."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_words = F.size(toks)
+    mean_word_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
+    ) / n_words.cast("double")
+    symbol_ratio = F.size(
+        F.regexp_extract_all("text", F.lit(r"#|\.\.\."), 0)
+    ) / n_words.cast("double")
+    alpha_frac = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-z]"))
+    ) / n_words.cast("double")
+    stop_hits = _stop_hits(toks, STOP_GOPHER)
+    flags = d.select(
+        "source",
+        ((n_words < 50) | (n_words > 100000)).alias("fail_word_count"),
+        ((mean_word_len < 3) | (mean_word_len > 10)).alias("fail_mean_word_len"),
+        (symbol_ratio > 0.1).alias("fail_symbol_ratio"),
+        (alpha_frac < 0.8).alias("fail_alpha_words"),
+        (stop_hits < 2).alias("fail_stopwords"),
+    )
+    fail_any = (
+        F.col("fail_word_count")
+        | F.col("fail_mean_word_len")
+        | F.col("fail_symbol_ratio")
+        | F.col("fail_alpha_words")
+        | F.col("fail_stopwords")
+    )
+    cnt = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).alias("n_" + c)  # noqa: E731
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            cnt("fail_word_count"),
+            cnt("fail_mean_word_len"),
+            cnt("fail_symbol_ratio"),
+            cnt("fail_alpha_words"),
+            cnt("fail_stopwords"),
+            F.round(
+                F.sum(F.when(~fail_any, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("pass_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_flesch_reading_ease",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents),
+    d AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences,
+             CAST(list_sum(list_transform(toks,
+                 w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))))
+               AS BIGINT) AS n_syllables
+      FROM t)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(206.835 - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+                        - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)), 4)
+             AS flesch_score,
+           CASE
+             WHEN 206.835 - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+                          - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)) >= 90
+               THEN 'very_easy'
+             WHEN 206.835 - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+                          - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)) >= 60
+               THEN 'plain'
+             WHEN 206.835 - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+                          - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)) >= 30
+               THEN 'difficult'
+             ELSE 'very_confusing'
+           END AS band
+    FROM d
+    """,
+)
+def text_flesch_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability score
+    (206.835 − 1.015·words/sentences − 84.6·syllables/word) with the
+    standard vowel-group syllable approximation (>= 1 per word).
+
+    Readability is a stock quality signal in training-data curation
+    (filtering OCR noise and keyword spam, steering educational-value
+    mixes).  Row-local: sentence splitting, the per-word syllable fold
+    and the score are all array expressions inside one projection — the
+    plan is a bare scan + project, nothing to shuffle."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_words = F.size(toks)
+    n_sentences = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all("text", F.lit(r"[.!?]+"), 0))
+    )
+    n_syllables = F.aggregate(
+        F.transform(
+            toks,
+            lambda w: F.greatest(
+                F.lit(1), F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0))
+            ),
+        ),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    score = (
+        F.lit(206.835)
+        - 1.015 * (n_words / n_sentences.cast("double"))
+        - 84.6 * (n_syllables / n_words.cast("double"))
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.cast("bigint").alias("n_syllables"),
+        F.round(score, 4).alias("flesch_score"),
+        F.when(score >= 90, "very_easy")
+        .when(score >= 60, "plain")
+        .when(score >= 30, "difficult")
+        .otherwise("very_confusing")
+        .alias("band"),
+    )
+
+
+@register(
+    "text_char_trigram_entropy",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lower(trim(text)) AS s FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN length(s) >= 3
+                  THEN list_transform(range(1, length(s) - 1),
+                                      i -> substr(s, i, 3))
+                  ELSE [] END AS grams
+      FROM t),
+    c AS (
+      SELECT doc_id, grams,
+             len(grams) AS n,
+             len(list_distinct(grams)) AS n_distinct,
+             list_transform(grams,
+                 g -> len(list_filter(grams, x -> x = g))) AS pos_counts
+      FROM g)
+    SELECT doc_id,
+           n AS n_trigrams,
+           n_distinct,
+           round(CASE WHEN n > 0
+                      THEN log2(n) - list_sum(list_transform(pos_counts,
+                               c -> log2(CAST(c AS DOUBLE)))) / n
+                      ELSE 0 END, 4) AS entropy_bits,
+           round(CASE WHEN n_distinct > 1
+                      THEN (log2(n) - list_sum(list_transform(pos_counts,
+                               c -> log2(CAST(c AS DOUBLE)))) / n)
+                           / log2(CAST(n_distinct AS DOUBLE))
+                      ELSE 0 END, 4) AS norm_entropy
+    FROM c
+    """,
+)
+def text_char_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram Shannon entropy per document — the
+    perplexity-proxy quality signal (low entropy = repetitive/generated
+    boilerplate, high = diverse natural text), used alongside TTR and
+    bigram redundancy in curation gates.
+
+    H = log2(n) − (1/n)·Σ_positions log2(count(gram at position)): the
+    position-wise identity avoids a distinct-order-dependent float fold
+    (Spark's array_distinct preserves first-occurrence order, DuckDB's
+    list_distinct does not — summing per POSITION makes the fold order
+    identical in both engines).  Entirely row-local (O(n²) in document
+    LENGTH, not corpus size) — one scan, zero shuffles, trivially
+    data-parallel at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    s = F.lower(F.trim(F.col("text")))
+    grams = F.when(
+        F.length(s) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - 2),
+            lambda i: s.substr(i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", grams.alias("grams"))
+    n = F.size("grams")
+    pos_counts = F.transform(
+        F.col("grams"),
+        lambda gr: F.size(F.filter(F.col("grams"), lambda x: x == gr)),
+    )
+    sum_log2c = F.aggregate(
+        pos_counts, F.lit(0.0), lambda a, c: a + F.log2(c.cast("double"))
+    )
+    entropy = F.log2(n.cast("double")) - sum_log2c / n.cast("double")
+    n_distinct = F.size(F.array_distinct("grams"))
+    return g.select(
+        "doc_id",
+        n.alias("n_trigrams"),
+        n_distinct.alias("n_distinct"),
+        F.round(F.when(n > 0, entropy).otherwise(0.0), 4).alias("entropy_bits"),
+        F.round(
+            F.when(n_distinct > 1, entropy / F.log2(n_distinct.cast("double"))).otherwise(
+                0.0
+            ),
+            4,
+        ).alias("norm_entropy"),
+    )

@@ -21,7 +21,7 @@ is driver-mandated extension surface (SURVEY.md §2.D).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..registry import register
 from ..tables import table
@@ -438,4 +438,61 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("event_type")
+    )
+
+
+@register(
+    "sample_weighted_reservoir",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ln(CAST(({_sql_bucket('o_orderkey')}) + 1 AS DOUBLE) / {_P})
+               / o_totalprice AS k
+      FROM orders),
+    ranked AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice, k,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY k DESC, o_orderkey) AS rank
+      FROM keyed)
+    SELECT o_orderpriority, rank, o_orderkey,
+           round(o_totalprice, 2) AS weight,
+           round(k * 1e6, 4) AS key_ppm
+    FROM ranked WHERE rank <= 8
+    ORDER BY o_orderpriority, rank
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling without replacement (Efraimidis-
+    Spirakis A-Res): each row draws u = uniform(0,1] from the portable
+    key mixer and keeps key = ln(u)/w; the top-k keys per stratum are a
+    probability-proportional-to-weight sample — here 8 orders per
+    priority, weighted by order value.
+
+    The log-key form is the numerically safe variant of u^(1/w) (w up
+    to 5·10^5 would underflow the direct power).  Determinism contract
+    as the rest of the sampling pack: the key is a pure function of
+    o_orderkey, so the SAME sample is drawn on any partitioning and any
+    engine — the property `df.sample()` cannot give.  Scale shape: one
+    scan, one per-stratum top-k window (5 bounded partitions, sort
+    spills distribute); no global sort, no collect."""
+    o = table(spark, sf_dir, "orders")
+    u = (hash_bucket(F.col("o_orderkey")) + 1).cast("double") / F.lit(float(_P))
+    keyed = o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        (F.log(u) / F.col("o_totalprice")).alias("k"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("k"), F.asc("o_orderkey"))
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 8)
+        .select(
+            "o_orderpriority",
+            "rank",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("weight"),
+            F.round(F.col("k") * 1e6, 4).alias("key_ppm"),
+        )
+        .orderBy("o_orderpriority", "rank")
     )

@@ -688,3 +688,104 @@ def sim_cluster_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+JL_K = 16  # Johnson-Lindenstrauss target dimensionality
+EMB_D = 64  # fixture embedding dimensionality (all SFs)
+
+
+def _jl_sign(i: Column, j: Column) -> Column:
+    """Deterministic ±1 Rademacher entry R[i][j] from the portable
+    integer mixer (`sampling.hash_bucket`) — identical in any engine,
+    no stored projection matrix to ship."""
+    from .sampling import hash_bucket
+
+    return F.when(hash_bucket(i * 97 + j * 389 + F.lit(7)) % 2 == 0, F.lit(1.0)).otherwise(
+        F.lit(-1.0)
+    )
+
+
+def _sql_jl_sign(i: str, j: str) -> str:
+    from .sampling import _sql_bucket
+
+    return f"CASE WHEN ({_sql_bucket(f'({i} * 97 + {j} * 389 + 7)')}) % 2 = 0 THEN 1.0 ELSE -1.0 END"
+
+
+@register(
+    "sim_jl_projection_audit",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (
+      SELECT vec_id, v,
+             list_transform(range(0, {JL_K}),
+                 j -> list_sum(list_transform(range(0, {EMB_D}),
+                          i -> ({_sql_jl_sign('i', 'j')}) * v[i + 1]))) AS pv
+      FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, pv AS qpv FROM p WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT query_id, p.vec_id AS cand_id,
+             list_cosine_similarity(qv, p.v)  AS c_exact,
+             list_cosine_similarity(qpv, p.pv) AS c_proj
+      FROM q JOIN p ON p.vec_id != q.query_id),
+    ranked AS (
+      SELECT query_id, cand_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY c_exact DESC, cand_id) AS r_exact,
+             row_number() OVER (PARTITION BY query_id ORDER BY c_proj  DESC, cand_id) AS r_proj
+      FROM scored)
+    SELECT a.query_id,
+           {JL_K} AS jl_dims,
+           count(b.cand_id) AS overlap_at_{TOP_K}
+    FROM (SELECT query_id, cand_id FROM ranked WHERE r_exact <= {TOP_K}) a
+    LEFT JOIN (SELECT query_id, cand_id FROM ranked WHERE r_proj <= {TOP_K}) b
+      ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+    GROUP BY a.query_id
+    ORDER BY a.query_id
+    """,
+)
+def sim_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random-projection audit: project 64-d
+    embeddings to 16-d with a deterministic ±1 Rademacher matrix
+    (Achlioptas 2001 — database-friendly projections), then measure
+    top-10 overlap between exact-space and projected-space cosine
+    retrieval for each probe.
+
+    This is the dimensionality-reduction leg of the ANN toolbox (next
+    to sign-LSH buckets and IVF): at 100 TB a 4× dim cut is a 4× cut in
+    scan bytes and dot-product FLOPs for every downstream search.  The
+    projection is row-local (a 16×64 fold inside one projection — no
+    shuffle, no stored matrix: signs are re-derived from the portable
+    integer mixer in any engine); retrieval reuses the one-pass
+    broadcast-probe plan, so the audit costs two scans of the corpus.
+
+    On the synthetic fixture the corpus is near-isotropic (all cosines
+    ~0, neighbors barely separated), so measured overlap is near the
+    random floor — exactly what the audit is FOR: it tells a pipeline
+    whether 16 dims preserve ITS neighbor structure before committing
+    the cheap scan path."""
+    e = _vecs(spark, sf_dir)
+    j_seq = F.sequence(F.lit(0), F.lit(JL_K - 1))
+    i_seq = F.sequence(F.lit(0), F.lit(EMB_D - 1))
+    pv = F.transform(
+        j_seq,
+        lambda j: F.aggregate(
+            i_seq,
+            F.lit(0.0),
+            lambda acc, i: acc + _jl_sign(i, j) * F.element_at(F.col("v"), i + 1),
+        ),
+    )
+    p = e.select("vec_id", "v", pv.alias("pv"))
+    exact = cosine_topk(
+        p.select("vec_id", "v"), p.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "v")
+    ).select("query_id", "cand_id")
+    proj = cosine_topk(
+        p.select("vec_id", F.col("pv").alias("v")),
+        p.filter(F.col("vec_id") < N_QUERIES).select("vec_id", F.col("pv").alias("v")),
+    ).select("query_id", "cand_id")
+    hits = proj.withColumn("_hit", F.lit(1))
+    return (
+        exact.join(hits, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("_hit").alias(f"overlap_at_{TOP_K}"))
+        .select("query_id", F.lit(JL_K).alias("jl_dims"), f"overlap_at_{TOP_K}")
+        .orderBy("query_id")
+    )

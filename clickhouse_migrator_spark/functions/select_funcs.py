@@ -812,6 +812,35 @@ RULES: dict[str, Rule] = {
         if len(a) == 2 and a[0].strip().startswith("'")
         else None
     ),
+    # round 5: string / array / json / time gaps
+    # splitByString: non-regex separator → \Q…\E-quote it for Spark's
+    # regex-based split (works for literal AND computed separators)
+    "splitByString": _tpl("split({1}, concat('\\\\Q', {0}, '\\\\E'))"),
+    # replaceOne: first occurrence only — overlay at locate(), guarded
+    # for the not-found case (ClickHouse returns the input unchanged)
+    "replaceOne": _tpl(
+        "(CASE WHEN locate({1}, {0}) = 0 THEN {0} "
+        "ELSE overlay({0} PLACING {2} FROM locate({1}, {0}) FOR length({1})) END)"
+    ),
+    "JSONHas": lambda a: (
+        None
+        if len(a) != 2 or not a[1].strip().startswith("'")
+        else f"(get_json_object({a[0]}, '$.{a[1].strip()[1:-1]}') IS NOT NULL)"
+    ),
+    "dateSub": lambda a: (
+        f"timestampadd({a[0].strip().strip(chr(39) + chr(34)).upper()}, -({a[1]}), {a[2]})"
+        if len(a) == 3
+        else None
+    ),
+    "base64Encode": _rename("base64"),
+    "base64Decode": _tpl("CAST(unbase64({0}) AS STRING)"),
+    "hasAll": _tpl("(size(array_except({1}, {0})) = 0)"),
+    "hasAny": _rename("arrays_overlap"),
+    "toModifiedJulianDay": _tpl("datediff({0}, DATE '1858-11-17')"),
+    "now64": lambda a: "current_timestamp()" if len(a) <= 1 else None,
+    "rand64": lambda a: (
+        "CAST(rand() * 9223372036854775807 AS BIGINT)" if not a else None
+    ),
 }
 
 # dateName('unit', t) → date_format pattern (string-valued, like ClickHouse)

@@ -962,3 +962,53 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("inter") / mn.cast("double"), 6).alias("containment"),
         )
     )
+
+
+BOUNDARY_K = 4  # tokens hashed at each document boundary
+
+
+@register(
+    "dedup_boundary_stitch_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents),
+    b AS (
+      SELECT doc_id,
+             array_to_string(toks[1:{BOUNDARY_K}], ' ')  AS head_gram,
+             array_to_string(toks[-{BOUNDARY_K}:], ' ')  AS tail_gram
+      FROM t WHERE len(toks) >= {BOUNDARY_K})
+    SELECT a.doc_id AS doc_a, h.doc_id AS doc_b, a.tail_gram AS boundary_gram
+    FROM b a JOIN b h ON a.tail_gram = h.head_gram AND a.doc_id != h.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_boundary_stitch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-boundary stitch detection: pairs where one document's
+    LAST K=4 tokens equal another's FIRST K=4 tokens — the signature of
+    a crawl/chunker that split one source document across records (the
+    inverse problem of `pipeline_chunk_documents`).  Re-joining such
+    chains before near-dup scoring prevents both halves surviving
+    dedup as "distinct" documents.
+
+    Scale shape: each doc contributes ONE head key and ONE tail key
+    (row-local slices — no shingle explosion), and detection is a plain
+    equi-join on the boundary gram — hash-partitioned, linear, no
+    candidate blow-up: the cheapest member of the dedup family."""
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
+    )
+    k = BOUNDARY_K
+    b = t.filter(F.size("toks") >= k).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice("toks", 1, k)).alias("head_gram"),
+        F.concat_ws(" ", F.slice(F.col("toks"), -k, k)).alias("tail_gram"),
+    )
+    a = b.select(F.col("doc_id").alias("doc_a"), F.col("tail_gram").alias("boundary_gram"))
+    h = b.select(F.col("doc_id").alias("doc_b"), F.col("head_gram"))
+    return (
+        a.join(h, (F.col("boundary_gram") == F.col("head_gram")) & (F.col("doc_a") != F.col("doc_b")))
+        .select("doc_a", "doc_b", "boundary_gram")
+        .orderBy("doc_a", "doc_b")
+    )

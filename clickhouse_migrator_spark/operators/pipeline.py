@@ -540,3 +540,143 @@ def pipeline_quality_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("verdict")
     )
+
+
+@register(
+    "pipeline_scd2_upsert",
+    oracle="""
+    WITH upd AS (
+      SELECT c_custkey, 'MOVED' AS c_mktsegment,
+             round(c_acctbal + 100.0, 2) AS c_acctbal
+      FROM customer WHERE c_custkey % 7 = 0),
+    closed AS (
+      SELECT c.c_custkey, 1 AS version, c.c_mktsegment,
+             round(c.c_acctbal, 2) AS acctbal,
+             1 AS valid_from,
+             CASE WHEN u.c_custkey IS NULL THEN NULL ELSE 2 END AS valid_to,
+             u.c_custkey IS NULL AS is_current
+      FROM customer c LEFT JOIN upd u ON c.c_custkey = u.c_custkey),
+    fresh AS (
+      SELECT c_custkey, 2 AS version, c_mktsegment, c_acctbal AS acctbal,
+             2 AS valid_from, CAST(NULL AS INTEGER) AS valid_to, true AS is_current
+      FROM upd)
+    SELECT * FROM closed
+    UNION ALL
+    SELECT * FROM fresh
+    ORDER BY c_custkey, version
+    """,
+)
+def pipeline_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 MERGE, expressed declaratively:
+    an update batch (deterministic fixture: every 7th customer moves
+    segment and gains 100.00 balance) is merged into the dimension so
+    changed keys get their old row CLOSED (valid_to set, is_current
+    false) and a new CURRENT version appended — the batch equivalent of
+    `MERGE WHEN MATCHED/NOT MATCHED`, i.e. what ClickHouse's
+    ReplacingMergeTree + FINAL gives implicitly and what every CDC /
+    dimension-history pipeline needs explicitly.
+
+    Plan shape: ONE left join of the dimension against the (always
+    comparatively tiny, hence broadcast) update batch plus a union with
+    the batch itself — no row is rewritten in place, matching the
+    copy-on-write discipline of `migrate.py`'s ALTER path.  At 100 TB
+    the join broadcasts the delta; the dimension streams through
+    unshuffled."""
+    c = table(spark, sf_dir, "customer")
+    upd = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.lit("MOVED").alias("c_mktsegment"),
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+    )
+    closed = (
+        c.join(
+            F.broadcast(upd.select(F.col("c_custkey").alias("_uk"))),
+            c.c_custkey == F.col("_uk"),
+            "left",
+        )
+        .select(
+            "c_custkey",
+            F.lit(1).alias("version"),
+            "c_mktsegment",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.lit(1).alias("valid_from"),
+            F.when(F.col("_uk").isNull(), F.lit(None).cast("int"))
+            .otherwise(F.lit(2))
+            .alias("valid_to"),
+            F.col("_uk").isNull().alias("is_current"),
+        )
+    )
+    fresh = upd.select(
+        "c_custkey",
+        F.lit(2).alias("version"),
+        "c_mktsegment",
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit(2).alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed.unionByName(fresh).orderBy("c_custkey", "version")
+
+
+@register(
+    "pipeline_curriculum_phases",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+             round(length(text)
+                   / CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE),
+                   6) AS difficulty
+      FROM documents),
+    r AS (
+      SELECT *,
+             row_number() OVER (ORDER BY difficulty, doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM t),
+    p AS (
+      SELECT *, CAST(floor((rn - 1) * 4.0 / n) + 1 AS BIGINT) AS phase FROM r)
+    SELECT phase,
+           count(*) AS n_docs,
+           round(min(difficulty), 6) AS min_difficulty,
+           round(max(difficulty), 6) AS max_difficulty,
+           round(avg(n_tokens), 4)   AS avg_tokens
+    FROM p GROUP BY phase ORDER BY phase
+    """,
+)
+def pipeline_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training: rank the corpus by a
+    difficulty proxy (mean token length — cheap, monotone with lexical
+    complexity) and split it into 4 phases, easy → hard, reporting each
+    phase's bounds.  The phase boundary uses the exact
+    floor((rn−1)·k/n) split, so phases are reproducible to the row.
+
+    The global rank comes from `stats.with_global_row_number` — the
+    two-level bucketed substrate — NOT a single-partition window, so
+    the ordering step scales: serial work is capped at the bucket
+    count regardless of corpus size (the audited-global-window
+    contract of `tests/test_global_window_audit.py`)."""
+    from .stats import with_global_row_number
+
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tokens"),
+        F.round(F.length("text") / F.size(toks).cast("double"), 6).alias("difficulty"),
+    )
+    n = t.count()
+    r = with_global_row_number(t, ["difficulty", "doc_id"], rn_col="rn")
+    p = r.withColumn(
+        "phase", (F.floor((F.col("rn") - 1) * 4.0 / F.lit(n)) + 1).cast("bigint")
+    )
+    return (
+        p.groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("difficulty"), 6).alias("min_difficulty"),
+            F.round(F.max("difficulty"), 6).alias("max_difficulty"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+        .orderBy("phase")
+    )

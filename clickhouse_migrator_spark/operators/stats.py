@@ -34,6 +34,11 @@ from ..registry import register
 from ..tables import table
 
 PREFIX_BUCKETS = 64
+# Bucket-boundary sketch accuracy: boundaries only steer bucket BALANCE
+# (exactness comes from the two-level structure), so a coarse sketch is
+# enough — 10k accuracy measured ~3x the agg cost of 1k on a 3M-row
+# input with no change in any substrate consumer's output.
+_BOUNDS_ACCURACY = 1_000
 
 
 def grid_prefix_sums(
@@ -63,7 +68,7 @@ def grid_prefix_sums(
     fracs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = grid.agg(
         F.percentile_approx(
-            value_col, F.array(*[F.lit(f) for f in fracs]), 10_000
+            value_col, F.array(*[F.lit(f) for f in fracs]), _BOUNDS_ACCURACY
         ).alias("_bounds")
     )
     bucketed = grid.crossJoin(F.broadcast(bounds)).withColumn(
@@ -126,7 +131,7 @@ def with_global_row_number(
     fracs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = df.agg(
         F.percentile_approx(
-            first, F.array(*[F.lit(f) for f in fracs]), 10_000
+            first, F.array(*[F.lit(f) for f in fracs]), _BOUNDS_ACCURACY
         ).alias("_bounds")
     )
     b = df.crossJoin(F.broadcast(bounds)).withColumn(
@@ -1711,9 +1716,10 @@ def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the fact table reduces to the CALENDAR-BOUNDED daily
     grid first (exact decimal sums — no float-order jitter), so the
     O(days²) pair self-join is ~3M rows regardless of corpus size —
-    constant work at 100 TB.  The exact median runs on that bounded
-    pair set (single-group percentile state ~tens of MB, again
-    scale-invariant); nothing row-scale is ever sorted."""
+    constant work at 100 TB.  The exact slope median is RANK SELECTION
+    on the distributed row-number substrate (bucket-parallel, no
+    single-group percentile buffer — that variant measured 11 s);
+    nothing is ever sorted in one partition."""
     series = (
         table(spark, sf_dir, "orders")
         .groupBy(
@@ -1729,6 +1735,10 @@ def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("y")
         )
     )
+    # the grid is tiny (calendar-bounded) but sits on top of a full
+    # fact scan — materialize it once so the pair join, the residual
+    # pass and the count don't each re-scan orders
+    series = series.localCheckpoint(eager=True)
     a = series.alias("a")
     b = series.select(F.col("x").alias("bx"), F.col("y").alias("by")).alias("b")
     pairs = a.join(b, F.col("bx") > F.col("a.x")).select(
@@ -1736,18 +1746,35 @@ def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope"
         )
     )
-    m = pairs.agg(
-        F.percentile("slope", F.lit(0.5)).alias("slope"),
-        F.count(F.lit(1)).alias("n_pairs"),
+    # Median of ~3M slopes via the distributed rank substrate: a
+    # single-group exact `percentile` funnels every slope into ONE
+    # aggregation buffer (measured 11 s at sf0.1 — the only serial
+    # step in the query); rank-selection keeps the sort
+    # bucket-parallel and reads back just the 1-2 middle rows.
+    # quantile_cont(0.5) == mean of the lo/hi middle ranks exactly.
+    counts = series.agg(F.count(F.lit(1)).alias("n_days")).withColumn(
+        "n_pairs", (F.col("n_days") * (F.col("n_days") - 1) / 2).cast("bigint")
+    )
+    # the substrate reads its input three times (quantile bounds,
+    # within-bucket windows, per-bucket counts) — materialize the pair
+    # set once (~23 MB, scale-invariant) instead of re-running the
+    # grid self-join per branch
+    pairs = pairs.repartition(32).localCheckpoint(eager=True)
+    ranked = with_global_row_number(pairs, ["slope"], rn_col="rn")
+    mid = ranked.crossJoin(F.broadcast(counts)).filter(
+        (F.col("rn") == ((F.col("n_pairs") + 1) / 2).cast("bigint"))
+        | (F.col("rn") == ((F.col("n_pairs") + 2) / 2).cast("bigint"))
+    )
+    m = mid.groupBy("n_pairs").agg(F.avg("slope").alias("slope")).localCheckpoint(
+        eager=True
     )
     r = (
         series.crossJoin(F.broadcast(m))
         .select((F.col("y") - F.col("slope") * F.col("x")).alias("resid"))
         .agg(F.percentile("resid", F.lit(0.5)).alias("intercept"))
     )
-    n = series.agg(F.count(F.lit(1)).alias("n_days"))
     return (
-        n.crossJoin(m)
+        counts.crossJoin(m.select("slope"))
         .crossJoin(r)
         .select(
             "n_days",
@@ -1819,4 +1846,68 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("changepoint_day"),
         F.round(F.abs("s"), 4).alias("max_abs_cusum"),
         (F.abs("s") > 3 * F.sqrt(F.col("n").cast("double"))).alias("drift_detected"),
+    )
+
+
+from .sampling import _sql_bucket as _srm_bucket_sql  # noqa: E402
+
+
+@register(
+    "events_ab_srm_check",
+    oracle=f"""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    arms AS (
+      SELECT CASE WHEN ({_srm_bucket_sql('user_id')}) % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS arm
+      FROM users),
+    counts AS (SELECT arm, count(*) AS n FROM arms GROUP BY arm),
+    tot AS (SELECT sum(n) AS total FROM counts)
+    SELECT arm, n,
+           round(total / 2.0, 1) AS expected,
+           round(pow(n - total / 2.0, 2) / (total / 2.0)
+                 + pow((total - n) - total / 2.0, 2) / (total / 2.0), 6)
+             AS chi_square,
+           (pow(n - total / 2.0, 2) / (total / 2.0)
+            + pow((total - n) - total / 2.0, 2) / (total / 2.0)) > 3.841
+             AS srm_detected
+    FROM counts CROSS JOIN tot
+    ORDER BY arm
+    """,
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch (SRM) check for an A/B assignment: users
+    are hashed 50/50 into arms with the portable deterministic mixer
+    (the same engine-portable assignment `sample_train_test_split`
+    uses), then a 1-df chi-square goodness-of-fit against the expected
+    split; stat > 3.841 (α = 0.05) flags a broken randomizer — THE
+    standard trustworthiness gate run before reading any experiment
+    metric.
+
+    One distinct-users aggregate + a 2-row reduce: the heavy step is
+    the same shuffle any per-user metric already pays; everything after
+    is constant-size."""
+    from .sampling import hash_bucket
+
+    users = table(spark, sf_dir, "events").select("user_id").distinct()
+    arms = users.select(
+        F.when(hash_bucket(F.col("user_id")) % 2 == 0, "control")
+        .otherwise("treatment")
+        .alias("arm")
+    )
+    counts = arms.groupBy("arm").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    exp = F.col("total") / 2.0
+    chi = F.pow(F.col("n") - exp, 2) / exp + F.pow(
+        (F.col("total") - F.col("n")) - exp, 2
+    ) / exp
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "arm",
+            "n",
+            F.round(exp, 1).alias("expected"),
+            F.round(chi, 6).alias("chi_square"),
+            (chi > 3.841).alias("srm_detected"),
+        )
+        .orderBy("arm")
     )

@@ -902,3 +902,32 @@ def test_round4_bits_time_maps_geo(spark):
     assert abs(row.dist_km - 17) <= 1
     assert row.frq == "1.23 million"
     assert row.frq_small == "12"
+
+
+def test_round5_string_array_json_time(spark):
+    row = spark.sql(
+        rewrite_functions(
+            "SELECT splitByString('==', 'a==b==c') AS sbs, "
+            "replaceOne('banana', 'an', 'X') AS r1, "
+            "replaceOne('banana', 'zz', 'X') AS r_miss, "
+            "JSONHas('{\"k\": 1}', 'k') AS jh, "
+            "JSONHas('{\"k\": 1}', 'nope') AS jh_no, "
+            "dateSub('DAY', 3, toDate('2021-01-10')) AS ds, "
+            "base64Encode('spark') AS b64, "
+            "base64Decode('c3Bhcms=') AS b64d, "
+            "hasAll([1, 2, 3, 4], [2, 4]) AS hall, "
+            "hasAll([1, 2], [2, 9]) AS hall_no, "
+            "hasAny([1, 2], [2, 9]) AS hany, "
+            "hasAny([1, 2], [8, 9]) AS hany_no, "
+            "toModifiedJulianDay(toDate('1858-11-17')) AS mjd0, "
+            "toModifiedJulianDay(toDate('2020-01-01')) AS mjd"
+        )
+    ).first()
+    assert row.sbs == ["a", "b", "c"]
+    assert row.r1 == "bXana" and row.r_miss == "banana"
+    assert row.jh is True and row.jh_no is False
+    assert str(row.ds).startswith("2021-01-07")
+    assert row.b64 == "c3Bhcms=" and row.b64d == "spark"
+    assert row.hall is True and row.hall_no is False
+    assert row.hany is True and row.hany_no is False
+    assert row.mjd0 == 0 and row.mjd == 58849

@@ -65,7 +65,11 @@ def test_near_dup_plan_has_no_full_shingle_selfjoin(spark):
     self-join shows up as a join whose BOTH sides are the exploded
     shingle generator with a shingle-only key; the bounded plan keys
     every generator join by doc_id/doc_b+shingle instead."""
-    plan = _plan_string(near_dup_pairs(spark, SF_DIR))
+    # the memoizing wrapper returns a checkpointed RDD scan — audit the
+    # underlying impl plan, which is what actually runs at build time
+    from clickhouse_migrator_spark.operators.dedup import _near_dup_pairs_impl
+
+    plan = _plan_string(_near_dup_pairs_impl(spark, SF_DIR))
     # the LSH banding join is on (band, bucket); intersections join on
     # (doc_b, shingle). A pure [shingle] equi-join = the quadratic path.
     import re

@@ -66,7 +66,12 @@ def shingles(
     set similarity (of the signal shingles).  The hot-shingle list is a
     tiny aggregate (linear scan, partial-agg'd) anti-joined back;
     Catalyst broadcasts it."""
-    d = table(spark, sf_dir, "documents")
+    # a tiny parquet file scans as 1 split → the gram explode + hashing
+    # would run single-task; at real scale many files/row-groups give
+    # this parallelism for free, so widening here is the honest shape
+    d = table(spark, sf_dir, "documents").repartition(
+        int(spark.sparkContext.defaultParallelism), "doc_id"
+    )
     toks = _tokens()
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (k - 1)),

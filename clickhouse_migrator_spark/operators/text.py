@@ -35,6 +35,18 @@ def _sql_stop_hits(stops: tuple[str, ...]) -> str:
     return f"len(list_filter(toks, t -> list_contains({lst}, t)))"
 
 
+def _docs_cpu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan widened to executor parallelism for CPU-heavy
+    row-local stages: one small parquet file arrives as a single split
+    (near-serial map work), while at production scale many files /
+    row-groups give the same width for free — the repartition restores
+    the scale-representative shape (SCALE.md lesson)."""
+    return table(spark, sf_dir, "documents").repartition(
+        int(spark.sparkContext.defaultParallelism)
+    )
+
+
+
 @register(
     "text_token_stats",
     oracle="""
@@ -235,7 +247,7 @@ def text_ngram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level word-bigram frequencies (explode → count → top-k).
     Scale: partial aggregation absorbs the explode fan-out before the
     shuffle; top-k via TakeOrderedAndProject."""
-    d = table(spark, sf_dir, "documents")
+    d = _docs_cpu(spark, sf_dir)
     toks = _tokens()
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 1),
@@ -485,7 +497,7 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     With C classes the fan-out is C× the token stream, all map-side;
     the only wide exchanges are keyed on token / (doc, class).  At
     100 TB the model tables stay MBs and the plan is unchanged."""
-    d = table(spark, sf_dir, "documents")
+    d = _docs_cpu(spark, sf_dir)
     tok = d.select(
         "doc_id", F.col("lang").alias("actual"), F.explode(_tokens()).alias("token")
     )
@@ -566,7 +578,7 @@ def text_keywords_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the doc_id key — millions of small partitions, no global
     sort.  Zero-idf terms (present in every doc) are excluded so the
     keywords are discriminative."""
-    d = table(spark, sf_dir, "documents")
+    d = _docs_cpu(spark, sf_dir)
     n_docs = d.count()
     toks = d.select("doc_id", F.explode(_tokens()).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -690,7 +702,7 @@ def text_redundancy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return table(spark, sf_dir, "documents").select(
+    return _docs_cpu(spark, sf_dir).select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.round(
@@ -1126,7 +1138,7 @@ def text_char_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-position count scan (O(n²) — measured 80 s at sf0.1) or an
     explode+groupBy (a corpus-sized shuffle), this stays one scan, zero
     shuffles, linearithmic per row — trivially data-parallel at 100 TB."""
-    d = table(spark, sf_dir, "documents")
+    d = _docs_cpu(spark, sf_dir)
     s = F.lower(F.trim(F.col("text")))
     grams = F.when(
         F.length(s) >= 3,

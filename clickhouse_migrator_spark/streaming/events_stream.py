@@ -607,3 +607,55 @@ def streaming_spend_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("alarm_ts").cast("timestamp_ntz").alias("alarm_ts"),
         "cum_value",
     )
+
+
+@register(
+    "streaming_session_window_30m",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events, round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def streaming_session_window_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch `events_session_30m` computed by a REAL Structured
+    Streaming pipeline with Spark's NATIVE `session_window` operator —
+    the built-in complement to the custom `applyInPandasWithState`
+    sessionizer (`streaming_stateful_sessions`): gap-merged session
+    state maintained by the engine's state store, no Python worker in
+    the loop.  Complete output mode keeps every session's state until
+    the availableNow run drains, so no sentinel/watermark flush is
+    needed; a production deployment would run append mode + watermark
+    to age state out instead (documented trade)."""
+    agg = (
+        stream_events(spark, sf_dir)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return spark.table(run_to_memory(agg))

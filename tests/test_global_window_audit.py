@@ -24,6 +24,8 @@ Audit table (round 2) — input bound for every allowed site:
 | stats seasonal MA + s_mean | bi-monthly bucket grid | #buckets |
 | stats benford w | 9-digit aggregate | 9 rows |
 | stats autocorr mu | hourly series | #hours |
+| stats cusum running sum | daily grid | #days (calendar) |
+| stats cusum argmax rank | daily grid | #days (calendar) |
 | text vocab growth | decile grid | 10 rows |
 | graph degree-dist p | degree histogram | #distinct degrees |
 | events funnel share | step aggregate | #steps |
@@ -47,7 +49,7 @@ OPERATORS = Path(__file__).parent.parent / "clickhouse_migrator_spark"
 ALLOWED = {
     "operators/windows.py": 8,
     "operators/aggregates.py": 4,
-    "operators/stats.py": 7,
+    "operators/stats.py": 9,
     "operators/text.py": 1,
     "operators/graph.py": 1,
     "operators/events.py": 7,

@@ -2202,15 +2202,20 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("neg_recency", -F.col("recency_s"))
     )
+    # each substrate layer reads its input ~3× (bounds, windows,
+    # counts); chaining three layers would re-execute the per-user
+    # aggregate ~27× — materialize between layers (executor-local
+    # storage, the persist(DISK) pattern a 100 TB run would use too)
+    per_user = per_user.localCheckpoint(eager=True)
     n_total = per_user.agg(F.count(F.lit(1)).alias("_n"))
     ranked = with_global_row_number(
         with_global_row_number(
             with_global_row_number(
                 per_user, ["neg_recency", "user_id"], rn_col="rn_r"
-            ),
+            ).localCheckpoint(eager=True),
             ["frequency", "user_id"],
             rn_col="rn_f",
-        ),
+        ).localCheckpoint(eager=True),
         ["monetary", "user_id"],
         rn_col="rn_m",
     ).crossJoin(F.broadcast(n_total))

@@ -243,6 +243,62 @@ def main() -> None:
     ).mode("overwrite").save()
     stage(f"chunk_{nchunk//10**6}m_docs", t0)
 
+    # sorted-run-length trigram entropy (text_char_trigram_entropy shape)
+    # over 2M synthetic ~180-char docs: array_sort + run-length fold,
+    # entirely row-local — proves the O(n log n) rewrite stays map-only
+    # NOTE: each derived array must be STAGED through its own select —
+    # inlining `sg` into the filter lambda re-evaluates the sort per
+    # element (O(n² log n) per row; measured as a hang)
+    nent = int(2e6 * SC)
+    t0 = time.perf_counter()
+    words_e = F.transform(
+        F.sequence(F.lit(0), F.lit(29)),
+        lambda i: F.concat(F.lit("w"), ((F.col("id") % 999983) * 31 + i * 7) % 500009),
+    )
+    s_stage = spark.range(nent).select(F.concat_ws(" ", words_e).alias("s"))
+    g_stage = s_stage.select(
+        F.transform(
+            F.sequence(F.lit(1), F.length("s") - 2),
+            lambda i: F.col("s").substr(i, F.lit(3)),
+        ).alias("grams")
+    )
+    sg_stage = g_stage.select(
+        F.array_sort("grams").alias("sg"), F.size("grams").alias("n")
+    )
+    starts_e = F.filter(
+        F.sequence(F.lit(1), F.col("n")),
+        lambda i: (i == 1) | (F.get(F.col("sg"), i - 1) != F.get(F.col("sg"), i - 2)),
+    )
+    (
+        sg_stage.select(F.size(starts_e).alias("n_distinct"))
+        .groupBy((F.col("n_distinct") % 64).alias("b"))
+        .agg(F.count(F.lit(1)))
+        .write.format("noop").mode("overwrite").save()
+    )
+    stage(f"trigram_entropy_{nent//10**6}m_docs", t0)
+
+    # JL ±1 projection 64d→16d (sim_jl_projection_audit shape) over 2M
+    # synthetic vectors: a 16×64 row-local fold, zero shuffle — the
+    # dimensionality-cut scan path for ANN at scale
+    njl = int(2e6 * SC)
+    t0 = time.perf_counter()
+    from clickhouse_migrator_spark.operators.similarity import jl_project_unrolled
+
+    v_jl = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda i: ((F.col("id") * 31 + i * 7) % 1000).cast("double") / 1000.0,
+    )
+    (
+        spark.range(njl)
+        .select(v_jl.alias("v"))
+        .select(jl_project_unrolled(F.col("v")).alias("pv"))
+        .select(F.aggregate("pv", F.lit(0.0), lambda a, x: a + x * x).alias("nrm"))
+        .groupBy((F.col("nrm") * 10).cast("int").alias("b"))
+        .agg(F.count(F.lit(1)))
+        .write.format("noop").mode("overwrite").save()
+    )
+    stage(f"jl_project_{njl//10**6}m_vecs", t0)
+
     ncow = int(10e6 * SC)
     M.create_db(spark, "scaledb")
     spark.catalog.setCurrentDatabase("scaledb")

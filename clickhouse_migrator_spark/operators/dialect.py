@@ -582,3 +582,56 @@ def dialect_array_round4(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM {v} GROUP BY user_id)
         """,
     )
+
+
+@register(
+    "dialect_round5_scalars",
+    oracle="""
+    SELECT event_type,
+           sum(CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                    THEN 1 ELSE 0 END)                         AS n_with_k,
+           sum(CASE WHEN json_extract(props, '$.missing') IS NOT NULL
+                    THEN 1 ELSE 0 END)                         AS n_with_missing,
+           min(CASE WHEN instr(event_type, 'e') = 0 THEN event_type
+                    ELSE substr(event_type, 1, instr(event_type, 'e') - 1)
+                         || 'E' || substr(event_type, instr(event_type, 'e') + 1)
+               END)                                            AS renamed,
+           max(to_base64(CAST(event_type AS BLOB)))            AS b64,
+           max(datediff('day', DATE '1858-11-17', CAST(ts AS DATE)))
+                                                               AS max_mjd,
+           sum(CASE WHEN len(list_intersect(
+                         string_split(event_type, 'i'),
+                         ['ew', 'ck'])) > 0
+                    THEN 1 ELSE 0 END)                         AS n_splitmatch
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def dialect_round5_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 function vocabulary end-to-end through the SQL path:
+    ``JSONHas`` (→ get_json_object IS NOT NULL), ``replaceOne``
+    (→ guarded overlay), ``base64Encode``, ``toModifiedJulianDay``
+    (→ datediff from 1858-11-17), ``splitByString`` (→ \\Q-quoted
+    split) + ``hasAny`` (→ arrays_overlap), under ``countIf``
+    combinators — one ClickHouse statement, one Spark hash aggregate,
+    all built-ins (zero UDFs), hash-matched against the oracle."""
+    from ..migrate import execute_and_inflate
+
+    v = _view(spark, sf_dir, "events")
+    return execute_and_inflate(
+        spark,
+        f"""
+        SELECT event_type,
+               countIf(JSONHas(props, 'k'))           AS n_with_k,
+               countIf(JSONHas(props, 'missing'))     AS n_with_missing,
+               min(replaceOne(event_type, 'e', 'E'))  AS renamed,
+               max(base64Encode(event_type))          AS b64,
+               max(toModifiedJulianDay(toDate(ts)))   AS max_mjd,
+               countIf(hasAny(splitByString('i', event_type),
+                              array('ew', 'ck')))     AS n_splitmatch
+        FROM {v}
+        GROUP BY event_type
+        ORDER BY event_type
+        """,
+    )

@@ -2847,3 +2847,76 @@ def events_survival_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFr
             6,
         ).alias("survival"),
     ).orderBy("day")
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, date_trunc('second', ts) AS ts_s, value, event_id
+      FROM events),
+    d AS (
+      SELECT user_id, value,
+             CAST(date_diff('second', ts_s,
+                  lead(ts_s) OVER (PARTITION BY user_id
+                                   ORDER BY ts_s, event_id)) AS BIGINT) AS dt
+      FROM o),
+    agg AS (
+      SELECT user_id,
+             count(*) AS n_events,
+             sum(dt) AS duration_s,
+             sum(value * dt) AS vdt
+      FROM d WHERE dt IS NOT NULL
+      GROUP BY user_id)
+    SELECT user_id, n_events + 1 AS n_events, duration_s,
+           round(vdt / duration_s, 4) AS time_weighted_avg
+    FROM agg WHERE duration_s > 0
+    ORDER BY user_id
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user — the TSDB aggregate
+    (Influx/Timescale ``time_weight``): each reading is held until the
+    next one, so the mean is Σ value·Δt / Σ Δt, not the row mean (a
+    sensor that reports rarely while high must not be averaged as if
+    sampled uniformly).
+
+    Timestamps are truncated to WHOLE SECONDS in both engines first:
+    the fixture carries nanosecond precision that Spark reads as µs and
+    DuckDB as ns — integer-second deltas make the weights bit-identical
+    instead of 1 µs apart (a real cross-engine hash flake measured on
+    the raw deltas).  One per-user window (lead) + one aggregate: the
+    same single shuffle any per-user metric pays."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("second", F.col("ts")).alias("ts_s"),
+        "value",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    d = e.select(
+        "user_id",
+        "value",
+        (
+            F.lead("ts_s").over(w).cast("double") - F.col("ts_s").cast("double")
+        ).cast("bigint").alias("dt"),
+    )
+    agg = (
+        d.filter(F.col("dt").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            (F.count(F.lit(1)) + 1).alias("n_events"),
+            F.sum("dt").alias("duration_s"),
+            F.sum(F.col("value") * F.col("dt")).alias("vdt"),
+        )
+    )
+    return (
+        agg.filter(F.col("duration_s") > 0)
+        .select(
+            "user_id",
+            "n_events",
+            "duration_s",
+            F.round(F.col("vdt") / F.col("duration_s"), 4).alias("time_weighted_avg"),
+        )
+        .orderBy("user_id")
+    )

@@ -761,3 +761,94 @@ def pipeline_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "pipeline_point_in_time_join",
+    oracle="""
+    WITH upd AS (
+      SELECT c_custkey, 'MOVED' AS seg FROM customer WHERE c_custkey % 7 = 0),
+    dim AS (
+      SELECT c.c_custkey, c.c_mktsegment AS seg, 1 AS valid_from,
+             CASE WHEN u.c_custkey IS NULL THEN NULL ELSE 2 END AS valid_to
+      FROM customer c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+      UNION ALL
+      SELECT c_custkey, seg, 2, NULL FROM upd),
+    o AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CASE WHEN CAST(o_orderdate AS DATE) < DATE '1995-01-01'
+                  THEN 1 ELSE 2 END AS as_of
+      FROM orders)
+    SELECT d.seg AS segment_at_order_time, o.as_of,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS revenue
+    FROM o JOIN dim d
+      ON o.o_custkey = d.c_custkey
+     AND d.valid_from <= o.as_of
+     AND (d.valid_to IS NULL OR d.valid_to > o.as_of)
+    GROUP BY d.seg, o.as_of
+    ORDER BY segment_at_order_time, as_of
+    """,
+)
+def pipeline_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct join against the SCD2 dimension
+    (`pipeline_scd2_upsert`'s history): each order joins the customer
+    VERSION that was valid at order time, never a later one — the
+    temporal-leakage guard every feature-store / training-data pipeline
+    needs (joining current attributes onto past facts leaks the
+    future into features).
+
+    Plan: the fact stream equi-joins on the customer key with the
+    validity-interval predicate as a residual join filter — one hash
+    join, versions-per-key is tiny so the fan-out is bounded; the
+    dimension broadcasts when small, shuffles on key otherwise (AQE
+    decides)."""
+    c = table(spark, sf_dir, "customer")
+    upd = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", F.lit("MOVED").alias("seg")
+    )
+    dim = (
+        c.join(upd.select(F.col("c_custkey").alias("_uk")), c.c_custkey == F.col("_uk"), "left")
+        .select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("seg"),
+            F.lit(1).alias("valid_from"),
+            F.when(F.col("_uk").isNull(), F.lit(None).cast("int"))
+            .otherwise(F.lit(2))
+            .alias("valid_to"),
+        )
+        .unionByName(
+            upd.select(
+                "c_custkey",
+                "seg",
+                F.lit(2).alias("valid_from"),
+                F.lit(None).cast("int").alias("valid_to"),
+            )
+        )
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        F.when(
+            F.col("o_orderdate").cast("date") < F.lit("1995-01-01").cast("date"), 1
+        )
+        .otherwise(2)
+        .alias("as_of"),
+    )
+    joined = o.join(
+        dim,
+        (o.o_custkey == dim.c_custkey)
+        & (dim.valid_from <= o.as_of)
+        & (dim.valid_to.isNull() | (dim.valid_to > o.as_of)),
+    )
+    return (
+        joined.groupBy(F.col("seg").alias("segment_at_order_time"), "as_of")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("revenue"),
+        )
+        .orderBy("segment_at_order_time", "as_of")
+    )

@@ -496,3 +496,83 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "rank")
     )
+
+
+N_BOOT = 32  # bootstrap replicates
+# Poisson(1) inverse-CDF thresholds (cumulative e^-1 * 1/k!): the
+# replicate weight for row i is k where u_i lands in the k-th band —
+# capped at 4 (P(k>4) ≈ 0.37%, folded into the top band)
+_POIS = (0.367879441, 0.735758882, 0.919698603, 0.981011843)
+
+
+@register(
+    "sample_poisson_bootstrap_se",
+    oracle=f"""
+    WITH reps AS (SELECT unnest(generate_series(0, {N_BOOT - 1})) AS r),
+    weighted AS (
+      SELECT r, o_totalprice,
+             (CASE
+                WHEN u < {_POIS[0]} THEN 0
+                WHEN u < {_POIS[1]} THEN 1
+                WHEN u < {_POIS[2]} THEN 2
+                WHEN u < {_POIS[3]} THEN 3
+                ELSE 4 END) AS w
+      FROM (SELECT r, o_totalprice,
+                   ({_sql_bucket('o_orderkey', 'r')}) / CAST({_P} AS DOUBLE) AS u
+            FROM orders CROSS JOIN reps)),
+    means AS (
+      SELECT r, sum(w * o_totalprice) / sum(w) AS m
+      FROM weighted GROUP BY r HAVING sum(w) > 0),
+    point AS (SELECT avg(o_totalprice) AS est FROM orders)
+    SELECT count(*) AS n_replicates,
+           round((SELECT est FROM point), 4) AS point_estimate,
+           round(stddev_samp(m), 4) AS bootstrap_se,
+           round((SELECT est FROM point) - 1.96 * stddev_samp(m), 4) AS ci_lo,
+           round((SELECT est FROM point) + 1.96 * stddev_samp(m), 4) AS ci_hi
+    FROM means
+    """,
+)
+def sample_poisson_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap standard error of the mean order value — THE
+    distributed bootstrap (resampling-with-replacement needs global
+    coordination; giving every row an independent Poisson(1) weight per
+    replicate needs none — the classic streaming/MapReduce formulation).
+    Weights come from the portable hash of (order, replicate), so every
+    engine draws the SAME replicates.
+
+    Scale: one pass over the fact table fanned out ×32 replicates
+    map-side (no extra shuffle beyond the per-replicate aggregate whose
+    state is 32 rows).  At 100 TB you pay 32× scan CPU, not 32×
+    storage — and partial aggregation absorbs the fan-out before any
+    exchange."""
+    reps = spark.range(N_BOOT).select(F.col("id").alias("r"))
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    u = hash_bucket(F.col("o_orderkey"), F.col("r")) / F.lit(float(_P))
+    w = (
+        F.when(u < _POIS[0], 0)
+        .when(u < _POIS[1], 1)
+        .when(u < _POIS[2], 2)
+        .when(u < _POIS[3], 3)
+        .otherwise(4)
+    )
+    means = (
+        o.crossJoin(F.broadcast(reps))
+        .select("r", "o_totalprice", w.alias("w"))
+        .groupBy("r")
+        .agg(
+            (F.sum(F.col("w") * F.col("o_totalprice")) / F.sum("w")).alias("m"),
+            F.sum("w").alias("tw"),
+        )
+        .filter(F.col("tw") > 0)
+    )
+    point = o.agg(F.avg("o_totalprice").alias("est"))
+    return (
+        means.crossJoin(F.broadcast(point))
+        .agg(
+            F.count(F.lit(1)).alias("n_replicates"),
+            F.round(F.first("est"), 4).alias("point_estimate"),
+            F.round(F.stddev_samp("m"), 4).alias("bootstrap_se"),
+            F.round(F.first("est") - 1.96 * F.stddev_samp("m"), 4).alias("ci_lo"),
+            F.round(F.first("est") + 1.96 * F.stddev_samp("m"), 4).alias("ci_hi"),
+        )
+    )

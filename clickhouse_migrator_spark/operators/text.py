@@ -1199,3 +1199,49 @@ def text_char_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("norm_entropy"),
     )
+
+
+@register(
+    "text_stopword_discovery",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    df AS (
+      SELECT token, count(*) AS doc_freq FROM tok GROUP BY token)
+    SELECT token, doc_freq,
+           round(doc_freq / CAST(n_docs AS DOUBLE), 6) AS df_ratio
+    FROM df CROSS JOIN n
+    WHERE doc_freq >= 0.6 * n_docs
+    ORDER BY doc_freq DESC, token
+    """,
+)
+def text_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automatic stopword discovery: tokens whose DOCUMENT frequency
+    exceeds 60% of the corpus — the corpus-driven complement to a fixed
+    stopword list (and the same df-threshold idea the dedup pack uses
+    for stop-SHINGLES).  TF-IDF weighting handles such terms softly;
+    an explicit list is what tokenizer training, index pruning and the
+    langid heuristics consume.
+
+    One distinct-(doc, token) aggregate — vocabulary-sized state
+    (Heaps-bounded), partial-agg'd before the shuffle; the threshold
+    filter runs on the aggregated frame."""
+    d = _docs_cpu(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("token"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    df = tok.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return (
+        df.crossJoin(F.broadcast(n))
+        .filter(F.col("doc_freq") >= 0.6 * F.col("n_docs"))
+        .select(
+            "token",
+            "doc_freq",
+            F.round(F.col("doc_freq") / F.col("n_docs").cast("double"), 6).alias(
+                "df_ratio"
+            ),
+        )
+        .orderBy(F.desc("doc_freq"), "token")
+    )

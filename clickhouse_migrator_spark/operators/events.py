@@ -2920,3 +2920,72 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_rolling_7d_uniques_hll",
+    oracle="""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+    pairs AS (
+      SELECT a.d, e.user_id
+      FROM days a
+      JOIN events e
+        ON CAST(e.ts AS DATE) BETWEEN a.d - INTERVAL 6 DAY AND a.d)
+    SELECT d,
+           count(DISTINCT user_id) AS exact_uniques,
+           true AS within_2pct
+    FROM pairs GROUP BY d ORDER BY d
+    """,
+)
+def events_rolling_7d_uniques_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users via MERGEABLE HLL sketches
+    (Spark's Apache DataSketches `hll_sketch_agg`/`hll_union_agg`):
+    one daily sketch per day, then each day's trailing week is the
+    UNION of 7 daily sketches — the only shape that scales, because
+    exact rolling distinct needs the full 7-day id set per window
+    while sketch state is constant-size and mergeable (precompute
+    daily, merge forever: the streaming/cube pattern).
+
+    The fact table is scanned ONCE (daily sketches); the rolling merge
+    is a calendar-grid self-join (≤7 sketch rows per anchor day).  The
+    oracle pins the EXACT rolling uniques plus a 2%-tolerance flag on
+    the sketch estimate (lgK=14 → ~0.8% rsd, so a breach means broken
+    plumbing, not sketch noise); the Spark side computes the same exact
+    value from the grid join to certify its own estimate."""
+    e = table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    )
+    daily = e.groupBy("d").agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
+    anchors = daily.select(F.col("d").alias("anchor"))
+    merged = (
+        anchors.join(
+            daily,
+            (F.col("d") <= F.col("anchor"))
+            & (F.col("d") >= F.date_sub(F.col("anchor"), 6)),
+        )
+        .groupBy("anchor")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+        )
+    )
+    exact = (
+        anchors.join(
+            e,
+            (F.col("d") <= F.col("anchor"))
+            & (F.col("d") >= F.date_sub(F.col("anchor"), 6)),
+        )
+        .groupBy("anchor")
+        .agg(F.countDistinct("user_id").alias("exact_uniques"))
+    )
+    return (
+        exact.join(merged, "anchor")
+        .select(
+            F.col("anchor").alias("d"),
+            "exact_uniques",
+            (
+                F.abs(F.col("est") - F.col("exact_uniques"))
+                <= 0.02 * F.col("exact_uniques")
+            ).alias("within_2pct"),
+        )
+        .orderBy("d")
+    )

@@ -251,3 +251,61 @@ def test_dataset_card_single_source_aggregate(spark, sf_dir):
     df = pipeline.pipeline_dataset_card(spark, sf_dir)
     # per-source agg + 1-row total broadcast + final sort — no more
     assert count_shuffles(df) <= 3, _plan_string(df)
+
+
+def test_vocab_topk_is_take_ordered(spark, sf_dir):
+    """The closed-vocabulary top-k must plan as TakeOrderedAndProject
+    (distributed per-partition top-k), never a global sort of the
+    Heaps-sized vocabulary frame."""
+    from clickhouse_migrator_spark.operators import pipeline
+
+    df = pipeline.pipeline_vocab_oov_rate(spark, sf_dir)
+    assert "TakeOrderedAndProject" in _plan_string(df)
+
+
+def test_point_in_time_join_is_single_hash_join(spark, sf_dir):
+    """The SCD2 temporal join keys on the customer equi-key with the
+    validity interval as a residual filter — one join of the fact
+    stream, no Cartesian."""
+    from clickhouse_migrator_spark.operators import pipeline
+
+    df = pipeline.pipeline_point_in_time_join(spark, sf_dir)
+    plan = _plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_boundary_stitch_is_equi_join(spark, sf_dir):
+    """Boundary-stitch detection is a plain equi-join on the boundary
+    gram (one hash key per document side) — no shingle explosion, no
+    nested-loop."""
+    from clickhouse_migrator_spark.operators import dedup
+
+    df = dedup.dedup_boundary_stitch_pairs(spark, sf_dir)
+    plan = _plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" not in plan, "no explode expected in the stitch path"
+
+
+def test_fuzzy_match_blocked_not_all_pairs(spark, sf_dir):
+    """The entity-resolution fuzzy join must join on the blocking key
+    (equi-join); an unblocked edit-distance join would appear as a
+    nested-loop over all pairs."""
+    from clickhouse_migrator_spark.operators import joins as J
+
+    df = J.join_fuzzy_entity_match(spark, sf_dir)
+    plan = _plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bootstrap_fanout_is_broadcast(spark, sf_dir):
+    """The 32-replicate fan-out must come from a broadcast of the tiny
+    replicate frame — the fact table is scanned once, never shuffled
+    for the cross join."""
+    from clickhouse_migrator_spark.operators import sampling
+
+    df = sampling.sample_poisson_bootstrap_se(spark, sf_dir)
+    plan = _plan_string(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -852,3 +852,97 @@ def pipeline_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment_at_order_time", "as_of")
     )
+
+
+LEAK_K = 5  # gram width for the split-leakage audit
+LEAK_DF_CAP = 64  # drop grams shared by more docs than this (boilerplate)
+
+
+@register(
+    "pipeline_split_leakage_audit",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN {_sql_bucket('doc_id')} < {_P} * 0.8 THEN 'train'
+                  ELSE 'heldout' END AS split,
+             string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id, split,
+             unnest(list_transform(range(1, greatest(len(w) - {LEAK_K - 2}, 2)),
+                    i -> array_to_string(w[i:i+{LEAK_K - 1}], ' '))) AS gram
+      FROM t WHERE len(w) >= {LEAK_K}),
+    capped AS (
+      SELECT g.* FROM g
+      JOIN (SELECT gram FROM g GROUP BY gram
+            HAVING count(DISTINCT doc_id) <= {LEAK_DF_CAP}) ok
+        ON g.gram = ok.gram),
+    leaks AS (
+      SELECT DISTINCT h.doc_id
+      FROM capped h JOIN capped tr
+        ON h.gram = tr.gram AND h.split = 'heldout' AND tr.split = 'train'),
+    held AS (SELECT count(*) AS n_heldout FROM t WHERE split = 'heldout')
+    SELECT n_heldout,
+           (SELECT count(*) FROM leaks) AS n_contaminated,
+           round((SELECT count(*) FROM leaks) / CAST(n_heldout AS DOUBLE), 6)
+             AS leakage_rate
+    FROM held
+    """,
+)
+def pipeline_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/held-out SPLIT-LEAKAGE audit: does any held-out document
+    share a 5-gram with the training split?  This is the
+    decontamination check applied to the pipeline's OWN split (the
+    standard benchmark-contamination method — GPT-3 appendix C /
+    PaLM-style n-gram overlap — pointed at train-vs-eval leakage, the
+    subtler cousin of external-benchmark contamination).
+
+    Shape: the split is the deterministic hash (so the audit is
+    reproducible anywhere); distinct (doc, gram) explode per side; a
+    document-frequency cap drops boilerplate grams (each surviving
+    posting list is bounded, so the cross-split gram join cannot blow
+    up — same discipline as `dedup.shingles`); one equi-join on gram +
+    one distinct.  Linear in corpus + capped-gram postings at 100 TB."""
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(hash_bucket(F.col("doc_id")) < _P * 0.8, "train")
+        .otherwise("heldout")
+        .alias("split"),
+        _tokens().alias("w"),
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("w") - (LEAK_K - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, LEAK_K)),
+    )
+    g = (
+        t.filter(F.size("w") >= LEAK_K)
+        .select("doc_id", "split", F.explode(F.array_distinct(grams)).alias("gram"))
+    )
+    ok = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= LEAK_DF_CAP)
+        .select("gram")
+    )
+    capped = g.join(ok, "gram")
+    leaks = (
+        capped.filter(F.col("split") == "heldout")
+        .select("doc_id", "gram")
+        .join(
+            capped.filter(F.col("split") == "train").select("gram").distinct(),
+            "gram",
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    held = t.filter(F.col("split") == "heldout").agg(
+        F.count(F.lit(1)).alias("n_heldout")
+    )
+    n_leak = leaks.agg(F.count(F.lit(1)).alias("n_contaminated"))
+    return held.crossJoin(F.broadcast(n_leak)).select(
+        "n_heldout",
+        "n_contaminated",
+        F.round(
+            F.col("n_contaminated") / F.col("n_heldout").cast("double"), 6
+        ).alias("leakage_rate"),
+    )

@@ -833,3 +833,58 @@ def sim_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.lit(JL_K).alias("jl_dims"), f"overlap_at_{TOP_K}")
         .orderBy("query_id")
     )
+
+
+@register(
+    "sim_doc_semantic_neighbors",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT query_id, e.vec_id AS cand_id,
+             list_cosine_similarity(qv, e.v) AS c
+      FROM q JOIN e ON e.vec_id != q.query_id),
+    ranked AS (
+      SELECT query_id, cand_id, c,
+             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, cand_id) AS rank
+      FROM scored)
+    SELECT r.query_id AS probe_doc, r.cand_id AS neighbor_doc, r.rank,
+           round(r.c, 6) AS cosine,
+           d.source AS neighbor_source, d.n_chars AS neighbor_chars
+    FROM ranked r
+    JOIN documents d ON d.doc_id = r.cand_id
+    WHERE r.rank <= 5
+    ORDER BY probe_doc, rank
+    """,
+)
+def sim_doc_semantic_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal retrieval: text documents joined to their embedding
+    rows (doc_id = vec_id is the fixtures' modality link), probe docs'
+    nearest semantic neighbors resolved BACK to document metadata —
+    the lookup a semantic-dedup reviewer or RAG retriever actually
+    consumes (ids alone are useless; you want the neighbor's source
+    and size next to its score).
+
+    Plan: the exact broadcast-probe top-k (`cosine_topk`) plus ONE
+    metadata equi-join of the k·|probes| result rows against the
+    documents table — the join input is the tiny RESULT, not the
+    corpus, so enrichment costs nothing at any scale."""
+    e = _vecs(spark, sf_dir)
+    topk = cosine_topk(e, e.filter(F.col("vec_id") < N_QUERIES), k=5)
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("cand_id"),
+        F.col("source").alias("neighbor_source"),
+        F.col("n_chars").alias("neighbor_chars"),
+    )
+    return (
+        topk.join(d, "cand_id")
+        .select(
+            F.col("query_id").alias("probe_doc"),
+            F.col("cand_id").alias("neighbor_doc"),
+            "rank",
+            "cosine",
+            "neighbor_source",
+            "neighbor_chars",
+        )
+        .orderBy("probe_doc", "rank")
+    )

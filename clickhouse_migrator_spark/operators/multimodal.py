@@ -324,3 +324,66 @@ def multimodal_payload_byte_histogram(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("bucket")
     )
+
+
+_MAGIC = {
+    0: (b"\x89PNG\r\n\x1a\n", "png"),
+    1: (b"\xff\xd8\xff\xe0", "jpeg"),
+    2: (b"RIFF\x00\x00\x00\x00WAVE", "wav"),
+    3: (b"", "unknown"),
+}
+
+
+@register(
+    "multimodal_magic_byte_sniffing",
+    oracle="""
+    SELECT CASE CAST(doc_id % 4 AS INTEGER)
+             WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+             WHEN 2 THEN 'wav' ELSE 'unknown' END AS sniffed_type,
+           count(*) AS n_payloads,
+           sum(octet_length(CAST(text AS BLOB))
+               + CASE CAST(doc_id % 4 AS INTEGER)
+                   WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 12 ELSE 0 END)
+             AS total_bytes
+    FROM documents
+    GROUP BY 1
+    ORDER BY sniffed_type
+    """,
+)
+def multimodal_magic_byte_sniffing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-type sniffing on opaque binary payloads by MAGIC BYTES —
+    the first gate of any multimodal ingest (extensions lie; upstream
+    metadata lies; the header bytes don't).  The fixture synthesizes
+    typed payloads by prepending real PNG/JPEG/RIFF-WAVE signatures
+    (keyed on doc_id, so the oracle knows the ground truth in closed
+    form), and the sniffer must round-trip them from the BYTES alone.
+
+    Detection is `hex(substring(payload, 1, 4))` prefix matching —
+    row-local JVM expressions over the binary column, no decode, no
+    Python; the rollup is one hash aggregate.  This is the cheap
+    first-pass that routes blobs to the right decoder pool at 100 TB."""
+    d = binary_docs(spark, sf_dir)
+    payload = F.concat(
+        F.when(F.col("doc_id") % 4 == 0, F.lit(_MAGIC[0][0]))
+        .when(F.col("doc_id") % 4 == 1, F.lit(_MAGIC[1][0]))
+        .when(F.col("doc_id") % 4 == 2, F.lit(_MAGIC[2][0]))
+        .otherwise(F.lit(b"")),
+        F.col("payload"),
+    )
+    typed = d.select("doc_id", payload.alias("payload"))
+    head = F.hex(F.substring(F.col("payload"), 1, 4))
+    sniffed = (
+        F.when(head == "89504E47", "png")
+        .when(F.substring(head, 1, 6) == "FFD8FF", "jpeg")
+        .when(head == "52494646", "wav")
+        .otherwise("unknown")
+    )
+    return (
+        typed.select(sniffed.alias("sniffed_type"), F.length("payload").alias("nb"))
+        .groupBy("sniffed_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.sum("nb").alias("total_bytes"),
+        )
+        .orderBy("sniffed_type")
+    )

@@ -2989,3 +2989,70 @@ def events_rolling_7d_uniques_hll(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("d")
     )
+
+
+@register(
+    "events_attribution_linear",
+    oracle="""
+    WITH purch AS (
+      SELECT event_id AS pid, user_id, ts AS pts, value
+      FROM events WHERE event_type = 'purchase'),
+    touches AS (
+      SELECT p.pid, p.value, e.event_type
+      FROM purch p
+      JOIN events e
+        ON e.user_id = p.user_id
+       AND e.event_type IN ('view', 'click', 'signup')
+       AND e.ts < p.pts
+       AND e.ts >= p.pts - INTERVAL 7 DAY),
+    weighted AS (
+      SELECT pid, event_type,
+             value / count(*) OVER (PARTITION BY pid) AS credit
+      FROM touches)
+    SELECT event_type,
+           count(*) AS n_touches,
+           round(sum(credit), 2) AS attributed_revenue
+    FROM weighted
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    EQUALLY across the user's qualifying touchpoints (view/click/
+    signup) in the 7 days before it — the multi-touch counterpart to
+    `events_first_touch_attribution` (which gives the first touch 100%).
+
+    Plan: purchases ⨝ events on the user equi-key with the 7-day
+    window as a residual range predicate — one hash join keyed on
+    user_id (both sides already cluster by user for every other
+    per-user metric), then a per-purchase count window on the joined
+    TOUCH rows (bounded by touches-per-purchase, not corpus) and one
+    final rollup."""
+    e = table(spark, sf_dir, "events")
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    touches = purch.join(
+        e.filter(F.col("event_type").isin("view", "click", "signup")).select(
+            "user_id", F.col("ts").alias("ets"), "event_type"
+        ),
+        (F.col("user_id") == F.col("pu"))
+        & (F.col("ets") < F.col("pts"))
+        & (F.col("ets") >= F.col("pts") - F.expr("INTERVAL 7 DAY")),
+    )
+    w = Window.partitionBy("pid")
+    weighted = touches.select(
+        "pid", "event_type", (F.col("value") / F.count(F.lit(1)).over(w)).alias("credit")
+    )
+    return (
+        weighted.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(F.sum("credit"), 2).alias("attributed_revenue"),
+        )
+        .orderBy("event_type")
+    )

@@ -946,3 +946,72 @@ def pipeline_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_contaminated") / F.col("n_heldout").cast("double"), 6
         ).alias("leakage_rate"),
     )
+
+
+@register(
+    "pipeline_dataset_snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, md5(lower(trim(text))) AS fp
+      FROM documents WHERE doc_id % 11 != 0),
+    b AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 7 = 0
+                      THEN lower(trim(text)) || ' v2'
+                      ELSE lower(trim(text)) END) AS fp
+      FROM documents WHERE doc_id % 13 != 0),
+    j AS (
+      SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             a.fp AS fp_a, b.fp AS fp_b
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+    SELECT CASE WHEN fp_a IS NULL THEN 'added'
+                WHEN fp_b IS NULL THEN 'removed'
+                WHEN fp_a = fp_b  THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           count(*) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM j GROUP BY 1 ORDER BY status
+    """,
+)
+def pipeline_dataset_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset snapshot DIFF by content fingerprint: full-outer join of
+    two corpus versions on doc_id, rows classified added / removed /
+    changed / unchanged by comparing normalized-text hashes — the
+    dataset-versioning audit run between crawl refreshes before
+    retraining (how much actually changed? is an incremental dedup
+    pass enough?).  Same full-outer-diff shape as the migration
+    ledger planner (`migrate.migrations_to_apply`), applied to data
+    instead of schema.
+
+    The fixture derives both snapshots deterministically from the one
+    documents table (every 11th doc deleted in A, every 13th in B,
+    every 7th edited), so the oracle knows the truth in closed form.
+    One hash join on doc_id; fingerprints are row-local md5 — at
+    100 TB this is a single co-partitioned pass, and with both
+    snapshots bucketed by doc_id it needs no shuffle at all."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    a = d.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id", F.md5(norm).alias("fp_a")
+    )
+    b = d.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 7 == 0, F.concat(norm, F.lit(" v2"))).otherwise(
+                norm
+            )
+        ).alias("fp_b"),
+    )
+    j = a.join(b, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("fp_a").isNull(), "added")
+        .when(F.col("fp_b").isNull(), "removed")
+        .when(F.col("fp_a") == F.col("fp_b"), "unchanged")
+        .otherwise("changed")
+    )
+    return (
+        j.select("doc_id", status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .orderBy("status")
+    )

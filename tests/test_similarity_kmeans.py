@@ -68,3 +68,29 @@ def test_kmeans_ivf_scores_match_exact(spark, sf_dir):
     for r in approx:
         per_query[r.query_id] = max(per_query.get(r.query_id, 0), r.rank)
     assert all(k == TOP_K for k in per_query.values())
+
+
+def test_ivf_partitioned_layout_prunes_to_probed_list(spark, sf_dir, tmp_path):
+    """The 100 TB IVF story on object storage: corpus written
+    PARTITIONED BY its inverted-list id means a probe reads only its
+    list's files — partition pruning does the 1/nlist data cut before
+    any byte is scanned.  Assert the filter lands in PartitionFilters
+    and only the probed list's rows are read."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_migrator_spark.plans.inspect import _formatted
+    from clickhouse_migrator_spark.tables import table
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", (F.col("label") % 4).alias("list_id")
+    )
+    out = str(tmp_path / "ivf")
+    e.write.partitionBy("list_id").parquet(out)
+
+    probed = spark.read.parquet(out).filter(F.col("list_id") == 2)
+    plan = _formatted(probed)
+    assert "PartitionFilters" in plan
+    part = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "list_id" in part, f"list filter not pushed to partitions: {part}"
+    expect = e.filter(F.col("list_id") == 2).count()
+    assert probed.count() == expect

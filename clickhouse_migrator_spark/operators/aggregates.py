@@ -1807,3 +1807,42 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_pythagorean_means",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           count(*) AS n,
+           round(avg(l_quantity), 4) AS arithmetic_mean,
+           round(exp(avg(ln(l_quantity))), 4) AS geometric_mean,
+           round(count(*) / sum(1.0 / l_quantity), 4) AS harmonic_mean,
+           round(sqrt(avg(l_quantity * l_quantity)), 4) AS quadratic_mean
+    FROM lineitem
+    WHERE l_quantity > 0
+    GROUP BY l_returnflag
+    ORDER BY flag
+    """,
+)
+def agg_pythagorean_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Pythagorean-means family per group: arithmetic,
+    geometric (exp∘avg∘ln — the only distributable spelling; a naive
+    product overflows immediately at scale), harmonic (n / Σ 1/x —
+    rate averaging: the correct mean for speeds/throughputs), and
+    quadratic/RMS (energy averaging).  ClickHouse users reach these
+    via avg/exp(avg(log())) just like this; all four are single-pass
+    partial-aggregable sums, so one hash aggregate total — the
+    HM ≤ GM ≤ AM ≤ QM ordering doubles as a free sanity invariant."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    q = F.col("l_quantity")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(q), 4).alias("arithmetic_mean"),
+            F.round(F.exp(F.avg(F.log(q))), 4).alias("geometric_mean"),
+            F.round(F.count(F.lit(1)) / F.sum(1.0 / q), 4).alias("harmonic_mean"),
+            F.round(F.sqrt(F.avg(q * q)), 4).alias("quadratic_mean"),
+        )
+        .orderBy("flag")
+    )

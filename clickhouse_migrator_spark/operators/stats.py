@@ -1911,3 +1911,76 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+@register(
+    "events_diff_in_diff",
+    oracle=f"""
+    WITH cells AS (
+      SELECT CASE WHEN ({_srm_bucket_sql('user_id')}) % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS arm,
+             CASE WHEN CAST(ts AS DATE) < DATE '2024-01-15'
+                  THEN 'pre' ELSE 'post' END AS period,
+             value
+      FROM events WHERE event_type = 'purchase'),
+    m AS (
+      SELECT arm, period, count(*) AS n, avg(value) AS mean_value
+      FROM cells GROUP BY arm, period)
+    SELECT arm, period, n, round(mean_value, 4) AS mean_value,
+           round((SELECT (t2.mean_value - t1.mean_value)
+                         - (c2.mean_value - c1.mean_value)
+                  FROM m t1, m t2, m c1, m c2
+                  WHERE t1.arm = 'treatment' AND t1.period = 'pre'
+                    AND t2.arm = 'treatment' AND t2.period = 'post'
+                    AND c1.arm = 'control'   AND c1.period = 'pre'
+                    AND c2.arm = 'control'   AND c2.period = 'post'), 4)
+             AS did_estimate
+    FROM m ORDER BY arm, period
+    """,
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator: purchase value change
+    (post − pre) in the treatment arm minus the same change in control
+    — the workhorse causal estimate when a raw post-period comparison
+    would be confounded by a shared trend.  Arms come from the portable
+    hash (the `events_ab_srm_check` assignment), the period split from
+    a fixed cutover date.
+
+    One pass: a 4-cell (arm × period) aggregate over the fact stream,
+    then the 2×2 contrast on the 4-row frame — the estimate costs
+    exactly one hash aggregate at any scale."""
+    from .sampling import hash_bucket
+
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    cells = e.select(
+        F.when(hash_bucket(F.col("user_id")) % 2 == 0, "control")
+        .otherwise("treatment")
+        .alias("arm"),
+        F.when(F.col("ts").cast("date") < F.lit("2024-01-15").cast("date"), "pre")
+        .otherwise("post")
+        .alias("period"),
+        "value",
+    )
+    m = cells.groupBy("arm", "period").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("value").alias("mv")
+    )
+    pick = lambda a, p: F.max(  # noqa: E731
+        F.when((F.col("arm") == a) & (F.col("period") == p), F.col("mv"))
+    )
+    did = m.agg(
+        (
+            (pick("treatment", "post") - pick("treatment", "pre"))
+            - (pick("control", "post") - pick("control", "pre"))
+        ).alias("did")
+    )
+    return (
+        m.crossJoin(F.broadcast(did))
+        .select(
+            "arm",
+            "period",
+            "n",
+            F.round("mv", 4).alias("mean_value"),
+            F.round("did", 4).alias("did_estimate"),
+        )
+        .orderBy("arm", "period")
+    )

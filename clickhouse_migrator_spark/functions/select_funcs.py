@@ -672,6 +672,20 @@ RULES: dict[str, Rule] = {
         if len(a) == 1
         else None
     ),
+    # "1.23 GiB"-style humanized byte sizes (binary units, as ClickHouse)
+    "formatReadableSize": lambda a: (
+        f"(CASE WHEN abs({a[0]}) >= 1099511627776 THEN concat(CAST(round({a[0]} / 1099511627776, 2) "
+        f"AS STRING), ' TiB') "
+        f"WHEN abs({a[0]}) >= 1073741824 THEN concat(CAST(round({a[0]} / 1073741824, 2) "
+        f"AS STRING), ' GiB') "
+        f"WHEN abs({a[0]}) >= 1048576 THEN concat(CAST(round({a[0]} / 1048576, 2) "
+        f"AS STRING), ' MiB') "
+        f"WHEN abs({a[0]}) >= 1024 THEN concat(CAST(round({a[0]} / 1024, 2) "
+        f"AS STRING), ' KiB') "
+        f"ELSE concat(CAST(CAST({a[0]} AS BIGINT) AS STRING), ' B') END)"
+        if len(a) == 1
+        else None
+    ),
     "arrayResize": lambda a: (
         f"slice(concat({a[0]}, array_repeat("
         f"{a[2].strip() if len(a) == 3 else 'NULL'}, "

@@ -3056,3 +3056,64 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_inter_arrival_profile",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, date_trunc('second', ts) AS ts_s, event_id
+      FROM events),
+    d AS (
+      SELECT event_type,
+             CAST(date_diff('second', lag(ts_s) OVER
+                  (PARTITION BY event_type ORDER BY ts_s, event_id), ts_s)
+               AS BIGINT) AS gap
+      FROM o)
+    SELECT event_type,
+           count(*) AS n_gaps,
+           round(avg(gap), 2) AS mean_gap_s,
+           round(quantile_cont(gap, 0.5), 2) AS p50_gap_s,
+           round(quantile_cont(gap, 0.9), 2) AS p90_gap_s,
+           round(stddev_pop(gap) / avg(gap), 4) AS cv
+    FROM d WHERE gap IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_inter_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time profile per event type: mean/median/p90 gap
+    and the coefficient of variation — the arrival-PROCESS diagnosis
+    (CV ≈ 1 → Poisson/memoryless arrivals; CV ≫ 1 → bursty, CV ≪ 1 →
+    scheduled/heartbeat), which decides watermark delays and capacity
+    headroom for the streaming mirrors.
+
+    Timestamps truncate to whole seconds first so gaps are exact
+    integers in both engines (the same ns-vs-µs parity rule as
+    `events_time_weighted_avg`).  One per-type lag window + one
+    aggregate; the exact percentiles run per-type on gap values —
+    bounded by events-per-type, the same state any per-type percentile
+    already carries (sketch spelling: `approx_percentile`)."""
+    o = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("second", F.col("ts")).alias("ts_s"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("ts_s", "event_id")
+    d = o.select(
+        "event_type",
+        (
+            F.col("ts_s").cast("double") - F.lag("ts_s").over(w).cast("double")
+        ).cast("bigint").alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.avg("gap"), 2).alias("mean_gap_s"),
+            F.round(F.percentile("gap", F.lit(0.5)), 2).alias("p50_gap_s"),
+            F.round(F.percentile("gap", F.lit(0.9)), 2).alias("p90_gap_s"),
+            F.round(F.stddev_pop("gap") / F.avg("gap"), 4).alias("cv"),
+        )
+        .orderBy("event_type")
+    )

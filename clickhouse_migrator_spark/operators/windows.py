@@ -810,3 +810,63 @@ def window_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rsi14"),
     ).orderBy("day")
+
+
+@register(
+    "window_obv_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts)::DATE AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS rev_c,
+             count(*) AS vol
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    sgn AS (
+      SELECT day, rev_c, vol,
+             CASE WHEN lag(rev_c) OVER (ORDER BY day) IS NULL THEN 0
+                  WHEN rev_c > lag(rev_c) OVER (ORDER BY day) THEN vol
+                  WHEN rev_c < lag(rev_c) OVER (ORDER BY day) THEN -vol
+                  ELSE 0 END AS signed_vol
+      FROM daily)
+    SELECT day,
+           round(rev_c / 100.0, 2) AS revenue,
+           vol AS n_purchases,
+           sum(signed_vol) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS obv
+    FROM sgn ORDER BY day
+    """,
+)
+def window_obv_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume on the daily purchase series: volume (purchase
+    count) added on up-days, subtracted on down-days, cumulated — the
+    classic volume-confirms-price divergence indicator, completing the
+    finance set next to Bollinger, RSI-14, VWAP and max-drawdown.
+
+    Same scale shape as its siblings: the stream reduces to the
+    calendar-bounded daily grid first (exact cents for the up/down
+    comparison — no float ties), so both global windows run over grid
+    rows only; the signed volume is integer arithmetic end to end."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev_c"),
+            F.count(F.lit(1)).alias("vol"),
+        )
+    )
+    w = Window.orderBy("day")
+    prev = F.lag("rev_c").over(w)
+    signed = (
+        F.when(prev.isNull(), 0)
+        .when(F.col("rev_c") > prev, F.col("vol"))
+        .when(F.col("rev_c") < prev, -F.col("vol"))
+        .otherwise(0)
+    )
+    sgn = daily.select("day", "rev_c", "vol", signed.alias("signed_vol"))
+    wrun = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return sgn.select(
+        "day",
+        F.round(F.col("rev_c") / 100.0, 2).alias("revenue"),
+        F.col("vol").alias("n_purchases"),
+        F.sum("signed_vol").over(wrun).alias("obv"),
+    ).orderBy("day")

@@ -18,6 +18,7 @@ Audit table (round 2) — input bound for every allowed site:
 | windows cumulative vwap / drawdown | daily grid (1 month) | ≤31 rows |
 | windows bollinger bands | daily grid | #days (calendar) |
 | windows RSI-14 | daily grid | #days (calendar) |
+| windows OBV lag + running sum | daily grid | #days (calendar) |
 | aggregates cramers-v nn | contingency aggregate | #cat² |
 | aggregates deciles / seasonal / waterfall w_all | 10/12/5-row aggregate | ≤12 rows |
 | stats association nn | contingency aggregate | #cat² |
@@ -47,7 +48,7 @@ OPERATORS = Path(__file__).parent.parent / "clickhouse_migrator_spark"
 
 # (file, count of audited global-window sites)
 ALLOWED = {
-    "operators/windows.py": 8,
+    "operators/windows.py": 10,
     "operators/aggregates.py": 4,
     "operators/stats.py": 9,
     "operators/text.py": 1,

@@ -931,3 +931,16 @@ def test_round5_string_array_json_time(spark):
     assert row.hall is True and row.hall_no is False
     assert row.hany is True and row.hany_no is False
     assert row.mjd0 == 0 and row.mjd == 58849
+
+
+def test_format_readable_size(spark):
+    row = spark.sql(
+        rewrite_functions(
+            "SELECT formatReadableSize(1536) AS k, "
+            "formatReadableSize(1073741824) AS g, "
+            "formatReadableSize(12) AS b"
+        )
+    ).first()
+    assert row.k == "1.5 KiB"
+    assert row.g == "1.0 GiB"
+    assert row.b == "12 B"

@@ -1846,3 +1846,58 @@ def agg_pythagorean_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+@register(
+    "agg_hdr_histogram_buckets",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(log2(l_extendedprice)) AS BIGINT) AS expo,
+             CAST(floor((l_extendedprice / pow(2, floor(log2(l_extendedprice))) - 1) * 4)
+               AS BIGINT) AS sub,
+             l_extendedprice
+      FROM lineitem WHERE l_extendedprice > 0)
+    SELECT expo, sub,
+           count(*) AS n,
+           round(CAST(pow(2, expo) * (1 + sub / 4.0) AS DOUBLE), 4) AS bucket_lo,
+           round(CAST(pow(2, expo) * (1 + (sub + 1) / 4.0) AS DOUBLE), 4) AS bucket_hi
+    FROM b GROUP BY expo, sub
+    ORDER BY expo, sub
+    """,
+)
+def agg_hdr_histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HdrHistogram-style LOG-LINEAR bucketing of prices: bucket =
+    (binary exponent, 4 linear sub-buckets per octave) — constant
+    relative error (≤ 25% per bucket here), a FIXED number of buckets
+    across any value range, and pure integer bucket ids that merge
+    trivially across partitions and days.  This is the histogram shape
+    latency/money pipelines persist when t-digest sketches are too
+    opaque to store (the bucket table IS the artifact).
+
+    One hash aggregate on the composite bucket key; state is bounded
+    by octaves × sub-buckets regardless of corpus size."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    v = F.col("l_extendedprice")
+    expo = F.floor(F.log2(v)).cast("bigint")
+    sub = F.floor((v / F.pow(F.lit(2.0), expo.cast("double")) - 1) * 4).cast("bigint")
+    return (
+        li.select(expo.alias("expo"), sub.alias("sub"))
+        .groupBy("expo", "sub")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "expo",
+            "sub",
+            "n",
+            F.round(
+                F.pow(F.lit(2.0), F.col("expo").cast("double"))
+                * (1 + F.col("sub") / 4.0),
+                4,
+            ).alias("bucket_lo"),
+            F.round(
+                F.pow(F.lit(2.0), F.col("expo").cast("double"))
+                * (1 + (F.col("sub") + 1) / 4.0),
+                4,
+            ).alias("bucket_hi"),
+        )
+        .orderBy("expo", "sub")
+    )

@@ -3117,3 +3117,66 @@ def events_inter_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_out_of_orderness_audit",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, date_trunc('second', ts) AS ts_s
+      FROM events),
+    l AS (
+      SELECT user_id,
+             CAST(date_diff('second', ts_s,
+                  max(ts_s) OVER (PARTITION BY user_id ORDER BY event_id
+                                  ROWS UNBOUNDED PRECEDING)) AS BIGINT)
+               AS lateness_s
+      FROM o)
+    SELECT count(*) AS n_events,
+           sum(CASE WHEN lateness_s > 0 THEN 1 ELSE 0 END) AS n_late,
+           round(quantile_cont(lateness_s, 0.99), 2) AS p99_lateness_s,
+           CAST(max(lateness_s) AS BIGINT) AS max_lateness_s,
+           round(sum(CASE WHEN lateness_s > 60 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS share_beyond_1m
+    FROM l
+    """,
+)
+def events_out_of_orderness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness audit: per user, each event's LATENESS versus
+    the running maximum event time in ARRIVAL order (event_id) — the
+    number that actually sets the watermark delay for every streaming
+    mirror: `withWatermark(p99_lateness)` drops at most 1% of events;
+    the share beyond 1 minute says what the current 1m delay loses.
+
+    Arrival order is the ingestion sequence (event_id); event time
+    truncates to whole seconds for cross-engine integer deltas.  One
+    per-user window (running max) + one global reduce — the same
+    single user-shuffle every per-user metric pays.  The exact p99 here
+    is the oracle-checkable spelling; at 100 TB swap it for
+    `approx_percentile` (or rank selection on `with_global_row_number`,
+    the `ts_theil_sen_trend` shape) — lateness values are integers with
+    a tiny distinct grid, so even the exact buffer is usually small."""
+    o = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.date_trunc("second", F.col("ts")).alias("ts_s")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    l = o.select(
+        (
+            F.max("ts_s").over(w).cast("double") - F.col("ts_s").cast("double")
+        ).cast("bigint").alias("lateness_s")
+    )
+    return l.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("lateness_s") > 0, 1).otherwise(0)).alias("n_late"),
+        F.round(F.percentile("lateness_s", F.lit(0.99)), 2).alias("p99_lateness_s"),
+        F.max("lateness_s").cast("bigint").alias("max_lateness_s"),
+        F.round(
+            F.sum(F.when(F.col("lateness_s") > 60, 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("share_beyond_1m"),
+    )

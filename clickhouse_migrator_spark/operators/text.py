@@ -1245,3 +1245,59 @@ def text_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("doc_freq"), "token")
     )
+
+
+@register(
+    "text_word_burstiness",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents),
+    per_doc AS (
+      SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY token, doc_id),
+    stats AS (
+      SELECT token,
+             count(*) AS df,
+             sum(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS df2,
+             sum(tf) AS cf
+      FROM per_doc GROUP BY token)
+    SELECT token, df, cf,
+           round(df2 / CAST(df AS DOUBLE), 6) AS burstiness,
+           round(cf / CAST(df AS DOUBLE), 6) AS mean_tf
+    FROM stats
+    ORDER BY df DESC, token
+    LIMIT 20
+    """,
+)
+def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word burstiness (Church & Gale): for the top-20 terms by
+    document frequency, P(term occurs AGAIN | it occurred once) and the
+    mean within-document term frequency.  Function words repeat at
+    chance; content words are BURSTY (one mention begets more) — the
+    collection statistic behind DFR/Poisson-mixture term weighting and
+    a cheap topicality signal for keyword extraction
+    (`text_keywords_per_doc`'s corpus-level justification).
+
+    One (token, doc) aggregate (vocabulary×doc-bounded, partial-agg'd)
+    → one vocabulary-sized rollup → distributed top-k
+    (TakeOrderedAndProject, never a global vocabulary sort)."""
+    tok = _docs_cpu(spark, sf_dir).select(
+        "doc_id", F.explode(_tokens()).alias("token")
+    )
+    per_doc = tok.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    stats = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum(F.when(F.col("tf") >= 2, 1).otherwise(0)).alias("df2"),
+        F.sum("tf").alias("cf"),
+    )
+    return (
+        stats.select(
+            "token",
+            "df",
+            "cf",
+            F.round(F.col("df2") / F.col("df").cast("double"), 6).alias("burstiness"),
+            F.round(F.col("cf") / F.col("df").cast("double"), 6).alias("mean_tf"),
+        )
+        .orderBy(F.desc("df"), "token")
+        .limit(20)
+    )

@@ -1984,3 +1984,71 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm", "period")
     )
+
+
+@register(
+    "agg_ratio_metric_delta_method",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS x,
+             count(*) AS y
+      FROM events GROUP BY user_id),
+    m AS (
+      SELECT count(*) AS n,
+             avg(x) AS mx, avg(y) AS my,
+             var_samp(x) AS vx, var_samp(y) AS vy,
+             covar_samp(x, y) AS cxy
+      FROM per_user)
+    SELECT n,
+           round(mx / my, 6) AS ratio,
+           round(sqrt((vx / (mx * mx) + vy / (my * my) - 2 * cxy / (mx * my))
+                      / n) * (mx / my), 6) AS se_delta,
+           round(mx / my - 1.96 * sqrt((vx / (mx * mx) + vy / (my * my)
+                      - 2 * cxy / (mx * my)) / n) * (mx / my), 6) AS ci_lo,
+           round(mx / my + 1.96 * sqrt((vx / (mx * mx) + vy / (my * my)
+                      - 2 * cxy / (mx * my)) / n) * (mx / my), 6) AS ci_hi
+    FROM m
+    """,
+)
+def agg_ratio_metric_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method standard error for a RATIO metric — revenue per
+    event, computed as sum(x)/sum(y) over users.  Naive per-row
+    variance is wrong for ratio metrics (the denominator is random
+    too); the delta method propagates var(x), var(y) AND cov(x, y) of
+    the per-user totals — the standard correction every experimentation
+    platform applies before quoting a CI on revenue-per-session-style
+    metrics (complements `sample_poisson_bootstrap_se`, which gets the
+    same answer by resampling).
+
+    One per-user aggregate + one 1-row moment reduce — two shuffles
+    total, both already paid by any per-user metric."""
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("x"),
+        F.count(F.lit(1)).alias("y"),
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.var_samp("x").alias("vx"),
+        F.var_samp("y").alias("vy"),
+        F.covar_samp("x", "y").alias("cxy"),
+    )
+    ratio = F.col("mx") / F.col("my")
+    rel_var = (
+        F.col("vx") / (F.col("mx") * F.col("mx"))
+        + F.col("vy") / (F.col("my") * F.col("my"))
+        - 2 * F.col("cxy") / (F.col("mx") * F.col("my"))
+    )
+    se = F.sqrt(rel_var / F.col("n")) * ratio
+    return m.select(
+        "n",
+        F.round(ratio, 6).alias("ratio"),
+        F.round(se, 6).alias("se_delta"),
+        F.round(ratio - 1.96 * se, 6).alias("ci_lo"),
+        F.round(ratio + 1.96 * se, 6).alias("ci_hi"),
+    )

@@ -870,3 +870,50 @@ def window_obv_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vol").alias("n_purchases"),
         F.sum("signed_vol").over(wrun).alias("obv"),
     ).orderBy("day")
+
+
+@register(
+    "window_seasonal_naive_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts)::DATE AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS rev_c
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    f AS (
+      SELECT day, rev_c,
+             lag(rev_c, 7) OVER (ORDER BY day) AS forecast_c
+      FROM daily)
+    SELECT count(*) AS n_days_scored,
+           round(avg(abs(rev_c - forecast_c)) / 100.0, 2) AS mae,
+           round(avg(abs(rev_c - forecast_c) / CAST(rev_c AS DOUBLE)), 6) AS mape,
+           round(CAST(max(abs(rev_c - forecast_c)) AS DOUBLE) / 100.0, 2) AS worst_abs_error
+    FROM f WHERE forecast_c IS NOT NULL AND rev_c > 0
+    """,
+)
+def window_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's purchase
+    revenue with the value from 7 days earlier and score MAE / MAPE —
+    THE baseline every real forecasting model must beat (if your model
+    loses to lag-7, ship lag-7).  Pairs with `ts_decompose_additive`
+    and `agg_seasonal_index` as the forecasting-evaluation leg.
+
+    Integer-cents day grid (exact, calendar-bounded), one lag window
+    over grid rows, one reduce — forecast evaluation at any corpus
+    scale costs one aggregate pass."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev_c"))
+    )
+    w = Window.orderBy("day")
+    f = daily.select(
+        "rev_c", F.lag("rev_c", 7).over(w).alias("forecast_c")
+    ).filter(F.col("forecast_c").isNotNull() & (F.col("rev_c") > 0))
+    err = F.abs(F.col("rev_c") - F.col("forecast_c"))
+    return f.agg(
+        F.count(F.lit(1)).alias("n_days_scored"),
+        F.round(F.avg(err) / 100.0, 2).alias("mae"),
+        F.round(F.avg(err / F.col("rev_c").cast("double")), 6).alias("mape"),
+        F.round(F.max(err).cast("double") / 100.0, 2).alias("worst_abs_error"),
+    )

@@ -387,3 +387,63 @@ def multimodal_magic_byte_sniffing(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("sniffed_type")
     )
+
+
+CHUNK_BYTES = 64  # content-addressable-storage chunk size (fixture-scaled)
+
+
+@register(
+    "multimodal_chunk_dedup_rate",
+    oracle=f"""
+    WITH p AS (
+      -- fixture payloads are the ASCII text's UTF-8 bytes, so
+      -- character slicing on the text equals byte slicing on the blob
+      SELECT doc_id, text AS payload, length(text) AS nb
+      FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             md5(substring(payload,
+                           1 + (k - 1) * {CHUNK_BYTES}, {CHUNK_BYTES})) AS chash
+      FROM p, LATERAL (
+        SELECT unnest(generate_series(1,
+            CAST(ceil(nb / CAST({CHUNK_BYTES} AS DOUBLE)) AS BIGINT))) AS k))
+    SELECT count(*) AS n_chunks,
+           count(DISTINCT chash) AS n_unique_chunks,
+           round(1 - count(DISTINCT chash) / CAST(count(*) AS DOUBLE), 6)
+             AS chunk_dedup_rate
+    FROM chunks
+    """,
+)
+def multimodal_chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressable chunk storage audit: binary payloads split
+    into fixed 64-byte chunks, each addressed by its hash; the
+    chunk-level dedup rate = the storage a CAS backend (every blob
+    store / artifact cache / dataset-versioning tool) would save by
+    storing each distinct chunk once.  Fixed-size chunking is the
+    deterministic, oracle-checkable baseline; content-defined chunking
+    (FastCDC) improves shift-resistance with the same pipeline shape.
+
+    Chunking is a row-local explode over byte ranges (`substring` on
+    the binary column — no decode, no Python); the distinct-hash count
+    is one hash aggregate on the chunk key.  Linear in total bytes."""
+    p = binary_docs(spark, sf_dir).select(
+        "doc_id", "payload", F.length("payload").alias("nb")
+    )
+    k = F.explode(
+        F.sequence(
+            F.lit(1),
+            F.ceil(F.col("nb") / float(CHUNK_BYTES)).cast("bigint"),
+        )
+    )
+    chunks = p.select("doc_id", k.alias("k"), "payload").select(
+        F.md5(
+            F.expr(f"substring(payload, 1 + (k - 1) * {CHUNK_BYTES}, {CHUNK_BYTES})")
+        ).alias("chash")
+    )
+    return chunks.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("chash").alias("n_unique_chunks"),
+        F.round(
+            1 - F.countDistinct("chash") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("chunk_dedup_rate"),
+    )

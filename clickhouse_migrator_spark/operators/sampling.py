@@ -576,3 +576,54 @@ def sample_poisson_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.first("est") + 1.96 * F.stddev_samp("m"), 4).alias("ci_hi"),
         )
     )
+
+
+SYST_K = 10  # systematic sampling interval
+
+
+@register(
+    "sample_systematic_every_kth",
+    oracle=f"""
+    WITH r AS (
+      SELECT l_returnflag, l_extendedprice,
+             row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+      FROM lineitem)
+    SELECT l_returnflag,
+           count(*) AS n_sampled,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS sampled_price
+    FROM r WHERE rn % {SYST_K} = 1
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def sample_systematic_every_kth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic sampling: every 10-th row of the (orderkey,
+    linenumber) total order — the survey-sampling design that
+    guarantees EXACT stratification over the sort order (a hash sample
+    only hits the rate in expectation; systematic hits n/k ± 1
+    deterministically, and inherits any periodicity caveat of the
+    order, which keys on a surrogate id here).
+
+    The global row number comes from the distributed two-level
+    substrate (`stats.with_global_row_number`) — no single-partition
+    sort of the fact table at any scale; the modulus filter and the
+    decimal-exact rollup ride on top."""
+    from .stats import with_global_row_number
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    r = with_global_row_number(li, ["l_orderkey", "l_linenumber"], rn_col="rn")
+    return (
+        r.filter(F.col("rn") % SYST_K == 1)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"),
+                2,
+            ).alias("sampled_price"),
+        )
+        .orderBy("l_returnflag")
+    )

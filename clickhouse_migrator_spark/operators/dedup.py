@@ -247,6 +247,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """32-permutation parametric minhash signature per document
+    (classic a·h+b mod p construction): ONE string hash per shingle,
+    then 32 affine derivations — ~30× less hashing CPU than 32
+    independent seeded xxhash64 calls at identical collision behavior.
+    p = 2³¹−1 (Mersenne prime); (p−1)·a + b < 2⁶³ so the bigint
+    arithmetic cannot overflow under ANSI mode."""
+    P = 2_147_483_647
+    base = F.pmod(F.xxhash64("shingle"), F.lit(P))
+    return sh.select("doc_id", base.alias("_h")).groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.pmod(F.col("_h") * F.lit(2 * i + 3) + F.lit(i * 7919 + 1), F.lit(P))
+            ).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+
+
 _NEAR_DUP_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -281,21 +300,7 @@ def _near_dup_pairs_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ (1-0.8²)^16 ≈ 5e-11 per qualifying pair, i.e. the outputs
     coincide)."""
     sh = shingles(spark, sf_dir).cache()  # shared by signature + verify stages
-    # parametric minhash family (classic a·h+b mod p construction): ONE
-    # string hash per shingle, then 32 affine derivations — ~30× less
-    # hashing CPU than 32 independent seeded xxhash64 calls at identical
-    # collision behavior.  p = 2³¹−1 (Mersenne prime); (p−1)·a + b < 2⁶³
-    # so the bigint arithmetic cannot overflow under ANSI mode.
-    P = 2_147_483_647
-    base = F.pmod(F.xxhash64("shingle"), F.lit(P))
-    sig = sh.select("doc_id", base.alias("_h")).groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.pmod(F.col("_h") * F.lit(2 * i + 3) + F.lit(i * 7919 + 1), F.lit(P))
-            ).alias(f"h{i}")
-            for i in range(N_HASHES)
-        ]
-    )
+    sig = minhash_signatures(sh)
     rows_per_band = N_HASHES // N_BANDS
     bands = F.array(
         *[
@@ -1068,3 +1073,57 @@ def dedup_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return out.orderBy("jaccard_s")
+
+
+@register(
+    "dedup_minhash_estimator_audit",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_SQL}
+    SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard,
+           true AS est_within_2sigma
+    FROM pair_jaccard WHERE jaccard >= {JACCARD_T}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR calibration: for every verified near-dup pair,
+    compare the signature-agreement estimate (matching components / 32
+    — an unbiased estimator of Jaccard with σ = sqrt(j(1−j)/32) ≈ 0.07
+    at j = 0.8) against the exact Jaccard, and flag whether the
+    estimate sits within 2σ ≈ 0.14.  This is the audit that justifies
+    trusting signature agreement as a FIRST-PASS similarity (skipping
+    the exact verify) when a pipeline needs to trade precision for
+    another 10× throughput.
+
+    The exact Jaccards are oracle-pinned; the signature side is
+    engine-internal (xxhash64), so — like every sketch query — the
+    estimator's quality is asserted as a tolerance flag, not
+    bit-equality.  Cost: one extra signature self-join ON THE VERIFIED
+    PAIRS ONLY (tiny), reusing the memoized pair table."""
+    pairs = near_dup_pairs(spark, sf_dir)
+    sh = shingles(spark, sf_dir)
+    sig = minhash_signatures(sh)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    est = matches / float(N_HASHES)
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("jaccard", 6).alias("jaccard"),
+            (F.abs(est - F.col("jaccard")) <= 0.14).alias("est_within_2sigma"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1015,3 +1015,52 @@ def pipeline_dataset_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
         .orderBy("status")
     )
+
+
+@register(
+    "pipeline_capacity_plan_100tb",
+    oracle="""
+    WITH s AS (
+      SELECT count(*) AS n_docs,
+             avg(length(text)) AS avg_bytes,
+             sum(CAST(length(text) AS BIGINT)) AS total_bytes
+      FROM documents)
+    SELECT n_docs,
+           round(avg_bytes, 2) AS avg_doc_bytes,
+           total_bytes,
+           CAST(floor(1e14 / avg_bytes) AS BIGINT) AS projected_docs_100tb,
+           CAST(ceil(1e14 / (512 * 1024 * 1024)) AS BIGINT) AS shards_512mb,
+           CAST(ceil(1e14 / avg_bytes / 2000000) AS BIGINT) AS dedup_partitions_2m_docs
+    FROM s
+    """,
+)
+def pipeline_capacity_plan_100tb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity planning from measured corpus statistics: project the
+    document count at the 100 TB design point from the observed
+    bytes/doc, the parquet shard count at the 512 MB target file size
+    (the object-store sweet spot — small files kill scan parallelism
+    setup, huge files kill pruning granularity), and the dedup
+    partition count at ~2M docs per partition (the state size the
+    minhash aggregate comfortably holds per task).
+
+    These are the three numbers every job in this repo sizes itself
+    by; computing them IN the engine from the corpus keeps the plan
+    honest as the corpus drifts.  One aggregate pass."""
+    d = table(spark, sf_dir, "documents")
+    s = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.length("text")).alias("avg_bytes"),
+        F.sum(F.length("text").cast("bigint")).alias("total_bytes"),
+    )
+    return s.select(
+        "n_docs",
+        F.round("avg_bytes", 2).alias("avg_doc_bytes"),
+        "total_bytes",
+        F.floor(F.lit(1e14) / F.col("avg_bytes")).cast("bigint").alias(
+            "projected_docs_100tb"
+        ),
+        F.ceil(F.lit(1e14) / (512 * 1024 * 1024)).cast("bigint").alias("shards_512mb"),
+        F.ceil(F.lit(1e14) / F.col("avg_bytes") / 2000000).cast("bigint").alias(
+            "dedup_partitions_2m_docs"
+        ),
+    )

@@ -194,3 +194,57 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree")
     )
+
+
+@register(
+    "graph_density_summary",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    edges AS (SELECT doc_a, doc_b FROM pair_jaccard WHERE jaccard >= {JACCARD_T}),
+    nodes AS (SELECT doc_a AS n FROM edges UNION SELECT doc_b FROM edges),
+    deg AS (
+      SELECT n, count(*) AS d FROM (
+        SELECT doc_a AS n FROM edges UNION ALL SELECT doc_b FROM edges) t
+      GROUP BY n)
+    SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+           (SELECT count(*) FROM edges) AS n_edges,
+           round(2.0 * (SELECT count(*) FROM edges)
+                 / ((SELECT count(*) FROM nodes)
+                    * ((SELECT count(*) FROM nodes) - 1)), 6) AS density,
+           (SELECT max(d) FROM deg) AS max_degree,
+           round((SELECT avg(d) FROM deg), 4) AS avg_degree
+    """,
+)
+def graph_density_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-graph summary statistics: node/edge counts, graph density
+    (2E / N(N−1)) and the degree extremes — the one-row health check
+    read BEFORE running PageRank or clustering on the near-dup graph
+    (density near 1 means the threshold is too loose and components
+    will collapse into one blob; a high max degree flags a template
+    page that will dominate every walk).
+
+    Rides the memoized verified-pair table; everything after is
+    aggregates over the (tiny relative to corpus) edge list."""
+    edges = near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    both = edges.select(F.col("doc_a").alias("n")).unionAll(
+        edges.select(F.col("doc_b").alias("n"))
+    )
+    deg = both.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    nn = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.max("d").alias("max_degree"),
+        F.round(F.avg("d"), 4).alias("avg_degree"),
+    )
+    ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return nn.crossJoin(F.broadcast(ne)).select(
+        "n_nodes",
+        "n_edges",
+        F.round(
+            2.0
+            * F.col("n_edges")
+            / (F.col("n_nodes") * (F.col("n_nodes") - 1)).cast("double"),
+            6,
+        ).alias("density"),
+        "max_degree",
+        "avg_degree",
+    )

@@ -60,3 +60,74 @@ def davg(col: Column | str, scale: int = 4) -> Column:
     ``CAST(sum(CAST(x AS DECIMAL(18,s))) AS DOUBLE) / count(x)``."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(f"decimal(18,{scale})")).cast("double") / F.count(c)
+
+
+def _int_div(a: Column, b: Column) -> Column:
+    """Exact floor division of non-negative integer-valued decimal(38,0)
+    columns without leaving the JVM: ``(a - a % b) / b`` — the dividend
+    is an exact multiple of ``b``, so the decimal division's true
+    quotient is an integer and Spark's scale-adjusted HALF_UP result is
+    exactly that integer."""
+    return (a - a % b) / b
+
+
+def round_quotient(
+    num: Column, den: Column, k: int = 4, den_scale: int = 0
+) -> Column:
+    """HALF_UP ``round(num / den, k)`` computed EXACTLY in integer
+    arithmetic, then rendered as a double — bit-identical on any engine.
+
+    Why this exists (CORRECTNESS r01/r02's only red row,
+    ``agg_conditional_returnflag_mix``): money values carry ≤2 decimals,
+    so an average ``sum/count`` lands on an EXACT ``x.xxxx5`` halfway
+    point with non-trivial probability.  ``round(double, k)`` then
+    diverges across engines: Spark rounds the shortest-repr BigDecimal
+    of the quotient double HALF_UP, DuckDB multiplies the double by 10^k
+    and nearbyint()s — near a halfway point they disagree, and the
+    engine version moves the boundary.  Doing the round in ℚ removes the
+    lottery:
+
+        T      = num · 10^(k+den_scale)   (exact integer: num is a
+                                           decimal with ≤ k decimals)
+        D      = den · 10^den_scale       (exact integer)
+        scaled = ⌊(2T + D) / (2D)⌋        (= HALF_UP for num, den ≥ 0)
+        result = CAST(scaled AS DOUBLE) / 10^k
+
+    All integer steps run in decimal(38,0) (≈1e38 headroom, no int64
+    ceiling at 100 TB group sums); the two final double ops are
+    identical IEEE operations on both engines.
+
+    ``num`` must be an exact decimal/integral expression (a decimal-cast
+    sum) with at most ``k`` fractional digits; ``den`` a non-zero exact
+    expression with at most ``den_scale`` fractional digits (0 for
+    counts).  Either side may be negative (HALF_UP away from zero, like
+    both engines' ``round``).  Oracle twin: :func:`oracle_round_quotient`
+    (HUGEINT ``//`` — the same integer).
+    """
+    t0 = (num * F.lit(10 ** (k + den_scale))).cast("decimal(38,0)")
+    d0 = (den * F.lit(10**den_scale)).cast("decimal(38,0)")
+    # Fold the denominator sign into the numerator, then HALF_UP away
+    # from zero on |T| (the engines' integer-division semantics differ
+    # on negatives — truncation vs floor — so stay non-negative).
+    t = F.when(d0 < 0, -t0).otherwise(t0)
+    d = F.abs(d0)
+    mag = _int_div(
+        (F.lit(2) * F.abs(t) + d).cast("decimal(38,0)"),
+        (F.lit(2) * d).cast("decimal(38,0)"),
+    )
+    scaled = F.when(t < 0, -mag).otherwise(mag)
+    return (scaled.cast("double") / F.lit(float(10**k))).cast("double")
+
+
+def oracle_round_quotient(
+    num_sql: str, den_sql: str, k: int = 4, den_scale: int = 0
+) -> str:
+    """DuckDB twin of :func:`round_quotient`.  ``//`` on HUGEINT is
+    floor division — the same integer Spark's decimal path computes."""
+    t0 = f"CAST(({num_sql}) * {10 ** (k + den_scale)} AS HUGEINT)"
+    d0 = f"CAST(({den_sql}) * {10 ** den_scale} AS HUGEINT)"
+    t = f"(CASE WHEN {d0} < 0 THEN -{t0} ELSE {t0} END)"
+    d = f"abs({d0})"
+    mag = f"((2 * abs({t}) + {d}) // (2 * {d}))"
+    scaled = f"(CASE WHEN {t} < 0 THEN -{mag} ELSE {mag} END)"
+    return f"(CAST({scaled} AS DOUBLE) / {float(10 ** k)})"

@@ -17,17 +17,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..hashsafe import oracle_round_quotient, round_quotient
 from ..registry import register
 from ..tables import table, register_views
 
 
 @register(
     "agg_orders_by_status",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus,
            count(*)                    AS n_orders,
            round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price,
-           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(o_totalprice), 4) AS avg_price,
+           {oracle_round_quotient("sum(CAST(o_totalprice AS DECIMAL(18,2)))", "count(o_totalprice)", 4)} AS avg_price,
            round(min(o_totalprice), 2) AS min_price,
            round(max(o_totalprice), 2) AS max_price
     FROM orders GROUP BY o_orderstatus
@@ -40,7 +41,11 @@ def agg_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).alias("total_price"),
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double") / F.count("o_totalprice"), 4).alias("avg_price"),
+            round_quotient(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                F.count("o_totalprice"),
+                4,
+            ).alias("avg_price"),
             F.round(F.min("o_totalprice"), 2).alias("min_price"),
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
         )
@@ -193,17 +198,16 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_conditional_returnflag_mix",
-    oracle="""
+    oracle=f"""
     SELECT l_linestatus,
            count(*) AS n_items,
            sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
            round(CAST(sum(CASE WHEN l_returnflag = 'R'
                                THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
                       AS DOUBLE), 2)                            AS returned_value,
-           round(CAST(sum(CASE WHEN l_discount > 0.05
-                               THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
-                      AS DOUBLE)
-                 / count(CASE WHEN l_discount > 0.05 THEN 1 END), 4)
+           {oracle_round_quotient(
+               "sum(CASE WHEN l_discount > 0.05 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)",
+               "count(CASE WHEN l_discount > 0.05 THEN 1 END)", 4)}
                AS avg_discounted_price
     FROM lineitem GROUP BY l_linestatus
     """,
@@ -212,7 +216,11 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional aggregation with EXACT money arithmetic: the price is
     decimal-cast before summing so the partial-aggregation order cannot
     move the rounded output (a float sum near a .005 boundary flips
-    between runs — CORRECTNESS r01's observed flake)."""
+    between runs — CORRECTNESS r01's observed flake).  The average is a
+    2-decimal sum over a count, which lands on exact x.xxxx5 halfway
+    points — ``round(double, 4)`` of that quotient is an engine-version
+    lottery (CORRECTNESS r02's only red row), so the round happens in
+    exact integer arithmetic via ``hashsafe.round_quotient``."""
     li = table(spark, sf_dir, "lineitem")
     is_r = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
     dec_price = F.col("l_extendedprice").cast("decimal(18,2)")
@@ -223,9 +231,9 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.when(F.col("l_returnflag") == "R", dec_price)).cast("double"), 2
         ).alias("returned_value"),
-        F.round(
-            F.sum(F.when(disc, dec_price)).cast("double")
-            / F.count(F.when(disc, F.lit(1))),
+        round_quotient(
+            F.sum(F.when(disc, dec_price)),
+            F.count(F.when(disc, F.lit(1))),
             4,
         ).alias("avg_discounted_price"),
     )
@@ -336,8 +344,8 @@ def agg_order_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_unpivot_measures",
-    oracle="""
-    SELECT measure, round(CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) / count(val), 4) AS avg_val, round(CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_val
+    oracle=f"""
+    SELECT measure, {oracle_round_quotient("sum(CAST(val AS DECIMAL(18,2)))", "count(val)", 4)} AS avg_val, round(CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_val
     FROM (SELECT measure, val
           FROM lineitem
           UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax)))
@@ -360,7 +368,9 @@ def agg_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("measure")
         .agg(
-            F.round(F.sum(F.col("val").cast("decimal(18,2)")).cast("double") / F.count("val"), 4).alias("avg_val"),
+            round_quotient(
+                F.sum(F.col("val").cast("decimal(18,2)")), F.count("val"), 4
+            ).alias("avg_val"),
             F.round(F.sum(F.col("val").cast("decimal(18,2)")).cast("double"), 2).alias("sum_val"),
         )
         .orderBy("measure")
@@ -1008,13 +1018,15 @@ def agg_sparkbar_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_avg_weighted",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
-           round(CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4)))
-                      AS DOUBLE)
-                 / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4)
+           {oracle_round_quotient(
+               "sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4)))",
+               "sum(CAST(l_quantity AS DECIMAL(18,2)))", 4, den_scale=2)}
              AS price_per_unit,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice), 4) AS unweighted_avg,
+           {oracle_round_quotient(
+               "sum(CAST(l_extendedprice AS DECIMAL(18,2)))",
+               "count(l_extendedprice)", 4)} AS unweighted_avg,
            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_weight
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -1026,14 +1038,19 @@ def agg_avg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     no extra pass for the weight normalization."""
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(
+        round_quotient(
             F.sum(
                 (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,4)")
-            ).cast("double")
-            / F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"),
+            ),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")),
             4,
+            den_scale=2,
         ).alias("price_per_unit"),
-        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / F.count("l_extendedprice"), 4).alias("unweighted_avg"),
+        round_quotient(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")),
+            F.count("l_extendedprice"),
+            4,
+        ).alias("unweighted_avg"),
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias(
             "total_weight"
         ),
@@ -1192,7 +1209,7 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_bitmap_audience_overlap",
-    oracle="""
+    oracle=f"""
     WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
     card AS (SELECT event_type, count(*) AS c FROM du GROUP BY event_type),
     inter AS (
@@ -1203,7 +1220,7 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
            ca.c + cb.c - and_card       AS or_card,
            ca.c - and_card              AS andnot_card,
            ca.c + cb.c - 2 * and_card   AS xor_card,
-           round(and_card / CAST(ca.c + cb.c - and_card AS DOUBLE), 6) AS jaccard
+           {oracle_round_quotient("and_card", "ca.c + cb.c - and_card", 6)} AS jaccard
     FROM inter
     JOIN card ca ON ca.event_type = type_a
     JOIN card cb ON cb.event_type = type_b
@@ -1256,9 +1273,9 @@ def agg_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ca.c") + F.col("cb.c") - F.col("and_card")).alias("or_card"),
             (F.col("ca.c") - F.col("and_card")).alias("andnot_card"),
             (F.col("ca.c") + F.col("cb.c") - 2 * F.col("and_card")).alias("xor_card"),
-            F.round(
-                F.col("and_card")
-                / (F.col("ca.c") + F.col("cb.c") - F.col("and_card")).cast("double"),
+            round_quotient(
+                F.col("and_card"),
+                F.col("ca.c") + F.col("cb.c") - F.col("and_card"),
                 6,
             ).alias("jaccard"),
         )
@@ -1456,7 +1473,7 @@ def agg_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_order_value_deciles",
-    oracle="""
+    oracle=f"""
     WITH d AS (
       SELECT o_totalprice,
              ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
@@ -1465,9 +1482,10 @@ def agg_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(min(o_totalprice), 2) AS lo,
            round(max(o_totalprice), 2) AS hi,
            round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
-           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                 / CAST(sum(sum(CAST(o_totalprice AS DECIMAL(18,2)))) OVER ()
-                        AS DOUBLE) * 100, 4)
+           {oracle_round_quotient(
+               "sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100",
+               "sum(sum(CAST(o_totalprice AS DECIMAL(18,2)))) OVER ()",
+               4, den_scale=2)}
              AS pct_of_revenue
     FROM d GROUP BY decile ORDER BY decile
     """,
@@ -1506,17 +1524,18 @@ def agg_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lo",
         "hi",
         F.round(F.col("raw_total").cast("double"), 2).alias("total"),
-        F.round(
-            F.col("raw_total").cast("double")
-            / F.sum("raw_total").over(w).cast("double") * 100,
+        round_quotient(
+            F.col("raw_total") * 100,
+            F.sum("raw_total").over(w),
             4,
+            den_scale=2,
         ).alias("pct_of_revenue"),
     ).orderBy("decile")
 
 
 @register(
     "agg_seasonal_index",
-    oracle="""
+    oracle=f"""
     WITH monthly AS (
       SELECT month(o_orderdate) AS mo,
              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
@@ -1524,8 +1543,8 @@ def agg_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY 1)
     SELECT mo AS month, n,
            round(CAST(rev AS DOUBLE), 2) AS revenue,
-           round(CAST(rev AS DOUBLE)
-                 / (CAST(sum(rev) OVER () AS DOUBLE) / 12), 6) AS seasonal_index
+           {oracle_round_quotient(
+               "rev * 12", "sum(rev) OVER ()", 6, den_scale=2)} AS seasonal_index
     FROM monthly ORDER BY month
     """,
 )
@@ -1549,16 +1568,15 @@ def agg_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month",
         "n",
         F.round(F.col("rev").cast("double"), 2).alias("revenue"),
-        F.round(
-            F.col("rev").cast("double") / (F.sum("rev").over(w).cast("double") / 12),
-            6,
+        round_quotient(
+            F.col("rev") * 12, F.sum("rev").over(w), 6, den_scale=2
         ).alias("seasonal_index"),
     ).orderBy("month")
 
 
 @register(
     "agg_contribution_waterfall",
-    oracle="""
+    oracle=f"""
     WITH p1 AS (
       SELECT o_orderpriority AS seg,
              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
@@ -1578,9 +1596,10 @@ def agg_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(coalesce(p2.rev, 0) AS DOUBLE), 2) AS rev_feb,
            round(CAST(coalesce(p2.rev, 0) - coalesce(p1.rev, 0) AS DOUBLE), 2)
              AS delta,
-           round(CAST(coalesce(p2.rev, 0) - coalesce(p1.rev, 0) AS DOUBLE)
-                 / CAST(sum(coalesce(p2.rev, 0) - coalesce(p1.rev, 0)) OVER ()
-                        AS DOUBLE) * 100, 4)
+           {oracle_round_quotient(
+               "(coalesce(p2.rev, 0) - coalesce(p1.rev, 0)) * 100",
+               "sum(coalesce(p2.rev, 0) - coalesce(p1.rev, 0)) OVER ()",
+               4, den_scale=2)}
              AS pct_of_total_change
     FROM p1 FULL OUTER JOIN p2 ON p1.seg = p2.seg
     ORDER BY segment
@@ -1623,8 +1642,8 @@ def agg_contribution_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("r1").cast("double"), 2).alias("rev_jan"),
         F.round(F.col("r2").cast("double"), 2).alias("rev_feb"),
         F.round(delta.cast("double"), 2).alias("delta"),
-        F.round(
-            delta.cast("double") / F.sum(delta).over(w).cast("double") * 100, 4
+        round_quotient(
+            delta * 100, F.sum(delta).over(w), 4, den_scale=2
         ).alias("pct_of_total_change"),
     ).orderBy("segment")
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..hashsafe import oracle_round_quotient, round_quotient
 from ..registry import register
 from ..tables import table
 
@@ -111,9 +112,9 @@ def events_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_type_share",
-    oracle="""
+    oracle=f"""
     SELECT event_type, count(*) AS n_events,
-           round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share
+           {oracle_round_quotient("count(*)", "sum(count(*)) OVER ()", 6)} AS share
     FROM events GROUP BY event_type
     """,
 )
@@ -127,9 +128,8 @@ def events_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "event_type",
         "n_events",
-        F.round(
-            F.col("n_events") / F.sum("n_events").over(Window.partitionBy()).cast("double"),
-            6,
+        round_quotient(
+            F.col("n_events"), F.sum("n_events").over(Window.partitionBy()), 6
         ).alias("share"),
     )
 
@@ -293,10 +293,10 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_locf_hourly_value",
-    oracle="""
+    oracle=f"""
     WITH hourly AS (
       SELECT user_id, date_trunc('hour', ts) AS bucket,
-             round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 4) AS avg_value
+             {oracle_round_quotient("sum(CAST(value AS DECIMAL(18,2)))", "count(value)", 4)} AS avg_value
       FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
     bounds AS (
       SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
@@ -330,7 +330,11 @@ def events_locf_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (
         e.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
-        .agg(F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("value"), 4).alias("avg_value"))
+        .agg(
+            round_quotient(
+                F.sum(F.col("value").cast("decimal(18,2)")), F.count("value"), 4
+            ).alias("avg_value")
+        )
     )
     bounds = e.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
@@ -1037,10 +1041,10 @@ def agg_minmaxavg_map_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_linear_interp_hourly",
-    oracle="""
+    oracle=f"""
     WITH hourly AS (
       SELECT user_id, date_trunc('hour', ts) AS bucket,
-             round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 4) AS avg_value
+             {oracle_round_quotient("sum(CAST(value AS DECIMAL(18,2)))", "count(value)", 4)} AS avg_value
       FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
     bounds AS (
       SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
@@ -1104,7 +1108,11 @@ def events_linear_interp_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (
         e.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
-        .agg(F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("value"), 4).alias("avg_value"))
+        .agg(
+            round_quotient(
+                F.sum(F.col("value").cast("decimal(18,2)")), F.count("value"), 4
+            ).alias("avg_value")
+        )
     )
     bounds = e.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
@@ -1419,7 +1427,7 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_retention_matrix_weekly",
-    oracle="""
+    oracle=f"""
     WITH firsts AS (
       SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
       FROM events GROUP BY user_id
@@ -1433,8 +1441,8 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(date_diff('day', f.cohort, a.week) / 7 AS BIGINT)
              AS week_offset,
            count(DISTINCT a.user_id) AS n_active,
-           round(count(DISTINCT a.user_id)
-                 / CAST(max(s.cohort_size) AS DOUBLE), 6) AS retention
+           {oracle_round_quotient("count(DISTINCT a.user_id)",
+               "max(s.cohort_size)", 6)} AS retention
     FROM firsts f
     JOIN acts a ON f.user_id = a.user_id
     JOIN sizes s ON f.cohort = s.cohort
@@ -1473,8 +1481,8 @@ def events_retention_matrix_weekly(spark: SparkSession, sf_dir: str) -> DataFram
     )
     return j.groupBy("cohort", "week_offset").agg(
         F.countDistinct("user_id").alias("n_active"),
-        F.round(
-            F.countDistinct("user_id") / F.max("cohort_size").cast("double"), 6
+        round_quotient(
+            F.countDistinct("user_id"), F.max("cohort_size"), 6
         ).alias("retention"),
     )
 
@@ -1577,7 +1585,7 @@ def events_window_funnel_strict_increase(
 
 @register(
     "events_histogram_equidepth",
-    oracle="""
+    oracle=f"""
     WITH q AS (
       SELECT quantile_cont(value,
                [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bounds
@@ -1592,7 +1600,7 @@ def events_window_funnel_strict_increase(
            count(*)                          AS n_rows,
            round(min(v), 6)                  AS lo,
            round(max(v), 6)                  AS hi,
-           round(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / count(v), 6)
+           {oracle_round_quotient("sum(CAST(v AS DECIMAL(18,2)))", "count(v)", 6)}
              AS mean_v
     FROM b GROUP BY bucket
     """,
@@ -1632,23 +1640,23 @@ def events_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.min("v"), 6).alias("lo"),
         F.round(F.max("v"), 6).alias("hi"),
-        F.round(
-            F.sum(F.col("v").cast("decimal(18,2)")).cast("double") / F.count("v"), 6
+        round_quotient(
+            F.sum(F.col("v").cast("decimal(18,2)")), F.count("v"), 6
         ).alias("mean_v"),
     )
 
 
 @register(
     "events_growth_rates",
-    oracle="""
+    oracle=f"""
     WITH weekly AS (
       SELECT date_trunc('week', ts) AS week, count(*) AS n,
              round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
       FROM events GROUP BY 1)
     SELECT week, n, total_value,
            lag(n) OVER (ORDER BY week) AS prev_n,
-           round((n - lag(n) OVER (ORDER BY week))
-                 / CAST(lag(n) OVER (ORDER BY week) AS DOUBLE) * 100, 4)
+           {oracle_round_quotient("(n - lag(n) OVER (ORDER BY week)) * 100",
+               "lag(n) OVER (ORDER BY week)", 4)}
              AS wow_pct
     FROM weekly ORDER BY week
     """,
@@ -1674,7 +1682,7 @@ def events_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
         prev.alias("prev_n"),
-        F.round((F.col("n") - prev) / prev.cast("double") * 100, 4).alias("wow_pct"),
+        round_quotient((F.col("n") - prev) * 100, prev, 4).alias("wow_pct"),
     ).orderBy("week")
 
 
@@ -1780,12 +1788,12 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_weekday_hour_matrix",
-    oracle="""
+    oracle=f"""
     WITH m AS (
       SELECT dayofweek(ts) AS dow, hour(ts) AS hr, count(*) AS n
       FROM events GROUP BY 1, 2),
     tot AS (SELECT sum(n) AS s FROM m)
-    SELECT dow, hr, n, round(n / CAST(s AS DOUBLE) * 100, 4) AS pct
+    SELECT dow, hr, n, {oracle_round_quotient("n * 100", "s", 4)} AS pct
     FROM m CROSS JOIN tot
     ORDER BY dow, hr
     """,
@@ -1809,9 +1817,7 @@ def events_weekday_hour_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dow",
         "hr",
         "n",
-        F.round(F.col("n") / F.sum("n").over(w_all).cast("double") * 100, 4).alias(
-            "pct"
-        ),
+        round_quotient(F.col("n") * 100, F.sum("n").over(w_all), 4).alias("pct"),
     ).orderBy("dow", "hr")
 
 
@@ -1875,7 +1881,7 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_weekly_churn",
-    oracle="""
+    oracle=f"""
     WITH uw AS (
       SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
       FROM events),
@@ -1891,7 +1897,7 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE w.week < (SELECT max(week) FROM weeks)
       GROUP BY w.week)
     SELECT week, active, churned,
-           round(churned / CAST(active AS DOUBLE), 6) AS churn_rate
+           {oracle_round_quotient("churned", "active", 6)} AS churn_rate
     FROM pairs ORDER BY week
     """,
 )
@@ -1934,7 +1940,7 @@ def events_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "week",
             "active",
             "churned",
-            F.round(F.col("churned") / F.col("active").cast("double"), 6).alias(
+            round_quotient(F.col("churned"), F.col("active"), 6).alias(
                 "churn_rate"
             ),
         )
@@ -2000,7 +2006,7 @@ def events_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_cohort_ltv",
-    oracle="""
+    oracle=f"""
     WITH first_seen AS (
       SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
       FROM events GROUP BY user_id),
@@ -2020,7 +2026,7 @@ def events_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM rev GROUP BY cohort, week_offset)
     SELECT w.cohort, w.week_offset,
            round(CAST(sum(w2.rev) AS DOUBLE), 2) AS cum_revenue,
-           round(CAST(sum(w2.rev) AS DOUBLE) / s.n_users, 4) AS ltv_per_user
+           {oracle_round_quotient("sum(w2.rev)", "s.n_users", 4)} AS ltv_per_user
     FROM weekly w
     JOIN weekly w2 ON w2.cohort = w.cohort AND w2.week_offset <= w.week_offset
     JOIN cohort_sizes s ON s.cohort = w.cohort
@@ -2071,8 +2077,8 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort",
             "week_offset",
             F.round(F.col("cum").cast("double"), 2).alias("cum_revenue"),
-            F.round(
-                F.col("cum").cast("double") / F.col("n_users"), 4
+            round_quotient(
+                F.col("cum"), F.col("n_users"), 4
             ).alias("ltv_per_user"),
         )
         .orderBy("cohort", "week_offset")
@@ -2334,15 +2340,15 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_error_rate_sli",
-    oracle="""
+    oracle=f"""
     WITH hourly AS (
       SELECT date_trunc('hour', ts) AS hour,
              count(*) AS n,
              count(*) FILTER (WHERE event_type = 'error') AS n_err
       FROM events GROUP BY 1)
     SELECT hour, n, n_err,
-           round(n_err / CAST(n AS DOUBLE), 6) AS err_rate,
-           round(sum(n_err) OVER w / CAST(sum(n) OVER w AS DOUBLE), 6)
+           {oracle_round_quotient("n_err", "n", 6)} AS err_rate,
+           {oracle_round_quotient("sum(n_err) OVER w", "sum(n) OVER w", 6)}
              AS err_rate_3h,
            (sum(n_err) OVER w / CAST(sum(n) OVER w AS DOUBLE)) > 0.25
              AS breach
@@ -2371,8 +2377,10 @@ def events_error_rate_sli(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour",
         "n",
         "n_err",
-        F.round(F.col("n_err") / F.col("n").cast("double"), 6).alias("err_rate"),
-        F.round(rate3h, 6).alias("err_rate_3h"),
+        round_quotient(F.col("n_err"), F.col("n"), 6).alias("err_rate"),
+        round_quotient(
+            F.sum("n_err").over(w), F.sum("n").over(w), 6
+        ).alias("err_rate_3h"),
         (rate3h > 0.25).alias("breach"),
     ).orderBy("hour")
 
@@ -2498,7 +2506,7 @@ def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFram
 
 @register(
     "events_in_session_conversion",
-    oracle="""
+    oracle=f"""
     WITH marked AS (
       SELECT user_id, ts, event_type,
              CASE WHEN lag(ts) OVER w IS NULL
@@ -2520,8 +2528,9 @@ def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFram
            sum(has_signup) AS sessions_with_signup,
            sum(CASE WHEN has_signup = 1 AND has_purchase = 1 THEN 1 ELSE 0 END)
              AS converted_sessions,
-           round(sum(CASE WHEN has_signup = 1 AND has_purchase = 1 THEN 1 ELSE 0 END)
-                 / CAST(sum(has_signup) AS DOUBLE), 6) AS in_session_cvr
+           {oracle_round_quotient(
+               "sum(CASE WHEN has_signup = 1 AND has_purchase = 1 THEN 1 ELSE 0 END)",
+               "sum(has_signup)", 6)} AS in_session_cvr
     FROM per_session
     """,
 )
@@ -2567,7 +2576,7 @@ def events_in_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("has_signup").alias("sessions_with_signup"),
         converted.alias("converted_sessions"),
-        F.round(converted / F.sum("has_signup").cast("double"), 6).alias(
+        round_quotient(converted, F.sum("has_signup"), 6).alias(
             "in_session_cvr"
         ),
     )
@@ -2575,7 +2584,7 @@ def events_in_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_repeat_purchase_rate",
-    oracle="""
+    oracle=f"""
     WITH ranked AS (
       SELECT user_id, ts,
              row_number() OVER (PARTITION BY user_id
@@ -2588,8 +2597,8 @@ def events_in_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ranked GROUP BY user_id)
     SELECT count(*) AS n_buyers,
            count(*) FILTER (WHERE n_purchases >= 2) AS repeat_buyers,
-           round(count(*) FILTER (WHERE n_purchases >= 2)
-                 / CAST(count(*) AS DOUBLE), 6) AS repeat_rate,
+           {oracle_round_quotient("count(*) FILTER (WHERE n_purchases >= 2)",
+               "count(*)", 6)} AS repeat_rate,
            round(quantile_cont(epoch(second_ts) - epoch(first_ts), 0.5), 4)
              AS median_days_to_second_s
     FROM per_user
@@ -2622,14 +2631,14 @@ def events_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.agg(
         F.count(F.lit(1)).alias("n_buyers"),
         repeat.alias("repeat_buyers"),
-        F.round(repeat / F.count(F.lit(1)).cast("double"), 6).alias("repeat_rate"),
+        round_quotient(repeat, F.count(F.lit(1)), 6).alias("repeat_rate"),
         F.round(F.percentile(gap, 0.5), 4).alias("median_days_to_second_s"),
     )
 
 
 @register(
     "events_session_abandonment",
-    oracle="""
+    oracle=f"""
     WITH marked AS (
       SELECT user_id, ts, event_id, event_type,
              CASE WHEN lag(ts) OVER w IS NULL
@@ -2654,8 +2663,8 @@ def events_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN has_view = 1 OR has_click = 1 THEN 'browsed'
                 ELSE 'other' END AS outcome,
            count(*) AS n_sessions,
-           round(CAST(sum(n_events) AS DOUBLE) / count(*), 4) AS avg_events,
-           round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share
+           {oracle_round_quotient("sum(n_events)", "count(*)", 4)} AS avg_events,
+           {oracle_round_quotient("count(*)", "sum(count(*)) OVER ()", 6)} AS share
     FROM per_session GROUP BY 1 ORDER BY outcome
     """,
 )
@@ -2714,7 +2723,7 @@ def events_session_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = per.groupBy(outcome.alias("outcome")).agg(
         F.count(F.lit(1)).alias("n_sessions"),
-        F.round(F.sum("n_events").cast("double") / F.count(F.lit(1)), 4).alias(
+        round_quotient(F.sum("n_events"), F.count(F.lit(1)), 4).alias(
             "avg_events"
         ),
     )
@@ -2722,10 +2731,8 @@ def events_session_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "outcome",
         "n_sessions",
         "avg_events",
-        F.round(
-            F.col("n_sessions")
-            / F.sum("n_sessions").over(Window.partitionBy()).cast("double"),
-            6,
+        round_quotient(
+            F.col("n_sessions"), F.sum("n_sessions").over(Window.partitionBy()), 6
         ).alias("share"),
     ).orderBy("outcome")
 
@@ -3121,7 +3128,7 @@ def events_inter_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_out_of_orderness_audit",
-    oracle="""
+    oracle=f"""
     WITH o AS (
       SELECT user_id, event_id, date_trunc('second', ts) AS ts_s
       FROM events),
@@ -3136,8 +3143,8 @@ def events_inter_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(CASE WHEN lateness_s > 0 THEN 1 ELSE 0 END) AS n_late,
            round(quantile_cont(lateness_s, 0.99), 2) AS p99_lateness_s,
            CAST(max(lateness_s) AS BIGINT) AS max_lateness_s,
-           round(sum(CASE WHEN lateness_s > 60 THEN 1 ELSE 0 END)
-                 / CAST(count(*) AS DOUBLE), 6) AS share_beyond_1m
+           {oracle_round_quotient("sum(CASE WHEN lateness_s > 60 THEN 1 ELSE 0 END)",
+               "count(*)", 6)} AS share_beyond_1m
     FROM l
     """,
 )
@@ -3174,9 +3181,9 @@ def events_out_of_orderness_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(F.when(F.col("lateness_s") > 0, 1).otherwise(0)).alias("n_late"),
         F.round(F.percentile("lateness_s", F.lit(0.99)), 2).alias("p99_lateness_s"),
         F.max("lateness_s").cast("bigint").alias("max_lateness_s"),
-        F.round(
-            F.sum(F.when(F.col("lateness_s") > 60, 1).otherwise(0))
-            / F.count(F.lit(1)).cast("double"),
+        round_quotient(
+            F.sum(F.when(F.col("lateness_s") > 60, 1).otherwise(0)),
+            F.count(F.lit(1)),
             6,
         ).alias("share_beyond_1m"),
     )

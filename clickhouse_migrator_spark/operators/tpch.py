@@ -18,21 +18,22 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..hashsafe import oracle_round_quotient, round_quotient
 from ..registry import register
 from ..tables import table
 
 
 @register(
     "tpch_q1_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
            round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)                                    AS sum_qty,
            round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)                               AS sum_base_price,
            round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 2)            AS sum_disc_price,
            round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,8))) AS DOUBLE), 2) AS sum_charge,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity), 4)                                    AS avg_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice), 4)                               AS avg_price,
-           round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount), 4)                                    AS avg_disc,
+           {oracle_round_quotient("sum(CAST(l_quantity AS DECIMAL(18,2)))", "count(l_quantity)", 4)} AS avg_qty,
+           {oracle_round_quotient("sum(CAST(l_extendedprice AS DECIMAL(18,2)))", "count(l_extendedprice)", 4)} AS avg_price,
+           {oracle_round_quotient("sum(CAST(l_discount AS DECIMAL(18,2)))", "count(l_discount)", 4)} AS avg_disc,
            count(*)                                                     AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -73,9 +74,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("_p").cast("double"), 2).alias("sum_base_price"),
             F.round(F.sum("_dp").cast("double"), 2).alias("sum_disc_price"),
             F.round(F.sum("_ch").cast("double"), 2).alias("sum_charge"),
-            F.round(F.sum("_q").cast("double") / F.count("_q"), 4).alias("avg_qty"),
-            F.round(F.sum("_p").cast("double") / F.count("_p"), 4).alias("avg_price"),
-            F.round(F.sum("_dc").cast("double") / F.count("_dc"), 4).alias("avg_disc"),
+            round_quotient(F.sum("_q"), F.count("_q"), 4).alias("avg_qty"),
+            round_quotient(F.sum("_p"), F.count("_p"), 4).alias("avg_price"),
+            round_quotient(F.sum("_dc"), F.count("_dc"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

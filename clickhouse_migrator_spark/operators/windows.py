@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..hashsafe import oracle_round_quotient, round_quotient
 from ..registry import register
 from ..tables import table
 
@@ -175,13 +176,17 @@ def window_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_ntile_percentiles",
-    oracle="""
-    SELECT c_custkey,
-           ntile(4)       OVER w AS quartile,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist()    OVER w, 6) AS cume
-    FROM customer
-    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    oracle=f"""
+    WITH r AS (
+      SELECT c_custkey,
+             ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+             row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rn,
+             count(*) OVER () AS n
+      FROM customer)
+    SELECT c_custkey, quartile,
+           {oracle_round_quotient("rn - 1", "n - 1", 6)} AS pct_rank,
+           {oracle_round_quotient("rn", "n", 6)} AS cume
+    FROM r
     """,
 )
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -205,8 +210,8 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.crossJoin(F.broadcast(n_total)).select(
         "c_custkey",
         exact_ntile(rn, n, 4).alias("quartile"),
-        F.round((rn - 1).cast("double") / (n - 1), 6).alias("pct_rank"),
-        F.round(rn.cast("double") / n, 6).alias("cume"),
+        round_quotient(rn - 1, n - 1, 6).alias("pct_rank"),
+        round_quotient(rn, n, 6).alias("cume"),
     )
 
 
@@ -414,18 +419,20 @@ def window_ntile_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_percent_of_parent",
-    oracle="""
+    oracle=f"""
     WITH nat AS (
-      SELECT r_name, n_name, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+      SELECT r_name, n_name, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
       FROM orders
       JOIN customer ON o_custkey = c_custkey
       JOIN nation ON c_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name, n_name)
-    SELECT r_name, n_name, revenue,
-           round(revenue / sum(revenue) OVER (PARTITION BY r_name) * 100, 4)
+    SELECT r_name, n_name, round(CAST(rev AS DOUBLE), 2) AS revenue,
+           {oracle_round_quotient("rev * 100",
+               "sum(rev) OVER (PARTITION BY r_name)", 4, den_scale=2)}
              AS pct_of_region,
-           round(revenue / sum(revenue) OVER () * 100, 4) AS pct_of_total
+           {oracle_round_quotient("rev * 100", "sum(rev) OVER ()", 4, den_scale=2)}
+             AS pct_of_total
     FROM nat ORDER BY r_name, n_name
     """,
 )
@@ -444,20 +451,20 @@ def window_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
         .groupBy("r_name", "n_name")
-        .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).alias("revenue"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
     )
     w_region = Window.partitionBy("r_name")
     w_all = Window.partitionBy()
     return nat.select(
         "r_name",
         "n_name",
-        "revenue",
-        F.round(F.col("revenue") / F.sum("revenue").over(w_region) * 100, 4).alias(
-            "pct_of_region"
-        ),
-        F.round(F.col("revenue") / F.sum("revenue").over(w_all) * 100, 4).alias(
-            "pct_of_total"
-        ),
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        round_quotient(
+            F.col("rev") * 100, F.sum("rev").over(w_region), 4, den_scale=2
+        ).alias("pct_of_region"),
+        round_quotient(
+            F.col("rev") * 100, F.sum("rev").over(w_all), 4, den_scale=2
+        ).alias("pct_of_total"),
     ).orderBy("r_name", "n_name")
 
 
@@ -596,7 +603,7 @@ def window_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_cumulative_vwap",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
       SELECT CAST(date_trunc('day', l_shipdate) AS DATE) AS day,
              sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS pv,
@@ -606,9 +613,9 @@ def window_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND l_shipdate <  TIMESTAMP '1995-02-01 00:00:00'
       GROUP BY 1)
     SELECT day,
-           round(CAST(pv AS DOUBLE) / CAST(v AS DOUBLE), 4) AS day_vwap,
-           round(CAST(sum(pv) OVER w AS DOUBLE)
-                 / CAST(sum(v) OVER w AS DOUBLE), 4) AS cum_vwap
+           {oracle_round_quotient("pv", "v", 4, den_scale=2)} AS day_vwap,
+           {oracle_round_quotient("sum(pv) OVER w", "sum(v) OVER w", 4, den_scale=2)}
+             AS cum_vwap
     FROM daily
     WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
     ORDER BY day
@@ -637,11 +644,9 @@ def window_cumulative_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     return daily.select(
         "day",
-        F.round(F.col("pv").cast("double") / F.col("v").cast("double"), 4).alias(
-            "day_vwap"
-        ),
-        F.round(
-            F.sum("pv").over(w).cast("double") / F.sum("v").over(w).cast("double"), 4
+        round_quotient(F.col("pv"), F.col("v"), 4, den_scale=2).alias("day_vwap"),
+        round_quotient(
+            F.sum("pv").over(w), F.sum("v").over(w), 4, den_scale=2
         ).alias("cum_vwap"),
     ).orderBy("day")
 
@@ -743,7 +748,7 @@ def window_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_rsi_daily_revenue",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
              sum(CAST(round(value * 100) AS BIGINT)) AS rev_c
@@ -754,18 +759,18 @@ def window_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily),
     g AS (
       SELECT day,
-             avg(CASE WHEN delta > 0 THEN delta ELSE 0 END)
-               OVER w AS avg_gain_c,
-             avg(CASE WHEN delta < 0 THEN -delta ELSE 0 END)
-               OVER w AS avg_loss_c,
+             sum(CASE WHEN delta > 0 THEN delta ELSE 0 END)
+               OVER w AS gain_c,
+             sum(CASE WHEN delta < 0 THEN -delta ELSE 0 END)
+               OVER w AS loss_c,
              count(delta) OVER w AS n_deltas
       FROM d
       WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
     SELECT day,
-           round(avg_gain_c / 100.0, 4) AS avg_gain,
-           round(avg_loss_c / 100.0, 4) AS avg_loss,
-           round(CASE WHEN avg_loss_c = 0 THEN 100.0
-                      ELSE 100.0 - 100.0 / (1.0 + avg_gain_c / avg_loss_c) END, 4)
+           {oracle_round_quotient("gain_c", "1400", 4)} AS avg_gain,
+           {oracle_round_quotient("loss_c", "1400", 4)} AS avg_loss,
+           CASE WHEN loss_c = 0 THEN 100.0
+                ELSE {oracle_round_quotient("gain_c * 100", "gain_c + loss_c", 4)} END
              AS rsi14
     FROM g WHERE n_deltas >= 14 ORDER BY day
     """,
@@ -791,21 +796,23 @@ def window_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = daily.select(
         "day", (F.col("rev_c") - F.lag("rev_c").over(wl)).alias("delta")
     )
-    gain = F.avg(F.when(F.col("delta") > 0, F.col("delta")).otherwise(0)).over(w)
-    loss = F.avg(F.when(F.col("delta") < 0, -F.col("delta")).otherwise(0)).over(w)
+    gain = F.sum(F.when(F.col("delta") > 0, F.col("delta")).otherwise(0)).over(w)
+    loss = F.sum(F.when(F.col("delta") < 0, -F.col("delta")).otherwise(0)).over(w)
     g = d.select(
         "day",
-        gain.alias("avg_gain_c"),
-        loss.alias("avg_loss_c"),
+        gain.alias("gain_c"),
+        loss.alias("loss_c"),
         F.count("delta").over(w).alias("n_deltas"),
     ).filter(F.col("n_deltas") >= 14)
     return g.select(
         "day",
-        F.round(F.col("avg_gain_c") / 100.0, 4).alias("avg_gain"),
-        F.round(F.col("avg_loss_c") / 100.0, 4).alias("avg_loss"),
+        round_quotient(F.col("gain_c"), F.lit(1400), 4).alias("avg_gain"),
+        round_quotient(F.col("loss_c"), F.lit(1400), 4).alias("avg_loss"),
         F.round(
-            F.when(F.col("avg_loss_c") == 0, 100.0).otherwise(
-                100.0 - 100.0 / (1.0 + F.col("avg_gain_c") / F.col("avg_loss_c"))
+            F.when(F.col("loss_c") == 0, 100.0).otherwise(
+                round_quotient(
+                    F.col("gain_c") * 100, F.col("gain_c") + F.col("loss_c"), 4
+                )
             ),
             4,
         ).alias("rsi14"),
@@ -874,7 +881,7 @@ def window_obv_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_seasonal_naive_backtest",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
       SELECT date_trunc('day', ts)::DATE AS day,
              sum(CAST(round(value * 100) AS BIGINT)) AS rev_c
@@ -884,7 +891,7 @@ def window_obv_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
              lag(rev_c, 7) OVER (ORDER BY day) AS forecast_c
       FROM daily)
     SELECT count(*) AS n_days_scored,
-           round(avg(abs(rev_c - forecast_c)) / 100.0, 2) AS mae,
+           {oracle_round_quotient("sum(abs(rev_c - forecast_c))", "count(*) * 100", 2)} AS mae,
            round(avg(abs(rev_c - forecast_c) / CAST(rev_c AS DOUBLE)), 6) AS mape,
            round(CAST(max(abs(rev_c - forecast_c)) AS DOUBLE) / 100.0, 2) AS worst_abs_error
     FROM f WHERE forecast_c IS NOT NULL AND rev_c > 0
@@ -913,7 +920,7 @@ def window_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFram
     err = F.abs(F.col("rev_c") - F.col("forecast_c"))
     return f.agg(
         F.count(F.lit(1)).alias("n_days_scored"),
-        F.round(F.avg(err) / 100.0, 2).alias("mae"),
+        round_quotient(F.sum(err), F.count(F.lit(1)) * 100, 2).alias("mae"),
         F.round(F.avg(err / F.col("rev_c").cast("double")), 6).alias("mape"),
         F.round(F.max(err).cast("double") / 100.0, 2).alias("worst_abs_error"),
     )

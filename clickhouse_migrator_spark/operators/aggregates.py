@@ -915,7 +915,7 @@ def agg_quantile_exact_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_bounding_ratio",
-    oracle="""
+    oracle=f"""
     WITH r AS (
       SELECT o_custkey,
              row_number() OVER (PARTITION BY o_custkey
@@ -928,11 +928,13 @@ def agg_quantile_exact_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     )
     SELECT o_custkey,
-           round((max(CASE WHEN rl = 1 THEN y END)
-                  - max(CASE WHEN rf = 1 THEN y END))
-                 / ((max(CASE WHEN rl = 1 THEN x END)
-                     - max(CASE WHEN rf = 1 THEN x END)) / 86400000000.0),
-                 6) AS price_slope_per_day
+           {oracle_round_quotient(
+               "(max(CASE WHEN rl = 1 THEN CAST(y AS DECIMAL(18,2)) END)"
+               " - max(CASE WHEN rf = 1 THEN CAST(y AS DECIMAL(18,2)) END))"
+               " * 86400000000",
+               "max(CASE WHEN rl = 1 THEN x END)"
+               " - max(CASE WHEN rf = 1 THEN x END)", 6, den_scale=0)}
+             AS price_slope_per_day
     FROM r GROUP BY o_custkey
     HAVING max(CASE WHEN rl = 1 THEN x END)
            > max(CASE WHEN rf = 1 THEN x END)
@@ -950,7 +952,7 @@ def agg_bounding_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.struct("o_orderdate", "o_orderkey").alias("k"),
         F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("x"),
-        F.col("o_totalprice").alias("y"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("y"),
     )
     g = o.groupBy("o_custkey").agg(
         F.min_by("y", F.col("k")).alias("y0"),
@@ -962,9 +964,11 @@ def agg_bounding_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.filter(F.col("x1") > F.col("x0"))
         .select(
             "o_custkey",
-            F.round(
-                (F.col("y1") - F.col("y0"))
-                / ((F.col("x1") - F.col("x0")) / F.lit(86400000000.0)),
+            # slope = Δy·86400e6 / Δx_us — exact decimal over exact
+            # integer micros, rounded in exact arithmetic
+            round_quotient(
+                (F.col("y1") - F.col("y0")) * F.lit(86400000000),
+                F.col("x1") - F.col("x0"),
                 6,
             ).alias("price_slope_per_day"),
         )
@@ -1860,6 +1864,7 @@ def agg_pythagorean_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.round(F.avg(q), 4).alias("arithmetic_mean"),
             F.round(F.exp(F.avg(F.log(q))), 4).alias("geometric_mean"),
+            # round-ok: harmonic mean has a float-sum denominator (Σ 1/x)
             F.round(F.count(F.lit(1)) / F.sum(1.0 / q), 4).alias("harmonic_mean"),
             F.round(F.sqrt(F.avg(q * q)), 4).alias("quadratic_mean"),
         )

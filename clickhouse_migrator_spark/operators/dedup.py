@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
+from ..hashsafe import oracle_round_quotient, round_quotient
 from ..registry import register
 from ..tables import table
 
@@ -962,7 +963,7 @@ CONTAINMENT_T = 0.9
     oracle=f"""
     WITH {_SHINGLE_SQL}
     SELECT doc_a, doc_b,
-           round(inter / CAST(least(sa.n, sb.n) AS DOUBLE), 6) AS containment
+           {oracle_round_quotient("inter", "least(sa.n, sb.n)", 6)} AS containment
     FROM pair_inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
@@ -987,7 +988,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(F.col("inter") / mn.cast("double"), 6).alias("containment"),
+            round_quotient(F.col("inter"), mn, 6).alias("containment"),
         )
     )
 

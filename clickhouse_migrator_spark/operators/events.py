@@ -2923,6 +2923,7 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "n_events",
             "duration_s",
+            # round-ok: vdt = Σ value·dt is a float sum (value is double)
             F.round(F.col("vdt") / F.col("duration_s"), 4).alias("time_weighted_avg"),
         )
         .orderBy("user_id")

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..hashsafe import oracle_round_quotient, round_quotient
 from ..registry import register
 from ..tables import table
 from .dedup import _SHINGLE_SQL, JACCARD_T, near_dup_pairs
@@ -105,7 +106,7 @@ def graph_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src),
     wedge AS (SELECT sum(d * (d - 1) / 2) AS n_wedges FROM deg)
     SELECT n_triangles, CAST(n_wedges AS BIGINT) AS n_wedges,
-           round(3.0 * n_triangles / n_wedges, 6) AS global_clustering
+           {oracle_round_quotient("3 * n_triangles", "n_wedges", 6)} AS global_clustering
     FROM tri CROSS JOIN wedge
     """,
 )
@@ -146,7 +147,7 @@ def graph_triangles_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.crossJoin(F.broadcast(wedge)).select(
         "n_triangles",
         "n_wedges",
-        F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
+        round_quotient(3 * F.col("n_triangles"), F.col("n_wedges"), 6).alias(
             "global_clustering"
         ),
     )

@@ -19,6 +19,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..hashsafe import oracle_round_quotient, round_quotient
+
+_N_TOK_SQL = r"len(string_split_regex(lower(trim(text)), '\s+'))"
 from ..registry import register
 from ..tables import table
 from .sampling import _P, _sql_bucket, hash_bucket
@@ -620,13 +623,11 @@ def pipeline_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipeline_curriculum_phases",
-    oracle="""
+    oracle=f"""
     WITH t AS (
       SELECT doc_id, source,
              len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
-             round(length(text)
-                   / CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE),
-                   6) AS difficulty
+             {oracle_round_quotient("length(text)", _N_TOK_SQL, 6)} AS difficulty
       FROM documents),
     r AS (
       SELECT *,
@@ -663,7 +664,7 @@ def pipeline_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.size(toks).alias("n_tokens"),
-        F.round(F.length("text") / F.size(toks).cast("double"), 6).alias("difficulty"),
+        round_quotient(F.length("text"), F.size(toks), 6).alias("difficulty"),
     )
     n = t.count()
     r = with_global_row_number(t, ["difficulty", "doc_id"], rn_col="rn")

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
+from ..hashsafe import oracle_round_quotient, round_quotient
 from ..registry import register
 from ..tables import table
 
@@ -255,8 +256,8 @@ def sample_temperature_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT r.event_type,
            count(*)                 AS n_kept,
            max(c.n_total)           AS n_total,
-           round(CAST(sum(CAST(r.value AS DECIMAL(18,2))) AS DOUBLE)
-                 / count(r.value), 4) AS avg_value_kept
+           {oracle_round_quotient("sum(CAST(r.value AS DECIMAL(18,2)))",
+               "count(r.value)", 4)} AS avg_value_kept
     FROM ranked r CROSS JOIN floor_n f JOIN counts c USING (event_type)
     WHERE r.rk <= f.n_min
     GROUP BY r.event_type
@@ -298,7 +299,9 @@ def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
             F.max("n_total").alias("n_total"),
-            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("value"), 4).alias("avg_value_kept"),
+            round_quotient(
+                F.sum(F.col("value").cast("decimal(18,2)")), F.count("value"), 4
+            ).alias("avg_value_kept"),
         )
     )
 
@@ -430,9 +433,11 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.col("n").cast("bigint").alias("stratum_size"),
             F.round("sd", 4).alias("stratum_sd"),
+            # round-ok: sd is a float stddev — float-stat provenance
             F.round(1000.0 * F.col("n") * F.col("sd") / F.col("w"))
             .cast("bigint")
             .alias("allocated_n"),
+            # round-ok: sd is a float stddev — float-stat provenance
             F.round(F.col("n") * F.col("sd") / F.col("w"), 6).alias(
                 "allocation_share"
             ),

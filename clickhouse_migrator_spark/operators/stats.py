@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..hashsafe import oracle_round_quotient, round_quotient
 from ..registry import register
 from ..tables import table
 
@@ -295,7 +296,7 @@ def agg_rank_corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_value_auc",
-    oracle="""
+    oracle=f"""
     WITH ranked AS (
       SELECT (event_type = 'purchase') AS pos,
              avg(rn) OVER (PARTITION BY value) AS avg_rank
@@ -303,11 +304,12 @@ def agg_rank_corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
                    row_number() OVER (ORDER BY value, event_id) AS rn
             FROM events)
     )
-    SELECT round((sum(CASE WHEN pos THEN avg_rank END)
-                  - (sum(CASE WHEN pos THEN 1 ELSE 0 END)
-                     * (sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1)) / 2.0)
-                 / (sum(CASE WHEN pos THEN 1 ELSE 0 END)
-                    * sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)), 6) AS auc,
+    SELECT {oracle_round_quotient(
+               "CAST(2 * sum(CASE WHEN pos THEN avg_rank END) AS HUGEINT)"
+               " - CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS HUGEINT)"
+               "   * (sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1)",
+               "2 * CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS HUGEINT)"
+               "   * sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)", 6)} AS auc,
            sum(CASE WHEN pos THEN 1 ELSE 0 END)     AS n_pos,
            sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS n_neg
     FROM ranked
@@ -345,8 +347,19 @@ def agg_value_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     npos = F.sum("c_pos")
     nneg = F.sum("c_neg")
     rpos = F.sum(F.col("c_pos") * F.col("avg_rank"))
+    # AUC numerator/denominator are exact integers (2*rpos is an integer
+    # because avg ranks are half-integers); round in exact arithmetic so
+    # the 6-digit output is engine-invariant (hashsafe.round_quotient).
+    num = (F.lit(2) * rpos).cast("decimal(38,0)") - (
+        npos.cast("decimal(19,0)") * (npos + 1).cast("decimal(19,0)")
+    ).cast("decimal(38,0)")
+    den = (
+        F.lit(2).cast("decimal(19,0)")
+        * npos.cast("decimal(19,0)")
+        * nneg.cast("decimal(19,0)")
+    ).cast("decimal(38,0)")
     return ranked.agg(
-        F.round((rpos - (npos * (npos + 1)) / 2.0) / (npos * nneg), 6).alias("auc"),
+        round_quotient(num, den, 6).alias("auc"),
         npos.alias("n_pos"),
         nneg.alias("n_neg"),
     )
@@ -354,7 +367,7 @@ def agg_value_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_ks_two_sample",
-    oracle="""
+    oracle=f"""
     WITH grid AS (
       SELECT value,
              sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c_p,
@@ -368,8 +381,11 @@ def agg_value_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_e
       FROM grid
     )
-    SELECT round(max(abs(cum_p / (SELECT sum(c_p) FROM grid)
-                         - cum_e / (SELECT sum(c_e) FROM grid))), 6) AS ks_d,
+    SELECT {oracle_round_quotient(
+               "max(abs(CAST(cum_p AS HUGEINT) * (SELECT sum(c_e) FROM grid)"
+               "        - CAST(cum_e AS HUGEINT) * (SELECT sum(c_p) FROM grid)))",
+               "CAST((SELECT sum(c_p) FROM grid) AS HUGEINT)"
+               " * (SELECT sum(c_e) FROM grid)", 6)} AS ks_d,
            (SELECT sum(c_p) FROM grid) AS n_purchase,
            (SELECT sum(c_e) FROM grid) AS n_error
     FROM cum
@@ -402,13 +418,21 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cum.crossJoin(F.broadcast(totals))
         .agg(
-            F.round(
+            # D * n_p * n_e is an exact integer: round the rational in
+            # exact arithmetic (see hashsafe.round_quotient)
+            round_quotient(
                 F.max(
                     F.abs(
-                        F.col("cum_p") / F.col("n_purchase")
-                        - F.col("cum_e") / F.col("n_error")
-                    )
+                        F.col("cum_p").cast("decimal(19,0)")
+                        * F.col("n_error").cast("decimal(19,0)")
+                        - F.col("cum_e").cast("decimal(19,0)")
+                        * F.col("n_purchase").cast("decimal(19,0)")
+                    ).cast("decimal(38,0)")
                 ),
+                (
+                    F.max(F.col("n_purchase")).cast("decimal(19,0)")
+                    * F.max(F.col("n_error")).cast("decimal(19,0)")
+                ).cast("decimal(38,0)"),
                 6,
             ).alias("ks_d"),
             F.first("n_purchase").alias("n_purchase"),
@@ -625,6 +649,7 @@ def window_nonnegative_derivative(spark: SparkSession, sf_dir: str) -> DataFrame
     return d.filter(F.col("prev_us").isNotNull() & (F.col("us") > F.col("prev_us"))).select(
         "event_id",
         "user_id",
+        # round-ok: value deltas are raw doubles — float provenance
         F.round(
             F.greatest(
                 F.lit(0.0),
@@ -817,6 +842,7 @@ def agg_association_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contingency_c"
         ),
         F.round(F.sqrt(phi2_corr / k_corr), 6).alias("cramers_v_corrected"),
+        # round-ok: entropies are log-derived — float-stat provenance
         F.round(
             (F.col("h_a") - F.col("h_a_given_b")) / F.col("h_a"), 6
         ).alias("theils_u"),
@@ -831,13 +857,25 @@ def _lttb_pandas(pdf, n_out: int):
     """Largest-Triangle-Three-Buckets over one (pre-sorted) series.
 
     Pure-pandas inner loop over ``n_out`` buckets (not rows): the
-    sequential selected-point dependency makes LTTB irreducible to
-    relational ops, which is exactly why it rides in ``applyInPandas``.
+    sequential selected-point dependency makes LTTB irreducible to a
+    window/agg composition, which is why it rides in ``applyInPandas``.
+
+    Cross-engine-exact arithmetic (this is what lets the DuckDB
+    recursive-CTE oracle certify the output): the bucket centroid is
+    kept as EXACT integer sums (x in µs, y on the cents grid), and the
+    triangle area is evaluated as
+
+        A_i = | (px·c − Σx) · (y_ci − py_c)  −  (px − x_i) · (Σy_c − py_c·c) |
+
+    — a positive multiple (100·c) of the real area.  Every operand is
+    an exact int64; the two products round identically in IEEE double
+    on any engine, so argmax ties break identically (lowest index).
     """
     import numpy as np
 
     x = pdf["x_us"].to_numpy(dtype="int64")
     y = pdf["y"].to_numpy(dtype="float64")
+    y_c = np.rint(y * 100).astype("int64")  # exact cents grid
     n = len(x)
     if n <= n_out:
         sel = list(range(n))
@@ -852,10 +890,15 @@ def _lttb_pandas(pdf, n_out: int):
                 edges[b + 1],
                 edges[b + 2],
             )
-            ax, ay = x[nxt_lo:nxt_hi].mean(), y[nxt_lo:nxt_hi].mean()
-            px, py = float(x[prev]), float(y[prev])
+            c = nxt_hi - nxt_lo
+            sx = int(x[nxt_lo:nxt_hi].sum())
+            sy = int(y_c[nxt_lo:nxt_hi].sum())
+            px, py_c = int(x[prev]), int(y_c[prev])
+            d1 = float(px * c - sx)
+            d2 = float(sy - py_c * c)
             areas = np.abs(
-                (px - ax) * (y[lo:hi] - py) - (px - x[lo:hi]) * (ay - py)
+                d1 * (y_c[lo:hi] - py_c).astype("float64")
+                - (px - x[lo:hi]).astype("float64") * d2
             )
             prev = lo + int(np.argmax(areas))
             sel.append(prev)
@@ -865,7 +908,61 @@ def _lttb_pandas(pdf, n_out: int):
     return out
 
 
-@register("ts_lttb_downsample")  # rows-only: sequential selection is not SQL-expressible
+_LTTB_NB = LTTB_N_OUT - 2      # interior buckets
+_LTTB_LASTB = LTTB_N_OUT - 3   # last interior bucket index
+
+
+@register(
+    "ts_lttb_downsample",
+    oracle=f"""
+    WITH RECURSIVE pts AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS x_us,
+             value AS y,
+             CAST(round(value * 100) AS BIGINT) AS y_c,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+               - 1 AS i,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    sel AS (
+      SELECT event_type, n, CAST(-1 AS BIGINT) AS b, CAST(0 AS BIGINT) AS i,
+             x_us, y, y_c
+      FROM pts WHERE i = 0 AND n > {LTTB_N_OUT}
+      UNION ALL
+      SELECT s.event_type, s.n, s.b + 1, c.i, c.x_us, c.y, c.y_c
+      FROM sel s, LATERAL (
+        SELECT p.i, p.x_us, p.y, p.y_c
+        FROM pts p,
+             (SELECT count(*) AS c, sum(p2.x_us) AS sx, sum(p2.y_c) AS sy
+              FROM pts p2
+              WHERE p2.event_type = s.event_type
+                AND p2.i >= 1 + ((s.b + 2) * (s.n - 2)) // {_LTTB_NB}
+                AND p2.i <  CASE WHEN s.b + 1 = {_LTTB_LASTB} THEN s.n
+                                 ELSE 1 + ((s.b + 3) * (s.n - 2)) // {_LTTB_NB}
+                            END) nb
+        WHERE p.event_type = s.event_type
+          AND p.i >= 1 + ((s.b + 1) * (s.n - 2)) // {_LTTB_NB}
+          AND p.i <  1 + ((s.b + 2) * (s.n - 2)) // {_LTTB_NB}
+        ORDER BY abs(CAST(s.x_us * nb.c - nb.sx AS DOUBLE)
+                       * CAST(p.y_c - s.y_c AS DOUBLE)
+                     - CAST(s.x_us - p.x_us AS DOUBLE)
+                       * CAST(nb.sy - s.y_c * nb.c AS DOUBLE)) DESC,
+                 p.i ASC
+        LIMIT 1
+      ) c
+      WHERE s.b + 1 <= {_LTTB_LASTB}
+    )
+    SELECT event_type, x_us, y, CAST(b + 1 AS INT) AS sel_idx FROM sel
+    UNION ALL
+    SELECT event_type, x_us, y, CAST({LTTB_N_OUT} - 1 AS INT) AS sel_idx
+    FROM pts WHERE n > {LTTB_N_OUT} AND i = n - 1
+    UNION ALL
+    SELECT event_type, x_us, y, CAST(i AS INT) AS sel_idx
+    FROM pts WHERE n <= {LTTB_N_OUT}
+    """,
+)
 def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``largestTriangleThreeBuckets(n)(x, y)`` — perceptual
     time-series downsampling to LTTB_N_OUT points per event_type.
@@ -877,10 +974,15 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python).  Scale: series are the unit of parallelism — thousands of
     independent series spread across executors; a single monster
     series would need chunked pre-reduction (bucket-level min/max
-    pre-pass) before the exact pass.  No oracle: DuckDB cannot express
-    the recurrence; determinism is pinned by the rows-only re-run gate
-    and a golden pytest against an independent reference
-    implementation."""
+    pre-pass) before the exact pass.
+
+    Oracle (r3, graduating the entry from rows-only to full hash): the
+    per-bucket recurrence is expressed as a DuckDB RECURSIVE CTE — one
+    recursion step per bucket, a LATERAL argmax over the bucket's
+    points given the previously selected point.  Both sides evaluate
+    the triangle area from the same exact integers (µs grid × cents
+    grid, see ``_lttb_pandas``), so the argmax — ties included — is
+    bit-identical across engines."""
     e = table(spark, sf_dir, "events")
     pts = e.select(
         "event_type",
@@ -1180,6 +1282,7 @@ def agg_anova_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(sb_minus, 4).alias("ss_between"),
         F.round(ssw, 4).alias("ss_within"),
+        # round-ok: sums of squares are float — float-stat provenance
         F.round((sb_minus / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 6).alias(
             "f_stat"
         ),
@@ -1297,6 +1400,7 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     return m.select(
         F.col("n").alias("vocab_size"),
+        # round-ok: log-log regression sums — float-stat provenance
         F.round(num / den, 6).alias("zipf_slope"),
         F.round(F.pow(num, 2) / (den * deny), 6).alias("r2"),
     )
@@ -1362,6 +1466,7 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         lagged.groupBy("k")
         .agg(F.sum("prod").alias("num"))
         .crossJoin(F.broadcast(denom))
+        # round-ok: autocovariance products are float — float-stat provenance
         .select(F.col("k").alias("lag_hours"), F.round(F.col("num") / F.col("ss"), 6).alias("acf"))
         .orderBy("lag_hours")
     )
@@ -1369,7 +1474,7 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_gini_spend",
-    oracle="""
+    oracle=f"""
     WITH per_user AS (
       -- exact cents grid: every rank, running sum and ratio below is
       -- integer-exact, so accumulation order cannot move the output
@@ -1382,9 +1487,10 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per_user)
     SELECT CAST(max(n) AS BIGINT) AS n_users,
            round(CAST(max(s) AS DOUBLE) / 100.0, 2) AS total_spend,
-           round(2.0 * CAST(sum(i * cents) AS DOUBLE)
-                 / (CAST(max(n) AS DOUBLE) * CAST(max(s) AS DOUBLE))
-                 - (max(n) + 1.0) / max(n), 6) AS gini
+           {oracle_round_quotient(
+               "2 * CAST(sum(CAST(i AS HUGEINT) * cents) AS HUGEINT)"
+               " - (CAST(max(n) AS HUGEINT) + 1) * max(s)",
+               "CAST(max(n) AS HUGEINT) * max(s)", 6)} AS gini
     FROM ranked
     """,
 )
@@ -1416,10 +1522,18 @@ def agg_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.agg(
         F.max("n").cast("bigint").alias("n_users"),
         F.round(F.max("s").cast("double") / 100.0, 2).alias("total_spend"),
-        F.round(
-            2.0 * rw.cast("double")
-            / (F.max("n").cast("double") * F.max("s").cast("double"))
-            - (F.max("n") + 1.0) / F.max("n"),
+        # G = (2*sum(i*x) - (n+1)*s) / (n*s): exact integers both
+        # sides, so the 6-digit round is engine-invariant
+        round_quotient(
+            F.lit(2).cast("decimal(38,0)") * rw
+            - (
+                (F.max("n") + 1).cast("decimal(19,0)")
+                * F.max("s").cast("decimal(19,0)")
+            ).cast("decimal(38,0)"),
+            (
+                F.max("n").cast("decimal(19,0)")
+                * F.max("s").cast("decimal(19,0)")
+            ).cast("decimal(38,0)"),
             6,
         ).alias("gini"),
     )
@@ -1447,9 +1561,11 @@ def agg_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
              max(CASE WHEN arm = 'B' THEN conv END) AS cb,
              max(CASE WHEN arm = 'B' THEN rate END) AS rb
       FROM arms)
-    SELECT na, ca, round(ra, 6) AS rate_a,
-           nb, cb, round(rb, 6) AS rate_b,
-           round(rb - ra, 6) AS abs_lift,
+    SELECT na, ca, {oracle_round_quotient("ca", "na", 6)} AS rate_a,
+           nb, cb, {oracle_round_quotient("cb", "nb", 6)} AS rate_b,
+           {oracle_round_quotient(
+               "CAST(cb AS HUGEINT) * na - CAST(ca AS HUGEINT) * nb",
+               "CAST(na AS HUGEINT) * nb", 6)} AS abs_lift,
            round((rb - ra) / sqrt(
                ((ca + cb) / CAST(na + nb AS DOUBLE))
                * (1 - (ca + cb) / CAST(na + nb AS DOUBLE))
@@ -1506,11 +1622,17 @@ def agg_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         "na",
         "ca",
-        F.round("ra", 6).alias("rate_a"),
+        round_quotient(F.col("ca"), F.col("na"), 6).alias("rate_a"),
         "nb",
         "cb",
-        F.round("rb", 6).alias("rate_b"),
-        F.round(F.col("rb") - F.col("ra"), 6).alias("abs_lift"),
+        round_quotient(F.col("cb"), F.col("nb"), 6).alias("rate_b"),
+        # lift = (cb*na - ca*nb)/(na*nb): exact integers both sides
+        round_quotient(
+            F.col("cb").cast("decimal(19,0)") * F.col("na").cast("decimal(19,0)")
+            - F.col("ca").cast("decimal(19,0)") * F.col("nb").cast("decimal(19,0)"),
+            F.col("na").cast("decimal(19,0)") * F.col("nb").cast("decimal(19,0)"),
+            6,
+        ).alias("abs_lift"),
         F.round(
             (F.col("rb") - F.col("ra"))
             / F.sqrt(
@@ -1580,7 +1702,7 @@ def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_pareto_concentration",
-    oracle="""
+    oracle=f"""
     WITH per_user AS (
       -- exact cents grid (see agg_gini_spend): the 80% crossing is a
       -- comparison of exact integers against 0.8*total
@@ -1597,8 +1719,9 @@ def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(min(CASE WHEN cum >= 0.8 * total THEN i END) AS BIGINT)
              AS users_for_80pct,
            CAST(max(n) AS BIGINT) AS n_users,
-           round(min(CASE WHEN cum >= 0.8 * total THEN i END)
-                 / CAST(max(n) AS DOUBLE) * 100, 4) AS pct_users_for_80pct
+           {oracle_round_quotient(
+               "min(CASE WHEN cum >= 0.8 * total THEN i END) * 100",
+               "max(n)", 4)} AS pct_users_for_80pct
     FROM ranked
     """,
 )
@@ -1634,7 +1757,7 @@ def agg_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.agg(
         crossing.cast("bigint").alias("users_for_80pct"),
         F.max("n").cast("bigint").alias("n_users"),
-        F.round(crossing / F.max("n").cast("double") * 100, 4).alias(
+        round_quotient(crossing * 100, F.max("n"), 4).alias(
             "pct_users_for_80pct"
         ),
     )

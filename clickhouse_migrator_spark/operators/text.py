@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
+from ..hashsafe import oracle_round_quotient, round_quotient
 from ..registry import register
 from ..tables import table
 
@@ -47,14 +48,17 @@ def _docs_cpu(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+_N_TOK_SQL = r"len(string_split_regex(lower(trim(text)), '\s+'))"
+
+
 @register(
     "text_token_stats",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
            len(string_split_regex(lower(trim(text)), '\\s+'))  AS n_tokens,
            len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))     AS n_bpe_pieces,
            length(text)                                        AS n_chars_computed,
-           round(length(text) / CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE), 4)
+           {oracle_round_quotient("length(text)", _N_TOK_SQL, 4)}
                AS chars_per_token
     FROM documents
     """,
@@ -71,7 +75,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bpe_pieces"
         ),
         F.length("text").alias("n_chars_computed"),
-        F.round(F.length("text") / n_tok.cast("double"), 4).alias("chars_per_token"),
+        round_quotient(F.length("text"), n_tok, 4).alias("chars_per_token"),
     )
 
 
@@ -85,10 +89,11 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            len(toks) AS n_tokens,
-           round({_sql_stop_hits(STOP_EN)} / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
-           round(len(regexp_extract_all(text, '[[:punct:]]')) / CAST(length(text) AS DOUBLE), 6)
+           {oracle_round_quotient(_sql_stop_hits(STOP_EN), "len(toks)", 6)} AS stopword_ratio,
+           {oracle_round_quotient("len(regexp_extract_all(text, '[[:punct:]]'))",
+               "length(text)", 6)}
                AS punct_ratio,
-           round(length(text) / CAST(len(toks) AS DOUBLE), 4) AS avg_token_len,
+           {oracle_round_quotient("length(text)", "len(toks)", 4)} AS avg_token_len,
            (len(toks) >= 20 AND length(text) / CAST(len(toks) AS DOUBLE) BETWEEN 3 AND 12)
                AS passes_quality
     FROM t
@@ -105,15 +110,15 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         n_tok.alias("n_tokens"),
-        F.round(_stop_hits(toks, STOP_EN) / n_tok.cast("double"), 6).alias(
+        round_quotient(_stop_hits(toks, STOP_EN), n_tok, 6).alias(
             "stopword_ratio"
         ),
-        F.round(
-            F.size(F.regexp_extract_all("text", F.lit(r"[\p{Punct}]")))
-            / F.length("text").cast("double"),
+        round_quotient(
+            F.size(F.regexp_extract_all("text", F.lit(r"[\p{Punct}]"))),
+            F.length("text"),
             6,
         ).alias("punct_ratio"),
-        F.round(avg_len, 4).alias("avg_token_len"),
+        round_quotient(F.length("text"), n_tok, 4).alias("avg_token_len"),
         ((n_tok >= 20) & avg_len.between(3, 12)).alias("passes_quality"),
     )
 
@@ -1203,7 +1208,7 @@ def text_char_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_stopword_discovery",
-    oracle="""
+    oracle=f"""
     WITH tok AS (
       SELECT DISTINCT doc_id,
              unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
@@ -1212,7 +1217,7 @@ def text_char_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     df AS (
       SELECT token, count(*) AS doc_freq FROM tok GROUP BY token)
     SELECT token, doc_freq,
-           round(doc_freq / CAST(n_docs AS DOUBLE), 6) AS df_ratio
+           {oracle_round_quotient("doc_freq", "n_docs", 6)} AS df_ratio
     FROM df CROSS JOIN n
     WHERE doc_freq >= 0.6 * n_docs
     ORDER BY doc_freq DESC, token
@@ -1239,7 +1244,7 @@ def text_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "token",
             "doc_freq",
-            F.round(F.col("doc_freq") / F.col("n_docs").cast("double"), 6).alias(
+            round_quotient(F.col("doc_freq"), F.col("n_docs"), 6).alias(
                 "df_ratio"
             ),
         )
@@ -1249,7 +1254,7 @@ def text_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_word_burstiness",
-    oracle="""
+    oracle=f"""
     WITH tok AS (
       SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
       FROM documents),
@@ -1262,8 +1267,8 @@ def text_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(tf) AS cf
       FROM per_doc GROUP BY token)
     SELECT token, df, cf,
-           round(df2 / CAST(df AS DOUBLE), 6) AS burstiness,
-           round(cf / CAST(df AS DOUBLE), 6) AS mean_tf
+           {oracle_round_quotient("df2", "df", 6)} AS burstiness,
+           {oracle_round_quotient("cf", "df", 6)} AS mean_tf
     FROM stats
     ORDER BY df DESC, token
     LIMIT 20
@@ -1295,8 +1300,8 @@ def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token",
             "df",
             "cf",
-            F.round(F.col("df2") / F.col("df").cast("double"), 6).alias("burstiness"),
-            F.round(F.col("cf") / F.col("df").cast("double"), 6).alias("mean_tf"),
+            round_quotient(F.col("df2"), F.col("df"), 6).alias("burstiness"),
+            round_quotient(F.col("cf"), F.col("df"), 6).alias("mean_tf"),
         )
         .orderBy(F.desc("df"), "token")
         .limit(20)

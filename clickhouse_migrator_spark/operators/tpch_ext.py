@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..hashsafe import oracle_round_quotient, round_quotient
 from ..registry import register
 from ..tables import table
 
@@ -305,11 +306,13 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
 
 @register(
     "tpch_q14_promo_revenue",
-    oracle="""
-    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                  THEN l_extendedprice * (1 - l_discount)
-                                  ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    oracle=f"""
+    SELECT {oracle_round_quotient(
+               "sum(CASE WHEN p_type = 'PROMO'"
+               "     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"
+               "     ELSE 0 END) * 100",
+               "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))",
+               4, den_scale=6)} AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
@@ -325,15 +328,26 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp_ntz"))
     )
     p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # decimal(18,6) holds the 4-dp product exactly: the share is an
+    # exact rational, rounded engine-invariantly (hashsafe.round_quotient)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+            round_quotient(
+                # otherwise() must stay decimal: a 0.0 double literal
+                # coerces the branch to DOUBLE and the sum goes float
+                F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                        F.lit(0).cast("decimal(18,6)")
+                    )
+                )
+                * 100,
+                F.sum(rev),
                 4,
+                den_scale=6,
             ).alias("promo_revenue")
         )
     )

@@ -387,6 +387,7 @@ def window_exp_decayed_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, it: a + F.exp(-(cur - it.s) / 3.6e9),
     )
     return framed.select(
+        # round-ok: EMA weights are exp() — float-stat provenance
         "user_id", "event_id", F.round(num / den, 4).alias("ema")
     )
 
@@ -653,20 +654,21 @@ def window_cumulative_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_max_drawdown",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-             sum(value) AS rev
+             sum(CAST(round(value * 100) AS BIGINT)) AS rev_c
       FROM events WHERE event_type = 'purchase' GROUP BY 1),
     series AS (
-      SELECT day, sum(rev) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum
+      SELECT day, sum(rev_c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum
       FROM daily),
     dd AS (
       SELECT cum,
              max(cum) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS peak
       FROM series)
-    SELECT round(max(peak - cum), 4) AS max_drawdown,
-           round(max((peak - cum) / peak) * 100, 6) AS max_drawdown_pct
+    SELECT CAST(max(peak - cum) AS DOUBLE) / 100.0 AS max_drawdown,
+           max({oracle_round_quotient("(peak - cum) * 100", "peak", 6)})
+             AS max_drawdown_pct
     FROM dd
     """,
 )
@@ -681,16 +683,21 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
         .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
-        .agg(F.sum("value").alias("rev"))
+        # exact cents grid: the cumulative/peak arithmetic below stays
+        # integer-exact, so neither engine version nor partial-agg
+        # order can move the rounded outputs
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev_c"))
     )
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    series = daily.select("day", F.sum("rev").over(w).alias("cum"))
+    series = daily.select("day", F.sum("rev_c").over(w).alias("cum"))
     series = series.select("cum", F.max("cum").over(w).alias("peak"))
+    # rounding is monotone in the rational value, so max(round(r)) ==
+    # round(max(r)) — each row is rounded exactly, then reduced
     return series.agg(
-        F.round(F.max(F.col("peak") - F.col("cum")), 4).alias("max_drawdown"),
-        F.round(F.max((F.col("peak") - F.col("cum")) / F.col("peak")) * 100, 6).alias(
-            "max_drawdown_pct"
-        ),
+        (F.max(F.col("peak") - F.col("cum")) / F.lit(100.0)).alias("max_drawdown"),
+        F.max(
+            round_quotient((F.col("peak") - F.col("cum")) * 100, F.col("peak"), 6)
+        ).alias("max_drawdown_pct"),
     )
 
 

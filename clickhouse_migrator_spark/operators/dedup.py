@@ -320,7 +320,37 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     )
 
 
-_NEAR_DUP_CACHE: dict[tuple[str, str], DataFrame] = {}
+_NEAR_DUP_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _corpus_fingerprint(sf_dir: str) -> tuple:
+    """(path, mtime_ns, size) of every file under the documents table —
+    the cache key component that invalidates the memo when the data
+    under ``sf_dir`` is regenerated within one application (ADVICE r2)."""
+    import os
+
+    root = os.path.join(sf_dir, "documents.parquet")
+    entries = []
+    if os.path.isdir(root):
+        for base, _dirs, files in os.walk(root):
+            for f in sorted(files):
+                p = os.path.join(base, f)
+                st = os.stat(p)
+                entries.append((p, st.st_mtime_ns, st.st_size))
+    elif os.path.exists(root):
+        st = os.stat(root)
+        entries.append((root, st.st_mtime_ns, st.st_size))
+    return tuple(entries)
+
+
+def invalidate_near_dup_cache(sf_dir: str | None = None) -> None:
+    """Drop memoized pair tables (all, or those under one sf_dir) —
+    the explicit hook for callers that rewrite a corpus in place."""
+    if sf_dir is None:
+        _NEAR_DUP_CACHE.clear()
+    else:
+        for k in [k for k in _NEAR_DUP_CACHE if k[1] == sf_dir]:
+            del _NEAR_DUP_CACHE[k]
 
 
 def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -329,8 +359,16 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pack) all read the SAME verified pair table, so it is materialized
     once per (session, corpus) — exactly how a production pipeline
     treats the pair table at 100 TB (build it once, persist, fan out
-    consumers) instead of re-running minhash+LSH per downstream job."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    consumers) instead of re-running minhash+LSH per downstream job.
+
+    The key includes a data fingerprint (file mtimes + sizes), so a
+    corpus regenerated under the same path within one application is
+    re-detected, and :func:`invalidate_near_dup_cache` is the explicit
+    hook.  Deployment note: ``localCheckpoint`` pins the materialized
+    table to live executors — on a real cluster with executor loss, use
+    a reliable checkpoint (``spark.sparkContext.setCheckpointDir`` +
+    ``.checkpoint()``) or persist the pair table to storage instead."""
+    key = (spark.sparkContext.applicationId, sf_dir, _corpus_fingerprint(sf_dir))
     cached = _NEAR_DUP_CACHE.get(key)
     if cached is None:
         cached = _near_dup_pairs_impl(spark, sf_dir).localCheckpoint(eager=True)
@@ -1168,7 +1206,8 @@ def dedup_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE {_SHINGLE_SQL}
     SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard,
-           true AS est_within_2sigma
+           round(2 * sqrt(jaccard * (1 - jaccard) / {N_HASHES}), 6)
+             AS two_sigma_bound
     FROM pair_jaccard WHERE jaccard >= {JACCARD_T}
     ORDER BY doc_a, doc_b
     """,
@@ -1183,11 +1222,14 @@ def dedup_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     the exact verify) when a pipeline needs to trade precision for
     another 10× throughput.
 
-    The exact Jaccards are oracle-pinned; the signature side is
-    engine-internal (xxhash64), so — like every sketch query — the
-    estimator's quality is asserted as a tolerance flag, not
-    bit-equality.  Cost: one extra signature self-join ON THE VERIFIED
-    PAIRS ONLY (tiny), reusing the memoized pair table."""
+    The exact Jaccards and the 2σ bound (a pure function of jaccard)
+    are oracle-pinned DATA; the within-bound assertion lives in
+    tests/test_dedup_substrate.py with a documented allowance — a 2σ
+    bound is a ~95% statement, so hard-pinning `true` per pair in the
+    oracle (the r2 shape) would fail spuriously on the ~5% of
+    borderline pairs under any fixture/parameter change (ADVICE r2).
+    Cost: one extra signature self-join ON THE VERIFIED PAIRS ONLY
+    (tiny), reusing the memoized pair table."""
     pairs = near_dup_pairs(spark, sf_dir)
     sh = shingles(spark, sf_dir)
     sig = minhash_signatures(sh)
@@ -1211,7 +1253,45 @@ def dedup_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame
             "doc_a",
             "doc_b",
             F.round("jaccard", 6).alias("jaccard"),
-            (F.abs(est - F.col("jaccard")) <= 0.14).alias("est_within_2sigma"),
+            F.round(
+                2
+                * F.sqrt(
+                    F.col("jaccard") * (1 - F.col("jaccard")) / F.lit(N_HASHES)
+                ),
+                6,
+            ).alias("two_sigma_bound"),
         )
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_estimator_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate-vs-exact detail for the tolerance TEST (not registered:
+    the estimate is engine-internal xxhash64, so no SQL oracle can
+    reproduce it): (doc_a, doc_b, jaccard, est_jaccard, abs_err)."""
+    pairs = near_dup_pairs(spark, sf_dir)
+    sig = minhash_signatures(shingles(spark, sf_dir))
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    est = matches / float(N_HASHES)
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            est.alias("est_jaccard"),
+            F.abs(est - F.col("jaccard")).alias("abs_err"),
+        )
     )

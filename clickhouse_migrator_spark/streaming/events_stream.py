@@ -614,8 +614,14 @@ def streaming_spend_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH marked AS (
       SELECT user_id, ts, value,
+             -- >= : session_window ends are EXCLUSIVE (a window spans
+             -- [start, last_event + gap)), so an event landing exactly
+             -- 30m after its predecessor starts a NEW session; the
+             -- break predicate must match that boundary.  (The custom
+             -- applyInPandasWithState sessionizer uses strict > and
+             -- keeps the strict-> oracle above.)
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                    OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -638,7 +644,12 @@ def streaming_session_window_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     the loop.  Complete output mode keeps every session's state until
     the availableNow run drains, so no sentinel/watermark flush is
     needed; a production deployment would run append mode + watermark
-    to age state out instead (documented trade)."""
+    to age state out instead (documented trade).
+
+    Boundary convention: `session_window` window ends are exclusive —
+    an event exactly `gap` after its predecessor does NOT merge.  The
+    oracle gap predicate is therefore `>=` (break at exactly 30m),
+    keeping both engines aligned on boundary-landing events."""
     agg = (
         stream_events(spark, sf_dir)
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")

@@ -121,3 +121,28 @@ def test_bucketed_cosine_finds_planted_near_dups(spark):
     for r in rows:
         assert r.vec_b == r.vec_a + TWIN_OFFSET
         assert r.cosine >= 0.85
+
+
+def test_minhash_estimator_within_2sigma_mostly(spark):
+    """The minhash estimate (matching components / 32) is an unbiased
+    Jaccard estimator with sigma = sqrt(j(1-j)/32); a 2-sigma bound is
+    a ~95% statement, NOT a per-pair invariant — so the tolerance is
+    asserted here with a documented allowance (>= 80% of pairs within
+    2 sigma; on 25 fixture pairs a 0.95 Binomial dips below 0.9 with
+    non-trivial probability) instead of being hard-pinned in the
+    registered oracle (ADVICE r2).  The registered query emits the
+    bound as DATA (`two_sigma_bound`), oracle-certified."""
+    from clickhouse_migrator_spark.operators.dedup import (
+        N_HASHES,
+        minhash_estimator_table,
+    )
+
+    rows = minhash_estimator_table(spark, SF_DIR).collect()
+    assert rows, "no verified near-dup pairs in fixture"
+    within = 0
+    for r in rows:
+        bound = 2.0 * (r.jaccard * (1 - r.jaccard) / N_HASHES) ** 0.5
+        assert 0 <= r.est_jaccard <= 1
+        if r.abs_err <= bound:
+            within += 1
+    assert within / len(rows) >= 0.8, (within, len(rows))

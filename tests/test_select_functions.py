@@ -938,9 +938,14 @@ def test_format_readable_size(spark):
         rewrite_functions(
             "SELECT formatReadableSize(1536) AS k, "
             "formatReadableSize(1073741824) AS g, "
-            "formatReadableSize(12) AS b"
+            "formatReadableSize(12) AS b, "
+            "formatReadableSize(1125899906842624) AS p, "
+            "formatReadableSize(2305843009213693952) AS e"
         )
     ).first()
-    assert row.k == "1.5 KiB"
-    assert row.g == "1.0 GiB"
-    assert row.b == "12 B"
+    # ClickHouse prints fixed two decimals at every tier
+    assert row.k == "1.50 KiB"
+    assert row.g == "1.00 GiB"
+    assert row.b == "12.00 B"
+    assert row.p == "1.00 PiB"
+    assert row.e == "2.00 EiB"

@@ -3,13 +3,17 @@
 Pattern: media (image/audio/video) lives in opaque ``binary`` columns
 with typed metadata alongside; decode / feature-extract / frame-sample
 run as Arrow-batched ``mapInPandas`` stages.  The container has no
-image/audio libraries, so the *decoder* is stubbed two ways:
+image/audio libraries, so the *decoder* comes in three tiers:
 
-- :func:`decode_image_real` — the real-library path, gated behind an
-  import-try and raising ``NotImplementedError`` without Pillow; and
+- :func:`decode_bmp` — a REAL pure-Python decoder for 24-bit
+  uncompressed BMP (header parse, bottom-up padded rows, BGR), used by
+  the registered ``multimodal_bmp_decode`` query and certified by an
+  arithmetic oracle — no external library needed;
+- :func:`decode_image_real` — the compressed-format path, gated behind
+  an import-try and raising ``NotImplementedError`` without Pillow; and
 - :func:`fake_decode` — a deterministic arithmetic "decoder" used by the
-  registered queries so the Spark-side plumbing (binary payloads,
-  schema, partitioning, Arrow batch shape) is real and oracle-checked.
+  stub queries so the Spark-side plumbing (binary payloads, schema,
+  partitioning, Arrow batch shape) is real and oracle-checked.
 
 The payloads here are the documents' text bytes standing in for media
 blobs; at 100 TB the same plan applies with parquet binary columns
@@ -188,7 +192,7 @@ def decode_bmp(payload: bytes):
            CAST((doc_id * 31 + 3 * (doc_id % 5 + 2) * (doc_id % 7 + 1) - 1)
                 % 256 AS INT) AS last_pixel_b,
            CAST(list_sum(list_transform(
-                    range(3 * (doc_id % 5 + 2) * (doc_id % 7 + 1)),
+                    generate_series(0, 3 * (doc_id % 5 + 2) * (doc_id % 7 + 1) - 1),
                     i -> (doc_id * 31 + i) % 256)) AS BIGINT) AS px_sum
     FROM documents
     """,

@@ -300,7 +300,7 @@ def sim_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KMEANS_K = 8
-KMEANS_ITERS = 3
+KMEANS_ITERS = 10  # numpy Lloyd on the bounded sample — iterations are ~free
 # Lloyd's iterations run on a deterministic 1/8 hash-sample of the
 # corpus (FAISS trains IVF centroids on a sample for the same reason:
 # centroid quality converges long before the full corpus is seen, and
@@ -308,6 +308,7 @@ KMEANS_ITERS = 3
 # every per-iteration shuffle 8×).  The final list assignment still
 # covers every vector.
 KMEANS_TRAIN_MOD = 8
+KMEANS_TRAIN_CAP = 4096  # driver-side training sample bound (FAISS posture)
 # multi-probe: each query searches its NPROBE nearest inverted lists.
 # nprobe=1 recall is bounded by how often a true neighbor lands in a
 # different list than the query (cell-boundary misses); probing 2 of 8
@@ -346,10 +347,11 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ivf_kmeans_topk(
     spark: SparkSession, sf_dir: str, nprobe: int = NPROBE
 ) -> DataFrame:
-    """True IVF-Flat ANN: k-means centroids trained in-engine (Lloyd's,
-    deterministic farthest-point seeding, fixed iteration count), the
-    corpus partitioned into inverted lists by nearest centroid, each
-    query probing its ``nprobe`` nearest lists.
+    """True IVF-Flat ANN: k-means centroids trained on a bounded
+    deterministic sample (Lloyd's in numpy on ≤ KMEANS_TRAIN_CAP
+    driver-collected vectors — the FAISS train-on-sample posture), the
+    corpus partitioned into inverted lists by nearest centroid
+    IN-ENGINE, each query probing its ``nprobe`` nearest lists.
 
     Seeding: greedy max-min (k-means++-style spread without the
     sequential D²-sampling passes): a {SEED_POOL}-vector hash-ordered
@@ -400,51 +402,46 @@ def ivf_kmeans_topk(
             F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias("cents")
         )
 
-    # --- greedy max-min seeding over a small deterministic sample ---
-    pool = [
-        r.v
-        for r in train.select("v", F.xxhash64("vec_id").alias("h"))
-        .orderBy("h")
-        .limit(SEED_POOL)
+    # --- training: numpy Lloyd on a bounded deterministic sample ---
+    # The FAISS IVF posture: TRAIN on a sample that fits in memory,
+    # ASSIGN/SEARCH distributed.  r2 trained in-engine — 3 iterations of
+    # (broadcast-join + 64-column avg aggregate + localCheckpoint) whose
+    # per-iteration plan compilation dominated the data by ~100×
+    # (measured ~48 s of the sf0.001 bench for K=8, d=64, 500 vectors).
+    # Training touches at most KMEANS_TRAIN_CAP vectors (portable hash
+    # sample, deterministic), so driver memory is bounded at any corpus
+    # size; every corpus-sized stage below stays in-engine.
+    import numpy as np
+
+    from .sampling import cap_sample
+
+    rows = (
+        cap_sample(train, "vec_id", KMEANS_TRAIN_CAP)
+        .select("vec_id", "v", F.xxhash64("vec_id").alias("h"))
+        .orderBy("h", "vec_id")
         .collect()
-    ]
+    )
+    X = np.array([r.v for r in rows], dtype="float64")
+    # greedy max-min seeding over the hash-ordered head of the sample
+    pool = X[: min(SEED_POOL, len(X))]
     chosen = [0]
     while len(chosen) < min(KMEANS_K, len(pool)):
-        best_i, best_d = -1, -1.0
-        for i in range(len(pool)):
-            if i in chosen:
-                continue
-            d = min(
-                sum((a - b) ** 2 for a, b in zip(pool[i], pool[j]))
-                for j in chosen
-            )
-            if d > best_d:
-                best_i, best_d = i, d
-        chosen.append(best_i)
-    centroids = spark.createDataFrame(
-        [(cid, pool[i]) for cid, i in enumerate(chosen)],
-        "cid BIGINT, cv ARRAY<DOUBLE>",
-    ).localCheckpoint()
-
+        d2 = ((pool[:, None, :] - pool[chosen][None, :, :]) ** 2).sum(-1)
+        nearest = d2.min(axis=1)
+        nearest[chosen] = -1.0
+        chosen.append(int(nearest.argmax()))
+    C = pool[chosen].copy()
     for _ in range(KMEANS_ITERS):
-        assigned = train.crossJoin(F.broadcast(cent_arr(centroids))).select(
-            "vec_id",
-            "v",
-            F.element_at(nearest_lists("v", 1), 1).alias("list_id"),
-        )
-        # per-dimension mean as `dim` parallel aggregates: one partial-agg
-        # shuffle of (list, d sums) — aggregates can't nest inside
-        # higher-order lambdas, and exploding the corpus would shuffle
-        # N×d rows instead
-        centroids = (
-            assigned.groupBy("list_id")
-            .agg(*[F.avg(F.element_at("v", i + 1)).alias(f"d{i}") for i in range(dim)])
-            .select(
-                F.col("list_id").alias("cid"),
-                F.array(*[F.col(f"d{i}") for i in range(dim)]).alias("cv"),
-            )
-            .localCheckpoint()  # truncate loop lineage; K rows
-        )
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(axis=1)
+        for k in range(len(C)):
+            members = X[assign == k]
+            if len(members):
+                C[k] = members.mean(axis=0)
+    centroids = spark.createDataFrame(
+        [(k, C[k].tolist()) for k in range(len(C))],
+        "cid BIGINT, cv ARRAY<DOUBLE>",
+    )
 
     final_cents = F.broadcast(cent_arr(centroids))
     corpus = vecs.crossJoin(final_cents).select(

@@ -616,7 +616,8 @@ SYST_K = 10  # systematic sampling interval
     oracle=f"""
     WITH r AS (
       SELECT l_returnflag, l_extendedprice,
-             row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+             row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+                                l_extendedprice, l_returnflag) AS rn
       FROM lineitem)
     SELECT l_returnflag,
            count(*) AS n_sampled,
@@ -644,7 +645,16 @@ def sample_systematic_every_kth(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
     )
-    r = with_global_row_number(li, ["l_orderkey", "l_linenumber"], rn_col="rn")
+    # (l_orderkey, l_linenumber) is NOT unique in the fixture (11785
+    # duplicate pairs with different prices at sf0.01) — the previous
+    # two-column order was stable only by scan-order coincidence.  The
+    # extended order is total UP TO rows identical in every output
+    # column, so the sampled multiset is engine- and layout-invariant.
+    r = with_global_row_number(
+        li,
+        ["l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag"],
+        rn_col="rn",
+    )
     return (
         r.filter(F.col("rn") % SYST_K == 1)
         .groupBy("l_returnflag")

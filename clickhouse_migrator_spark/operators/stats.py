@@ -42,6 +42,21 @@ PREFIX_BUCKETS = 64
 _BOUNDS_ACCURACY = 1_000
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across the executor parallelism before the
+    bucket-assignment probe: higher-order-function expressions evaluate
+    INTERPRETED (CodegenFallback, ~0.5 µs/element — the SCALE.md
+    lesson), and the per-row 64-boundary probe runs in the SCAN stage,
+    so a 3-split fixture scan serializes it 3-wide.  A round-robin
+    repartition is far cheaper than the interpreted work it
+    parallelizes; at real scale inputs already arrive wide and this is
+    a no-op."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def grid_prefix_sums(
     grid: DataFrame,
     value_col: str,
@@ -66,6 +81,7 @@ def grid_prefix_sums(
     single-partition sort of the corpus; this shape caps the serial
     work at ``n_buckets`` rows no matter how large the grid grows.
     Returns the grid plus ``cum_<col>`` for each requested column."""
+    grid = _widen(grid)
     fracs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = grid.agg(
         F.percentile_approx(
@@ -84,7 +100,9 @@ def grid_prefix_sums(
     within = bucketed.select(
         "*", *[F.sum(c).over(wb).alias(f"_within_{c}") for c in sum_cols]
     )
-    totals = bucketed.groupBy("_bucket").agg(
+    # totals from `within` (not `bucketed`) so both sides share one
+    # _bucket exchange → ReusedExchange, single scan+bucket pass
+    totals = within.groupBy("_bucket").agg(
         *[F.sum(c).alias(f"_tot_{c}") for c in sum_cols]
     )
     wo = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
@@ -129,6 +147,7 @@ def with_global_row_number(
     Pareto shapes need rank AND cumulative value together)."""
     sum_cols = sum_cols or []
     first = order_cols[0]
+    df = _widen(df)
     fracs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = df.agg(
         F.percentile_approx(
@@ -146,7 +165,11 @@ def with_global_row_number(
         F.row_number().over(wb).alias("_wrn"),
         *[F.sum(c).over(wbf).alias(f"_w_{c}") for c in sum_cols],
     )
-    counts = b.groupBy("_bucket").agg(
+    # per-bucket totals from `within`, NOT from `b`: both sides then
+    # share the same _bucket exchange and Catalyst plans a
+    # ReusedExchange — one scan+bucket pass instead of two (measured
+    # ~2× on the substrate-heavy queries at sf0.1)
+    counts = within.groupBy("_bucket").agg(
         F.count(F.lit(1)).alias("_n"),
         *[F.sum(c).alias(f"_t_{c}") for c in sum_cols],
     )

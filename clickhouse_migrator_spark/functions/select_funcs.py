@@ -361,6 +361,28 @@ RULES: dict[str, Rule] = {
     "avgIf": _agg_if("avg"),
     "minIf": _agg_if("min"),
     "maxIf": _agg_if("max"),
+    "stddevSampIf": _agg_if("stddev_samp"),
+    "stddevPopIf": _agg_if("stddev_pop"),
+    "varSampIf": _agg_if("var_samp"),
+    "varPopIf": _agg_if("var_pop"),
+    # null-keyed rows are ignored by min_by/max_by, so gating BOTH the
+    # key and the value on the condition reproduces argMaxIf exactly
+    "argMaxIf": _tpl(
+        "max_by(CASE WHEN {2} THEN {0} END, CASE WHEN {2} THEN {1} END)"
+    ),
+    "argMinIf": _tpl(
+        "min_by(CASE WHEN {2} THEN {0} END, CASE WHEN {2} THEN {1} END)"
+    ),
+    # collect_list/collect_set skip NULLs — the CASE gate IS the filter
+    "groupArrayIf": _tpl("collect_list(CASE WHEN {1} THEN {0} END)"),
+    "groupUniqArrayIf": _tpl("collect_set(CASE WHEN {1} THEN {0} END)"),
+    # corr ignores rows where either side is NULL
+    "corrIf": _tpl("corr(CASE WHEN {2} THEN {0} END, CASE WHEN {2} THEN {1} END)"),
+    "medianIf": _tpl("percentile(CASE WHEN {1} THEN {0} END, 0.5)"),
+    # -Array over uniq: distinct elements across all rows' arrays
+    # (ClickHouse uniqArray is an HLL estimate; the exact count is the
+    # same strict upgrade as the quantile mappings)
+    "uniqArray": _tpl("size(array_distinct(flatten(collect_list({0}))))"),
     # strings
     # ClickHouse position(haystack, needle[, start]) — arg order is the
     # REVERSE of Spark's locate; the 1-arg `position(sub IN str)`
@@ -920,6 +942,13 @@ _PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
     ),
     "quantileDeterministic": lambda p, a: (
         f"percentile({a[0]}, {p[0] if p else '0.5'})"
+    ),
+    # -If forms of the parametric quantiles: gate the value column
+    "quantileIf": lambda p, a: (
+        f"percentile(CASE WHEN {a[1]} THEN {a[0]} END, {p[0] if p else '0.5'})"
+    ),
+    "quantileExactIf": lambda p, a: (
+        f"percentile(CASE WHEN {a[1]} THEN {a[0]} END, {p[0] if p else '0.5'})"
     ),
     # groupArraySample(N[, seed]): ClickHouse samples randomly; mapped to
     # the first-N slice — deterministic, documented divergence (use the

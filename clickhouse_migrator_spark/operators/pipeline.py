@@ -1065,3 +1065,156 @@ def pipeline_capacity_plan_100tb(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dedup_partitions_2m_docs"
         ),
     )
+
+
+SPAN_TOKENS = 8  # C4-style dedup span length (non-overlapping token windows)
+SPAN_MAX_OCCURRENCES = 2  # spans seen more often than this are boilerplate
+
+
+@register(
+    "pipeline_span_dedup_c4",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents),
+    spans AS (
+      SELECT doc_id,
+             unnest(list_transform(
+                 generate_series(0, CAST(ceil(len(w) / {SPAN_TOKENS}.0) AS BIGINT) - 1),
+                 i -> array_to_string(
+                          w[i * {SPAN_TOKENS} + 1 : (i + 1) * {SPAN_TOKENS}],
+                          ' '))) AS span
+      FROM toks),
+    freq AS (SELECT span, count(*) AS n_occ FROM spans GROUP BY span),
+    flagged AS (
+      SELECT s.doc_id, s.span, f.n_occ > {SPAN_MAX_OCCURRENCES} AS is_dup
+      FROM spans s JOIN freq f USING (span))
+    SELECT doc_id,
+           count(*) AS n_spans,
+           sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup_spans,
+           {oracle_round_quotient(
+               "sum(CASE WHEN is_dup THEN 1 ELSE 0 END)", "count(*)", 6)}
+             AS dup_span_ratio,
+           sum(CASE WHEN is_dup THEN 0
+                    ELSE len(string_split_regex(span, ' ')) END)
+             AS tokens_after_removal
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def pipeline_span_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style SPAN-level dedup (Raffel et al. 2020 drop repeated
+    three-sentence spans; CCNet dedups paragraphs the same way): the
+    corpus-frequency pass that document-level dedup cannot express —
+    a document can be globally unique while half its spans are
+    boilerplate shared with thousands of others.  The fixture text has
+    no sentence/newline structure, so spans are non-overlapping
+    8-token windows (documented stand-in; the plan is identical for
+    any segmenter).
+
+    Per doc: span count, spans whose corpus-wide occurrence exceeds
+    {SPAN_MAX_OCCURRENCES}, the duplicated-span ratio (exact integer
+    quotient — hashsafe), and the token count surviving span removal —
+    the numbers a curation run reads before deciding the drop rule.
+
+    Scale shape: explode to ~n_tokens/{SPAN_TOKENS} span rows (LESS
+    than the token explode every text query already pays), one
+    span-hash aggregate (partial-agg'd), one equi-join back, one
+    per-doc rollup — all linear, no self-join, no window."""
+    d = table(spark, sf_dir, "documents").repartition(
+        int(spark.sparkContext.defaultParallelism), "doc_id"
+    )
+    toks = _tokens()
+    n_spans_expr = F.ceil(F.size(toks) / float(SPAN_TOKENS)).cast("bigint")
+    spans = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans_expr - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i * SPAN_TOKENS + 1, SPAN_TOKENS)
+                ),
+            )
+        ).alias("span"),
+    )
+    freq = spans.groupBy("span").agg(F.count(F.lit(1)).alias("n_occ"))
+    flagged = spans.join(freq, "span").select(
+        "doc_id",
+        "span",
+        (F.col("n_occ") > SPAN_MAX_OCCURRENCES).alias("is_dup"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dup_spans"),
+        round_quotient(
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)), F.count(F.lit(1)), 6
+        ).alias("dup_span_ratio"),
+        F.sum(
+            F.when(F.col("is_dup"), 0).otherwise(F.size(F.split(F.col("span"), " ")))
+        ).alias("tokens_after_removal"),
+    )
+
+
+MIX_TEMPERATURE = 0.3  # alpha: 1.0 = proportional, 0 = uniform (XLM-R recipe)
+MIX_TARGET_TOKENS = 1_000_000  # illustrative per-run token budget
+
+
+@register(
+    "pipeline_language_temperature_mix",
+    oracle=f"""
+    WITH lang_tokens AS (
+      SELECT lang,
+             sum(len(string_split_regex(lower(trim(text)), '\\s+'))) AS n_tokens
+      FROM documents GROUP BY lang),
+    tot AS (SELECT sum(n_tokens) AS total FROM lang_tokens),
+    powed AS (
+      SELECT lang, n_tokens,
+             pow(n_tokens / CAST(total AS DOUBLE), {MIX_TEMPERATURE}) AS p_raw
+      FROM lang_tokens CROSS JOIN tot),
+    norm AS (SELECT sum(p_raw) AS z FROM powed)
+    SELECT lang, n_tokens,
+           round(p_raw / z, 6) AS sample_prob,
+           round(({MIX_TARGET_TOKENS} * p_raw / z) / n_tokens, 4)
+             AS epochs_at_budget
+    FROM powed CROSS JOIN norm
+    ORDER BY lang
+    """,
+)
+def pipeline_language_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual sampling weights (the XLM-R /
+    mT5 recipe, Conneau et al. 2020): p_l ∝ (n_l/N)^α with α =
+    {MIX_TEMPERATURE} up-weights low-resource languages without
+    flattening the mix entirely.  Emits each language's sampling
+    probability and the implied EPOCHS over its data at a target token
+    budget — the number that warns when a low-resource language would
+    be repeated past the memorization knee (>~4 epochs).
+
+    One token-count aggregate to a #languages-row frame; the power
+    normalization is a frame-less reduce over those rows (float pow —
+    the per-value rounding caveat of every float-stat output applies
+    and is accepted).  Complements `pipeline_mix_sources` (fixed
+    per-source rates) with the principled-allocation variant."""
+    d = table(spark, sf_dir, "documents")
+    lt = d.groupBy("lang").agg(F.sum(F.size(_tokens())).alias("n_tokens"))
+    tot = lt.agg(F.sum("n_tokens").alias("total"))
+    powed = lt.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        F.pow(F.col("n_tokens") / F.col("total"), MIX_TEMPERATURE).alias("p_raw"),
+    )
+    z = powed.agg(F.sum("p_raw").alias("z"))
+    return (
+        powed.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "n_tokens",
+            # round-ok: pow() provenance — float-stat exemption
+            F.round(F.col("p_raw") / F.col("z"), 6).alias("sample_prob"),
+            # round-ok: pow() provenance — float-stat exemption
+            F.round(
+                (F.lit(MIX_TARGET_TOKENS) * F.col("p_raw") / F.col("z"))
+                / F.col("n_tokens"),
+                4,
+            ).alias("epochs_at_budget"),
+        )
+        .orderBy("lang")
+    )

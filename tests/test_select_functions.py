@@ -949,3 +949,34 @@ def test_format_readable_size(spark):
     assert row.b == "12.00 B"
     assert row.p == "1.00 PiB"
     assert row.e == "2.00 EiB"
+
+
+def test_if_combinators_round6(spark):
+    """r3 combinator additions: argMaxIf/argMinIf (null-keyed rows are
+    ignored by max_by/min_by, so gating key AND value on the condition
+    reproduces the ClickHouse semantics), groupArrayIf/groupUniqArrayIf
+    (collect_* skip NULLs), corrIf, medianIf, quantile*If, uniqArray,
+    stddev/var -If forms."""
+    spark.range(10).selectExpr(
+        "id", "id * 2 AS v", "id % 3 = 0 AS c", "array(id, id + 10) AS arr"
+    ).createOrReplaceTempView("t_comb")
+    row = spark.sql(
+        rewrite_functions(
+            "SELECT argMaxIf(id, v, c) AS amx, "
+            "argMinIf(id, v, c) AS amn, "
+            "sort_array(groupArrayIf(id, c)) AS ga, "
+            "size(groupUniqArrayIf(id % 2, c)) AS gua, "
+            "medianIf(id, c) AS med, "
+            "quantileIf(1.0)(id, c) AS q1, "
+            "uniqArray(arr) AS ua, "
+            "varPopIf(id, id < 0) AS vempty "
+            "FROM t_comb"
+        )
+    ).first()
+    # condition keeps ids 0, 3, 6, 9
+    assert row.amx == 9 and row.amn == 0
+    assert list(row.ga) == [0, 3, 6, 9]
+    assert row.gua == 2  # {0, 1}
+    assert row.med == 4.5 and row.q1 == 9.0
+    assert row.ua == 20  # ids 0..9 and 10..19, all distinct
+    assert row.vempty is None  # empty -If input stays NULL

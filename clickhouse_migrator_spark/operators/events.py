@@ -881,7 +881,7 @@ def events_interval_length_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
     )
     SELECT event_id, user_id,
-           round((value - mu) / sd, 4) AS z,
+           round((value - mu) / sd, 4) + 0.0 AS z,
            CASE WHEN abs((value - mu) / sd) > 2 THEN 1 ELSE 0 END AS is_outlier
     FROM s WHERE sd > 0
     """,
@@ -2397,7 +2397,7 @@ def events_error_rate_sli(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT dow, hod, avg(n) AS mu, stddev_samp(n) AS sigma
       FROM hourly GROUP BY dow, hod)
     SELECT h.hour, h.n, round(b.mu, 4) AS expected,
-           round((h.n - b.mu) / b.sigma, 4) AS z,
+           round((h.n - b.mu) / b.sigma, 4) + 0.0 AS z,
            abs((h.n - b.mu) / b.sigma) > 2.5 AS anomaly
     FROM hourly h JOIN baseline b ON h.dow = b.dow AND h.hod = b.hod
     WHERE b.sigma > 0

@@ -634,8 +634,8 @@ def scalar_encoding_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_trig_funcs",
     oracle="""
     SELECT o_orderkey,
-           round(sin(o_totalprice / 100000), 6)      AS sin_v,
-           round(cos(o_totalprice / 100000), 6)      AS cos_v,
+           round(sin(o_totalprice / 100000), 6) + 0.0 AS sin_v,
+           round(cos(o_totalprice / 100000), 6) + 0.0 AS cos_v,
            round(atan2(o_totalprice, 100000.0), 6)   AS angle,
            round(degrees(atan2(o_totalprice, 100000.0)), 4) AS angle_deg,
            round(exp(-o_totalprice / 500000), 6)     AS decay,

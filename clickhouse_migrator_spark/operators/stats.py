@@ -214,8 +214,8 @@ def exact_ntile(rn: "F.Column", n: "F.Column", k: int) -> "F.Column":
     "agg_linear_regression",
     oracle="""
     SELECT l_returnflag,
-           round(regr_slope(l_extendedprice, l_quantity), 6)     AS slope,
-           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_slope(l_extendedprice, l_quantity), 6) + 0.0 AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) + 0.0 AS intercept,
            round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
            count(*)                                              AS n
     FROM lineitem GROUP BY l_returnflag
@@ -474,7 +474,7 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT count(*) AS n, avg(value) AS m, var_samp(value) AS v
       FROM events WHERE event_type = 'error'
     )
-    SELECT round((p.m - e.m) / sqrt(p.v / p.n + e.v / e.n), 6) AS t_stat,
+    SELECT round((p.m - e.m) / sqrt(p.v / p.n + e.v / e.n), 6) + 0.0 AS t_stat,
            round(pow(p.v / p.n + e.v / e.n, 2)
                  / (pow(p.v / p.n, 2) / (p.n - 1)
                     + pow(e.v / e.n, 2) / (e.n - 1)), 4)       AS welch_df,
@@ -1048,9 +1048,9 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d
     )
     SELECT bucket, CAST(n AS BIGINT) AS n,
-           round(trend, 4)                      AS trend,
-           round(s_raw - s_mean, 4)             AS seasonal,
-           round(detr - (s_raw - s_mean), 4)    AS residual
+           round(trend, 4) + 0.0                AS trend,
+           round(s_raw - s_mean, 4) + 0.0       AS seasonal,
+           round(detr - (s_raw - s_mean), 4) + 0.0 AS residual
     FROM s
     """,
 )
@@ -1105,7 +1105,7 @@ def ts_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
              ((p.n - 1) * p.v + (e.n - 1) * e.v) / (p.n + e.n - 2) AS s2
       FROM p, e
     )
-    SELECT round((m_p - m_e) / sqrt(s2 * (1.0 / n_p + 1.0 / n_e)), 6) AS t_stat,
+    SELECT round((m_p - m_e) / sqrt(s2 * (1.0 / n_p + 1.0 / n_e)), 6) + 0.0 AS t_stat,
            n_p + n_e - 2                                              AS df,
            round(m_p - m_e, 6)                                        AS mean_diff
     FROM sp
@@ -1159,7 +1159,7 @@ def agg_student_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT round(b1, 6)                         AS beta_quantity,
            round(b2, 6)                         AS beta_discount,
-           round(my - b1 * mx1 - b2 * mx2, 4)   AS intercept,
+           round(my - b1 * mx1 - b2 * mx2, 4) + 0.0 AS intercept,
            n
     FROM b
     """,
@@ -1380,7 +1380,7 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(lr * lr) AS sxx, sum(lr * lf) AS sxy, sum(lf * lf) AS syy
       FROM ranked)
     SELECT n AS vocab_size,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS zipf_slope,
            round(pow(n * sxy - sx * sy, 2)
                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
     FROM m
@@ -1447,7 +1447,7 @@ ACF_MAX_LAG = 6
       JOIN series b ON b.h = a.h + k * INTERVAL '1 hour'),
     denom AS (SELECT sum(pow(y - mu, 2)) AS ss FROM series CROSS JOIN m)
     SELECT k AS lag_hours,
-           round(sum(prod) / (SELECT ss FROM denom), 6) AS acf
+           round(sum(prod) / (SELECT ss FROM denom), 6) + 0.0 AS acf
     FROM lagged GROUP BY k ORDER BY k
     """,
 )
@@ -1855,8 +1855,8 @@ def agg_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM series s CROSS JOIN m)
     SELECT (SELECT count(*) FROM series) AS n_days,
            (SELECT n_pairs FROM m)       AS n_pairs,
-           round((SELECT slope FROM m), 6)     AS slope_per_day,
-           round((SELECT intercept FROM r), 2) AS intercept
+           round((SELECT slope FROM m), 6) + 0.0 AS slope_per_day,
+           round((SELECT intercept FROM r), 2) + 0.0 AS intercept
     """,
 )
 def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:

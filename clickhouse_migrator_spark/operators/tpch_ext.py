@@ -123,11 +123,11 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q8_market_share",
-    oracle="""
+    oracle=f"""
     SELECT o_year,
-           round(CAST(sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END)
-                      AS DOUBLE)
-                 / CAST(sum(volume) AS DOUBLE), 4) AS mkt_share
+           {oracle_round_quotient(
+               "sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END)",
+               "sum(volume)", 4, den_scale=6)} AS mkt_share
     FROM (SELECT EXTRACT(year FROM o_orderdate) AS o_year,
                  CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume,
                  n2.n_name AS nation
@@ -173,14 +173,15 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "nation")
         .groupBy("o_year")
         .agg(
-            F.round(
+            round_quotient(
                 F.sum(
                     F.when(F.col("nation") == "NATION_1", F.col("volume")).otherwise(
                         F.lit(0).cast("decimal(18,6)")
                     )
-                ).cast("double")
-                / F.sum("volume").cast("double"),
+                ),
+                F.sum("volume"),
                 4,
+                den_scale=6,
             ).alias("mkt_share")
         )
         .orderBy("o_year")
@@ -641,8 +642,15 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
         .agg(
+            # decimal-exact sum (the float sum flipped .005-boundary
+            # part values at sf0.1 — the hashsafe float-sum rule)
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double"),
+                2,
             ).alias("part_value")
         )
     )

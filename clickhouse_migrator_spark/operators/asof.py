@@ -154,3 +154,46 @@ def asof_tolerance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         err, pur, on="ts", by="user_id", tolerance=pd.Timedelta(days=1)
     )
     return out.select("event_id", "ts", "ts_right")
+
+
+@register(
+    "asof_nearest_purchase",
+    oracle="""
+    WITH e AS (SELECT event_id, ts, user_id FROM events
+               WHERE event_type = 'error'),
+    p AS (SELECT DISTINCT user_id, ts FROM events
+          WHERE event_type = 'purchase'),
+    ranked AS (
+      SELECT e.event_id, e.ts, p.ts AS p_ts,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY abs(epoch_us(CAST(e.ts AS TIMESTAMP))
+                            - epoch_us(CAST(p.ts AS TIMESTAMP))),
+                        p.ts) AS rk
+      FROM e JOIN p ON e.user_id = p.user_id)
+    SELECT e.event_id, e.ts, r.p_ts AS ts_right
+    FROM e LEFT JOIN (SELECT event_id, p_ts FROM ranked WHERE rk = 1) r
+      ON e.event_id = r.event_id
+    """,
+)
+def asof_nearest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join: each error matched to the closest
+    purchase in EITHER direction — the "what was the user doing around
+    the incident" probe (backward = cause context, forward = effect,
+    nearest = whichever is tighter; pandas `merge_asof
+    direction='nearest'` breaks exact-distance ties toward the EARLIER
+    right row, verified empirically, and the oracle's
+    (abs-gap, purchase-ts) ranking mirrors that).  The purchase side is
+    deduplicated per (user, ts) so equal-timestamp rows cannot make the
+    match order-dependent.  DuckDB has no nearest ASOF, so the oracle
+    ranks the per-user join — quadratic per user, fine as an oracle;
+    the engine path stays the linear bucketed merge_asof substrate."""
+    e = table(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select("event_id", "ts", "user_id")
+    pur = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .distinct()
+    )
+    out = asof_join(err, pur, on="ts", by="user_id", direction="nearest")
+    return out.select("event_id", "ts", "ts_right")

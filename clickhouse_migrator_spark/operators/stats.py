@@ -42,19 +42,48 @@ PREFIX_BUCKETS = 64
 _BOUNDS_ACCURACY = 1_000
 
 
-def _widen(df: DataFrame) -> DataFrame:
-    """Spread a narrow scan across the executor parallelism before the
-    bucket-assignment probe: higher-order-function expressions evaluate
-    INTERPRETED (CodegenFallback, ~0.5 µs/element — the SCALE.md
-    lesson), and the per-row 64-boundary probe runs in the SCAN stage,
-    so a 3-split fixture scan serializes it 3-wide.  A round-robin
-    repartition is far cheaper than the interpreted work it
-    parallelizes; at real scale inputs already arrive wide and this is
-    a no-op."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
-    return df
+def _bucket_by_bounds(df: DataFrame, bounds: DataFrame, value_col: str) -> DataFrame:
+    """Attach the order-preserving ``_bucket`` id (= #boundaries
+    strictly below ``value_col``) via a BROADCAST RANGE JOIN against
+    the exploded boundary list.
+
+    Probe-shape history (the substrate's hot inner loop):
+
+    * ``F.size(F.filter(_bounds, b -> b < v))`` — higher-order
+      functions are CodegenFallback, ~0.5 µs/element interpreted
+      (~32 µs/row), and needed a round-robin ``repartition`` bolted on
+      just to parallelize interpreter overhead;
+    * a 63-way unrolled ``element_at`` when-chain — one expression too
+      big to split, tripping the huge-method fallback and turning the
+      whole stage interpreted (measured 4× WORSE);
+    * this form — 64 tiny ``(bucket, lo, hi)`` rows broadcast from the
+      same 1-row bounds aggregate, probed by a BroadcastNestedLoopJoin
+      whose per-row cost is ≤64 compiled two-comparison predicates
+      (~sub-µs/row), no widening exchange, no oversized codegen.
+
+    Bucket ``b`` covers ``lo < v AND v <= hi`` with open ends as NULLs
+    (``v <= b0`` for the first, ``v > b62`` for the last); duplicate
+    boundaries — percentile_approx may repeat a value on skewed data —
+    yield ``lo == hi`` ranges that simply match nothing, exactly the
+    strictly-less counting semantics.  ``value_col`` must be non-null
+    (rank substrates order on non-null keys by construction)."""
+    n = F.size(F.col("_bounds"))
+    ranges = bounds.select(
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n),
+                lambda i: F.struct(
+                    F.when(i > 0, F.element_at(F.col("_bounds"), i)).alias("_lo"),
+                    F.when(i < n, F.element_at(F.col("_bounds"), i + 1)).alias("_hi"),
+                ),
+            )
+        ).alias("_bucket", "_rng")
+    ).select("_bucket", "_rng._lo", "_rng._hi")
+    v = F.col(value_col)
+    cond = (F.col("_lo").isNull() | (v > F.col("_lo"))) & (
+        F.col("_hi").isNull() | (v <= F.col("_hi"))
+    )
+    return df.join(F.broadcast(ranges), cond, "inner").drop("_lo", "_hi")
 
 
 def grid_prefix_sums(
@@ -81,17 +110,13 @@ def grid_prefix_sums(
     single-partition sort of the corpus; this shape caps the serial
     work at ``n_buckets`` rows no matter how large the grid grows.
     Returns the grid plus ``cum_<col>`` for each requested column."""
-    grid = _widen(grid)
     fracs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = grid.agg(
         F.percentile_approx(
             value_col, F.array(*[F.lit(f) for f in fracs]), _BOUNDS_ACCURACY
         ).alias("_bounds")
     )
-    bucketed = grid.crossJoin(F.broadcast(bounds)).withColumn(
-        "_bucket",
-        F.size(F.filter(F.col("_bounds"), lambda b: b < F.col(value_col))),
-    ).drop("_bounds")
+    bucketed = _bucket_by_bounds(grid, bounds, value_col)
     wb = (
         Window.partitionBy("_bucket")
         .orderBy(value_col)
@@ -147,17 +172,13 @@ def with_global_row_number(
     Pareto shapes need rank AND cumulative value together)."""
     sum_cols = sum_cols or []
     first = order_cols[0]
-    df = _widen(df)
     fracs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = df.agg(
         F.percentile_approx(
             first, F.array(*[F.lit(f) for f in fracs]), _BOUNDS_ACCURACY
         ).alias("_bounds")
     )
-    b = df.crossJoin(F.broadcast(bounds)).withColumn(
-        "_bucket",
-        F.size(F.filter(F.col("_bounds"), lambda x: x < F.col(first))),
-    ).drop("_bounds")
+    b = _bucket_by_bounds(df, bounds, first)
     wb = Window.partitionBy("_bucket").orderBy(*order_cols)
     wbf = wb.rowsBetween(Window.unboundedPreceding, 0)
     within = b.select(

@@ -8,6 +8,7 @@ state machines) and get the driver's weaker rows-only check.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -27,7 +28,10 @@ class QuerySpec:
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
-        if name in _REGISTRY:
+        if name in _REGISTRY and not os.environ.get("SPARK_GRAFT_ALLOW_REREGISTER"):
+            # duplicate names would silently shadow an oracle pairing;
+            # the env knob exists only for importlib.reload() in
+            # interactive profiling sessions (tools/profile_query.py)
             raise ValueError(f"duplicate query name: {name}")
         _REGISTRY[name] = QuerySpec(name, fn, oracle)
         return fn

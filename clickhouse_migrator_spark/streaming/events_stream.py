@@ -285,8 +285,14 @@ def sessionize_with_state(events: DataFrame, gap_minutes: int = 30) -> DataFrame
     def fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        # this function runs once PER KEY per micro-batch (~15k Python
+        # calls/batch at sf0.1), so per-call pandas overhead dominates
+        # the whole query: avoid pd.concat for the common single-chunk
+        # case, iterate numpy arrays positionally (Series iteration
+        # boxes every datetime), and never yield an empty DataFrame.
+        # Accumulation stays a sequential `total + float(v)` loop —
+        # the oracle hash pins that exact float order.
         (user_id,) = key
-        rows = pd.concat(list(pdfs)).sort_values("ts") if not state.hasTimedOut else None
         out = []
         if state.hasTimedOut:
             if state.exists:
@@ -294,23 +300,37 @@ def sessionize_with_state(events: DataFrame, gap_minutes: int = 30) -> DataFrame
                 out.append((user_id, start, last, n, total))
                 state.remove()
         else:
+            chunks = list(pdfs)
+            rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+            rows = rows.sort_values("ts")
+            ts_arr = rows["ts"].to_numpy()
+            val_arr = rows["value"].to_numpy()
+            gap64 = gap.to_timedelta64()
             if state.exists:
                 start, last, n, total = state.get
+                last64 = pd.Timestamp(last).to_datetime64()
             else:
                 start, last, n, total = None, None, 0, 0.0
-            for ts, value in zip(rows["ts"], rows["value"]):
-                if last is not None and ts - last > gap:
+                last64 = None
+            for i in range(len(ts_arr)):
+                t64 = ts_arr[i]
+                if last64 is not None and t64 - last64 > gap64:
                     out.append((user_id, start, last, n, total))
-                    start, last, n, total = ts, ts, 1, float(value)
+                    t = pd.Timestamp(t64)
+                    start, last, n, total = t, t, 1, float(val_arr[i])
                 else:
-                    start = ts if start is None else start
-                    last, n, total = ts, n + 1, total + float(value)
+                    t = pd.Timestamp(t64)
+                    if start is None:
+                        start = t
+                    last, n, total = t, n + 1, total + float(val_arr[i])
+                last64 = t64
             state.update((start, last, n, total))
             state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 60_000)
-        yield pd.DataFrame(
-            out,
-            columns=["user_id", "session_start", "session_end", "n_events", "total_value"],
-        )
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "session_start", "session_end", "n_events", "total_value"],
+            )
 
     return (
         events.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -519,15 +539,22 @@ def spend_alarm_with_state(
     def fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        # per-key Python call — same overhead discipline as the
+        # sessionizer above: no concat for one chunk, positional numpy
+        # iteration instead of iterrows (~100 µs/row), sequential
+        # float accumulation preserved for the oracle hash.
         (user_id,) = key
         cum, fired = state.get if state.exists else (0.0, False)
         out = []
         if not fired:
-            rows = pd.concat(list(pdfs)).sort_values("event_id")
-            for _, r in rows.iterrows():
-                cum += float(r["value"])
+            chunks = list(pdfs)
+            rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+            rows = rows.sort_values("event_id")
+            val_arr = rows["value"].to_numpy()
+            for i in range(len(val_arr)):
+                cum += float(val_arr[i])
                 if cum >= threshold:
-                    out.append((user_id, r["ts"], round(cum, 2)))
+                    out.append((user_id, rows["ts"].iloc[i], round(cum, 2)))
                     fired = True
                     break
         state.update((cum, fired))
@@ -589,14 +616,25 @@ def streaming_spend_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     median_id = raw.approxQuantile("event_id", [0.5], 0.0)[0]
     src = tempfile.mkdtemp(prefix="alarm_stream_")
-    for tag, part in (
-        ("a_early", raw.filter(F.col("event_id") <= median_id)),
-        ("b_late", raw.filter(F.col("event_id") > median_id)),
-    ):
-        tdir = tempfile.mkdtemp(prefix=f"alarm_{tag}_")
-        part.coalesce(1).write.mode("overwrite").parquet(tdir)
-        shutil.move(_glob.glob(f"{tdir}/part-*.parquet")[0], f"{src}/{tag}.parquet")
-        shutil.rmtree(tdir, ignore_errors=True)
+    # one partitionBy write emits both halves in a single job (the
+    # previous two filter+coalesce writes re-scanned the fixture twice)
+    tdir = tempfile.mkdtemp(prefix="alarm_split_")
+    (
+        raw.withColumn(
+            "_half",
+            F.when(F.col("event_id") <= median_id, "a_early").otherwise("b_late"),
+        )
+        .repartition(2, "_half")
+        .write.partitionBy("_half")
+        .mode("overwrite")
+        .parquet(tdir)
+    )
+    for tag in ("a_early", "b_late"):
+        shutil.move(
+            _glob.glob(f"{tdir}/_half={tag}/part-*.parquet")[0],
+            f"{src}/{tag}.parquet",
+        )
+    shutil.rmtree(tdir, ignore_errors=True)
     now = _time.time()
     os.utime(f"{src}/a_early.parquet", (now - 100, now - 100))
     os.utime(f"{src}/b_late.parquet", (now, now))

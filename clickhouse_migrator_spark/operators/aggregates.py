@@ -1420,20 +1420,67 @@ def agg_tdigest_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     how much accuracy the sketch trades (accuracy parameter 10000 →
     well under 1% on these distributions).
 
-    Both spellings run in ONE aggregation pass; the oracle pins
-    tolerance flags (computed against in-engine exact percentiles)
-    rather than the quantile VALUES: bit-exact equality is unsound for
-    sketches, and even exact interpolated medians differ between
-    engines in the last ULP when the midpoint lands on a rounding
-    boundary (observed: 52724.245 → .24 vs .25)."""
+    The oracle pins tolerance flags (computed against in-engine exact
+    percentiles) rather than the quantile VALUES: bit-exact equality
+    is unsound for sketches, and even exact interpolated medians
+    differ between engines in the last ULP when the midpoint lands on
+    a rounding boundary (observed: 52724.245 → .24 vs .25).
+
+    The exact reference percentiles do NOT use ``F.percentile`` (the
+    per-group value buffer is precisely the spelling this audit exists
+    to warn about — measured 2.2 s of the query's 4.2 s at sf0.1):
+    they run as rank selections over the (flag, price) COUNT GRID with
+    a per-flag cumulative window.  The window partitions on flag and
+    its per-partition row count is bounded by the cents-quantized
+    TPC-H price domain (≤ ~10⁶ distinct prices at any corpus size),
+    so no value buffer and no corpus-sized sort exists anywhere."""
     li = table(spark, sf_dir, "lineitem")
-    both = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+    grid = (
+        li.groupBy(F.col("l_returnflag").alias("flag"), F.col("l_extendedprice").alias("price"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("flag").orderBy("price").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grid.select(
+        "flag", "price", F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy("flag")).alias("n"),
+    )
+
+    def rank_val(p: float, off: int) -> "Column":
+        # smallest price whose cumulative count reaches the 1-based
+        # rank floor(p*(n-1)) + 1 + off (off=1 → interpolation partner)
+        k = F.floor(F.lit(p) * (F.col("n") - 1)) + 1 + off
+        return F.min(F.when(F.col("cum") >= k, F.col("price")))
+
+    # exact interpolated percentile: pos = p*(n-1) (0-based), value =
+    # v[floor(pos)] + frac*(v[floor(pos)+1] − v[floor(pos)]) — the same
+    # definition F.percentile / percentile_cont uses
+    exacts = cum.groupBy("flag").agg(
+        *[
+            rank_val(p, off).alias(f"v_{tag}_{off}")
+            for tag, p in (("p50", 0.5), ("p99", 0.99))
+            for off in (0, 1)
+        ],
+        F.max("n").alias("n"),
+    )
+
+    def interp(tag: str, p: float) -> "Column":
+        pos = F.lit(p) * (F.col("n") - 1)
+        frac = pos - F.floor(pos)
+        lo = F.col(f"v_{tag}_0").cast("double")
+        hi = F.coalesce(F.col(f"v_{tag}_1"), F.col(f"v_{tag}_0")).cast("double")
+        return lo + frac * (hi - lo)
+
+    exact_rows = exacts.select(
+        "flag", interp("p50", 0.5).alias("e50"), interp("p99", 0.99).alias("e99")
+    )
+    sketch = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.percentile("l_extendedprice", 0.5).alias("e50"),
-        F.percentile("l_extendedprice", 0.99).alias("e99"),
         F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("a50"),
         F.expr("approx_percentile(l_extendedprice, 0.99, 10000)").alias("a99"),
     )
+    both = sketch.join(F.broadcast(exact_rows), "flag")
     return both.select(
         "flag",
         "n_rows",

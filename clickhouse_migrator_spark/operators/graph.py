@@ -59,11 +59,14 @@ def graph_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark-first formulation: the graph is an edge DataFrame; each
     iteration is one join (ranks ⨝ edges) + one aggregate on dst —
-    the same shuffle shape as the label-propagation components, with
-    `localCheckpoint` truncating loop lineage.  The DuckDB oracle runs
-    the identical five iterations as a recursive CTE — feasible only
-    because sf-scale graphs are tiny; the Spark path is the one that
-    scales."""
+    the same shuffle shape as the label-propagation components.  With
+    a FIXED iteration count the loop stays lazy: all five updates fold
+    into one job (each eager localCheckpoint was a full job barrier —
+    ~0.3 s × 5 of pure scheduling at sf-scale).  An open-ended
+    convergence loop (see dedup components) is where checkpoint
+    truncation earns its cost.  The DuckDB oracle runs the identical
+    five iterations as a recursive CTE — feasible only because
+    sf-scale graphs are tiny; the Spark path is the one that scales."""
     # LSH-bounded pair substrate (provably coincides with exact pairs
     # at tau=0.8; see near_dup_pairs) -- no all-pairs stage anywhere
     pairs = near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
@@ -73,7 +76,7 @@ def graph_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = sym.groupBy(F.col("doc_a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
     nodes = deg.select("node")
     n = nodes.count()
-    ranks = nodes.withColumn("r", F.lit(1.0 / n)).localCheckpoint()
+    ranks = nodes.withColumn("r", F.lit(1.0 / n))
     for _ in range(PR_ITERS):
         contrib = (
             ranks.join(deg, "node")
@@ -84,7 +87,7 @@ def graph_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks = contrib.select(
             "node",
             (F.lit((1 - PR_ALPHA) / n) + PR_ALPHA * F.col("in_sum")).alias("r"),
-        ).localCheckpoint()
+        )
     return ranks.select("node", F.round("r", 6).alias("pagerank")).orderBy(
         F.col("pagerank").desc(), "node"
     )

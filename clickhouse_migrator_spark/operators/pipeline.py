@@ -915,9 +915,14 @@ def pipeline_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.greatest(F.size("w") - (LEAK_K - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, LEAK_K)),
     )
+    # three consumers (df-cap agg, heldout probe, train probe) read the
+    # gram stream; the gram transform is an interpreted HOF over every
+    # token window, so cache the exploded result rather than re-running
+    # tokenize+gram per consumer
     g = (
         t.filter(F.size("w") >= LEAK_K)
         .select("doc_id", "split", F.explode(F.array_distinct(grams)).alias("gram"))
+        .cache()
     )
     ok = (
         g.groupBy("gram")

@@ -503,9 +503,11 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only wide exchanges are keyed on token / (doc, class).  At
     100 TB the model tables stay MBs and the plan is unchanged."""
     d = _docs_cpu(spark, sf_dir)
+    # four consumers (ctok, voc, tc, scoring) read the token stream —
+    # cache it so the regex tokenization pass runs once, not four times
     tok = d.select(
         "doc_id", F.col("lang").alias("actual"), F.explode(_tokens()).alias("token")
-    )
+    ).cache()
     cls = d.groupBy(F.col("lang").alias("c")).agg(F.count(F.lit(1)).alias("n_docs"))
     tot = d.agg(F.count(F.lit(1)).alias("n"))
     ctok = tok.groupBy(F.col("actual").alias("c")).agg(

@@ -32,8 +32,31 @@ TABLES = (
 )
 
 
+#: (applicationId, sf_dir, name) → loaded DataFrame.  A DataFrame is an
+#: immutable logical plan, so handing the same one to every caller is
+#: safe; this is the engine's CATALOG role — schema and file listing
+#: resolved once per session, not re-inferred per query (each
+#: ``spark.read.parquet`` costs ~80 ms of driver-side listing + footer
+#: schema read; a 351-query bench pays that ~700×).  Keyed on
+#: applicationId so a new session never sees plans from a stopped one;
+#: the fixture dirs are read-only, so no data-fingerprint component is
+#: needed (cf. dedup's corpus-fingerprinted pair cache for paths that
+#: CAN be rewritten).
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def invalidate_table_cache() -> None:
+    """Drop every cached table plan (for callers that point ``sf_dir``
+    at a directory they rewrite in place)."""
+    _TABLE_CACHE.clear()
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with engine-canonical column types."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -44,6 +67,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
         )
+    _TABLE_CACHE[key] = df
     return df
 
 

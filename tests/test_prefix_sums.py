@@ -45,3 +45,23 @@ def test_grid_prefix_sums_parallel_window(spark):
     # the within-bucket window is partitioned by _bucket
     assert "partitionBy" not in plan or True  # plan text varies; key check below
     assert plan.count("Window") >= 2  # within-bucket + offsets windows exist
+
+
+def test_median_rank_select_matches_percentile_cont(spark):
+    """median_rank_select == quantile_cont(0.5) on even/odd counts and
+    heavy ties (the bucket rank-selection must hit the same two middle
+    order statistics the buffered exact percentile sees)."""
+    from clickhouse_migrator_spark.operators.stats import median_rank_select
+
+    for n in (99_999, 100_000, 101):
+        vals = spark.range(n).select(
+            # ties: values repeat every 10 ids; shifted+scaled sin keeps
+            # the distribution non-uniform so buckets are uneven
+            (F.round(F.sin((F.col("id") % (n // 10 + 1)).cast("double")) * 1e4) / 7.0).alias(
+                "v"
+            )
+        )
+        n_total = vals.agg(F.count(F.lit(1)).alias("n"))
+        got = median_rank_select(vals, "v", n_total, "n").collect()[0]["median"]
+        want = vals.agg(F.expr("percentile(v, 0.5)").alias("m")).collect()[0]["m"]
+        assert got == want, (n, got, want)

@@ -45,6 +45,16 @@ def main() -> None:
     specs = all_specs()
     # warm the JVM + parquet footers once so per-query numbers are steady
     materialize(spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1))
+    # spin up the reusable Python/Arrow workers once so the one-time
+    # fork+import cost doesn't land on whichever pandas-UDF query runs
+    # first (spark.python.worker.reuse keeps them alive session-wide)
+    from pyspark.sql import functions as F
+
+    materialize(
+        spark.range(64)
+        .groupBy(F.col("id") % 8)
+        .applyInPandas(lambda pdf: pdf, schema="id bigint")
+    )
 
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):

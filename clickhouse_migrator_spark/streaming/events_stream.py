@@ -46,20 +46,28 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s
 
 
-def run_to_memory(agg: DataFrame, mode: str = "complete", timeout_s: int = 120) -> str:
+def run_to_memory(
+    agg: DataFrame,
+    mode: str = "complete",
+    timeout_s: int = 120,
+    partitions: int = 8,
+) -> str:
     """Run a streaming aggregation to completion into a memory sink with
     an availableNow trigger; returns the sink table name.
 
-    The stream runs with a REDUCED shuffle-partition count (8): every
-    stateful partition carries a state-store instance plus (for Pandas
-    operators) a Python worker round trip PER MICRO-BATCH, so idle
-    partitions are pure overhead at test scale.  A real deployment
-    sizes this to key-cardinality/throughput instead — the number is
-    pinned into the query's checkpoint, not a semantic choice."""
+    The stream runs with a REDUCED shuffle-partition count (default 8):
+    every stateful partition carries a state-store instance plus (for
+    Pandas operators) a Python worker round trip PER MICRO-BATCH, so
+    idle partitions are pure overhead at test scale (widening the
+    Python-stateful queries to 32 was measured NEUTRAL — the per-key
+    cost sits in the JVM-side state/Arrow framing on the task thread,
+    not in Python parallelism).  A real deployment sizes this to
+    key-cardinality/throughput instead — the number is pinned into the
+    query's checkpoint, not a semantic choice."""
     spark = agg.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     name = "stream_out_" + uuid.uuid4().hex[:8]
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
     try:
         q = (
             agg.writeStream.format("memory")

@@ -582,3 +582,84 @@ def join_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", F.col("c_name").alias("matched_name"), "dist")
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter SEMI-JOIN REDUCTION — the runtime row-level pruning
+    technique for selective joins at 100 TB: hash the (small, filtered)
+    dimension's keys into a bit-packed 2^16-bit filter (1024 longs,
+    built with plain bit_or aggregation — Spark's own
+    ``bloom_filter_agg`` is optimizer-internal, and building it
+    explicitly shows the shape), broadcast the single array row, and
+    test membership INSIDE THE FACT SCAN so non-matching rows die
+    before the join exchange.  One hash function (k=1): with ~n
+    selective keys the false-positive rate is ~ n/2^16 (<1% here), and
+    false positives only cost a wasted probe — the final exact
+    equi-join removes them, so the result EQUALS the plain join (which
+    is why a plain-SQL oracle certifies it).  This is the explicit
+    spelling of Spark's injected runtime bloom filter
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) and of
+    ClickHouse's bloom_filter skip indexes (subsumed-index note in
+    ``ddl.py``): at 1000 executors the filter ships 8 KB to every scan
+    task and cuts the fact-side shuffle by the dim selectivity."""
+    M_BITS = 1 << 16
+    n_words = M_BITS // 64
+    dim = (
+        table(spark, sf_dir, "customer")
+        .filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000))
+        .select("c_custkey")
+    )
+    bit = F.pmod(F.xxhash64("c_custkey"), F.lit(M_BITS))
+    words = (
+        dim.select(bit.alias("bit"))
+        .select(
+            (F.col("bit") / 64).cast("long").alias("w"),
+            F.expr("shiftleft(1L, CAST(bit % 64 AS INT))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("mask"))
+    )
+    # fold the sparse (word, mask) rows into ONE dense 1024-long array
+    # (missing words -> 0) so the whole filter broadcasts as a single row
+    bloom = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "mask"))).alias("mm")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_words - 1).cast("long")),
+            lambda i: F.coalesce(F.element_at(F.col("mm"), i), F.lit(0).cast("long")),
+        ).alias("bf")
+    )
+    hit = F.expr(
+        f"(element_at(bf, CAST(pmod(xxhash64(o_custkey), {M_BITS}) / 64 AS INT) + 1)"
+        f" & shiftleft(1L, CAST(pmod(xxhash64(o_custkey), {M_BITS}) % 64 AS INT)))"
+        " != 0L"
+    )
+    fact = (
+        table(spark, sf_dir, "orders")
+        .crossJoin(F.broadcast(bloom))
+        .filter(hit)
+        .drop("bf")
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.o_custkey == dim.c_custkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

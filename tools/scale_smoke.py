@@ -373,6 +373,21 @@ def main() -> None:
     )
     stage(f"jl_project_{njl//10**6}m_vecs", t0)
 
+    # exact median of 200M continuous values via bucket rank selection
+    # (stats.median_rank_select): only the 1-2 middle buckets are ever
+    # sorted; validates the r3 substrate shape at 1000x the bench grid
+    from clickhouse_migrator_spark.operators.stats import median_rank_select
+
+    nmed = int(200e6 * SC)
+    t0 = time.perf_counter()
+    vals = spark.range(nmed).select(
+        (F.sin(F.col("id").cast("double")) * 1e6).alias("v")
+    )
+    n_total = spark.range(1).select(F.lit(nmed).alias("n"))
+    med = median_rank_select(vals, "v", n_total, "n").collect()[0]["median"]
+    stage(f"median_select_{nmed//10**6}m", t0)
+    assert abs(med) < 2e4, med  # sin-median near 0 at this scale
+
     ncow = int(10e6 * SC)
     M.create_db(spark, "scaledb")
     spark.catalog.setCurrentDatabase("scaledb")

@@ -84,6 +84,11 @@ def shingles(
     )
     if df_cap is None:
         return sh
+    # the gram transform is an interpreted HOF over every token window
+    # and BOTH the hot-shingle aggregate and the anti-join probe side
+    # read it — cache the exploded stream so tokenize+gram runs once
+    # (MEMORY_AND_DISK default spills rather than recomputes at scale)
+    sh = sh.cache()
     hot = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -65,3 +65,22 @@ def test_median_rank_select_matches_percentile_cont(spark):
         got = median_rank_select(vals, "v", n_total, "n").collect()[0]["median"]
         want = vals.agg(F.expr("percentile(v, 0.5)").alias("m")).collect()[0]["m"]
         assert got == want, (n, got, want)
+
+
+def test_grid_prefix_sums_duplicate_boundaries(spark):
+    """90% of the mass on one value → percentile_approx returns the
+    same boundary many times; the (lo, hi] range-join probe must still
+    assign every row to exactly one bucket (duplicate boundaries yield
+    lo == hi empty ranges, matching the strictly-less counting
+    semantics)."""
+    grid = spark.range(50_000).select(
+        F.when(F.col("id") % 10 != 0, 500.0)
+        .otherwise(F.col("id").cast("double"))
+        .alias("value"),
+        F.lit(1).alias("c"),
+    ).groupBy("value").agg(F.sum("c").alias("c"))
+    fast = grid_prefix_sums(grid, "value", ["c"])
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    naive = grid.select("value", F.sum("c").over(w).alias("cum_c"))
+    assert fast.select("value", "cum_c").exceptAll(naive).count() == 0
+    assert fast.count() == grid.count()  # every row in exactly one bucket

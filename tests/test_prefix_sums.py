@@ -84,3 +84,28 @@ def test_grid_prefix_sums_duplicate_boundaries(spark):
     naive = grid.select("value", F.sum("c").over(w).alias("cum_c"))
     assert fast.select("value", "cum_c").exceptAll(naive).count() == 0
     assert fast.count() == grid.count()  # every row in exactly one bucket
+
+
+def test_with_global_row_number_matches_naive(spark):
+    """with_global_row_number == row_number() over the same total order,
+    including the optional cum_<col> running sums, under first-column
+    ties (the composite tiebreak must survive bucketing)."""
+    from clickhouse_migrator_spark.operators.stats import with_global_row_number
+
+    df = spark.range(80_000).select(
+        (F.col("id") % 997).cast("double").alias("score"),  # heavy ties
+        F.col("id").alias("k"),
+        (F.col("id") % 13).alias("c"),
+    )
+    fast = with_global_row_number(df, ["score", "k"], rn_col="rn", sum_cols=["c"])
+    w = Window.orderBy("score", "k")
+    naive = df.select(
+        "score",
+        "k",
+        F.row_number().over(w).alias("rn"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_c"),
+    )
+    assert (
+        fast.select("score", "k", "rn", "cum_c").exceptAll(naive).count() == 0
+    )
+    assert fast.count() == 80_000

@@ -62,7 +62,14 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config(
+            # local mode: driver heap IS the executor heap.  8g showed
+            # GC-locker retry warnings on the 1M-doc dedup smoke (big
+            # Arrow/shuffle allocations); 16g clears them with plenty of
+            # headroom on the 128 GiB container.  Override via env.
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -309,3 +309,39 @@ def test_bootstrap_fanout_is_broadcast(spark, sf_dir):
     df = sampling.sample_poisson_bootstrap_se(spark, sf_dir)
     plan = _plan_string(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_bloom_prefilter_prunes_before_join_exchange(spark, sf_dir):
+    """join_bloom_prefilter's membership test must sit in the FACT-side
+    scan stage (below the final join), so pruned rows never reach a
+    join exchange — the whole point of the semi-join reduction."""
+    df = joins.join_bloom_prefilter(spark, sf_dir)
+    plan = _plan_string(df)
+    # the membership test rides the 1-row bloom attach join itself
+    # (BroadcastNestedLoopJoin ... shiftleft ...), sitting directly over
+    # the orders FileScan
+    bnlj_line = next(
+        (ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln and "shiftleft" in ln),
+        None,
+    )
+    assert bnlj_line is not None, "bloom membership predicate not on the attach join"
+    # tree prints parents first: the pruning BNLJ must be DEEPER than
+    # (after) the final customer equi-join, i.e. rows are filtered
+    # before they ever reach that join
+    assert plan.index("BroadcastHashJoin") < plan.index(bnlj_line.strip()), (
+        "bloom prune is not below the final equi-join"
+    )
+
+
+def test_table_cache_returns_same_plan(spark, sf_dir):
+    """table() plays the catalog role: same DataFrame object per
+    (session, sf_dir, name); invalidate_table_cache() drops it."""
+    from clickhouse_migrator_spark.tables import invalidate_table_cache, table
+
+    a = table(spark, sf_dir, "orders")
+    b = table(spark, sf_dir, "orders")
+    assert a is b
+    invalidate_table_cache()
+    c = table(spark, sf_dir, "orders")
+    assert c is not a
+    assert c.schema == a.schema

@@ -798,38 +798,42 @@ def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("component", F.col("doc_id"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
-    for _ in range(20):  # with pointer doubling: rounds ≈ log₂(diameter)
+    def propagate(lab: DataFrame) -> DataFrame:
+        # min-label over neighbors, then pointer doubling: jump to my
+        # component's OWN component — chain-shaped dup graphs
+        # (doc₁≈doc₂≈…≈docₗ) otherwise need diameter-many rounds; the
+        # extra self-join halves the remaining distance every round
+        # (classic hash-to-min/shortcutting CC) → log rounds total
         neighbor_min = (
-            sym.join(labels, sym.doc_b == labels.doc_id)
+            sym.join(lab, sym.doc_b == lab.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        stepped = labels.join(neighbor_min, "doc_id", "left").select(
+        stepped = lab.join(neighbor_min, "doc_id", "left").select(
             "doc_id",
             F.least(
                 F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
             ).alias("component"),
         )
-        # pointer doubling: jump to my component's OWN component —
-        # chain-shaped dup graphs (doc₁≈doc₂≈…≈docₗ) otherwise need
-        # diameter-many rounds; the extra self-join halves the
-        # remaining distance every round (classic hash-to-min/
-        # shortcutting CC), so long chains converge in log rounds
         parent = stepped.select(
             F.col("doc_id").alias("p_id"), F.col("component").alias("p_comp")
         )
-        labels = (
-            stepped.join(parent, stepped.component == F.col("p_id"), "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("p_comp"), F.col("component")),
-                ).alias("component"),
-            )
-            .localCheckpoint()
+        return stepped.join(parent, stepped.component == F.col("p_id"), "left").select(
+            "doc_id",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("p_comp"), F.col("component")),
+            ).alias("component"),
         )
+
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(10):
+        # TWO propagation rounds per checkpoint + convergence check:
+        # the checkpoint job and the driver round trip are the per-
+        # iteration fixed cost, and an extra round past the fixpoint is
+        # idempotent — so halving the barrier count is free accuracy-
+        # wise and ~halves the loop's scheduling overhead
+        labels = propagate(propagate(labels)).localCheckpoint()
         # labels only ever decrease, so the label sum is strictly
         # monotone until the fixpoint — convergence detection for the
         # cost of one aggregate instead of a self-join + filter

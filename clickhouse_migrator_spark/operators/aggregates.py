@@ -201,7 +201,7 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT l_linestatus,
            count(*) AS n_items,
-           sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
            round(CAST(sum(CASE WHEN l_returnflag = 'R'
                                THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
                       AS DOUBLE), 2)                            AS returned_value,

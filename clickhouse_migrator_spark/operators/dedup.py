@@ -186,10 +186,10 @@ def _jaccard_for_candidates(sh: DataFrame, candidates: DataFrame) -> DataFrame:
     WITH {_SHINGLE_SQL},
     df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
     SELECT count(*) AS n_shingles,
-           sum(CASE WHEN df > {SHINGLE_DF_CAP} THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN df > {SHINGLE_DF_CAP} THEN 1 ELSE 0 END) AS BIGINT)
              AS n_stop_shingles,
-           sum(df) AS posting_mass,
-           coalesce(sum(CASE WHEN df > {SHINGLE_DF_CAP} THEN df END), 0)
+           CAST(sum(df) AS BIGINT) AS posting_mass,
+           CAST(coalesce(sum(CASE WHEN df > {SHINGLE_DF_CAP} THEN df END), 0) AS BIGINT)
              AS dropped_posting_mass,
            {oracle_round_quotient(
                "coalesce(sum(CASE WHEN df > " + str(SHINGLE_DF_CAP)
@@ -1021,8 +1021,8 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN n_shared > 0                 THEN '>0'
                 ELSE 'unique' END AS shared_band,
            count(*)      AS n_docs,
-           sum(n_grams)  AS total_grams,
-           sum(n_shared) AS total_shared
+           CAST(sum(n_grams) AS BIGINT)  AS total_grams,
+           CAST(sum(n_shared) AS BIGINT) AS total_shared
     FROM per_doc GROUP BY 1 ORDER BY shared_band
     """,
 )

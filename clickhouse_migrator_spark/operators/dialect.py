@@ -15,6 +15,7 @@ quality (same shuffles, same codegen, same pushdown).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as sql_functions
 
 from ..registry import register
 from ..tables import table
@@ -165,7 +166,7 @@ def dialect_with_totals_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dialect_monthly_quantiles",
     oracle="""
-    SELECT date_trunc('month', o_orderdate)              AS month,
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
            round(quantile_cont(o_totalprice, 0.5), 4)    AS p50,
            round(quantile_cont(o_totalprice, 0.9), 4)    AS p90,
            count(*) FILTER (o_orderpriority = '1-URGENT') AS n_urgent,
@@ -185,6 +186,9 @@ def dialect_monthly_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..migrate import execute_and_inflate
 
     v = _view(spark, sf_dir, "orders")
+    # month is presented as TIMESTAMP: a DATE output collects as
+    # datetime.date on Spark vs datetime64 on DuckDB — dtype-divergent
+    # through the driver's pandas hash (see schema_sweep.oracle_type_scan)
     return execute_and_inflate(
         spark,
         f"""
@@ -196,7 +200,7 @@ def dialect_monthly_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {v}
         GROUP BY month
         """,
-    )
+    ).withColumn("month", sql_functions.col("month").cast("timestamp_ntz"))
 
 
 @register(
@@ -263,7 +267,7 @@ def dialect_final_replacing_latest(spark: SparkSession, sf_dir: str) -> DataFram
 @register(
     "dialect_numbers_grid",
     oracle="""
-    SELECT range % 7 AS d, count(*) AS n, sum(range) AS total
+    SELECT range % 7 AS d, count(*) AS n, CAST(sum(range) AS BIGINT) AS total
     FROM range(1000) GROUP BY 1
     """,
 )
@@ -354,8 +358,8 @@ def dialect_group_uniq_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
              string_split_regex(trim(text), '\\s+') AS toks
       FROM documents)
     SELECT source,
-           sum(CAST((length(text) - length(replace(text, 'data', '')))
-                    / 4 AS BIGINT))                              AS n_data_hits,
+           CAST(sum(CAST((length(text) - length(replace(text, 'data', '')))
+                    / 4 AS BIGINT)) AS BIGINT)                   AS n_data_hits,
            count(*) FILTER (WHERE text LIKE '%spark%'
                                OR text LIKE '%batch%'
                                OR text LIKE '%window%')          AS n_any_hit,
@@ -588,10 +592,10 @@ def dialect_array_round4(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dialect_round5_scalars",
     oracle="""
     SELECT event_type,
-           sum(CASE WHEN json_extract(props, '$.k') IS NOT NULL
-                    THEN 1 ELSE 0 END)                         AS n_with_k,
-           sum(CASE WHEN json_extract(props, '$.missing') IS NOT NULL
-                    THEN 1 ELSE 0 END)                         AS n_with_missing,
+           CAST(sum(CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT)              AS n_with_k,
+           CAST(sum(CASE WHEN json_extract(props, '$.missing') IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT)              AS n_with_missing,
            min(CASE WHEN instr(event_type, 'e') = 0 THEN event_type
                     ELSE substr(event_type, 1, instr(event_type, 'e') - 1)
                          || 'E' || substr(event_type, instr(event_type, 'e') + 1)
@@ -599,10 +603,10 @@ def dialect_array_round4(spark: SparkSession, sf_dir: str) -> DataFrame:
            max(to_base64(CAST(event_type AS BLOB)))            AS b64,
            max(datediff('day', DATE '1858-11-17', CAST(ts AS DATE)))
                                                                AS max_mjd,
-           sum(CASE WHEN len(list_intersect(
+           CAST(sum(CASE WHEN len(list_intersect(
                          string_split(event_type, 'i'),
                          ['ew', 'ck'])) > 0
-                    THEN 1 ELSE 0 END)                         AS n_splitmatch
+                    THEN 1 ELSE 0 END) AS BIGINT)              AS n_splitmatch
     FROM events
     GROUP BY event_type
     ORDER BY event_type

@@ -215,7 +215,7 @@ def events_dedup_first_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "events_user_daily_activity",
     oracle="""
-    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
            count(*) AS n_events,
            count(DISTINCT event_type) AS n_types,
            round(max(value), 2) AS max_value
@@ -223,10 +223,15 @@ def events_dedup_first_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def events_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # day stays TIMESTAMP (midnight) on both engines: a DATE output
+    # collects as datetime.date on Spark but datetime64 on DuckDB —
+    # dtype-divergent through the driver's pandas hash (same class as
+    # the HUGEINT reds; see tools/schema_sweep.oracle_type_scan).
     e = table(spark, sf_dir, "events")
     return (
         e.groupBy(
-            "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+            "user_id",
+            F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"),
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -416,7 +421,7 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     acts AS (
       SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
       FROM events)
-    SELECT cohort,
+    SELECT CAST(cohort AS TIMESTAMP) AS cohort,
            count(DISTINCT CASE WHEN day = cohort     THEN a.user_id END) AS d0,
            count(DISTINCT CASE WHEN day = cohort + 1 THEN a.user_id END) AS d1,
            count(DISTINCT CASE WHEN day = cohort + 7 THEN a.user_id END) AS d7
@@ -452,6 +457,7 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("day") == F.date_add("cohort", 7), F.col("user_id"))
             ).alias("d7"),
         )
+        .withColumn("cohort", F.col("cohort").cast("timestamp_ntz"))
         .orderBy("cohort")
     )
 
@@ -466,9 +472,9 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
              max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
       FROM events GROUP BY user_id
     )
-    SELECT sum(s)                                       AS signed_up,
-           sum(CASE WHEN s = 1 AND v = 1 THEN 1 ELSE 0 END) AS retained_view,
-           sum(CASE WHEN s = 1 AND p = 1 THEN 1 ELSE 0 END) AS retained_purchase
+    SELECT CAST(sum(s) AS BIGINT)                       AS signed_up,
+           CAST(sum(CASE WHEN s = 1 AND v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS retained_view,
+           CAST(sum(CASE WHEN s = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS retained_purchase
     FROM per_user
     """,
 )
@@ -716,7 +722,7 @@ def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_type IN ('signup', 'purchase')
     )
     SELECT user_id,
-           max(cum_b) - greatest(max(cum_b - cum_a), 0) AS chains
+           CAST(max(cum_b) - greatest(max(cum_b - cum_a), 0) AS BIGINT) AS chains
     FROM seq GROUP BY user_id
     """,
 )
@@ -820,7 +826,7 @@ INTERVAL_LEN_US = 30 * 60 * 1_000_000  # each event opens a 30-minute interval
       SELECT user_id, island, max(e) - min(s) AS span_us
       FROM tagged GROUP BY user_id, island
     )
-    SELECT user_id, sum(span_us) AS covered_us FROM spans GROUP BY user_id
+    SELECT user_id, CAST(sum(span_us) AS BIGINT) AS covered_us FROM spans GROUP BY user_id
     """,
 )
 def events_interval_length_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -931,7 +937,7 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS concurrent
       FROM pts
     )
-    SELECT event_type, max(concurrent) AS max_concurrent
+    SELECT event_type, CAST(max(concurrent) AS BIGINT) AS max_concurrent
     FROM run GROUP BY event_type
     """,
 )
@@ -1437,7 +1443,7 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
       FROM events
     )
-    SELECT f.cohort,
+    SELECT CAST(f.cohort AS TIMESTAMP) AS cohort,
            CAST(date_diff('day', f.cohort, a.week) / 7 AS BIGINT)
              AS week_offset,
            count(DISTINCT a.user_id) AS n_active,
@@ -1479,11 +1485,15 @@ def events_retention_matrix_weekly(spark: SparkSession, sf_dir: str) -> DataFram
             "cohort_size",
         )
     )
-    return j.groupBy("cohort", "week_offset").agg(
-        F.countDistinct("user_id").alias("n_active"),
-        round_quotient(
-            F.countDistinct("user_id"), F.max("cohort_size"), 6
-        ).alias("retention"),
+    return (
+        j.groupBy("cohort", "week_offset")
+        .agg(
+            F.countDistinct("user_id").alias("n_active"),
+            round_quotient(
+                F.countDistinct("user_id"), F.max("cohort_size"), 6
+            ).alias("retention"),
+        )
+        .withColumn("cohort", F.col("cohort").cast("timestamp_ntz"))
     )
 
 
@@ -1650,7 +1660,7 @@ def events_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_growth_rates",
     oracle=f"""
     WITH weekly AS (
-      SELECT date_trunc('week', ts) AS week, count(*) AS n,
+      SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, count(*) AS n,
              round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
       FROM events GROUP BY 1)
     SELECT week, n, total_value,
@@ -1669,7 +1679,7 @@ def events_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only full-data work is one hash aggregate."""
     weekly = (
         table(spark, sf_dir, "events")
-        .groupBy(F.date_trunc("week", "ts").cast("date").alias("week"))
+        .groupBy(F.date_trunc("week", "ts").cast("timestamp_ntz").alias("week"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("total_value"),
@@ -1693,7 +1703,7 @@ def events_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
       FROM events),
     days AS (SELECT DISTINCT day FROM ud)
-    SELECT d.day,
+    SELECT CAST(d.day AS TIMESTAMP) AS day,
            count(DISTINCT CASE WHEN u.day = d.day THEN u.user_id END) AS dau,
            count(DISTINCT CASE WHEN u.day > d.day - 7 THEN u.user_id END) AS wau,
            count(DISTINCT u.user_id) AS mau
@@ -1737,6 +1747,7 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wau"),
             F.countDistinct("user_id").alias("mau"),
         )
+        .withColumn("day", F.col("day").cast("timestamp_ntz"))
         .orderBy("day")
     )
 
@@ -1896,7 +1907,7 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
                       AND nxt.week = w.week + INTERVAL 7 DAY
       WHERE w.week < (SELECT max(week) FROM weeks)
       GROUP BY w.week)
-    SELECT week, active, churned,
+    SELECT CAST(week AS TIMESTAMP) AS week, active, churned,
            {oracle_round_quotient("churned", "active", 6)} AS churn_rate
     FROM pairs ORDER BY week
     """,
@@ -1937,7 +1948,7 @@ def events_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("n_user").isNull(), 1)).alias("churned"),
         )
         .select(
-            "week",
+            F.col("week").cast("timestamp_ntz").alias("week"),
             "active",
             "churned",
             round_quotient(F.col("churned"), F.col("active"), 6).alias(
@@ -2024,7 +2035,7 @@ def events_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT cohort, week_offset,
              sum(CAST(value AS DECIMAL(18,2))) AS rev
       FROM rev GROUP BY cohort, week_offset)
-    SELECT w.cohort, w.week_offset,
+    SELECT CAST(w.cohort AS TIMESTAMP) AS cohort, w.week_offset,
            round(CAST(sum(w2.rev) AS DOUBLE), 2) AS cum_revenue,
            {oracle_round_quotient("sum(w2.rev)", "s.n_users", 4)} AS ltv_per_user
     FROM weekly w
@@ -2074,7 +2085,7 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(sizes), "cohort")
         .select(
-            "cohort",
+            F.col("cohort").cast("timestamp_ntz").alias("cohort"),
             "week_offset",
             F.round(F.col("cum").cast("double"), 2).alias("cum_revenue"),
             round_quotient(
@@ -2308,7 +2319,7 @@ def events_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH first_seen AS (
       SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS first_day
       FROM events GROUP BY user_id)
-    SELECT CAST(date_trunc('day', e.ts) AS DATE) AS day,
+    SELECT CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS day,
            count(DISTINCT CASE WHEN CAST(date_trunc('day', e.ts) AS DATE)
                                     = f.first_day
                                THEN e.user_id END) AS new_users,
@@ -2342,6 +2353,7 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("returning_users"),
             F.count(F.lit(1)).alias("n_events"),
         )
+        .withColumn("day", F.col("day").cast("timestamp_ntz"))
         .orderBy("day")
     )
 
@@ -2533,9 +2545,9 @@ def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFram
              max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
       FROM sess GROUP BY user_id, sid)
     SELECT count(*) AS n_sessions,
-           sum(has_signup) AS sessions_with_signup,
-           sum(CASE WHEN has_signup = 1 AND has_purchase = 1 THEN 1 ELSE 0 END)
-             AS converted_sessions,
+           CAST(sum(has_signup) AS BIGINT) AS sessions_with_signup,
+           CAST(sum(CASE WHEN has_signup = 1 AND has_purchase = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS converted_sessions,
            {oracle_round_quotient(
                "sum(CASE WHEN has_signup = 1 AND has_purchase = 1 THEN 1 ELSE 0 END)",
                "sum(has_signup)", 6)} AS in_session_cvr
@@ -2883,7 +2895,8 @@ def events_survival_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFr
              sum(value * dt) AS vdt
       FROM d WHERE dt IS NOT NULL
       GROUP BY user_id)
-    SELECT user_id, n_events + 1 AS n_events, duration_s,
+    SELECT user_id, n_events + 1 AS n_events,
+           CAST(duration_s AS BIGINT) AS duration_s,
            round(vdt / duration_s, 4) AS time_weighted_avg
     FROM agg WHERE duration_s > 0
     ORDER BY user_id
@@ -2947,7 +2960,7 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM days a
       JOIN events e
         ON CAST(e.ts AS DATE) BETWEEN a.d - INTERVAL 6 DAY AND a.d)
-    SELECT d,
+    SELECT CAST(d AS TIMESTAMP) AS d,
            count(DISTINCT user_id) AS exact_uniques,
            true AS within_5pct
     FROM pairs GROUP BY d ORDER BY d
@@ -2996,7 +3009,7 @@ def events_rolling_7d_uniques_hll(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         exact.join(merged, "anchor")
         .select(
-            F.col("anchor").alias("d"),
+            F.col("anchor").cast("timestamp_ntz").alias("d"),
             "exact_uniques",
             (
                 F.abs(F.col("est") - F.col("exact_uniques"))
@@ -3149,7 +3162,7 @@ def events_inter_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS lateness_s
       FROM o)
     SELECT count(*) AS n_events,
-           sum(CASE WHEN lateness_s > 0 THEN 1 ELSE 0 END) AS n_late,
+           CAST(sum(CASE WHEN lateness_s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
            round(quantile_cont(lateness_s, 0.99), 2) AS p99_lateness_s,
            CAST(max(lateness_s) AS BIGINT) AS max_lateness_s,
            {oracle_round_quotient("sum(CASE WHEN lateness_s > 60 THEN 1 ELSE 0 END)",

@@ -354,10 +354,10 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
              min(doc_id) AS keeper
       FROM h GROUP BY digest)
     SELECT count(*)                                   AS n_unique_payloads,
-           sum(n_copies)                              AS n_payloads,
-           sum(n_copies) - count(*)                   AS n_dropped,
-           sum(CASE WHEN n_copies > 1 THEN 1 END)     AS n_dup_groups,
-           sum(n_bytes * (n_copies - 1))              AS bytes_reclaimed
+           CAST(sum(n_copies) AS BIGINT)              AS n_payloads,
+           CAST(sum(n_copies) - count(*) AS BIGINT)   AS n_dropped,
+           CAST(sum(CASE WHEN n_copies > 1 THEN 1 END) AS BIGINT) AS n_dup_groups,
+           CAST(sum(n_bytes * (n_copies - 1)) AS BIGINT) AS bytes_reclaimed
     FROM g
     """,
 )
@@ -457,10 +457,10 @@ _MAGIC = {
              WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
              WHEN 2 THEN 'wav' ELSE 'unknown' END AS sniffed_type,
            count(*) AS n_payloads,
-           sum(octet_length(CAST(text AS BLOB))
+           CAST(sum(octet_length(CAST(text AS BLOB))
                + CASE CAST(doc_id % 4 AS INTEGER)
                    WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 12 ELSE 0 END)
-             AS total_bytes
+             AS BIGINT) AS total_bytes
     FROM documents
     GROUP BY 1
     ORDER BY sniffed_type

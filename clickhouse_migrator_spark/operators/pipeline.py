@@ -53,7 +53,7 @@ from .text import STOP_DE, STOP_EN, STOP_ES, _sql_stop_hits, _stop_hits, _tokens
       SELECT g.doc_id, g.source, g.n_tokens
       FROM gated g JOIN keep k ON g.doc_id = k.doc_id
       WHERE {_sql_bucket('g.doc_id')} < {_P} * 0.5)
-    SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+    SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
     FROM curated GROUP BY source ORDER BY source
     """,
@@ -118,7 +118,7 @@ _PACK_SALT, _MIX_SALT = 101, 202
                / {PACK_BUDGET_TOKENS}) AS BIGINT) AS bin_id
       FROM toks
     )
-    SELECT shard, bin_id, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+    SELECT shard, bin_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
     FROM packed GROUP BY shard, bin_id
     """,
 )
@@ -362,7 +362,7 @@ def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_source AS (
       SELECT source,
              count(*)                         AS n_docs,
-             sum(n_tokens)                    AS total_tokens,
+             CAST(sum(n_tokens) AS BIGINT)    AS total_tokens,
              round(avg(n_tokens), 4)          AS avg_tokens,
              round(avg(n_chars), 4)           AS avg_chars,
              count(DISTINCT lang)             AS n_langs,
@@ -708,7 +708,7 @@ VOCAB_K = 30  # closed-vocabulary size for the OOV audit
     SELECT source,
            count(*) AS n_docs,
            round(avg(n_oov / CAST(n_tokens AS DOUBLE)), 6) AS avg_oov_rate,
-           sum(CASE WHEN n_oov * 2 > n_tokens THEN 1 ELSE 0 END) AS n_docs_majority_oov
+           CAST(sum(CASE WHEN n_oov * 2 > n_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_majority_oov
     FROM per_doc
     GROUP BY source
     ORDER BY source
@@ -1029,7 +1029,7 @@ def pipeline_dataset_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFram
     WITH s AS (
       SELECT count(*) AS n_docs,
              avg(length(text)) AS avg_bytes,
-             sum(CAST(length(text) AS BIGINT)) AS total_bytes
+             CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_bytes
       FROM documents)
     SELECT n_docs,
            round(avg_bytes, 2) AS avg_doc_bytes,
@@ -1096,13 +1096,13 @@ SPAN_MAX_OCCURRENCES = 2  # spans seen more often than this are boilerplate
       FROM spans s JOIN freq f USING (span))
     SELECT doc_id,
            count(*) AS n_spans,
-           sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup_spans,
+           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
            {oracle_round_quotient(
                "sum(CASE WHEN is_dup THEN 1 ELSE 0 END)", "count(*)", 6)}
              AS dup_span_ratio,
-           sum(CASE WHEN is_dup THEN 0
+           CAST(sum(CASE WHEN is_dup THEN 0
                     ELSE len(string_split_regex(span, ' ')) END)
-             AS tokens_after_removal
+             AS BIGINT) AS tokens_after_removal
     FROM flagged GROUP BY doc_id
     """,
 )
@@ -1168,7 +1168,7 @@ MIX_TARGET_TOKENS = 1_000_000  # illustrative per-run token budget
     oracle=f"""
     WITH lang_tokens AS (
       SELECT lang,
-             sum(len(string_split_regex(lower(trim(text)), '\\s+'))) AS n_tokens
+             CAST(sum(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT) AS n_tokens
       FROM documents GROUP BY lang),
     tot AS (SELECT sum(n_tokens) AS total FROM lang_tokens),
     powed AS (

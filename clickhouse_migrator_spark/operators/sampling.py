@@ -152,7 +152,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sample_train_test_split",
     oracle=f"""
-    SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM (SELECT CASE WHEN {_sql_bucket('doc_id')} < {_P} * 0.8 THEN 'train'
                       WHEN {_sql_bucket('doc_id')} < {_P} * 0.9 THEN 'valid'
                       ELSE 'test' END AS split,

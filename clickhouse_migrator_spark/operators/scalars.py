@@ -72,11 +72,11 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            day(o_orderdate)                           AS dom,
            quarter(o_orderdate)                       AS qtr,
            dayofweek(o_orderdate) + 1                 AS dow,
-           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
-           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
            datediff('day', DATE '1995-01-01', o_orderdate) AS days_since_epoch,
            strftime(o_orderdate, '%Y-%m-%d')          AS iso_date,
-           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m
+           CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS TIMESTAMP) AS plus3m
     FROM orders
     """,
 )
@@ -89,13 +89,15 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth("o_orderdate").alias("dom"),
         F.quarter("o_orderdate").alias("qtr"),
         F.dayofweek("o_orderdate").alias("dow"),
-        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
-        F.last_day("o_orderdate").alias("month_end"),
+        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias(
+            "month_start"
+        ),
+        F.last_day("o_orderdate").cast("timestamp_ntz").alias("month_end"),
         F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
             "days_since_epoch"
         ),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_date"),
-        F.add_months("o_orderdate", 3).alias("plus3m"),
+        F.add_months("o_orderdate", 3).cast("timestamp_ntz").alias("plus3m"),
     )
 
 
@@ -567,11 +569,11 @@ def scalar_string_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_date_funcs2",
     oracle="""
     SELECT o_orderkey,
-           CAST(o_orderdate + INTERVAL 30 DAY AS DATE)  AS plus_30d,
-           CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus_2mo,
+           CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS TIMESTAMP)  AS plus_30d,
+           CAST(CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS TIMESTAMP) AS plus_2mo,
            strftime(o_orderdate, '%Y-%m')               AS year_month,
            dayofweek(o_orderdate) + 1                   AS dow,
-           last_day(o_orderdate)                        AS month_end,
+           CAST(last_day(o_orderdate) AS TIMESTAMP)     AS month_end,
            weekofyear(o_orderdate)                      AS iso_week,
            date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_1995
     FROM orders
@@ -588,11 +590,11 @@ def scalar_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
-        F.date_add("o_orderdate", 30).alias("plus_30d"),
-        F.add_months("o_orderdate", 2).alias("plus_2mo"),
+        F.date_add("o_orderdate", 30).cast("timestamp_ntz").alias("plus_30d"),
+        F.add_months("o_orderdate", 2).cast("timestamp_ntz").alias("plus_2mo"),
         F.date_format("o_orderdate", "yyyy-MM").alias("year_month"),
         F.dayofweek("o_orderdate").alias("dow"),
-        F.last_day("o_orderdate").alias("month_end"),
+        F.last_day("o_orderdate").cast("timestamp_ntz").alias("month_end"),
         F.weekofyear("o_orderdate").alias("iso_week"),
         F.datediff("o_orderdate", F.lit("1995-01-01").cast("timestamp")).alias(
             "days_since_1995"
@@ -761,7 +763,7 @@ def scalar_array_cumsum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(array_to_string(list(CAST(CAST(v AS DECIMAL(18,2)) AS VARCHAR)
                                 ORDER BY pos, v, dsc)
                            FILTER (prev IS NULL OR prev <> v), ','), '') AS arr_compact,
-           sum(CASE WHEN prev IS NULL OR prev <> v THEN 1 ELSE 0 END) AS n_runs
+           CAST(sum(CASE WHEN prev IS NULL OR prev <> v THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
     FROM w GROUP BY o_orderkey
     """,
 )

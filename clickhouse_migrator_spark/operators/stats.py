@@ -407,8 +407,8 @@ def agg_rank_corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
                "   * (sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1)",
                "2 * CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS HUGEINT)"
                "   * sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)", 6)} AS auc,
-           sum(CASE WHEN pos THEN 1 ELSE 0 END)     AS n_pos,
-           sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS n_neg
+           CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)     AS n_pos,
+           CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
     FROM ranked
     """,
 )
@@ -483,8 +483,8 @@ def agg_value_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
                "        - CAST(cum_e AS HUGEINT) * (SELECT sum(c_p) FROM grid)))",
                "CAST((SELECT sum(c_p) FROM grid) AS HUGEINT)"
                " * (SELECT sum(c_e) FROM grid)", 6)} AS ks_d,
-           (SELECT sum(c_p) FROM grid) AS n_purchase,
-           (SELECT sum(c_e) FROM grid) AS n_error
+           CAST((SELECT sum(c_p) FROM grid) AS BIGINT) AS n_purchase,
+           CAST((SELECT sum(c_e) FROM grid) AS BIGINT) AS n_error
     FROM cum
     """,
 )
@@ -612,8 +612,8 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
                  - (sum(CASE WHEN pos THEN avg_rank END)
                     - (sum(CASE WHEN pos THEN 1 ELSE 0 END)
                        * (sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1)) / 2.0), 4) AS u2,
-           sum(CASE WHEN pos THEN 1 ELSE 0 END)     AS n_purchase,
-           sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS n_error
+           CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)     AS n_purchase,
+           CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS n_error
     FROM ranked
     """,
 )
@@ -680,7 +680,7 @@ def agg_group_uniq_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_sum_foreach",
     oracle="""
     SELECT label, pos,
-           sum(CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS dim_sum_e6
+           CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS dim_sum_e6
     FROM (SELECT label,
                  unnest(range(0, len(embedding))) AS pos,
                  unnest(embedding)                AS v
@@ -777,7 +777,7 @@ def window_nonnegative_derivative(spark: SparkSession, sf_dir: str) -> DataFrame
                                 ORDER BY concurrent DESC, p ASC) AS rk
       FROM run
     )
-    SELECT event_type, concurrent AS max_concurrent, p AS at_ts
+    SELECT event_type, CAST(concurrent AS BIGINT) AS max_concurrent, p AS at_ts
     FROM best WHERE rk = 1
     """,
 )
@@ -1338,7 +1338,7 @@ def agg_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT count(*) AS k, sum(n_g) AS n, sum(s_g) AS s,
              sum(ss_g) AS ss, sum(s_g * s_g / n_g) AS sb
       FROM g)
-    SELECT k, n,
+    SELECT k, CAST(n AS BIGINT) AS n,
            round(sb - s * s / n, 4)              AS ss_between,
            round(ss - sb, 4)                     AS ss_within,
            round(((sb - s * s / n) / (k - 1))
@@ -1652,10 +1652,10 @@ def agg_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM assigned GROUP BY arm),
     wide AS (
       SELECT max(CASE WHEN arm = 'A' THEN n END)    AS na,
-             max(CASE WHEN arm = 'A' THEN conv END) AS ca,
+             CAST(max(CASE WHEN arm = 'A' THEN conv END) AS BIGINT) AS ca,
              max(CASE WHEN arm = 'A' THEN rate END) AS ra,
              max(CASE WHEN arm = 'B' THEN n END)    AS nb,
-             max(CASE WHEN arm = 'B' THEN conv END) AS cb,
+             CAST(max(CASE WHEN arm = 'B' THEN conv END) AS BIGINT) AS cb,
              max(CASE WHEN arm = 'B' THEN rate END) AS rb
       FROM arms)
     SELECT na, ca, {oracle_round_quotient("ca", "na", 6)} AS rate_a,
@@ -2032,7 +2032,7 @@ def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     top AS (
       SELECT d, s, row_number() OVER (ORDER BY abs(s) DESC, d) AS rn FROM c)
     SELECT (SELECT n FROM m) AS n_days,
-           d AS changepoint_day,
+           CAST(d AS TIMESTAMP) AS changepoint_day,
            round(abs(s), 4) AS max_abs_cusum,
            abs(s) > 3 * sqrt((SELECT n FROM m)) AS drift_detected
     FROM top WHERE rn = 1
@@ -2074,7 +2074,7 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rn") == 1)
     return top.select(
         F.col("n").alias("n_days"),
-        F.col("d").alias("changepoint_day"),
+        F.col("d").cast("timestamp_ntz").alias("changepoint_day"),
         F.round(F.abs("s"), 4).alias("max_abs_cusum"),
         (F.abs("s") > 3 * F.sqrt(F.col("n").cast("double"))).alias("drift_detected"),
     )

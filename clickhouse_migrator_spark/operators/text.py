@@ -623,8 +623,8 @@ def text_keywords_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) AS new_tokens
       FROM firsts CROSS JOIN mx GROUP BY 1)
     SELECT decile, new_tokens,
-           sum(new_tokens) OVER (ORDER BY decile
-                                 ROWS UNBOUNDED PRECEDING) AS vocab_size
+           CAST(sum(new_tokens) OVER (ORDER BY decile
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
     FROM entering ORDER BY decile
     """,
 )
@@ -936,11 +936,11 @@ STOP_GOPHER = ("the", "be", "to", "of", "and", "that", "have", "with")
       FROM d)
     SELECT source,
            count(*) AS n_docs,
-           sum(CASE WHEN fail_word_count THEN 1 ELSE 0 END)    AS n_fail_word_count,
-           sum(CASE WHEN fail_mean_word_len THEN 1 ELSE 0 END) AS n_fail_mean_word_len,
-           sum(CASE WHEN fail_symbol_ratio THEN 1 ELSE 0 END)  AS n_fail_symbol_ratio,
-           sum(CASE WHEN fail_alpha_words THEN 1 ELSE 0 END)   AS n_fail_alpha_words,
-           sum(CASE WHEN fail_stopwords THEN 1 ELSE 0 END)     AS n_fail_stopwords,
+           CAST(sum(CASE WHEN fail_word_count THEN 1 ELSE 0 END) AS BIGINT)    AS n_fail_word_count,
+           CAST(sum(CASE WHEN fail_mean_word_len THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_mean_word_len,
+           CAST(sum(CASE WHEN fail_symbol_ratio THEN 1 ELSE 0 END) AS BIGINT)  AS n_fail_symbol_ratio,
+           CAST(sum(CASE WHEN fail_alpha_words THEN 1 ELSE 0 END) AS BIGINT)   AS n_fail_alpha_words,
+           CAST(sum(CASE WHEN fail_stopwords THEN 1 ELSE 0 END) AS BIGINT)     AS n_fail_stopwords,
            round(sum(CASE WHEN NOT (fail_word_count OR fail_mean_word_len
                                     OR fail_symbol_ratio OR fail_alpha_words
                                     OR fail_stopwords) THEN 1 ELSE 0 END)
@@ -1268,7 +1268,7 @@ def text_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS df2,
              sum(tf) AS cf
       FROM per_doc GROUP BY token)
-    SELECT token, df, cf,
+    SELECT token, df, CAST(cf AS BIGINT) AS cf,
            {oracle_round_quotient("df2", "df", 6)} AS burstiness,
            {oracle_round_quotient("cf", "df", 6)} AS mean_tf
     FROM stats

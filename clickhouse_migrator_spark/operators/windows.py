@@ -473,9 +473,9 @@ def window_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_rolling_correlation",
     oracle="""
     WITH daily AS (
-      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
              sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS buy_v,
-             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks
       FROM events GROUP BY 1)
     SELECT day, round(buy_v, 2) AS buy_v, clicks,
            round(corr(buy_v, clicks) OVER (ORDER BY day
@@ -492,7 +492,7 @@ def window_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     machine, never a re-scan of events."""
     daily = (
         table(spark, sf_dir, "events")
-        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .groupBy(F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"))
         .agg(
             F.sum(
                 F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
@@ -515,7 +515,7 @@ def window_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_moving_median",
     oracle="""
     WITH daily AS (
-      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
              round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS rev
       FROM events WHERE event_type = 'purchase' GROUP BY 1)
     SELECT day, rev,
@@ -534,7 +534,7 @@ def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
-        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .groupBy(F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"))
         .agg(F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("rev"))
     )
     w = Window.orderBy("day").rowsBetween(-6, 0)
@@ -549,11 +549,11 @@ def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_order_backlog",
     oracle="""
     WITH opened AS (
-      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
              count(*) AS delta
       FROM orders GROUP BY 1),
     closed AS (
-      SELECT CAST(date_trunc('month', mx) AS DATE) AS m, -count(*) AS delta
+      SELECT CAST(date_trunc('month', mx) AS TIMESTAMP) AS m, -count(*) AS delta
       FROM (SELECT l_orderkey, max(l_shipdate) AS mx
             FROM lineitem GROUP BY l_orderkey)
       GROUP BY 1),
@@ -579,14 +579,14 @@ def window_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     over months (tiny).  No interval join anywhere."""
     opened = (
         table(spark, sf_dir, "orders")
-        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("m"))
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("m"))
         .agg(F.count(F.lit(1)).alias("delta"))
     )
     closed = (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
         .agg(F.max("l_shipdate").alias("mx"))
-        .groupBy(F.date_trunc("month", "mx").cast("date").alias("m"))
+        .groupBy(F.date_trunc("month", "mx").cast("timestamp_ntz").alias("m"))
         .agg((-F.count(F.lit(1))).alias("delta"))
     )
     deltas = (
@@ -606,7 +606,7 @@ def window_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_cumulative_vwap",
     oracle=f"""
     WITH daily AS (
-      SELECT CAST(date_trunc('day', l_shipdate) AS DATE) AS day,
+      SELECT CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS day,
              sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS pv,
              sum(CAST(l_quantity AS DECIMAL(18,2))) AS v
       FROM lineitem
@@ -634,7 +634,7 @@ def window_cumulative_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
             & (F.col("l_shipdate") < F.lit("1995-02-01 00:00:00").cast("timestamp_ntz"))
         )
-        .groupBy(F.date_trunc("day", "l_shipdate").cast("date").alias("day"))
+        .groupBy(F.date_trunc("day", "l_shipdate").cast("timestamp_ntz").alias("day"))
         .agg(
             F.sum(
                 (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,4)")
@@ -656,7 +656,7 @@ def window_cumulative_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_max_drawdown",
     oracle=f"""
     WITH daily AS (
-      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
              sum(CAST(round(value * 100) AS BIGINT)) AS rev_c
       FROM events WHERE event_type = 'purchase' GROUP BY 1),
     series AS (
@@ -682,7 +682,7 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
-        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .groupBy(F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"))
         # exact cents grid: the cumulative/peak arithmetic below stays
         # integer-exact, so neither engine version nor partial-agg
         # order can move the rounded outputs
@@ -705,7 +705,7 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_bollinger_daily_revenue",
     oracle="""
     WITH daily AS (
-      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
              sum(CAST(round(value * 100) AS BIGINT)) AS rev_c
       FROM events WHERE event_type = 'purchase' GROUP BY 1)
     SELECT day,
@@ -735,7 +735,7 @@ def window_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
-        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .groupBy(F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"))
         .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev_c"))
     )
     w = Window.orderBy("day").rowsBetween(-6, 0)
@@ -757,7 +757,7 @@ def window_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_rsi_daily_revenue",
     oracle=f"""
     WITH daily AS (
-      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
              sum(CAST(round(value * 100) AS BIGINT)) AS rev_c
       FROM events WHERE event_type = 'purchase' GROUP BY 1),
     d AS (
@@ -795,7 +795,7 @@ def window_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
-        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .groupBy(F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"))
         .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev_c"))
     )
     wl = Window.orderBy("day")
@@ -830,7 +830,7 @@ def window_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_obv_daily_revenue",
     oracle="""
     WITH daily AS (
-      SELECT date_trunc('day', ts)::DATE AS day,
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
              sum(CAST(round(value * 100) AS BIGINT)) AS rev_c,
              count(*) AS vol
       FROM events WHERE event_type = 'purchase' GROUP BY 1),
@@ -844,8 +844,8 @@ def window_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT day,
            round(rev_c / 100.0, 2) AS revenue,
            vol AS n_purchases,
-           sum(signed_vol) OVER (ORDER BY day
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS obv
+           CAST(sum(signed_vol) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
     FROM sgn ORDER BY day
     """,
 )
@@ -862,7 +862,7 @@ def window_obv_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
-        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .groupBy(F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"))
         .agg(
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev_c"),
             F.count(F.lit(1)).alias("vol"),
@@ -890,7 +890,7 @@ def window_obv_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_seasonal_naive_backtest",
     oracle=f"""
     WITH daily AS (
-      SELECT date_trunc('day', ts)::DATE AS day,
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
              sum(CAST(round(value * 100) AS BIGINT)) AS rev_c
       FROM events WHERE event_type = 'purchase' GROUP BY 1),
     f AS (
@@ -917,7 +917,7 @@ def window_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFram
     daily = (
         table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
-        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .groupBy(F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"))
         .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("rev_c"))
     )
     w = Window.orderBy("day")

@@ -4,12 +4,21 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
 DuckDB over the same parquet fixtures, then compares row count, sorted
 column names, and order-insensitive values.  Use while iterating:
 
-    python tools/check_correctness.py [sf_dir] [query ...]
+    python tools/check_correctness.py [--pandas] [sf_dir] [query ...]
     python tools/check_correctness.py --json GATE_r2.json [sf_dir]
 
 ``--json FILE`` additionally writes the full per-query result table in
 the driver's CORRECTNESS_r{N}.json row format, committed per round so
 the builder-gate and driver-sample can be diffed without re-running.
+
+``--pandas`` switches to the DRIVER-FAITHFUL collection path: Spark
+results through ``toPandas()`` and oracle results through DuckDB
+``rel.df()``, normalized DTYPE-SENSITIVELY.  The default ``fetchall()``
+path hands both sides to Python ints, which structurally cannot see
+the divergence the driver's pandas hash sees — e.g. a DuckDB HUGEINT
+sum becomes float64 ``6.0`` in pandas while Spark emits int64 ``6``
+(VERDICT r4 "what's wrong #2", red for three rounds).  Run the close
+gate BOTH ways.
 """
 
 from __future__ import annotations
@@ -44,17 +53,60 @@ def _norm(v):
     return repr(v)
 
 
-def _rowset(cols, rows):
+def _norm_pandas(v):
+    """Dtype-sensitive cell normalization for the --pandas path: int64
+    and float64 cells must hash DIFFERENTLY (``6`` vs ``6.0``), exactly
+    as they do through the driver's pandas collection."""
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
+        return "None"
+    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+        return repr(int(v))
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        return "NaN" if math.isnan(f) else repr(f)
+    if isinstance(v, np.bool_):
+        return repr(bool(v))
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(_norm_pandas(x) for x in v.tolist()) + "]"
+    if isinstance(v, list):
+        return "[" + ",".join(_norm_pandas(x) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return repr(v)
+
+
+def _pandas_rows(df):
+    """(columns, row tuples) from a pandas frame, cells left as the
+    numpy scalars pandas hands out (dtype is the point)."""
+    cols = list(df.columns)
+    return cols, [tuple(row) for row in df.itertuples(index=False, name=None)]
+
+
+def _rowset(cols, rows, norm=_norm):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted("|".join(_norm(r[i]) for i in order) for r in rows)
+    return sorted("|".join(norm(r[i]) for i in order) for r in rows)
 
 
 def main() -> int:
     argv = sys.argv[1:]
     json_out = None
+    pandas_mode = False
+    if argv and argv[0] == "--pandas":
+        pandas_mode = True
+        argv = argv[1:]
     if argv and argv[0] == "--json":
         json_out = argv[1]
         argv = argv[2:]
+    if argv and argv[0] == "--pandas":
+        pandas_mode = True
+        argv = argv[1:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     results: dict[str, dict] = {}
@@ -72,8 +124,11 @@ def main() -> int:
             continue
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            if pandas_mode:
+                scols, srows = _pandas_rows(sdf.toPandas())
+            else:
+                scols = sdf.columns
+                srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failed.append(name)
@@ -90,8 +145,11 @@ def main() -> int:
             continue
         try:
             rel = con.sql(oracles[name])
-            dcols = [c for c in rel.columns]
-            drows = rel.fetchall()
+            if pandas_mode:
+                dcols, drows = _pandas_rows(rel.df())
+            else:
+                dcols = [c for c in rel.columns]
+                drows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failed.append(name)
@@ -105,7 +163,8 @@ def main() -> int:
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duckdb={sorted(dcols)}")
         if not problems:
-            s, d = _rowset(scols, srows), _rowset(dcols, drows)
+            norm = _norm_pandas if pandas_mode else _norm
+            s, d = _rowset(scols, srows, norm), _rowset(dcols, drows, norm)
             if s != d:
                 diff = [(a, b) for a, b in zip(s, d) if a != b][:3]
                 problems.append(f"values differ; first diffs: {diff}")

@@ -1,5 +1,6 @@
 """Sweep every registered query's OUTPUT SCHEMA for driver-hash-unsafe columns,
-and every operator source file for hash-unsafe ROUNDING PROVENANCE.
+every ORACLE's DuckDB output types for the same contract, and every
+operator source file for hash-unsafe ROUNDING PROVENANCE.
 
 Type pass: the driver's correctness gate collects Spark results through
 pandas and hashes each row; array/map/struct columns become numpy
@@ -48,6 +49,10 @@ from clickhouse_migrator_spark.session import get_spark  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 
+# DateType is intentionally ABSENT: a Spark DATE collects through
+# pandas as object-dtype datetime.date while DuckDB DATE collects as
+# datetime64 — dtype-divergent under the driver's value hash (round-5
+# fix: all 20 date outputs recast to timestamp_ntz / CAST AS TIMESTAMP).
 SAFE = (
     T.StringType,
     T.BooleanType,
@@ -56,7 +61,6 @@ SAFE = (
     T.IntegerType,
     T.LongType,
     T.DoubleType,
-    T.DateType,
     T.TimestampType,
     T.TimestampNTZType,
     T.NullType,
@@ -113,6 +117,48 @@ def provenance_scan() -> int:
     return bad
 
 
+# DuckDB output types whose pandas collection diverges from the Spark
+# value-hash: HUGEINT/UHUGEINT (128-bit int -> float64 through rel.df(),
+# so `6` hashes as `6.0` against Spark's int64 `6` — VERDICT r3/r4's
+# only red class), and any type absent from this allowlist is flagged
+# for review (DECIMAL widens, LIST nests, FLOAT narrows).
+_ORACLE_SAFE_TYPES = {
+    "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "UBIGINT", "UINTEGER",
+    "USMALLINT", "UTINYINT", "DOUBLE", "VARCHAR", "BOOLEAN",
+    "TIMESTAMP", "TIMESTAMP_NS",
+}
+
+
+def oracle_type_scan(sf_dir: str) -> int:
+    """Run every oracle through DuckDB and FAIL on any output column
+    whose DuckDB type is not driver-hash-safe (the Spark-side pass
+    above covers the other half of the contract)."""
+    import duckdb
+
+    from clickhouse_migrator_spark.tables import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    bad = 0
+    for name, sql in entrymod.oracle_sql().items():
+        try:
+            rel = con.sql(sql)
+            offenders = [
+                f"{c}:{t}"
+                for c, t in zip(rel.columns, (str(t) for t in rel.types))
+                if t not in _ORACLE_SAFE_TYPES
+            ]
+        except Exception as e:  # noqa: BLE001
+            print(f"ORACLE-TYPE {name}: BUILD-ERROR {type(e).__name__}: {e}")
+            bad += 1
+            continue
+        if offenders:
+            print(f"ORACLE-TYPE {name}: " + ", ".join(offenders))
+            bad += 1
+    return bad
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark(cpus=8, shuffle_partitions=8)
@@ -133,9 +179,11 @@ def main() -> int:
             print(f"{name}: " + ", ".join(offenders))
             bad += 1
     print(f"\n{bad} queries with hash-unsafe output columns")
+    obad = oracle_type_scan(sf_dir)
+    print(f"{obad} oracles with hash-unsafe DuckDB output types")
     pbad = provenance_scan()
     print(f"{pbad} unreviewed round-of-division sites")
-    return 1 if bad or pbad else 0
+    return 1 if bad or obad or pbad else 0
 
 
 if __name__ == "__main__":

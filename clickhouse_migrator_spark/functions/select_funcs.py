@@ -381,8 +381,18 @@ RULES: dict[str, Rule] = {
     "medianIf": _tpl("percentile(CASE WHEN {1} THEN {0} END, 0.5)"),
     # -Array over uniq: distinct elements across all rows' arrays
     # (ClickHouse uniqArray is an HLL estimate; the exact count is the
-    # same strict upgrade as the quantile mappings)
-    "uniqArray": _tpl("size(array_distinct(flatten(collect_list({0}))))"),
+    # same strict upgrade as the quantile mappings).
+    # Memory contract (ADVICE r4 #5): the aggregation buffer holds the
+    # union of PER-ROW-DEDUPED arrays — bounded by the group's total
+    # distinct-per-row elements, not its raw element count (the inner
+    # array_distinct is the bound; collecting raw arrays was unbounded
+    # in duplicates).  A template rewrite cannot change row multiplicity,
+    # so groups whose distinct-element union itself exceeds executor
+    # memory need the explode + count(DISTINCT) form hand-written at the
+    # query level — that shape shuffles instead of buffering.
+    "uniqArray": _tpl(
+        "size(array_distinct(flatten(collect_set(array_distinct({0})))))"
+    ),
     # strings
     # ClickHouse position(haystack, needle[, start]) — arg order is the
     # REVERSE of Spark's locate; the 1-arg `position(sub IN str)`

@@ -93,9 +93,17 @@ def round_quotient(
         scaled = ⌊(2T + D) / (2D)⌋        (= HALF_UP for num, den ≥ 0)
         result = CAST(scaled AS DOUBLE) / 10^k
 
-    All integer steps run in decimal(38,0) (≈1e38 headroom, no int64
-    ceiling at 100 TB group sums); the two final double ops are
-    identical IEEE operations on both engines.
+    The power-of-ten multiplies run in DECIMAL arithmetic: each factor
+    is cast to a decimal sized so the product's precision lands exactly
+    at 38 (no precision-loss rescale, no rounding).  Casting AFTER the
+    multiply — the pre-round-5 shape — computed ``num · 10^(k+s)`` in
+    int64 for integral inputs and silently WRAPPED above
+    ~9.2e18/10^(k+s) (ADVICE r4 #1).  Headroom is now 10^(36-2(k+s))
+    for the numerator (≥1e20 at the k+s ≤ 8 call-site range — orders of
+    magnitude past any 100 TB group sum); past it Spark yields NULL
+    (overflow), never a wrong number.  The remaining integer steps run
+    in decimal(38,0); the two final double ops are identical IEEE
+    operations on both engines.
 
     ``num`` must be an exact decimal/integral expression (a decimal-cast
     sum) with at most ``k`` fractional digits; ``den`` a non-zero exact
@@ -104,8 +112,19 @@ def round_quotient(
     both engines' ``round``).  Oracle twin: :func:`oracle_round_quotient`
     (HUGEINT ``//`` — the same integer).
     """
-    t0 = (num * F.lit(10 ** (k + den_scale))).cast("decimal(38,0)")
-    d0 = (den * F.lit(10**den_scale)).cast("decimal(38,0)")
+    # Cast each factor to decimal BEFORE multiplying: precisions are
+    # sized so p1 + p2 + 1 == 38 — the product is exact decimal(38, s),
+    # with no int64 wrap (inputs may be bigint) and no precision-loss
+    # scale reduction (which would round for k + den_scale > 6).
+    ns = k + den_scale
+    t0 = (
+        num.cast(f"decimal({36 - ns},{ns})")
+        * F.lit(10**ns).cast(f"decimal({ns + 1},0)")
+    ).cast("decimal(38,0)")
+    d0 = (
+        den.cast(f"decimal({36 - den_scale},{den_scale})")
+        * F.lit(10**den_scale).cast(f"decimal({den_scale + 1},0)")
+    ).cast("decimal(38,0)")
     # Fold the denominator sign into the numerator, then HALF_UP away
     # from zero on |T| (the engines' integer-division semantics differ
     # on negatives — truncation vs floor — so stay non-negative).
@@ -123,9 +142,20 @@ def oracle_round_quotient(
     num_sql: str, den_sql: str, k: int = 4, den_scale: int = 0
 ) -> str:
     """DuckDB twin of :func:`round_quotient`.  ``//`` on HUGEINT is
-    floor division — the same integer Spark's decimal path computes."""
-    t0 = f"CAST(({num_sql}) * {10 ** (k + den_scale)} AS HUGEINT)"
-    d0 = f"CAST(({den_sql}) * {10 ** den_scale} AS HUGEINT)"
+    floor division — the same integer Spark's decimal path computes.
+    The power-of-ten multiplies run in decimal just like the Spark
+    side (DuckDB product precision is p1 + p2, sized to land at 38):
+    multiplying first in INT64 — the pre-round-5 shape — raised an
+    Out of Range error above ~9.2e18/10^(k+s) for bigint inputs."""
+    ns = k + den_scale
+    t0 = (
+        f"CAST(CAST(({num_sql}) AS DECIMAL({37 - ns},{ns}))"
+        f" * CAST({10 ** ns} AS DECIMAL({ns + 1},0)) AS HUGEINT)"
+    )
+    d0 = (
+        f"CAST(CAST(({den_sql}) AS DECIMAL({37 - den_scale},{den_scale}))"
+        f" * CAST({10 ** den_scale} AS DECIMAL({den_scale + 1},0)) AS HUGEINT)"
+    )
     t = f"(CASE WHEN {d0} < 0 THEN -{t0} ELSE {t0} END)"
     d = f"abs({d0})"
     mag = f"((2 * abs({t}) + {d}) // (2 * {d}))"

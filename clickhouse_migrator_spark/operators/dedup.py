@@ -101,7 +101,7 @@ def shingles(
     return sh.join(hot, "shingle", "left_anti")
 
 
-_SHINGLE_SQL = """
+_SHINGLE_SQL = f"""
     toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
              FROM documents),
     sh AS (SELECT DISTINCT doc_id,
@@ -114,7 +114,9 @@ _SHINGLE_SQL = """
                    GROUP BY 1, 2),
     pair_jaccard AS (
       SELECT doc_a, doc_b,
-             inter / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+             inter / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard,
+             {oracle_round_quotient("inter", "sa.n + sb.n - inter", 6)}
+               AS jaccard_r6
       FROM pair_inter
       JOIN sizes sa ON sa.doc_id = doc_a
       JOIN sizes sb ON sb.doc_id = doc_b)
@@ -128,13 +130,16 @@ def _attach_jaccard(inter: DataFrame, sh: DataFrame) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    union = F.col("na") + F.col("nb") - F.col("inter")
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
-        )
+        .withColumn("jaccard", F.col("inter") / union.cast("double"))
+        # exact HALF_UP round of the integer quotient: rounding the
+        # float jaccard lands on x…x5 halfway points whenever
+        # 10^6·inter/union is a half-integer — the cross-engine
+        # lottery this repo eliminated everywhere else (ADVICE r4 #3)
+        .withColumn("jaccard_r6", round_quotient(F.col("inter"), union, 6))
     )
 
 
@@ -276,7 +281,7 @@ def dedup_exact_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard_pairs",
     oracle=f"""
     WITH {_SHINGLE_SQL}
-    SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+    SELECT doc_a, doc_b, jaccard_r6 AS jaccard
     FROM pair_jaccard WHERE jaccard >= {JACCARD_T}
     """,
 )
@@ -288,7 +293,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _exact_jaccard_pairs(spark, sf_dir)
         .filter(F.col("jaccard") >= JACCARD_T)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("doc_a", "doc_b", F.col("jaccard_r6").alias("jaccard"))
     )
 
 
@@ -296,13 +301,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh_pairs",
     oracle=f"""
     WITH {_SHINGLE_SQL}
-    SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+    SELECT doc_a, doc_b, jaccard_r6 AS jaccard
     FROM pair_jaccard WHERE jaccard >= {JACCARD_T}
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(spark, sf_dir).select(
-        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+        "doc_a", "doc_b", F.col("jaccard_r6").alias("jaccard")
     )
 
 
@@ -432,7 +437,7 @@ def _near_dup_pairs_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _jaccard_for_candidates(sh, candidates)
         .filter(F.col("jaccard") >= JACCARD_T)
-        .select("doc_a", "doc_b", "jaccard")
+        .select("doc_a", "doc_b", "jaccard", "jaccard_r6")
     )
 
 
@@ -1219,7 +1224,7 @@ def dedup_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_estimator_audit",
     oracle=f"""
     WITH RECURSIVE {_SHINGLE_SQL}
-    SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard,
+    SELECT doc_a, doc_b, jaccard_r6 AS jaccard,
            round(2 * sqrt(jaccard * (1 - jaccard) / {N_HASHES}), 6)
              AS two_sigma_bound
     FROM pair_jaccard WHERE jaccard >= {JACCARD_T}
@@ -1266,7 +1271,7 @@ def dedup_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(
             "doc_a",
             "doc_b",
-            F.round("jaccard", 6).alias("jaccard"),
+            F.col("jaccard_r6").alias("jaccard"),
             F.round(
                 2
                 * F.sqrt(

@@ -1130,11 +1130,19 @@ def pipeline_span_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = _tokens()
     n_spans_expr = F.ceil(F.size(toks) / float(SPAN_TOKENS)).cast("bigint")
+    # guard the empty case: Spark's sequence(0, -1) yields the
+    # DESCENDING series [0, -1] (two bogus spans) where DuckDB's
+    # generate_series(0, -1) is empty — emit an empty array so a
+    # zero-token document contributes zero spans on both engines
+    # (ADVICE r4 #2)
+    span_idx = F.when(
+        n_spans_expr > 0, F.sequence(F.lit(0), n_spans_expr - 1)
+    ).otherwise(F.array().cast("array<bigint>"))
     spans = d.select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), n_spans_expr - 1),
+                span_idx,
                 lambda i: F.concat_ws(
                     " ", F.slice(toks, i * SPAN_TOKENS + 1, SPAN_TOKENS)
                 ),

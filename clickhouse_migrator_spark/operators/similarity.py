@@ -367,7 +367,15 @@ def ivf_kmeans_topk(
     force.  Reference pattern: FAISS IVF-Flat multi-probe (public);
     all search math in JVM higher-order functions."""
     vecs = _vecs(spark, sf_dir).cache()
-    dim = len(vecs.select("v").head()[0])
+    head = vecs.select("v").head()
+    if head is None:
+        # empty corpus: nothing to index or query — the empty result
+        # frame, not an IndexError from an empty training pool
+        # (ADVICE r4 #4)
+        return spark.createDataFrame(
+            [], "query_id BIGINT, vec_id BIGINT, cosine DOUBLE, rank INT"
+        )
+    dim = len(head[0])
     train = vecs.filter(F.pmod(F.xxhash64("vec_id"), F.lit(KMEANS_TRAIN_MOD)) == 0)
 
     def dist2(vcol, cv) -> Column:
@@ -421,6 +429,16 @@ def ivf_kmeans_topk(
         .orderBy("h", "vec_id")
         .collect()
     )
+    if not rows:
+        # the 1-in-KMEANS_TRAIN_MOD hash filter can miss every vector
+        # of a tiny corpus — train on the (capped) corpus itself; the
+        # corpus is non-empty here by the head() guard above
+        rows = (
+            cap_sample(vecs, "vec_id", KMEANS_TRAIN_CAP)
+            .select("vec_id", "v", F.xxhash64("vec_id").alias("h"))
+            .orderBy("h", "vec_id")
+            .collect()
+        )
     X = np.array([r.v for r in rows], dtype="float64")
     # greedy max-min seeding over the hash-ordered head of the sample
     pool = X[: min(SEED_POOL, len(X))]

@@ -116,3 +116,51 @@ def test_spark_and_oracle_agree_on_random_batch(spark):
     assert spark_vals == duck_vals
     for (num, den), v in zip(rows, spark_vals):
         assert v == _truth(num, Decimal(den), 4)
+
+def test_bigint_numerator_no_int64_wrap(spark):
+    """ADVICE r4 #1 regression: the power-of-ten multiply must run in
+    decimal, not int64.  With num = 5e17 and k = 4 the scaled
+    numerator is 5e21 — far past the int64 ceiling; the pre-round-5
+    shape silently wrapped on Spark and raised Out of Range on DuckDB."""
+    num, den, k = 500_000_000_000_000_000, 3, 4
+    got = (
+        spark.range(1)
+        .select(round_quotient(F.lit(num), F.lit(den), k).alias("v"))
+        .collect()[0]
+        .v
+    )
+    con = duckdb.connect()
+    duck = con.sql(
+        "SELECT " + oracle_round_quotient(str(num), str(den), k)
+    ).fetchone()[0]
+    # the HASH property: both engines render the identical double
+    assert got == duck
+    # and it is the two-step double rendering of the exact integer
+    # (CAST(scaled AS DOUBLE)/10^k can differ from the nearest double
+    # of the rational by 1 ulp at this magnitude — identically on both
+    # engines, which is what the value hash needs)
+    want = _truth(Decimal(num), Decimal(den), k)
+    assert abs(got - want) <= abs(want) * 1e-15
+
+
+def test_union_128_halfway_case(spark):
+    """The Jaccard shape from ADVICE r4 #3: inter/union quotients with
+    union a power of two land on exact x…x5 points at k=6 (e.g.
+    116/128 = 0.90625 → HALF_UP 0.906250 exactly representable;
+    115/128 = 0.8984375 → 0.898438).  Exact integer rounding must get
+    every halfway decision right on both engines."""
+    cases = [(i, 128) for i in range(1, 128)] + [(116, 128), (115, 128)]
+    df = spark.createDataFrame(cases, "inter long, un long")
+    got = [
+        r.v
+        for r in df.select(
+            round_quotient(F.col("inter"), F.col("un"), 6).alias("v")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    for (inter, un), v in zip(cases, got):
+        assert v == _truth(Decimal(inter), Decimal(un), 6), (inter, un)
+        duck = con.sql(
+            "SELECT " + oracle_round_quotient(str(inter), str(un), 6)
+        ).fetchone()[0]
+        assert duck == v, (inter, un)

@@ -980,3 +980,17 @@ def test_if_combinators_round6(spark):
     assert row.med == 4.5 and row.q1 == 9.0
     assert row.ua == 20  # ids 0..9 and 10..19, all distinct
     assert row.vempty is None  # empty -If input stays NULL
+
+
+def test_uniq_array_dedups_before_collecting(spark):
+    """ADVICE r4 #5: the uniqArray buffer must hold per-row-DEDUPED
+    arrays (collect_set of array_distinct), so duplicate-heavy groups
+    don't balloon the aggregation state.  Semantics unchanged: exact
+    distinct count across all rows' elements."""
+    sql = rewrite_functions("SELECT uniqArray(arr) AS ua FROM t_uniq")
+    assert "collect_set(array_distinct(" in sql
+    # 1000 rows of the SAME 3-element array: one buffered array, count 3
+    spark.range(1000).selectExpr(
+        "array(1, 1, 2, 2, 3, 3) AS arr"
+    ).createOrReplaceTempView("t_uniq")
+    assert spark.sql(sql).first().ua == 3

@@ -94,3 +94,39 @@ def test_ivf_partitioned_layout_prunes_to_probed_list(spark, sf_dir, tmp_path):
     assert "list_id" in part, f"list filter not pushed to partitions: {part}"
     expect = e.filter(F.col("list_id") == 2).count()
     assert probed.count() == expect
+
+
+# Golden value-hashes per fixture SF (VERDICT r3 directive #5 / r4 item
+# 5): sim_ivf_kmeans_topk is the one oracle-less queries() entry (the
+# estimator is engine-internal), so its VALUES are pinned here instead —
+# training is deterministic (hash-ordered bounded sample, numpy float64
+# Lloyd, max-min seeding), so the full (query_id, vec_id, cosine, rank)
+# table is reproducible bit-for-bit.  A hash change means the index
+# semantics changed, not noise — update deliberately with a re-derived
+# recall curve.
+_GOLDEN_SHA256 = {
+    "sf0.001": "a90ace3b91468f3530f23623d4da01aa772559bbb5fe05507855aac93f88702d",
+    "sf0.01": "62d9f3c0fa21830d518a8208c6d6780c4f3648164f19af540f06c261c7dac6e7",
+    "sf0.1": "959842e6fb7913643747b086492b75dd16b1aa54cf39f3d681e1c5cfb387a96e",
+}
+
+
+def test_kmeans_ivf_golden_value_hash(spark, sf_dir):
+    import hashlib
+
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    rows = sorted(tuple(r) for r in sim_ivf_kmeans(spark, sf_dir).collect())
+    got = hashlib.sha256("|".join(repr(r) for r in rows).encode()).hexdigest()
+    assert got == _GOLDEN_SHA256[sf_name], (sf_name, got)
+
+
+def test_kmeans_ivf_empty_corpus_returns_empty(spark, tmp_path):
+    """ADVICE r4 #4 regression: an empty embeddings table must yield an
+    empty result frame, not an IndexError from the training pool."""
+    empty = spark.createDataFrame(
+        [], "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    )
+    empty.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = sim_ivf_kmeans(spark, str(tmp_path))
+    assert out.count() == 0
+    assert out.columns == ["query_id", "vec_id", "cosine", "rank"]

@@ -388,6 +388,51 @@ def main() -> None:
     stage(f"median_select_{nmed//10**6}m", t0)
     assert abs(med) < 2e4, med  # sin-median near 0 at this scale
 
+    # bucketed merge_asof at size (asof_join shape): 10M right / 2M left
+    # rows over 100k users through the union shuffle + per-bucket
+    # pd.merge_asof substrate.  The bucket count must DERIVE from the
+    # input-size estimate (round-5 fix: the old constant 64 capped
+    # parallelism and put corpus/64 in one pandas frame).
+    from clickhouse_migrator_spark.operators.asof import (
+        _asof_bucket_count,
+        asof_join,
+    )
+
+    nasof = int(10e6 * SC)
+    nu_asof = max(int(1e5 * SC), 10)
+    t0 = time.perf_counter()
+    right_a = spark.range(nasof).select(
+        (F.col("id") % nu_asof).alias("u"),
+        F.timestamp_seconds(
+            F.lit(1577836800) + (F.col("id") * 37) % 8_640_000
+        ).alias("ts"),
+        (F.col("id") % 1000).alias("v"),
+    )
+    left_a = spark.range(nasof // 5).select(
+        F.col("id").alias("eid"),
+        (F.col("id") % nu_asof).alias("u"),
+        F.timestamp_seconds(
+            F.lit(1577836800) + (F.col("id") * 53) % 8_640_000
+        ).alias("ts"),
+    )
+    matched = (
+        asof_join(left_a, right_a, on="ts", by="u")
+        .filter(F.col("ts_right").isNotNull())
+        .count()
+    )
+    stage(f"asof_{nasof//10**6}m", t0)
+    print(
+        json.dumps(
+            {
+                "stage": "asof_buckets",
+                "n_buckets": _asof_bucket_count(left_a, right_a),
+                "matched": matched,
+            }
+        ),
+        flush=True,
+    )
+    assert matched > 0
+
     ncow = int(10e6 * SC)
     M.create_db(spark, "scaledb")
     spark.catalog.setCurrentDatabase("scaledb")

@@ -36,6 +36,54 @@ def materialize(df) -> None:
         df.count()
 
 
+def _warm_streaming(spark) -> None:
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    warm_dir = tempfile.mkdtemp(prefix="bench_stream_warm_")
+    tiny = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "k int, ts string"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    tiny.write.mode("overwrite").parquet(f"{warm_dir}/events")
+    src = spark.readStream.schema(tiny.schema).parquet(f"{warm_dir}/events")
+    q = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory")
+        .queryName("bench_warm_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    q.stop()
+
+    def fn(key, pdfs, state):
+        yield pd.DataFrame({"k": [key[0]], "n": [sum(len(p) for p in pdfs)]})
+
+    q = (
+        src.groupBy("k")
+        .applyInPandasWithState(
+            fn,
+            "k int, n long",
+            "k int, n long",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.format("memory")
+        .queryName("bench_warm_state")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    q.stop()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -55,6 +103,13 @@ def main() -> None:
         .groupBy(F.col("id") % 8)
         .applyInPandas(lambda pdf: pdf, schema="id bigint")
     )
+    # warm the Structured Streaming machinery once (StreamExecution,
+    # state-store provider, commit/offset logs, the with-state Arrow
+    # runner) over 1-row streams, so the one-time class-load +
+    # checkpoint init doesn't land on whichever streaming_* query runs
+    # first — the same hoist as the Python-worker warm-up above
+    # (VERDICT r3 directive #6)
+    _warm_streaming(spark)
 
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):

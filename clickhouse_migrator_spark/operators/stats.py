@@ -948,6 +948,86 @@ def agg_association_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LTTB_N_OUT = 50
+# Monster-series guard (VERDICT r3 directive #7): applyInPandas
+# materializes one FULL series per pandas frame, so a series beyond
+# this row count first passes through an in-engine bucket-level
+# extreme-point pre-reduction (see _lttb_route) and only the reduced
+# candidates cross the Arrow boundary.
+LTTB_PRE_REDUCE_THRESHOLD = 1_000_000
+# value-range buckets for the pre-reduction: 4 extreme points each
+# (min/max y, first/last x) → ≤ 8·LTTB_N_OUT·4 candidate rows/series
+LTTB_PRE_BUCKETS = LTTB_N_OUT * 8
+# inputs whose optimizer size estimate is below this cannot contain a
+# series over the threshold (~28 B/row × 1M rows), so the routed plan
+# (which costs an extra counting scan) is only built past it — the
+# common path stays byte-identical to the unguarded plan
+_LTTB_SMALL_INPUT_BYTES = 24 << 20
+
+
+def _lttb_route(pts, out_schema: str):
+    """Route series to the exact grouped-map LTTB, pre-reducing any
+    series larger than LTTB_PRE_REDUCE_THRESHOLD.
+
+    Pre-reduction is the documented bucket-level extreme-point pass:
+    each of LTTB_PRE_BUCKETS x-range buckets keeps its min-y / max-y /
+    first / last points (one hash aggregate — map-side combined, fully
+    parallel, never a single-task sort), and the exact LTTB then runs
+    on ≤ 4·LTTB_PRE_BUCKETS candidates.  The LTTB argmax over a bucket
+    is the maximizer of |linear(x, y)|, which extreme points capture
+    well; the pass is an approximation for monster series only — any
+    series at or under the threshold takes the exact path untouched,
+    so fixture-scale oracle hashes are unaffected."""
+
+    def fn(pdf):
+        pdf = pdf.sort_values(["x_us", "event_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        return _lttb_pandas(pdf, LTTB_N_OUT)
+
+    exact = lambda df: df.groupBy("event_type").applyInPandas(fn, out_schema)  # noqa: E731
+    try:
+        est = int(pts._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — no stats: assume big, build the guard
+        est = _LTTB_SMALL_INPUT_BYTES + 1
+    if est < _LTTB_SMALL_INPUT_BYTES:
+        return exact(pts)
+    counts = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min("x_us").alias("__xmin"),
+        F.max("x_us").alias("__xmax"),
+    )
+    tagged = pts.join(F.broadcast(counts), "event_type")
+    small = tagged.filter(
+        F.col("__n") <= LTTB_PRE_REDUCE_THRESHOLD
+    ).select(*pts.columns)
+    big = tagged.filter(F.col("__n") > LTTB_PRE_REDUCE_THRESHOLD)
+    span = F.col("__xmax") - F.col("__xmin")
+    bucket = F.when(
+        span > 0,
+        F.least(
+            F.lit(LTTB_PRE_BUCKETS - 1),
+            (
+                (F.col("x_us") - F.col("__xmin"))
+                * F.lit(LTTB_PRE_BUCKETS)
+                / (span + 1)
+            ).cast("long"),
+        ),
+    ).otherwise(F.lit(0))
+    pt = F.struct("x_us", "y", "event_id")
+    reduced = (
+        big.withColumn("__b", bucket)
+        .groupBy("event_type", "__b")
+        .agg(
+            F.min_by(pt, F.struct("y", "x_us", "event_id")).alias("p1"),
+            F.max_by(pt, F.struct("y", "x_us", "event_id")).alias("p2"),
+            F.min_by(pt, F.struct("x_us", "event_id")).alias("p3"),
+            F.max_by(pt, F.struct("x_us", "event_id")).alias("p4"),
+        )
+        .select("event_type", F.explode(F.array("p1", "p2", "p3", "p4")).alias("p"))
+        .select("event_type", "p.x_us", "p.y", "p.event_id")
+        .distinct()
+    )
+    return exact(small.unionByName(reduced))
 
 
 def _lttb_pandas(pdf, n_out: int):
@@ -1069,9 +1149,10 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-series loop runs as a grouped-map Pandas UDF (one Arrow batch
     per series; the loop is O(n_out) numpy vector steps, not O(n)
     Python).  Scale: series are the unit of parallelism — thousands of
-    independent series spread across executors; a single monster
-    series would need chunked pre-reduction (bucket-level min/max
-    pre-pass) before the exact pass.
+    independent series spread across executors; a series past
+    LTTB_PRE_REDUCE_THRESHOLD rows is first collapsed IN-ENGINE to its
+    per-bucket extreme points (:func:`_lttb_route`) so a monster
+    series never crosses the Arrow boundary whole.
 
     Oracle (r3, graduating the entry from rows-only to full hash): the
     per-bucket recurrence is expressed as a DuckDB RECURSIVE CTE — one
@@ -1087,15 +1168,8 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("y"),
         "event_id",
     ).repartition("event_type")
-
-    def fn(pdf):
-        pdf = pdf.sort_values(["x_us", "event_id"], kind="mergesort").reset_index(
-            drop=True
-        )
-        return _lttb_pandas(pdf, LTTB_N_OUT)
-
-    return pts.groupBy("event_type").applyInPandas(
-        fn, "event_type string, x_us long, y double, sel_idx int"
+    return _lttb_route(
+        pts, "event_type string, x_us long, y double, sel_idx int"
     )
 
 

@@ -55,6 +55,16 @@ def _tokens() -> Column:
     return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
 
 
+#: (applicationId, sf_dir, k, df_cap, fingerprint) → shingle stream.
+#: Several registered queries each called shingles() and CACHED THEIR
+#: OWN identical copy (distinct DataFrame objects don't share cache
+#: entries) — ~1.5-3 s of re-explode + a duplicate cache fill per
+#: consumer at bench scale.  Memoizing the DataFrame object shares one
+#: cache entry across every consumer, exactly like the pair-substrate
+#: memo below; invalidate_near_dup_cache clears both.
+_SHINGLE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def shingles(
     spark: SparkSession, sf_dir: str, k: int = 3, df_cap: int | None = SHINGLE_DF_CAP
 ) -> DataFrame:
@@ -67,6 +77,23 @@ def shingles(
     set similarity (of the signal shingles).  The hot-shingle list is a
     tiny aggregate (linear scan, partial-agg'd) anti-joined back;
     Catalyst broadcasts it."""
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        k,
+        df_cap,
+        _corpus_fingerprint(sf_dir),
+    )
+    got = _SHINGLE_CACHE.get(key)
+    if got is None:
+        got = _shingles_impl(spark, sf_dir, k, df_cap)
+        _SHINGLE_CACHE[key] = got
+    return got
+
+
+def _shingles_impl(
+    spark: SparkSession, sf_dir: str, k: int, df_cap: int | None
+) -> DataFrame:
     # a tiny parquet file scans as 1 split → the gram explode + hashing
     # would run single-task; at real scale many files/row-groups give
     # this parallelism for free, so widening here is the honest shape
@@ -359,13 +386,17 @@ def _corpus_fingerprint(sf_dir: str) -> tuple:
 
 
 def invalidate_near_dup_cache(sf_dir: str | None = None) -> None:
-    """Drop memoized pair tables (all, or those under one sf_dir) —
-    the explicit hook for callers that rewrite a corpus in place."""
+    """Drop memoized pair tables AND shingle streams (all, or those
+    under one sf_dir) — the explicit hook for callers that rewrite a
+    corpus in place."""
     if sf_dir is None:
         _NEAR_DUP_CACHE.clear()
+        _SHINGLE_CACHE.clear()
     else:
         for k in [k for k in _NEAR_DUP_CACHE if k[1] == sf_dir]:
             del _NEAR_DUP_CACHE[k]
+        for k in [k for k in _SHINGLE_CACHE if k[1] == sf_dir]:
+            del _SHINGLE_CACHE[k]
 
 
 def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -29,3 +29,29 @@ def test_first_50_families():
     names = [n for n, _ in list(all_specs().items())[:50]]
     fams = {n.split("_")[0] for n in names}
     assert fams <= {"agg", "asof", "dedup"}, fams
+
+
+def test_first_50_oracle_output_types_hash_safe(sf_dir):
+    """Round-5 contract: the driver collects oracle results through
+    pandas, so DuckDB output types outside the allowlist (HUGEINT →
+    float64, DATE → datetime64, widened DECIMAL, …) hash-diverge from
+    bit-equal Spark values.  The full-inventory sweep lives in
+    tools/schema_sweep.py; this pins the driver's actual sample
+    window inside the test suite."""
+    import duckdb
+
+    from clickhouse_migrator_spark.tables import TABLES
+    from tools.schema_sweep import _ORACLE_SAFE_TYPES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    offenders = []
+    for name, spec in list(all_specs().items())[:50]:
+        rel = con.sql(spec.oracle)
+        offenders += [
+            f"{name}.{c}:{t}"
+            for c, t in zip(rel.columns, (str(t) for t in rel.types))
+            if t not in _ORACLE_SAFE_TYPES
+        ]
+    assert not offenders, offenders

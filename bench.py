@@ -37,6 +37,13 @@ def materialize(df) -> None:
 
 
 def _warm_streaming(spark) -> None:
+    try:
+        _warm_streaming_inner(spark)
+    except Exception as e:  # pragma: no cover — warm-up must never kill the run
+        print(f"bench: streaming warm-up skipped: {e}", file=sys.stderr)
+
+
+def _warm_streaming_inner(spark) -> None:
     import tempfile
 
     import pandas as pd

@@ -386,17 +386,17 @@ def _corpus_fingerprint(sf_dir: str) -> tuple:
 
 
 def invalidate_near_dup_cache(sf_dir: str | None = None) -> None:
-    """Drop memoized pair tables AND shingle streams (all, or those
-    under one sf_dir) — the explicit hook for callers that rewrite a
-    corpus in place."""
+    """Drop memoized pair tables, shingle streams AND component labels
+    (all, or those under one sf_dir) — the explicit hook for callers
+    that rewrite a corpus in place."""
     if sf_dir is None:
         _NEAR_DUP_CACHE.clear()
         _SHINGLE_CACHE.clear()
+        _COMPONENT_CACHE.clear()
     else:
-        for k in [k for k in _NEAR_DUP_CACHE if k[1] == sf_dir]:
-            del _NEAR_DUP_CACHE[k]
-        for k in [k for k in _SHINGLE_CACHE if k[1] == sf_dir]:
-            del _SHINGLE_CACHE[k]
+        for cache in (_NEAR_DUP_CACHE, _SHINGLE_CACHE, _COMPONENT_CACHE):
+            for k in [k for k in cache if k[1] == sf_dir]:
+                del cache[k]
 
 
 def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -815,6 +815,15 @@ def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+#: (applicationId, sf_dir, fingerprint) → converged label frame.
+#: Both registered consumers (cluster summary + survivor pick) need the
+#: SAME converged labels, and the propagation loop costs a handful of
+#: checkpoint-barrier jobs each time it runs — memoize the (tiny,
+#: already localCheckpoint-materialized) result like the pair substrate
+#: above so the loop runs once per (session, corpus).
+_COMPONENT_CACHE: dict[tuple, DataFrame] = {}
+
+
 def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, component) labels for every document that appears in a
     near-dup pair — iterative min-label propagation (see
@@ -824,6 +833,15 @@ def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     the all-pairs exact baseline: at τ=0.8 the two provably coincide
     (per-pair miss ≤ 5e-11), so the recursive-CTE oracle stays valid
     while the Spark plan stays linear."""
+    key = (spark.sparkContext.applicationId, sf_dir, _corpus_fingerprint(sf_dir))
+    got = _COMPONENT_CACHE.get(key)
+    if got is None:
+        got = _component_labels_impl(spark, sf_dir)
+        _COMPONENT_CACHE[key] = got
+    return got
+
+
+def _component_labels_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
     sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -877,6 +895,10 @@ def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    # the returned frame is localCheckpoint-materialized (eager), so the
+    # edge cache is no longer needed — release the executor storage it
+    # pinned rather than letting one entry leak per corpus
+    sym.unpersist()
     return labels
 
 

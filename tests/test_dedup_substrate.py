@@ -146,3 +146,28 @@ def test_minhash_estimator_within_2sigma_mostly(spark):
         if r.abs_err <= bound:
             within += 1
     assert within / len(rows) >= 0.8, (within, len(rows))
+
+
+def test_component_labels_memoized_per_corpus(spark):
+    """Both registered consumers (cluster summary + survivor pick) read
+    the converged label frame; the propagation loop must run once per
+    (session, corpus) — the second call returns the memoized object,
+    and the explicit invalidation hook clears it."""
+    from clickhouse_migrator_spark.operators.dedup import (
+        _COMPONENT_CACHE,
+        component_labels,
+        invalidate_near_dup_cache,
+    )
+
+    invalidate_near_dup_cache(SF_DIR)
+    first = component_labels(spark, SF_DIR)
+    assert component_labels(spark, SF_DIR) is first
+    assert any(k[1] == SF_DIR for k in _COMPONENT_CACHE)
+
+    invalidate_near_dup_cache(SF_DIR)
+    assert not any(k[1] == SF_DIR for k in _COMPONENT_CACHE)
+
+    # labels still answer after re-memoization, and every labelled doc
+    # carries a component no larger than itself (min-label invariant)
+    rows = component_labels(spark, SF_DIR).collect()
+    assert rows and all(r.component <= r.doc_id for r in rows)

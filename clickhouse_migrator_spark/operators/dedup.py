@@ -55,6 +55,23 @@ def _tokens() -> Column:
     return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
 
 
+def kgrams(toks: Column, k: int) -> Column:
+    """Word k-gram windows (space-joined strings) over a token array.
+
+    Built as an ``arrays_zip`` of k SHIFTED VIEWS of the array — k O(n)
+    slices + one zip per document — instead of a per-window ``F.slice``
+    inside the HOF lambda (O(windows · k) interpreted allocations;
+    measured ~5× slower cold, ~30% warm at sf0.1, identical output).
+    Arrays shorter than k yield an empty window list (``greatest``
+    clamps the slice length, so the expression is total even when a
+    consumer's size-filter is reordered after the projection)."""
+    n_windows = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+    shifted = F.arrays_zip(*[F.slice(toks, i + 1, n_windows) for i in range(k)])
+    return F.transform(
+        shifted, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(k)])
+    )
+
+
 #: (applicationId, sf_dir, k, df_cap, fingerprint) → shingle stream.
 #: Several registered queries each called shingles() and CACHED THEIR
 #: OWN identical copy (distinct DataFrame objects don't share cache
@@ -101,10 +118,7 @@ def _shingles_impl(
         int(spark.sparkContext.defaultParallelism), "doc_id"
     )
     toks = _tokens()
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
+    grams = kgrams(toks, k)
     sh = (
         d.where(F.size(toks) >= k)
         .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
@@ -1105,10 +1119,7 @@ def dedup_shared_passage_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     toks = _tokens()
     k = 8
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
+    grams = kgrams(toks, k)
     # distinct AFTER the explode, not array_distinct on the per-doc
     # array: array_distinct is O(len²) per row and long documents make
     # it the bottleneck; the exploded dropDuplicates dedups map-side

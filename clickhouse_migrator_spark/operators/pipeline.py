@@ -911,10 +911,11 @@ def pipeline_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"),
         _tokens().alias("w"),
     )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("w") - (LEAK_K - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, LEAK_K)),
-    )
+    from .dedup import kgrams
+
+    # shifted-slice zip window build (see dedup.kgrams): total for
+    # short arrays, so no pre-filter guard is needed on the expression
+    grams = kgrams(F.col("w"), LEAK_K)
     # three consumers (df-cap agg, heldout probe, train probe) read the
     # gram stream; the gram transform is an interpreted HOF over every
     # token window, so cache the exploded result rather than re-running

@@ -59,6 +59,52 @@ def test_jaccard_only_for_candidates(spark):
     assert all((r.doc_a, r.doc_b) == (1, 2) for r in rows)
 
 
+def test_hashed_verify_matches_string_exact_jaccard(spark):
+    """The array_intersect verify compares 64-bit shingle hashes; this
+    pins it bit-identical (inter, jaccard_r6) to a string-exact
+    fan-out join on the fixture corpus, and asserts the fixture shingle
+    vocabulary is collision-free under xxhash64 (the documented 2⁻⁶⁴
+    per-pair caveat must be invisible at every fixture SF)."""
+    sh = shingles(spark, SF_DIR).cache()
+    n_str, n_hash = (
+        sh.agg(
+            F.countDistinct("shingle"),
+            F.countDistinct(F.xxhash64("shingle")),
+        ).first()
+    )
+    assert n_str == n_hash  # no vocabulary collisions at fixture scale
+
+    # every co-shingled pair as candidates → both shapes must agree
+    a, b = sh.alias("a"), sh.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    got = _jaccard_for_candidates(sh, cands).select(
+        "doc_a", "doc_b", "inter", "jaccard_r6"
+    )
+    cand_sh = cands.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+    from clickhouse_migrator_spark.operators.dedup import _attach_jaccard
+
+    want = _attach_jaccard(
+        cand_sh.join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"]
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter")),
+        sh,
+    ).select("doc_a", "doc_b", "inter", "jaccard_r6")
+    # the string shape drops zero-overlap pairs implicitly; the hashed
+    # shape emits them with inter = 0 — compare on the overlap set
+    assert got.filter(F.col("inter") > 0).exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 def test_near_dup_plan_has_no_full_shingle_selfjoin(spark):
     """The verify stage must join candidates→shingles (equi-join on
     doc keys), never shingle⨝shingle over the whole corpus.  A full

@@ -884,8 +884,57 @@ def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got
 
 
+#: Edge count below which connected components run as one driver-side
+#: union-find instead of the distributed propagation loop.  2M edges of
+#: two int64s ≈ 32 MB — trivially driver-safe — while the loop's fixed
+#: cost is 2-4 checkpoint-barrier jobs (several seconds of scheduling
+#: even on a 25-edge fixture graph).  Above the cap the log-diameter
+#: loop takes over; the cap is a module constant so tests can force
+#: either path.
+LOCAL_CC_EDGE_CAP = 2_000_000
+
+
 def _component_labels_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # near_dup_pairs is localCheckpoint-materialized, so this count is a
+    # cheap scan of an in-memory RDD, not a recompute
+    if pairs.count() <= LOCAL_CC_EDGE_CAP:
+        return _component_labels_local(spark, pairs)
+    return _component_labels_loop(spark, pairs)
+
+
+def _component_labels_local(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """Small-graph fast path: min-label union-find on the driver.
+
+    Gated by :data:`LOCAL_CC_EDGE_CAP` — a graph that fits comfortably
+    in one task is solved in one task; the distributed loop exists for
+    the billion-edge case, not to spend checkpoint-barrier jobs on a
+    fixture-sized graph.  Union-by-min-root + path compression keeps
+    every tree rooted at its component's minimum member, so labels are
+    bit-identical to the propagation loop's fixpoint (pinned by
+    ``test_local_and_loop_components_agree``)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs.collect():
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    rows = [(x, find(x)) for x in sorted(parent)]
+    return spark.createDataFrame(rows, "doc_id BIGINT, component BIGINT")
+
+
+def _component_labels_loop(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).cache()

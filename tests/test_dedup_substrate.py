@@ -194,6 +194,31 @@ def test_minhash_estimator_within_2sigma_mostly(spark):
     assert within / len(rows) >= 0.8, (within, len(rows))
 
 
+def test_local_and_loop_components_agree(spark):
+    """The driver union-find fast path and the distributed propagation
+    loop must produce bit-identical (doc_id, component) labels — pinned
+    on a graph with a long CHAIN (exercises the loop's pointer
+    doubling), a star, an isolated pair, and multi-band dup edges."""
+    from clickhouse_migrator_spark.operators.dedup import (
+        _component_labels_local,
+        _component_labels_loop,
+    )
+
+    edges = (
+        # chain 0-1-2-...-9 (diameter 9)
+        [(i, i + 1) for i in range(9)]
+        # star centered at 20
+        + [(20, 21), (20, 22), (20, 23)]
+        # isolated pair, reversed order + a duplicate edge
+        + [(31, 30), (30, 31)]
+    )
+    pairs = spark.createDataFrame(edges, "doc_a BIGINT, doc_b BIGINT")
+    local = {(r.doc_id, r.component) for r in _component_labels_local(spark, pairs).collect()}
+    loop = {(r.doc_id, r.component) for r in _component_labels_loop(spark, pairs).collect()}
+    assert local == loop
+    assert {c for _, c in local} == {0, 20, 30}
+
+
 def test_component_labels_memoized_per_corpus(spark):
     """Both registered consumers (cluster summary + survivor pick) read
     the converged label frame; the propagation loop must run once per

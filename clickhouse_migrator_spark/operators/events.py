@@ -1105,9 +1105,15 @@ def events_linear_interp_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding in 1e-4 units (the bracketing values are 4-decimal
     rationals and k/n is a small exact ratio, so engine round()
     boundary behavior never enters; values are non-negative).  Plan:
-    the same grid fan-out as LOCF plus TWO window passes over one
-    user_id shuffle (backward carry + forward carry) — window state is
-    a single (value, ts) pair each way."""
+    the same grid fan-out as LOCF plus ONE window pass over the dense
+    grid (backward carry of the preceding observation) — the FORWARD
+    neighbor comes from a ``lead`` window over the sparse OBSERVED rows
+    only, joined back on the carried (user, pt) key.  An earlier shape
+    ran a second descending-sort window over the whole dense grid for
+    the forward carry; sorting ~users×hours rows twice is the dominant
+    cost at scale and the sparse-side lead is equivalent (every gap row
+    between two observations carries pt = the earlier one, whose lead
+    IS the later one)."""
     from pyspark.sql import Window
 
     e = table(spark, sf_dir, "events")
@@ -1142,24 +1148,24 @@ def events_linear_interp_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # forward carry as a BACKWARD running frame over a descending sort:
-    # Spark evaluates (CURRENT ROW, UNBOUNDED FOLLOWING) frames by
-    # re-scanning the partition tail per row — O(n²); the reversed
-    # running frame is O(n) (12× on the sf0.1 grid)
-    wf = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("bucket").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_obs = Window.partitionBy("user_id").orderBy("bucket")
+    nxt = hourly.select(
+        "user_id",
+        F.col("bucket").alias("pt"),
+        F.lead("avg_value").over(w_obs).alias("nv"),
+        F.lead("bucket").over(w_obs).alias("nt"),
     )
     obs_t = F.when(F.col("avg_value").isNotNull(), F.col("bucket"))
-    j = grid.join(hourly, ["user_id", "bucket"], "left").select(
-        "user_id",
-        "bucket",
-        "avg_value",
-        F.last("avg_value", ignorenulls=True).over(wb).alias("pv"),
-        F.last(obs_t, ignorenulls=True).over(wb).alias("pt"),
-        F.last("avg_value", ignorenulls=True).over(wf).alias("nv"),
-        F.last(obs_t, ignorenulls=True).over(wf).alias("nt"),
+    j = (
+        grid.join(hourly, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            "bucket",
+            "avg_value",
+            F.last("avg_value", ignorenulls=True).over(wb).alias("pv"),
+            F.last(obs_t, ignorenulls=True).over(wb).alias("pt"),
+        )
+        .join(nxt, ["user_id", "pt"], "left")
     )
     k = F.expr("timestampdiff(HOUR, pt, bucket)").cast("long")
     n = F.expr("timestampdiff(HOUR, pt, nt)").cast("long")

@@ -149,6 +149,55 @@ def main() -> None:
     stage(f"minhash_verify_dense_{max(ndocs//10**6,1)}m_docs", t0, {"pairs": n_dense})
     assert n_dense >= n_pairs, (n_dense, n_pairs)  # dense ⊇ planted families
 
+    # Distributed connected-components LOOP at ~9M edges — the path the
+    # LOCAL_CC_EDGE_CAP hybrid gate falls back to above 2M edges (the
+    # fixture graphs all take the driver union-find fast path, so the
+    # loop needs its own scale proof): 1M chains of 10 nodes each,
+    # diameter 9 → pointer doubling converges in ~2 barriers.  Labels
+    # are verifiable in closed form (every chain's label is its head,
+    # ≡ 0 mod 10).
+    from clickhouse_migrator_spark.operators.dedup import _component_labels_loop
+
+    nn = int(10e6 * SC)
+    t0 = time.perf_counter()
+    chain_edges = (
+        spark.range(nn)
+        .filter(F.col("id") % 10 != 9)
+        .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+    )
+    labels = _component_labels_loop(spark, chain_edges)
+    n_comp, n_bad = labels.agg(
+        F.countDistinct("component"), F.sum((F.col("component") % 10 != 0).cast("int"))
+    ).first()
+    stage(
+        f"cc_loop_{int(nn * 0.9) // 10**6}m_edges",
+        t0,
+        {"components": n_comp, "mislabeled": int(n_bad)},
+    )
+    assert n_comp == nn // 10 and n_bad == 0, (n_comp, n_bad)
+
+    # PageRank power iteration at the same scale: 5 lazy iterations
+    # (join + aggregate per iteration, one fused job) over the
+    # symmetrized 18M-edge chain graph.
+    t0 = time.perf_counter()
+    sym = chain_edges.union(
+        chain_edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    deg = sym.groupBy(F.col("doc_a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    ranks = deg.select("node").withColumn("r", F.lit(1.0 / nn))
+    for _ in range(5):
+        contrib = (
+            ranks.join(deg, "node")
+            .join(sym, F.col("node") == F.col("doc_a"))
+            .groupBy(F.col("doc_b").alias("node"))
+            .agg(F.sum(F.col("r") / F.col("d")).alias("in_sum"))
+        )
+        ranks = contrib.select(
+            "node", (F.lit(0.15 / nn) + 0.85 * F.col("in_sum")).alias("r")
+        )
+    n_ranked = ranks.count()
+    stage(f"pagerank_{int(nn * 1.8) // 10**6}m_edges", t0, {"nodes": n_ranked})
+
     # SHINGLE_DF_CAP under a BINDING cap (VERDICT r2 "what's wrong #3"):
     # a boilerplate-heavy corpus — every doc shares the same 12-token
     # preamble, so its ~10 shingles have df = ndocs ≫ cap and get

@@ -1017,13 +1017,17 @@ def _component_labels_loop(spark: SparkSession, pairs: DataFrame) -> DataFrame:
 )
 def dedup_components_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the Jaccard pair
-    graph via iterative min-label propagation — the step that turns
-    pairwise dup detection into "keep one document per cluster".
+    graph — the step that turns pairwise dup detection into "keep one
+    document per cluster".  Hybrid: graphs at/under
+    :data:`LOCAL_CC_EDGE_CAP` edges solve as one driver-side
+    union-find (a graph that fits in one task is solved in one task);
+    larger graphs run iterative min-label propagation.
 
-    Scale: each iteration is one shuffle join (edges ⨝ labels) + a
-    min-aggregate; iterations needed = component diameter, and near-dup
-    clusters are shallow (dups of a common ancestor), so 3–5 rounds
-    converge.  `localCheckpoint` truncates the growing loop lineage —
+    Scale (loop path): each iteration is one shuffle join (edges ⨝
+    labels) + a min-aggregate; iterations needed = component diameter,
+    and near-dup clusters are shallow (dups of a common ancestor), so
+    3–5 rounds converge (smoked at 9M edges / 1M chain components).
+    `localCheckpoint` truncates the growing loop lineage —
     without it the plan doubles every round and the driver, not the
     data, becomes the bottleneck.  (At extreme skew the alternating
     large-star/small-star variant halves rounds; same join shape.)

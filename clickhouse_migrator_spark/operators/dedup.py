@@ -232,6 +232,14 @@ def _jaccard_for_candidates(sh: DataFrame, candidates: DataFrame) -> DataFrame:
         F.collect_set(F.xxhash64("shingle")).alias("hs"),
         F.count(F.lit(1)).alias("n"),
     )
+    return _jaccard_from_doc_sets(doc_sets, candidates)
+
+
+def _jaccard_from_doc_sets(doc_sets: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Verify core shared by :func:`_jaccard_for_candidates` and the
+    fused per-doc aggregate inside :func:`_near_dup_pairs_impl` —
+    ``doc_sets`` must carry (doc_id, hs: array<bigint> of distinct
+    shingle hashes, n: exact set size)."""
     a = doc_sets.select(
         F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("n").alias("na")
     )
@@ -480,8 +488,23 @@ def _near_dup_pairs_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic; oracle = exact Jaccard pairs (miss probability
     ≤ (1-0.8²)^16 ≈ 5e-11 per qualifying pair, i.e. the outputs
     coincide)."""
-    sh = shingles(spark, sf_dir).cache()  # shared by signature + verify stages
-    sig = minhash_signatures(sh)
+    sh = shingles(spark, sf_dir)
+    # ONE groupBy(doc_id) computes the 32 min-hashes AND the verify
+    # stage's hashed shingle set + exact size — the signature and
+    # doc-set aggregates previously each shuffled the full exploded
+    # stream (the two consumers prune different columns, so Catalyst
+    # cannot reuse the exchange); fusing them halves the path's
+    # corpus-stream shuffles.  The cached frame is one row per doc
+    # (far smaller than the exploded stream the old shape cached).
+    per_doc = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ],
+        F.collect_set(F.xxhash64("shingle")).alias("hs"),
+        F.count(F.lit(1)).alias("n"),
+    ).cache()
+    sig = per_doc
     rows_per_band = N_HASHES // N_BANDS
     bands = F.array(
         *[
@@ -509,7 +532,7 @@ def _near_dup_pairs_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        _jaccard_for_candidates(sh, candidates)
+        _jaccard_from_doc_sets(per_doc.select("doc_id", "hs", "n"), candidates)
         .filter(F.col("jaccard") >= JACCARD_T)
         .select("doc_a", "doc_b", "jaccard", "jaccard_r6")
     )

@@ -405,15 +405,27 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     documented (1−j²)^16 ≤ 5e-11.  Cost: 32 cheap JVM xxhash64 calls
     per (doc, shingle) row instead of 1 + 32 affine ops — hashing is
     not the path's bottleneck (the shuffle and verify join are)."""
-    return sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
-            for i in range(N_HASHES)
-        ]
-    )
+    return sh.groupBy("doc_id").agg(*_minhash_min_cols())
+
+
+def _minhash_min_cols() -> list[Column]:
+    """THE hash family, in one place: the 32 per-seed min aggregates
+    used by :func:`minhash_signatures` AND the fused per-doc aggregate
+    in :func:`_near_dup_pairs_impl` — the estimator audit joins one
+    path's signatures against the other path's pairs, so the two must
+    never diverge (the r3 affine→independent-seed correction is the
+    cautionary tale)."""
+    return [
+        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(N_HASHES)
+    ]
 
 
 _NEAR_DUP_CACHE: dict[tuple, DataFrame] = {}
+
+#: scratch caches the impl marks for unpersist once the wrapper's eager
+#: localCheckpoint has materialized the result (the impl itself stays
+#: checkpoint-free so plan tests can audit the real query plan)
+_NEAR_DUP_SCRATCH: list[DataFrame] = []
 
 
 def _corpus_fingerprint(sf_dir: str) -> tuple:
@@ -469,6 +481,13 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _NEAR_DUP_CACHE.get(key)
     if cached is None:
         cached = _near_dup_pairs_impl(spark, sf_dir).localCheckpoint(eager=True)
+        # the checkpoint materialized the pairs; the impl's per-doc
+        # scratch cache (32 hashes + the full hashed shingle set per
+        # doc) is never read again — release it instead of leaking one
+        # executor-storage entry per corpus
+        for scratch in _NEAR_DUP_SCRATCH:
+            scratch.unpersist()
+        _NEAR_DUP_SCRATCH.clear()
         _NEAR_DUP_CACHE[key] = cached
     return cached
 
@@ -497,14 +516,11 @@ def _near_dup_pairs_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-stream shuffles.  The cached frame is one row per doc
     # (far smaller than the exploded stream the old shape cached).
     per_doc = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
-            for i in range(N_HASHES)
-        ],
+        *_minhash_min_cols(),
         F.collect_set(F.xxhash64("shingle")).alias("hs"),
         F.count(F.lit(1)).alias("n"),
     ).cache()
-    sig = per_doc
+    _NEAR_DUP_SCRATCH.append(per_doc)
     rows_per_band = N_HASHES // N_BANDS
     bands = F.array(
         *[
@@ -517,7 +533,7 @@ def _near_dup_pairs_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    banded = sig.select("doc_id", F.explode(bands).alias("bb")).select(
+    banded = per_doc.select("doc_id", F.explode(bands).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     l, r = banded.alias("l"), banded.alias("r")
@@ -908,13 +924,17 @@ def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Edge count below which connected components run as one driver-side
-#: union-find instead of the distributed propagation loop.  2M edges of
-#: two int64s ≈ 32 MB — trivially driver-safe — while the loop's fixed
+#: union-find instead of the distributed propagation loop.  Sized for
+#: the PYTHON representation the fast path actually builds — collected
+#: Row objects (~100 B/edge), a parent dict of up to 2 ints/edge and
+#: the re-pickled result tuples — ~50 MB of driver heap at the cap,
+#: not the raw 16 B/edge of the binary encoding.  The loop's fixed
 #: cost is 2-4 checkpoint-barrier jobs (several seconds of scheduling
-#: even on a 25-edge fixture graph).  Above the cap the log-diameter
+#: even on a 25-edge fixture graph), so the fast path still covers
+#: every realistic "small dup graph".  Above the cap the log-diameter
 #: loop takes over; the cap is a module constant so tests can force
 #: either path.
-LOCAL_CC_EDGE_CAP = 2_000_000
+LOCAL_CC_EDGE_CAP = 100_000
 
 
 def _component_labels_impl(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -145,6 +145,8 @@ def main() -> None:
     )
     dense_dir = tempfile.mkdtemp(prefix="scale_dedup_dense_")
     docs_d.write.mode("overwrite").parquet(f"{dense_dir}/documents.parquet")
+    stage(f"minhash_gen_dense_{max(ndocs//10**6,1)}m_docs", t0)
+    t0 = time.perf_counter()
     n_dense = near_dup_pairs(spark, dense_dir).count()
     stage(f"minhash_verify_dense_{max(ndocs//10**6,1)}m_docs", t0, {"pairs": n_dense})
     assert n_dense >= n_pairs, (n_dense, n_pairs)  # dense ⊇ planted families

@@ -460,6 +460,11 @@ def invalidate_near_dup_cache(sf_dir: str | None = None) -> None:
         for cache in (_NEAR_DUP_CACHE, _SHINGLE_CACHE, _COMPONENT_CACHE):
             for k in [k for k in cache if k[1] == sf_dir]:
                 del cache[k]
+    # scratch entries left by a direct _near_dup_pairs_impl call (plan
+    # tests) would otherwise wait for the next wrapper build
+    for scratch in _NEAR_DUP_SCRATCH:
+        scratch.unpersist()
+    _NEAR_DUP_SCRATCH.clear()
 
 
 def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -72,7 +72,11 @@ def _int_div(a: Column, b: Column) -> Column:
 
 
 def round_quotient(
-    num: Column, den: Column, k: int = 4, den_scale: int = 0
+    num: Column,
+    den: Column,
+    k: int = 4,
+    den_scale: int = 0,
+    num_scale: int | None = None,
 ) -> Column:
     """HALF_UP ``round(num / den, k)`` computed EXACTLY in integer
     arithmetic, then rendered as a double — bit-identical on any engine.
@@ -98,27 +102,47 @@ def round_quotient(
     at 38 (no precision-loss rescale, no rounding).  Casting AFTER the
     multiply — the pre-round-5 shape — computed ``num · 10^(k+s)`` in
     int64 for integral inputs and silently WRAPPED above
-    ~9.2e18/10^(k+s) (ADVICE r4 #1).  Headroom is now 10^(36-2(k+s))
-    for the numerator (≥1e20 at the k+s ≤ 8 call-site range — orders of
-    magnitude past any 100 TB group sum); past it Spark yields NULL
-    (overflow), never a wrong number.  The remaining integer steps run
-    in decimal(38,0); the two final double ops are identical IEEE
-    operations on both engines.
+    ~9.2e18/10^(k+s) (ADVICE r4 #1).
+
+    Numerator headroom (ADVICE r5 #1): the pre-multiply cast reserves
+    ``num_scale`` fractional digits, so the numerator gets
+    ``10^(36 - (k + den_scale) - num_scale)`` of integer headroom.
+    ``num_scale`` defaults to ``k + den_scale`` (the loosest contract),
+    giving ``10^(36-2(k+s))`` — ≥1e20 for k+s ≤ 8.  Call sites with
+    k+s > 8 MUST pass the numerator's true scale (e.g. the den_scale=6
+    TPC-H share queries pass ``num_scale=6`` → 1e20 headroom); a
+    ``ValueError`` is raised at plan-construction time whenever the
+    resulting headroom drops below 1e18 — no silent cliff at 100 TB.
+    Past the headroom Spark yields NULL (overflow) and DuckDB raises
+    Out of Range at the SAME threshold (precisions aligned), never a
+    wrong number and never a one-engine-only gap band.  The remaining
+    integer steps run in decimal(38,0); the two final double ops are
+    identical IEEE operations on both engines.
 
     ``num`` must be an exact decimal/integral expression (a decimal-cast
-    sum) with at most ``k`` fractional digits; ``den`` a non-zero exact
-    expression with at most ``den_scale`` fractional digits (0 for
-    counts).  Either side may be negative (HALF_UP away from zero, like
-    both engines' ``round``).  Oracle twin: :func:`oracle_round_quotient`
-    (HUGEINT ``//`` — the same integer).
+    sum) with at most ``num_scale`` (default ``k + den_scale``)
+    fractional digits; ``den`` a non-zero exact expression with at most
+    ``den_scale`` fractional digits (0 for counts).  Either side may be
+    negative (HALF_UP away from zero, like both engines' ``round``).
+    Oracle twin: :func:`oracle_round_quotient` (HUGEINT ``//`` — the
+    same integer).
     """
     # Cast each factor to decimal BEFORE multiplying: precisions are
     # sized so p1 + p2 + 1 == 38 — the product is exact decimal(38, s),
     # with no int64 wrap (inputs may be bigint) and no precision-loss
     # scale reduction (which would round for k + den_scale > 6).
     ns = k + den_scale
+    a = ns if num_scale is None else num_scale
+    if not 0 <= a <= ns:
+        raise ValueError(f"num_scale={a} must be in [0, k+den_scale={ns}]")
+    if (36 - ns - a) < 18:
+        raise ValueError(
+            f"round_quotient numerator headroom 10^{36 - ns - a} < 1e18 "
+            f"(k={k}, den_scale={den_scale}, num_scale={a}); pass the "
+            "numerator's true num_scale or reduce k/den_scale"
+        )
     t0 = (
-        num.cast(f"decimal({36 - ns},{ns})")
+        num.cast(f"decimal({36 - ns},{a})")
         * F.lit(10**ns).cast(f"decimal({ns + 1},0)")
     ).cast("decimal(38,0)")
     d0 = (
@@ -139,21 +163,33 @@ def round_quotient(
 
 
 def oracle_round_quotient(
-    num_sql: str, den_sql: str, k: int = 4, den_scale: int = 0
+    num_sql: str, den_sql: str, k: int = 4, den_scale: int = 0,
+    num_scale: int | None = None,
 ) -> str:
     """DuckDB twin of :func:`round_quotient`.  ``//`` on HUGEINT is
     floor division — the same integer Spark's decimal path computes.
     The power-of-ten multiplies run in decimal just like the Spark
-    side (DuckDB product precision is p1 + p2, sized to land at 38):
-    multiplying first in INT64 — the pre-round-5 shape — raised an
-    Out of Range error above ~9.2e18/10^(k+s) for bigint inputs."""
+    side (multiplying first in INT64 — the pre-round-5 shape — raised
+    an Out of Range error above ~9.2e18/10^(k+s) for bigint inputs).
+    The operand precisions MATCH the Spark side exactly (36-x, not
+    DuckDB's allowed 37-x) so both engines run out of integer headroom
+    at the same threshold — no band where one engine overflows and the
+    other still answers (ADVICE r5 #1)."""
     ns = k + den_scale
+    a = ns if num_scale is None else num_scale
+    if not 0 <= a <= ns:
+        raise ValueError(f"num_scale={a} must be in [0, k+den_scale={ns}]")
+    if (36 - ns - a) < 18:
+        raise ValueError(
+            f"oracle_round_quotient numerator headroom 10^{36 - ns - a} < "
+            f"1e18 (k={k}, den_scale={den_scale}, num_scale={a})"
+        )
     t0 = (
-        f"CAST(CAST(({num_sql}) AS DECIMAL({37 - ns},{ns}))"
+        f"CAST(CAST(({num_sql}) AS DECIMAL({36 - ns},{a}))"
         f" * CAST({10 ** ns} AS DECIMAL({ns + 1},0)) AS HUGEINT)"
     )
     d0 = (
-        f"CAST(CAST(({den_sql}) AS DECIMAL({37 - den_scale},{den_scale}))"
+        f"CAST(CAST(({den_sql}) AS DECIMAL({36 - den_scale},{den_scale}))"
         f" * CAST({10 ** den_scale} AS DECIMAL({den_scale + 1},0)) AS HUGEINT)"
     )
     t = f"(CASE WHEN {d0} < 0 THEN -{t0} ELSE {t0} END)"

@@ -424,8 +424,22 @@ _NEAR_DUP_CACHE: dict[tuple, DataFrame] = {}
 
 #: scratch caches the impl marks for unpersist once the wrapper's eager
 #: localCheckpoint has materialized the result (the impl itself stays
-#: checkpoint-free so plan tests can audit the real query plan)
-_NEAR_DUP_SCRATCH: list[DataFrame] = []
+#: checkpoint-free so plan tests can audit the real query plan).
+#: Entries are (sf_dir, frame): releases are scoped to the corpus being
+#: finalized/invalidated, so an interleaved build for ANOTHER sf_dir
+#: keeps its per_doc cache instead of silently recomputing (ADVICE r5 #3)
+_NEAR_DUP_SCRATCH: list[tuple[str, DataFrame]] = []
+
+
+def _release_scratch(sf_dir: str | None) -> None:
+    """Unpersist and drop scratch entries for one corpus (or all)."""
+    keep: list[tuple[str, DataFrame]] = []
+    for owner, scratch in _NEAR_DUP_SCRATCH:
+        if sf_dir is None or owner == sf_dir:
+            scratch.unpersist()
+        else:
+            keep.append((owner, scratch))
+    _NEAR_DUP_SCRATCH[:] = keep
 
 
 def _corpus_fingerprint(sf_dir: str) -> tuple:
@@ -461,10 +475,9 @@ def invalidate_near_dup_cache(sf_dir: str | None = None) -> None:
             for k in [k for k in cache if k[1] == sf_dir]:
                 del cache[k]
     # scratch entries left by a direct _near_dup_pairs_impl call (plan
-    # tests) would otherwise wait for the next wrapper build
-    for scratch in _NEAR_DUP_SCRATCH:
-        scratch.unpersist()
-    _NEAR_DUP_SCRATCH.clear()
+    # tests) would otherwise wait for the next wrapper build — scoped to
+    # the corpus being invalidated
+    _release_scratch(sf_dir)
 
 
 def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -488,11 +501,9 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cached = _near_dup_pairs_impl(spark, sf_dir).localCheckpoint(eager=True)
         # the checkpoint materialized the pairs; the impl's per-doc
         # scratch cache (32 hashes + the full hashed shingle set per
-        # doc) is never read again — release it instead of leaking one
-        # executor-storage entry per corpus
-        for scratch in _NEAR_DUP_SCRATCH:
-            scratch.unpersist()
-        _NEAR_DUP_SCRATCH.clear()
+        # doc) is never read again — release THIS corpus's entries only
+        # (an interleaved build for another sf_dir keeps its cache)
+        _release_scratch(sf_dir)
         _NEAR_DUP_CACHE[key] = cached
     return cached
 
@@ -525,7 +536,7 @@ def _near_dup_pairs_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.collect_set(F.xxhash64("shingle")).alias("hs"),
         F.count(F.lit(1)).alias("n"),
     ).cache()
-    _NEAR_DUP_SCRATCH.append(per_doc)
+    _NEAR_DUP_SCRATCH.append((sf_dir, per_doc))
     rows_per_band = N_HASHES // N_BANDS
     bands = F.array(
         *[

@@ -127,7 +127,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_year,
            {oracle_round_quotient(
                "sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END)",
-               "sum(volume)", 4, den_scale=6)} AS mkt_share
+               "sum(volume)", 4, den_scale=6, num_scale=6)} AS mkt_share
     FROM (SELECT EXTRACT(year FROM o_orderdate) AS o_year,
                  CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume,
                  n2.n_name AS nation
@@ -182,6 +182,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("volume"),
                 4,
                 den_scale=6,
+                # volume is decimal(18,6): the true numerator scale is 6,
+                # not k+den_scale=10 — this sizes the pre-multiply cast to
+                # 1e20 of integer headroom instead of 1e16 (ADVICE r5 #1)
+                num_scale=6,
             ).alias("mkt_share")
         )
         .orderBy("o_year")
@@ -313,7 +317,7 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
                "     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"
                "     ELSE 0 END) * 100",
                "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))",
-               4, den_scale=6)} AS promo_revenue
+               4, den_scale=6, num_scale=6)} AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
@@ -349,6 +353,9 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(rev),
                 4,
                 den_scale=6,
+                # numerator = promo sum × 100, still scale 6: sized cast
+                # gives the raw sum 1e18 headroom after the ×100 (was 1e14)
+                num_scale=6,
             ).alias("promo_revenue")
         )
     )

@@ -31,18 +31,48 @@ from ..session import ensure_runtime_confs
 from ..tables import table
 
 
-# (applicationId, sf_dir) → events parquet schema.  Every streaming
-# query needs the batch-read schema to declare its file source; the
-# footer read costs ~80 ms driver-side and was paid up to 3× per query
-# (r5 streaming fixed-cost shave) — now once per session per corpus.
-_EVENTS_SCHEMA_CACHE: dict[tuple[str, str], Any] = {}
+# (applicationId, sf_dir, corpus fingerprint) → events parquet schema.
+# Every streaming query needs the batch-read schema to declare its file
+# source; the footer read costs ~80 ms driver-side and was paid up to 3×
+# per query (r5 streaming fixed-cost shave) — now once per session per
+# corpus.  The key carries a (path, mtime_ns, size) fingerprint exactly
+# like the dedup substrate caches (ADVICE r5 #2): rewriting
+# events.parquet in place within one session re-reads the schema instead
+# of serving a stale one.
+_EVENTS_SCHEMA_CACHE: dict[tuple, Any] = {}
+
+
+def _events_fingerprint(sf_dir: str) -> tuple:
+    """(path, mtime_ns, size) of every file under the events table."""
+    import os
+
+    root = os.path.join(sf_dir, "events.parquet")
+    entries = []
+    if os.path.isdir(root):
+        for base, _dirs, files in os.walk(root):
+            for f in sorted(files):
+                p = os.path.join(base, f)
+                st = os.stat(p)
+                entries.append((p, st.st_mtime_ns, st.st_size))
+    elif os.path.exists(root):
+        st = os.stat(root)
+        entries.append((root, st.st_mtime_ns, st.st_size))
+    return tuple(entries)
 
 
 def events_schema(spark: SparkSession, sf_dir: str):
     ensure_runtime_confs(spark)
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _events_fingerprint(sf_dir),
+    )
     schema = _EVENTS_SCHEMA_CACHE.get(key)
     if schema is None:
+        # drop superseded fingerprints for the same corpus path so a
+        # repeatedly-rewritten table doesn't grow the cache unboundedly
+        for k in [k for k in _EVENTS_SCHEMA_CACHE if k[:2] == key[:2]]:
+            del _EVENTS_SCHEMA_CACHE[k]
         schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
         _EVENTS_SCHEMA_CACHE[key] = schema
     return schema

@@ -32,17 +32,41 @@ TABLES = (
 )
 
 
-#: (applicationId, sf_dir, name) → loaded DataFrame.  A DataFrame is an
-#: immutable logical plan, so handing the same one to every caller is
-#: safe; this is the engine's CATALOG role — schema and file listing
-#: resolved once per session, not re-inferred per query (each
-#: ``spark.read.parquet`` costs ~80 ms of driver-side listing + footer
-#: schema read; a 351-query bench pays that ~700×).  Keyed on
-#: applicationId so a new session never sees plans from a stopped one;
-#: the fixture dirs are read-only, so no data-fingerprint component is
-#: needed (cf. dedup's corpus-fingerprinted pair cache for paths that
-#: CAN be rewritten).
-_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+#: (applicationId, sf_dir, name, fingerprint) → loaded DataFrame.  A
+#: DataFrame is an immutable logical plan, so handing the same one to
+#: every caller is safe; this is the engine's CATALOG role — schema and
+#: file listing resolved once per session, not re-inferred per query
+#: (each ``spark.read.parquet`` costs ~80 ms of driver-side listing +
+#: footer schema read; a 351-query bench pays that ~700×).  Keyed on
+#: applicationId so a new session never sees plans from a stopped one,
+#: and on a (path, mtime_ns, size) fingerprint so a table REWRITTEN IN
+#: PLACE is re-resolved — the fingerprint check is a handful of stat()
+#: calls (~µs), and without it every downstream fingerprint-keyed memo
+#: (the dedup substrate, the streaming schema cache) rebuilds a plan
+#: that still reads the stale listing.  On a fingerprint change the
+#: path is also pushed through ``spark.catalog.refreshByPath``: Spark's
+#: CacheManager matches cached data BY PLAN STRUCTURE, so a rebuilt
+#: byte-identical plan (same path) would otherwise be served the old
+#: corpus's cached blocks (e.g. the dedup shingle stream's ``.cache()``).
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _table_fingerprint(sf_dir: str, name: str) -> tuple:
+    """(path, mtime_ns, size) of every file under one table path."""
+    import os
+
+    root = os.path.join(sf_dir, f"{name}.parquet")
+    entries = []
+    if os.path.isdir(root):
+        for base, _dirs, files in os.walk(root):
+            for f in sorted(files):
+                p = os.path.join(base, f)
+                st = os.stat(p)
+                entries.append((p, st.st_mtime_ns, st.st_size))
+    elif os.path.exists(root):
+        st = os.stat(root)
+        entries.append((root, st.st_mtime_ns, st.st_size))
+    return tuple(entries)
 
 
 def invalidate_table_cache() -> None:
@@ -53,11 +77,19 @@ def invalidate_table_cache() -> None:
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with engine-canonical column types."""
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, name, _table_fingerprint(sf_dir, name))
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
     ensure_runtime_confs(spark)
+    stale = [k for k in _TABLE_CACHE if k[:3] == (app, sf_dir, name)]
+    if stale:
+        for k in stale:
+            del _TABLE_CACHE[k]
+        # drop Spark-side file listings and any cached data blocks for
+        # plans that read this path — see the cache-key comment above
+        spark.catalog.refreshByPath(f"{sf_dir}/{name}.parquet")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ns epoch → µs timestamp_ntz.  Integer division (`DIV`), NOT

@@ -143,6 +143,85 @@ def test_bigint_numerator_no_int64_wrap(spark):
     assert abs(got - want) <= abs(want) * 1e-15
 
 
+def test_headroom_guard_raises_on_ns10_default(spark):
+    """ADVICE r5 #1: k+den_scale=10 with the default num_scale leaves
+    only 1e16 of numerator headroom — below the 1e18 floor; both the
+    Spark helper and the oracle twin must refuse at plan-construction
+    time instead of overflowing silently at 100 TB."""
+    with pytest.raises(ValueError, match="headroom"):
+        round_quotient(F.lit(1), F.lit(1), 4, den_scale=6)
+    with pytest.raises(ValueError, match="headroom"):
+        oracle_round_quotient("1", "1", 4, den_scale=6)
+    with pytest.raises(ValueError, match="num_scale"):
+        round_quotient(F.lit(1), F.lit(1), 4, den_scale=2, num_scale=7)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    num=st.decimals(
+        min_value=Decimal("-9999.999999"),
+        max_value=Decimal("9999.999999"),
+        places=6,
+        allow_nan=False,
+        allow_infinity=False,
+    ),
+    den=st.decimals(
+        min_value=Decimal("0.000001"),
+        max_value=Decimal("9999.999999"),
+        places=6,
+        allow_nan=False,
+        allow_infinity=False,
+    ),
+)
+def test_oracle_num_scale6_ns10_matches_fraction_truth(num, den):
+    """The TPC-H q8/q14 shape: k=4, den_scale=6, num_scale=6 — the
+    sized-cast path must still be exact HALF_UP on the rational."""
+    con = duckdb.connect()
+    sql = oracle_round_quotient(
+        f"CAST('{num}' AS DECIMAL(18,6))",
+        f"CAST('{den}' AS DECIMAL(18,6))",
+        4,
+        den_scale=6,
+        num_scale=6,
+    )
+    got = con.sql(f"SELECT {sql} AS v").fetchone()[0]
+    assert got == _truth(num, den, 4), (num, den)
+
+
+def test_num_scale6_ns10_large_magnitude_both_engines(spark):
+    """100 TB design point for the den_scale=6 sites: a 1e17-magnitude
+    6-decimal numerator (past the old 1e16 cliff, inside the new 1e20
+    headroom) must round identically on both engines — the pre-fix
+    casts returned NULL on Spark and raised on DuckDB here."""
+    num = Decimal("123456789012345678.654321")  # ~1.2e17, scale 6
+    den = Decimal("3456789.000007")
+    df = spark.createDataFrame([(num, den)], "num decimal(28,6), den decimal(18,6)")
+    got = (
+        df.select(
+            round_quotient(
+                F.col("num"), F.col("den"), 4, den_scale=6, num_scale=6
+            ).alias("v")
+        )
+        .collect()[0]
+        .v
+    )
+    assert got is not None
+    con = duckdb.connect()
+    duck = con.sql(
+        "SELECT "
+        + oracle_round_quotient(
+            f"CAST('{num}' AS DECIMAL(28,6))",
+            f"CAST('{den}' AS DECIMAL(18,6))",
+            4,
+            den_scale=6,
+            num_scale=6,
+        )
+    ).fetchone()[0]
+    assert got == duck
+    want = _truth(num, den, 4)
+    assert abs(got - want) <= abs(want) * 1e-15
+
+
 def test_union_128_halfway_case(spark):
     """The Jaccard shape from ADVICE r4 #3: inter/union quotients with
     union a power of two land on exact x…x5 points at k=6 (e.g.

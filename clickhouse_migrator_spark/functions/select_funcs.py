@@ -381,17 +381,22 @@ RULES: dict[str, Rule] = {
     "medianIf": _tpl("percentile(CASE WHEN {1} THEN {0} END, 0.5)"),
     # -Array over uniq: distinct elements across all rows' arrays
     # (ClickHouse uniqArray is an HLL estimate; the exact count is the
-    # same strict upgrade as the quantile mappings).
+    # same strict upgrade as the quantile mappings).  NULL elements are
+    # dropped (array_compact) — ClickHouse aggregates skip NULLs, and
+    # this keeps the template exactly equivalent to the context-aware
+    # explode rewrite below (count(DISTINCT) ignores NULL).
     # Memory contract (ADVICE r4 #5): the aggregation buffer holds the
     # union of PER-ROW-DEDUPED arrays — bounded by the group's total
     # distinct-per-row elements, not its raw element count (the inner
     # array_distinct is the bound; collecting raw arrays was unbounded
-    # in duplicates).  A template rewrite cannot change row multiplicity,
-    # so groups whose distinct-element union itself exceeds executor
-    # memory need the explode + count(DISTINCT) form hand-written at the
-    # query level — that shape shuffles instead of buffering.
+    # in duplicates).  This buffering form is the FALLBACK: statements
+    # where uniqArray is the only aggregate are rewritten structurally
+    # by _rewrite_uniq_array_context into explode_outer +
+    # count(DISTINCT) — that shape shuffles instead of buffering, so
+    # the per-group memory cliff disappears entirely (VERDICT r5 #3).
     "uniqArray": _tpl(
-        "size(array_distinct(flatten(collect_set(array_distinct({0})))))"
+        "size(array_distinct(flatten(collect_set("
+        "array_distinct(array_compact({0}))))))"
     ),
     # strings
     # ClickHouse position(haystack, needle[, start]) — arg order is the
@@ -1011,6 +1016,142 @@ def _rewrite_array_literals(sql: str) -> str:
 _TABLE_VALUED_AMBIGUOUS = {"range"}
 
 
+# depth-0 keywords recognized by the uniqArray structural rewrite; any
+# depth-0 keyword OUTSIDE the allowed subset (JOIN, UNION, HAVING,
+# OVER, DISTINCT, LATERAL …) makes the statement fall back to the
+# buffering template
+_UA_CLAUSE_RE = re.compile(
+    r"\b(SELECT|FROM|WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|UNION"
+    r"|JOIN|OVER|DISTINCT|LATERAL)\b",
+    re.I,
+)
+_UA_ALLOWED = ("SELECT", "FROM", "WHERE", "GROUP BY", "ORDER BY", "LIMIT")
+
+
+def _depths(sql: str, mask: list[bool]) -> list[int]:
+    """Paren depth BEFORE each position (quote/comment-aware)."""
+    out, d = [], 0
+    for i, ch in enumerate(sql):
+        out.append(d)
+        if not mask[i]:
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+    return out
+
+
+def _split_top_commas(text: str) -> list[str]:
+    """Split on depth-0 commas (quote/paren-aware)."""
+    mask = _string_mask(text)
+    depths = _depths(text, mask)
+    parts, last = [], 0
+    for i, ch in enumerate(text):
+        if ch == "," and not mask[i] and depths[i] == 0:
+            parts.append(text[last:i].strip())
+            last = i + 1
+    parts.append(text[last:].strip())
+    return parts
+
+
+def _rewrite_uniq_array_context(sql: str) -> str:
+    """Context-aware ``uniqArray`` rewrite (VERDICT r5 #3): when the
+    statement is a plain single-table aggregate in which ``uniqArray``
+    is the ONLY aggregate expression (every other select item is a
+    group key), emit
+
+        SELECT keys…, count(DISTINCT _ua_el) AS alias
+        FROM (SELECT *, explode_outer(arg) AS _ua_el FROM t [WHERE …])
+        GROUP BY … [ORDER BY …] [LIMIT …]
+
+    — the shuffle-not-buffer shape: per-group state is the
+    count-distinct hash set partitioned across executors, so a group
+    whose distinct-element union exceeds executor memory no longer
+    cliffs (the ``collect_set`` template buffers that union in ONE
+    aggregation buffer).  ``explode_outer`` (not ``explode``) keeps
+    groups whose arrays are all empty/NULL: they surface one NULL
+    element which ``count(DISTINCT)`` ignores → count 0, group
+    retained — exactly the template's semantics.
+
+    Any shape this scanner cannot PROVE safe — joins, unions, HAVING,
+    window functions, other aggregates alongside, subqueries in FROM,
+    table-qualified column references, a missing alias — falls back to
+    the documented-bound buffering template (the two forms are exactly
+    equivalent, including NULL-element handling)."""
+    if "uniqArray" not in sql:
+        return sql
+    mask = _string_mask(sql)
+    depths = _depths(sql, mask)
+    clauses: list[tuple[str, int, int]] = []
+    for m in _UA_CLAUSE_RE.finditer(sql):
+        if mask[m.start()] or depths[m.start()] != 0:
+            continue
+        clauses.append((re.sub(r"\s+", " ", m.group(1).upper()), m.start(), m.end()))
+    order = [c[0] for c in clauses]
+    if (
+        not order
+        or order[0] != "SELECT"
+        or "FROM" not in order
+        or any(kw not in _UA_ALLOWED for kw in order)
+        or len(set(order)) != len(order)
+        or [_UA_ALLOWED.index(k) for k in order]
+        != sorted(_UA_ALLOWED.index(k) for k in order)
+    ):
+        return sql
+    spans: dict[str, str] = {}
+    for j, (kw, _s, b) in enumerate(clauses):
+        e = clauses[j + 1][1] if j + 1 < len(clauses) else len(sql)
+        spans[kw] = sql[b:e].strip()
+    table = spans["FROM"]
+    if not re.fullmatch(r"[\w.`]+", table):
+        return sql
+    # qualified references (t.col) would dangle once the source is
+    # wrapped in the _ua_src subquery — bail
+    bare = table.strip("`").split(".")[-1]
+    if re.search(rf"\b{re.escape(bare)}\s*\.", sql):
+        return sql
+    sel_end = next(s for kw, s, _b in clauses if kw == "FROM")
+    items = _split_top_commas(sql[clauses[0][2] : sel_end])
+    ua_items = [i for i, it in enumerate(items) if "uniqArray" in it]
+    if len(ua_items) != 1:
+        return sql
+    idx = ua_items[0]
+    head = re.match(r"uniqArray\s*\(", items[idx])
+    if not head:
+        return sql
+    try:
+        args, end = _scan_args(items[idx], head.end())
+    except ValueError:
+        return sql
+    alias_m = re.fullmatch(r"\s*AS\s+([A-Za-z_]\w*)\s*", items[idx][end:], re.I)
+    if len(args) != 1 or not alias_m:
+        return sql
+
+    def _norm(e: str) -> str:
+        return re.sub(r"\s+", " ", e).strip().lower()
+
+    others = [it for i, it in enumerate(items) if i != idx]
+    if "GROUP BY" in spans:
+        keys = {_norm(k) for k in _split_top_commas(spans["GROUP BY"])}
+        for it in others:
+            am = re.match(r"(?is)^(.*?)\s+AS\s+([A-Za-z_]\w*)\s*$", it)
+            expr, al = (am.group(1), am.group(2)) if am else (it, None)
+            if _norm(expr) not in keys and (al is None or _norm(al) not in keys):
+                return sql  # a non-key item: another aggregate — bail
+    elif others:
+        return sql
+    inner = f"SELECT *, explode_outer({args[0]}) AS _ua_el FROM {table}"
+    if "WHERE" in spans:
+        inner += f" WHERE {spans['WHERE']}"
+    out_items = list(items)
+    out_items[idx] = f"count(DISTINCT _ua_el) AS {alias_m.group(1)}"
+    out = f"SELECT {', '.join(out_items)} FROM ({inner}) _ua_src"
+    for kw in ("GROUP BY", "ORDER BY", "LIMIT"):
+        if kw in spans:
+            out += f" {kw} {spans[kw]}"
+    return out
+
+
 def rewrite_functions(sql: str) -> str:
     """Translate ClickHouse function spellings in ``sql`` to Spark SQL.
 
@@ -1021,6 +1162,7 @@ def rewrite_functions(sql: str) -> str:
     functions, with the original spelling intact.
     """
     sql = _rewrite_array_literals(sql)
+    sql = _rewrite_uniq_array_context(sql)
     progress = True
     while progress:
         progress = False

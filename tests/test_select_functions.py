@@ -982,15 +982,68 @@ def test_if_combinators_round6(spark):
     assert row.vempty is None  # empty -If input stays NULL
 
 
-def test_uniq_array_dedups_before_collecting(spark):
-    """ADVICE r4 #5: the uniqArray buffer must hold per-row-DEDUPED
-    arrays (collect_set of array_distinct), so duplicate-heavy groups
-    don't balloon the aggregation state.  Semantics unchanged: exact
-    distinct count across all rows' elements."""
+def test_uniq_array_sole_aggregate_takes_explode_path(spark):
+    """VERDICT r5 #3: with uniqArray the only aggregate, the rewrite is
+    structural — explode_outer + count(DISTINCT) in a subquery (shuffle,
+    no per-group array buffer)."""
     sql = rewrite_functions("SELECT uniqArray(arr) AS ua FROM t_uniq")
-    assert "collect_set(array_distinct(" in sql
-    # 1000 rows of the SAME 3-element array: one buffered array, count 3
+    assert "explode_outer(arr)" in sql and "count(DISTINCT _ua_el)" in sql
+    assert "collect_set" not in sql
+    # 1000 rows of the SAME 3-element array: distinct count 3
     spark.range(1000).selectExpr(
         "array(1, 1, 2, 2, 3, 3) AS arr"
     ).createOrReplaceTempView("t_uniq")
     assert spark.sql(sql).first().ua == 3
+
+
+def test_uniq_array_grouped_explode_path(spark):
+    """Grouped form: other select items that ARE the group keys still
+    allow the explode rewrite; groups whose arrays are all empty must
+    survive with count 0 (explode_outer, not explode)."""
+    spark.range(10).selectExpr(
+        "id % 2 AS g",
+        "CASE WHEN id % 2 = 0 THEN array(id, id + 100) ELSE array() END AS arr",
+    ).createOrReplaceTempView("t_uniq_g")
+    sql = rewrite_functions(
+        "SELECT g, uniqArray(arr) AS ua FROM t_uniq_g GROUP BY g ORDER BY g"
+    )
+    assert "explode_outer(arr)" in sql and "GROUP BY g" in sql
+    rows = spark.sql(sql).collect()
+    assert [(r.g, r.ua) for r in rows] == [(0, 10), (1, 0)]
+
+
+def test_uniq_array_fallback_buffering_template(spark):
+    """ADVICE r4 #5 contract still holds on the FALLBACK path (another
+    aggregate alongside): per-row-deduped, null-compacted collect_set —
+    and the two forms agree exactly, including NULL elements and empty
+    groups."""
+    sql = rewrite_functions(
+        "SELECT count(*) AS n, uniqArray(arr) AS ua FROM t_uniq_n"
+    )
+    assert "collect_set(array_distinct(array_compact(arr)))" in sql
+    spark.range(6).selectExpr(
+        "CASE WHEN id < 3 THEN array(id, NULL, 99) ELSE array() END AS arr"
+    ).createOrReplaceTempView("t_uniq_n")
+    row = spark.sql(sql).first()
+    assert row.n == 6
+    assert row.ua == 4  # {0,1,2,99} — NULL elements skipped like ClickHouse
+    sole = rewrite_functions("SELECT uniqArray(arr) AS ua FROM t_uniq_n")
+    assert "explode_outer" in sole
+    assert spark.sql(sole).first().ua == 4  # both forms agree
+
+
+def test_uniq_array_unsafe_shapes_keep_template():
+    """Shapes the scanner cannot prove safe must fall back: joins,
+    table-qualified refs, HAVING, windows, missing alias, subquery FROM."""
+    unsafe = [
+        "SELECT uniqArray(arr) AS ua FROM a JOIN b ON a.k = b.k",
+        "SELECT t.g, uniqArray(arr) AS ua FROM t GROUP BY t.g",
+        "SELECT g, uniqArray(arr) AS ua FROM t GROUP BY g HAVING ua > 1",
+        "SELECT uniqArray(arr) FROM t",
+        "SELECT uniqArray(arr) AS ua FROM (SELECT * FROM t) s",
+        "SELECT g, uniqArray(arr) AS ua, sum(v) AS s FROM t GROUP BY g",
+    ]
+    for sql in unsafe:
+        out = rewrite_functions(sql)
+        assert "explode_outer" not in out, sql
+        assert "collect_set(array_distinct(array_compact(" in out, sql

@@ -4,6 +4,8 @@ an approximate index must pin before anyone trusts it at scale."""
 
 from __future__ import annotations
 
+import pytest
+
 from clickhouse_migrator_spark.operators.similarity import (
     TOP_K,
     ivf_kmeans_topk,
@@ -111,11 +113,16 @@ _GOLDEN_SHA256 = {
 }
 
 
-def test_kmeans_ivf_golden_value_hash(spark, sf_dir):
+@pytest.mark.parametrize("sf_name", sorted(_GOLDEN_SHA256))
+def test_kmeans_ivf_golden_value_hash(spark, sf_name):
+    """Parametrized over ALL THREE fixture SFs (VERDICT r5 #4) — a quiet
+    regression at an SF the suite doesn't default to can't hide."""
     import hashlib
 
-    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    rows = sorted(tuple(r) for r in sim_ivf_kmeans(spark, sf_dir).collect())
+    rows = sorted(
+        tuple(r)
+        for r in sim_ivf_kmeans(spark, f"/root/testdata/{sf_name}").collect()
+    )
     got = hashlib.sha256("|".join(repr(r) for r in rows).encode()).hexdigest()
     assert got == _GOLDEN_SHA256[sf_name], (sf_name, got)
 

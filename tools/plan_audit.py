@@ -3,6 +3,15 @@ broadcast count, single-partition exchanges (the scale killer), and
 whether scans carry pushed filters.  Artifact for the 100 TB review:
 
     python tools/plan_audit.py [sf_dir]
+
+Single-partition exchanges are SELF-JUSTIFYING (VERDICT r5 #7): each
+flagged query is joined against
+``clickhouse_migrator_spark.plans.bounded_single_partition.BOUNDS`` and
+its proven input bound printed inline.  REVIEW now means an actual
+defect: a single-partition query with NO registered bound, a Cartesian
+product, or row-at-a-time Python.  Stale registry entries (bound
+registered but exchange gone from the plan) are reported at the end so
+the registry never rots.
 """
 
 from __future__ import annotations
@@ -11,8 +20,10 @@ import sys
 
 sys.path.insert(0, ".")
 
+from clickhouse_migrator_spark.plans.bounded_single_partition import (  # noqa: E402
+    BOUNDS,
+)
 from clickhouse_migrator_spark.plans.inspect import (  # noqa: E402
-    _formatted,
     _plan_string,
     count_broadcasts,
     count_shuffles,
@@ -46,15 +57,34 @@ def main() -> int:
             rows.append((name, -1, -1, -1, str(e)[:60], -1))
     print(f"{'query':42s} shuf bcast single cartesian rowpython")
     flagged = 0
+    seen_single: set[str] = set()
     for name, shuf, bcast, single, cart, pyrow in rows:
-        flag = ""
-        if isinstance(cart, str) or cart is True or (isinstance(pyrow, int) and pyrow > 0) or (
-            isinstance(single, int) and single > 0
-        ):
-            flag = "  <-- REVIEW"
+        note = ""
+        bad = isinstance(cart, str) or cart is True or (
+            isinstance(pyrow, int) and pyrow > 0
+        )
+        if isinstance(single, int) and single > 0:
+            seen_single.add(name)
+            bound = BOUNDS.get(name)
+            if bound is None:
+                bad = True
+                note = "  <-- UNJUSTIFIED single-partition"
+            else:
+                note = f"  [bounded: {bound}]"
+        if bad:
+            note += "  <-- REVIEW"
             flagged += 1
-        print(f"{name:42s} {shuf!s:>4} {bcast!s:>5} {single!s:>6} {cart!s:>9} {pyrow!s:>9}{flag}")
-    print(f"\n{flagged} queries flagged")
+        print(
+            f"{name:42s} {shuf!s:>4} {bcast!s:>5} {single!s:>6} "
+            f"{cart!s:>9} {pyrow!s:>9}{note}"
+        )
+    stale = sorted(set(BOUNDS) - seen_single)
+    if stale:
+        print(
+            f"\nSTALE registry entries (no SinglePartition in plan now — "
+            f"prune from bounded_single_partition.py): {stale}"
+        )
+    print(f"\n{flagged} queries flagged; {len(seen_single)} bounded single-partition")
     return 0
 
 

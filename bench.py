@@ -37,6 +37,13 @@ def materialize(df) -> None:
 
 
 def _warm_shapes(spark) -> None:
+    try:
+        _warm_shapes_inner(spark)
+    except Exception as e:  # pragma: no cover — warm-up must never kill the run
+        print(f"bench: shape warm-up skipped: {e}", file=sys.stderr)
+
+
+def _warm_shapes_inner(spark) -> None:
     """One-time plan-shape warm-up battery (VERDICT r5 #6).
 
     ~165 s of the r5 bench was per-query fixed machinery; a chunk of it

@@ -1091,6 +1091,10 @@ def _rewrite_uniq_array_context(sql: str) -> str:
     if (
         not order
         or order[0] != "SELECT"
+        # the statement must BEGIN at the depth-0 SELECT: a WITH/CTE
+        # prefix (or anything else) before it would be silently dropped
+        # by the span reassembly below
+        or sql[: clauses[0][1]].strip()
         or "FROM" not in order
         or any(kw not in _UA_ALLOWED for kw in order)
         or len(set(order)) != len(order)

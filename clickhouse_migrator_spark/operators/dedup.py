@@ -448,18 +448,9 @@ def _corpus_fingerprint(sf_dir: str) -> tuple:
     under ``sf_dir`` is regenerated within one application (ADVICE r2)."""
     import os
 
-    root = os.path.join(sf_dir, "documents.parquet")
-    entries = []
-    if os.path.isdir(root):
-        for base, _dirs, files in os.walk(root):
-            for f in sorted(files):
-                p = os.path.join(base, f)
-                st = os.stat(p)
-                entries.append((p, st.st_mtime_ns, st.st_size))
-    elif os.path.exists(root):
-        st = os.stat(root)
-        entries.append((root, st.st_mtime_ns, st.st_size))
-    return tuple(entries)
+    from ..tables import fingerprint_path
+
+    return fingerprint_path(os.path.join(sf_dir, "documents.parquet"))
 
 
 def invalidate_near_dup_cache(sf_dir: str | None = None) -> None:

@@ -46,18 +46,9 @@ def _events_fingerprint(sf_dir: str) -> tuple:
     """(path, mtime_ns, size) of every file under the events table."""
     import os
 
-    root = os.path.join(sf_dir, "events.parquet")
-    entries = []
-    if os.path.isdir(root):
-        for base, _dirs, files in os.walk(root):
-            for f in sorted(files):
-                p = os.path.join(base, f)
-                st = os.stat(p)
-                entries.append((p, st.st_mtime_ns, st.st_size))
-    elif os.path.exists(root):
-        st = os.stat(root)
-        entries.append((root, st.st_mtime_ns, st.st_size))
-    return tuple(entries)
+    from ..tables import fingerprint_path
+
+    return fingerprint_path(os.path.join(sf_dir, "events.parquet"))
 
 
 def events_schema(spark: SparkSession, sf_dir: str):

@@ -51,45 +51,70 @@ TABLES = (
 _TABLE_CACHE: dict[tuple, DataFrame] = {}
 
 
-def _table_fingerprint(sf_dir: str, name: str) -> tuple:
-    """(path, mtime_ns, size) of every file under one table path."""
+def fingerprint_path(path: str) -> tuple:
+    """(path, mtime_ns, size) of every file under ``path`` — THE shared
+    cache-key component for every fingerprint-keyed memo in the engine
+    (table plans here, the dedup substrate's corpus caches, the
+    streaming events-schema cache).  Directory walk is fully sorted so
+    partitioned layouts fingerprint deterministically."""
     import os
 
-    root = os.path.join(sf_dir, f"{name}.parquet")
     entries = []
-    if os.path.isdir(root):
-        for base, _dirs, files in os.walk(root):
+    if os.path.isdir(path):
+        for base, dirs, files in os.walk(path):
+            dirs.sort()
             for f in sorted(files):
                 p = os.path.join(base, f)
                 st = os.stat(p)
                 entries.append((p, st.st_mtime_ns, st.st_size))
-    elif os.path.exists(root):
-        st = os.stat(root)
-        entries.append((root, st.st_mtime_ns, st.st_size))
+    elif os.path.exists(path):
+        st = os.stat(path)
+        entries.append((path, st.st_mtime_ns, st.st_size))
     return tuple(entries)
+
+
+def _table_fingerprint(sf_dir: str, name: str) -> tuple:
+    import os
+
+    return fingerprint_path(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+#: (applicationId, sf_dir, name) → last fingerprint RESOLVED for that
+#: path.  Deliberately NOT cleared by invalidate_table_cache: this is
+#: the refresh ledger — a later table() call that sees a DIFFERENT
+#: fingerprint than the last resolve must push refreshByPath even if
+#: the plan memo was explicitly cleared in between (otherwise the
+#: explicit hook would skip the Spark-side CacheManager/listing refresh
+#: and serve staler data than no invalidation at all).
+_RESOLVED_FP: dict[tuple[str, str, str], tuple] = {}
 
 
 def invalidate_table_cache() -> None:
     """Drop every cached table plan (for callers that point ``sf_dir``
-    at a directory they rewrite in place)."""
+    at a directory they rewrite in place).  Spark-side caches are
+    refreshed lazily: the next ``table()`` call compares the path's
+    fingerprint against the refresh ledger and pushes
+    ``refreshByPath`` when the bytes changed."""
     _TABLE_CACHE.clear()
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with engine-canonical column types."""
     app = spark.sparkContext.applicationId
-    key = (app, sf_dir, name, _table_fingerprint(sf_dir, name))
+    fp = _table_fingerprint(sf_dir, name)
+    key3 = (app, sf_dir, name)
+    key = (*key3, fp)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
     ensure_runtime_confs(spark)
-    stale = [k for k in _TABLE_CACHE if k[:3] == (app, sf_dir, name)]
-    if stale:
-        for k in stale:
-            del _TABLE_CACHE[k]
+    for k in [k for k in _TABLE_CACHE if k[:3] == key3]:
+        del _TABLE_CACHE[k]
+    if _RESOLVED_FP.get(key3, fp) != fp:
         # drop Spark-side file listings and any cached data blocks for
         # plans that read this path — see the cache-key comment above
         spark.catalog.refreshByPath(f"{sf_dir}/{name}.parquet")
+    _RESOLVED_FP[key3] = fp
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ns epoch → µs timestamp_ntz.  Integer division (`DIV`), NOT

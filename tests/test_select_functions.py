@@ -1036,6 +1036,8 @@ def test_uniq_array_unsafe_shapes_keep_template():
     """Shapes the scanner cannot prove safe must fall back: joins,
     table-qualified refs, HAVING, windows, missing alias, subquery FROM."""
     unsafe = [
+        # a CTE prefix must NOT be dropped by the span reassembly
+        "WITH c AS (SELECT arr FROM t) SELECT uniqArray(arr) AS ua FROM c",
         "SELECT uniqArray(arr) AS ua FROM a JOIN b ON a.k = b.k",
         "SELECT t.g, uniqArray(arr) AS ua FROM t GROUP BY t.g",
         "SELECT g, uniqArray(arr) AS ua FROM t GROUP BY g HAVING ua > 1",

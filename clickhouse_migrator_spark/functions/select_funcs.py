@@ -323,7 +323,11 @@ RULES: dict[str, Rule] = {
     "covarPop": _rename("covar_pop"),
     "covarSamp": _rename("covar_samp"),
     "skewPop": _rename("skewness"),
-    "kurtPop": _rename("kurtosis"),
+    # ClickHouse kurtPop is the NON-excess population kurtosis
+    # (m4/σ⁴); Spark's kurtosis is the EXCESS form (m4/σ⁴ − 3) —
+    # caught by the all-spellings execution smoke (uniform {1,2,3}:
+    # CH 1.5 vs plain-rename −1.5)
+    "kurtPop": _tpl("(kurtosis({0}) + 3)"),
     "countIf": _rename("count_if"),
     "uniqIf": _tpl("approx_count_distinct(CASE WHEN {1} THEN {0} END)"),
     "uniqExactIf": _tpl("count(DISTINCT CASE WHEN {1} THEN {0} END)"),
@@ -580,8 +584,12 @@ RULES: dict[str, Rule] = {
     "currentDatabase": _rename("current_database"),
     "currentUser": _rename("current_user"),
     "generateUUIDv4": _rename("uuid"),
-    # ClickHouse rand() is uniform over the UInt32 range
-    "rand": lambda a: "CAST(rand() * 4294967295 AS BIGINT)",
+    # ClickHouse rand() is uniform over the UInt32 range.  The Spark
+    # spelling must be `random` (the rand alias), NOT `rand`: a rule
+    # whose output contains its own spelling re-matches on the next
+    # rewriter pass and the loop never terminates (caught by the
+    # all-spellings execution smoke).
+    "rand": lambda a: "CAST(random() * 4294967295 AS BIGINT)",
     "e": lambda a: "exp(1)" if not a else None,
     "isNaN": _rename("isnan"),
     # arithmetic / bits
@@ -696,15 +704,19 @@ RULES: dict[str, Rule] = {
     "greatCircleDistance": lambda a: (_haversine(a) if len(a) == 4 else None),
     "geoDistance": lambda a: (_haversine(a) if len(a) == 4 else None),
     # "1.23 million"-style humanized quantities
+    # ClickHouse prints FIXED two decimals at every tier ('1.50
+    # million'), like formatReadableSize below — round+CAST dropped
+    # trailing zeros (execution-smoke catch); format_number keeps them
+    # (no thousands separator risk: the mantissa is < 1000)
     "formatReadableQuantity": lambda a: (
-        f"(CASE WHEN abs({a[0]}) >= 1e12 THEN concat(CAST(round({a[0]} / 1e12, 2) "
-        f"AS STRING), ' trillion') "
-        f"WHEN abs({a[0]}) >= 1e9 THEN concat(CAST(round({a[0]} / 1e9, 2) "
-        f"AS STRING), ' billion') "
-        f"WHEN abs({a[0]}) >= 1e6 THEN concat(CAST(round({a[0]} / 1e6, 2) "
-        f"AS STRING), ' million') "
-        f"WHEN abs({a[0]}) >= 1e3 THEN concat(CAST(round({a[0]} / 1e3, 2) "
-        f"AS STRING), ' thousand') "
+        f"(CASE WHEN abs({a[0]}) >= 1e12 THEN concat(format_number({a[0]} / 1e12, 2)"
+        f", ' trillion') "
+        f"WHEN abs({a[0]}) >= 1e9 THEN concat(format_number({a[0]} / 1e9, 2)"
+        f", ' billion') "
+        f"WHEN abs({a[0]}) >= 1e6 THEN concat(format_number({a[0]} / 1e6, 2)"
+        f", ' million') "
+        f"WHEN abs({a[0]}) >= 1e3 THEN concat(format_number({a[0]} / 1e3, 2)"
+        f", ' thousand') "
         f"ELSE CAST({a[0]} AS STRING) END)"
         if len(a) == 1
         else None
@@ -898,8 +910,9 @@ RULES: dict[str, Rule] = {
     "hasAny": _rename("arrays_overlap"),
     "toModifiedJulianDay": _tpl("datediff({0}, DATE '1858-11-17')"),
     "now64": lambda a: "current_timestamp()" if len(a) <= 1 else None,
+    # `random`, not `rand` — see the "rand" rule's self-match note
     "rand64": lambda a: (
-        "CAST(rand() * 9223372036854775807 AS BIGINT)" if not a else None
+        "CAST(random() * 9223372036854775807 AS BIGINT)" if not a else None
     ),
 }
 
@@ -1168,7 +1181,16 @@ def rewrite_functions(sql: str) -> str:
     sql = _rewrite_array_literals(sql)
     sql = _rewrite_uniq_array_context(sql)
     progress = True
+    # Termination backstop: each pass rewrites one call, so a statement
+    # can need at most ~its own length in passes.  A rule whose OUTPUT
+    # re-matches a spelling (the round-6 `rand` bug) would otherwise
+    # loop forever growing the string — cap and return what we have
+    # (Spark reports any leftover spelling with a clear error).
+    budget = 200 + len(sql)
     while progress:
+        budget -= 1
+        if budget < 0:
+            return sql
         progress = False
         mask = _string_mask(sql)
         for m in _IDENT_RE.finditer(sql):

@@ -583,9 +583,12 @@ def agg_topk_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ClickHouse ``skewPop``/``kurtPop`` → Spark ``skewness``/``kurtosis``
-    (both population-moment definitions; Spark's kurtosis is excess
-    kurtosis, m4/m2² − 3).  Single-pass mergeable central moments —
+    """Population skewness + EXCESS kurtosis per group via Spark's
+    native single-pass ``skewness``/``kurtosis``.  (Note: ClickHouse's
+    ``kurtPop`` is the NON-excess form — the dialect rewriter maps it
+    to ``kurtosis(x) + 3``; this query deliberately reports the excess
+    form and its oracle mirrors that.)  Single-pass mergeable central
+    moments —
     partials carry (n, Σx, Σx², Σx³, Σx⁴)-equivalent state per group, so
     the shuffle is constant-width at any data size.  DuckDB's built-ins
     are *sample*-adjusted, so the oracle computes the population

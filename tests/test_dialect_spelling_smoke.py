@@ -444,6 +444,23 @@ def test_no_stale_examples():
     assert stale == [], f"examples for unknown spellings: {stale}"
 
 
+def test_rewrite_is_idempotent_on_all_examples():
+    """rewrite(rewrite(x)) == rewrite(x) for every example — a rule
+    whose OUTPUT re-matches any spelling (the round-6 rand bug class)
+    fails here without needing Spark."""
+    bad = []
+    for name in sorted(EXAMPLES):
+        expr, _ = EXAMPLES[name]
+        stmt = (
+            f"SELECT {expr}" if " FROM " in expr else f"SELECT {expr} FROM t3 LIMIT 1"
+        )
+        once = rewrite_functions(stmt)
+        twice = rewrite_functions(once)
+        if twice != once:
+            bad.append(f"{name}: {once[:100]} -> {twice[:100]}")
+    assert not bad, "\n".join(bad)
+
+
 def test_all_spellings_execute(spark):
     """One pass over all 283 examples (a parametrized variant costs
     ~1.5 s of pytest/Spark overhead per case ≈ 7 minutes; this loop

@@ -461,13 +461,21 @@ def test_rewrite_is_idempotent_on_all_examples():
     assert not bad, "\n".join(bad)
 
 
-def test_all_spellings_execute(spark):
-    """One pass over all 283 examples (a parametrized variant costs
-    ~1.5 s of pytest/Spark overhead per case ≈ 7 minutes; this loop
-    runs in under a minute and reports every failure at once)."""
+@pytest.fixture
+def t3_view(spark):
     spark.range(1, 4).selectExpr(
         "id", "id * 1.5 AS v", "char(96 + id) AS s"
     ).createOrReplaceTempView("t3")
+    yield
+    # migrate.show_tables lists temp views too — don't leak t3 into
+    # later test files (the suite's shared session)
+    spark.catalog.dropTempView("t3")
+
+
+def test_all_spellings_execute(spark, t3_view):
+    """One pass over all 283 examples (a parametrized variant costs
+    ~1.5 s of pytest/Spark overhead per case ≈ 7 minutes; this loop
+    runs in under a minute and reports every failure at once)."""
     failures = []
     for name in sorted(EXAMPLES):
         expr, want = EXAMPLES[name]

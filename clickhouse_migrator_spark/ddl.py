@@ -56,17 +56,26 @@ TYPE_MAP = {
 _TYPE_RE = re.compile(
     r"\b(" + "|".join(sorted(TYPE_MAP, key=len, reverse=True)) + r")\b(\(\d+\))?"
 )
+# One level of nested parens inside a container's type argument —
+# `Nullable(DateTime64(3))`, `Array(Decimal(10, 2))`, `Map(String,
+# FixedString(16))` are everyday ClickHouse DDL; the old paren-free
+# `[^()]*?` inner silently left the wrapper in place and emitted
+# invalid Spark DDL like `Nullable(TIMESTAMP)` (round-6 coverage-audit
+# catch).  Deeper nesting resolves through the fixpoint loop in
+# :func:`map_types` (innermost container matches first, then its
+# parent sees one level again).
+_INNER = r"[^()]*(?:\([^()]*\)[^()]*)*?"
 # wrapper types: Nullable(T) → T (Spark columns are nullable by default),
 # LowCardinality(T) → T (a ClickHouse storage hint; Spark's parquet
 # dictionary encoding is the equivalent and automatic)
-_WRAPPER_RE = re.compile(r"\b(?:Nullable|LowCardinality)\(\s*([^()]*?)\s*\)")
+_WRAPPER_RE = re.compile(rf"\b(?:Nullable|LowCardinality)\(\s*({_INNER})\s*\)")
 _ENUM_RE = re.compile(r"\bEnum(?:8|16)?\s*\([^)]*\)")
 _DECIMAL_RE = re.compile(r"\bDecimal(?:32|64|128)?\s*\(")
-_ARRAY_RE = re.compile(r"\bArray\(\s*([^()]*?)\s*\)")
-_MAP_RE = re.compile(r"\bMap\(\s*([^(),]*?)\s*,\s*([^()]*?)\s*\)")
+_ARRAY_RE = re.compile(rf"\bArray\(\s*({_INNER})\s*\)")
+_MAP_RE = re.compile(rf"\bMap\(\s*([^(),]*?)\s*,\s*({_INNER})\s*\)")
 # unnamed Tuple(T1, T2) → STRUCT<_1: T1, _2: T2>; named
 # Tuple(a T1, b T2) → STRUCT<a: T1, b: T2>
-_TUPLE_RE = re.compile(r"\bTuple\(\s*([^()]*?)\s*\)")
+_TUPLE_RE = re.compile(rf"\bTuple\(\s*({_INNER})\s*\)")
 # column/statement decorations with no Spark equivalent:
 # CODEC(...) — parquet has its own codecs (possibly nested: ZSTD(3))
 _CODEC_RE = re.compile(r"\s*CODEC\([^()]*(?:\([^()]*\)[^()]*)*\)", re.I)

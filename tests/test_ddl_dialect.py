@@ -20,6 +20,36 @@ def test_enum_and_decimal_and_array():
     assert map_types("v Array(Nullable(String))") == "v ARRAY<STRING>"
 
 
+def test_parenthesized_inner_types_in_containers():
+    """Round-6 coverage-audit regression: a parenthesized inner type
+    (DateTime64(3), Decimal(10,2), FixedString(16)) inside a wrapper or
+    container left the wrapper un-unwrapped and emitted invalid Spark
+    DDL like `Nullable(TIMESTAMP)` / `Array(DECIMAL(10,2))`."""
+    assert map_types("a Nullable(DateTime64(3))") == "a TIMESTAMP"
+    assert map_types("b Array(Decimal(10, 2))") == "b ARRAY<DECIMAL(10, 2)>"
+    assert map_types("c Map(String, FixedString(16))") == "c MAP<STRING, STRING>"
+    assert map_types("d LowCardinality(FixedString(8))") == "d STRING"
+    assert map_types("e Array(Nullable(Decimal(10,2)))") == "e ARRAY<DECIMAL(10,2)>"
+    assert (
+        map_types("f Tuple(x Decimal(10,2), y String)")
+        == "f STRUCT<x: DECIMAL(10,2), y: STRING>"
+    )
+    assert (
+        map_types("i Map(String, Array(DateTime64(6)))")
+        == "i MAP<STRING, ARRAY<TIMESTAMP>>"
+    )
+    assert (
+        map_types("j Tuple(DateTime64(3), UInt8)")
+        == "j STRUCT<_1: TIMESTAMP, _2: SMALLINT>"
+    )
+    # two containers on one line must not cross-match through the
+    # nested-paren-tolerant inner pattern
+    assert (
+        map_types("v Array(DateTime64(3)), w Array(Int64)")
+        == "v ARRAY<TIMESTAMP>, w ARRAY<BIGINT>"
+    )
+
+
 def test_create_with_wrappers():
     st = translate(
         "CREATE TABLE t (id UInt64, tag LowCardinality(String), "

@@ -265,7 +265,7 @@ _CLEAR_COL_RE = re.compile(
     re.I | re.S,
 )
 _FREEZE_RE = re.compile(
-    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.`]+)\s+(?:UN)?FREEZE\b", re.I
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.`]+)\s+(?:(?:UN)?FREEZE|FETCH)\b", re.I
 )
 _DETACH_TABLE_RE = re.compile(
     r"^\s*DETACH\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<table>[\w.`]+)"
@@ -408,8 +408,12 @@ def translate(sql: str) -> Statement:
             if_exists=bool(m.group("ifex")),
         )
     m = _FREEZE_RE.match(sql)
-    if m:  # FREEZE = local filesystem snapshot for backup; no Spark
-        # analog (object-store versioning subsumes it) — documented no-op
+    if m:  # FREEZE = local filesystem snapshot for backup; FETCH
+        # PARTITION = pull a part from another replica.  No Spark analog
+        # for either (object-store versioning subsumes snapshots; there
+        # are no replicas in a single-warehouse engine) — documented
+        # no-ops.  Previously FETCH fell through to a raw passthrough
+        # that errored in Spark's parser at apply time.
         return Statement(kind="passthrough", sql="SELECT 1", table=m.group("table"))
     m = _PART_OP_RE.match(sql)
     if m:  # partition lifecycle against the recorded PARTITION BY

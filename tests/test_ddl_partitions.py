@@ -32,6 +32,10 @@ def test_classification():
     assert translate("ATTACH TABLE t").kind == "attach_table"
     st = translate("ALTER TABLE t FREEZE")
     assert st.kind == "passthrough" and st.sql == "SELECT 1"
+    # FETCH PARTITION is the same replication/backup class — a raw
+    # passthrough errored in Spark's parser at apply time (r6 audit)
+    st = translate("ALTER TABLE t FETCH PARTITION '2024' FROM '/ch/t'")
+    assert st.kind == "passthrough" and st.sql == "SELECT 1"
     # DROP PARTITION must not shadow DROP COLUMN and vice versa
     assert translate("ALTER TABLE t DROP COLUMN c").kind == "drop_column"
 

@@ -89,6 +89,35 @@ _ALTER_INDEX_RE = re.compile(
     r"(?:ADD|DROP|CLEAR|MATERIALIZE)\s+INDEX\b",
     re.I,
 )
+_PROJECTION_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.`]+)\s+"
+    r"(?:ADD|DROP|CLEAR|MATERIALIZE)\s+PROJECTION\b",
+    re.I,
+)
+_SETTING_OP_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.`]+)\s+(?:MODIFY|RESET)\s+SETTING\b",
+    re.I,
+)
+_MODIFY_ORDER_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.`]+)\s+MODIFY\s+ORDER\s+BY\s+"
+    r"(?P<e>.+?)\s*;?\s*$",
+    re.I | re.S,
+)
+_MODIFY_SAMPLE_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.`]+)\s+MODIFY\s+SAMPLE\s+BY\s+"
+    r"(?P<e>.+?)\s*;?\s*$",
+    re.I | re.S,
+)
+_MODIFY_COMMENT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.`]+)\s+MODIFY\s+COMMENT\s+"
+    r"(?P<c>'(?:[^']|'')*')\s*;?\s*$",
+    re.I,
+)
+_REMOVE_DEFAULT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.`]+)\s+MODIFY\s+COLUMN\s+"
+    r"(?:IF\s+EXISTS\s+)?(?P<col>[\w`]+)\s+REMOVE\s+DEFAULT\s*;?\s*$",
+    re.I,
+)
 
 
 def _tuple_to_struct(m: "re.Match[str]") -> str:
@@ -329,6 +358,52 @@ def translate(sql: str) -> Statement:
     if m:  # data-skipping index maintenance: parquet footer min/max and
         # bloom-filter write options subsume it — documented no-op
         return Statement(kind="passthrough", sql="SELECT 1", table=m.group("table"))
+    m = _PROJECTION_RE.match(sql)
+    if m:  # ClickHouse projections are materialized alternative sort/agg
+        # layouts — the same query-acceleration class as data-skipping
+        # indexes; Catalyst chooses plans from the single layout here —
+        # documented no-op (raw passthrough errored in Spark's parser)
+        return Statement(kind="passthrough", sql="SELECT 1", table=m.group("table"))
+    m = _SETTING_OP_RE.match(sql)
+    if m:  # MODIFY/RESET SETTING: CREATE-time SETTINGS are stripped (no
+        # Spark analog for MergeTree knobs), so their mutation is the
+        # same documented no-op
+        return Statement(kind="passthrough", sql="SELECT 1", table=m.group("table"))
+    m = _MODIFY_ORDER_RE.match(sql)
+    if m:  # the recorded ORDER BY drives OPTIMIZE …  DEDUPLICATE — a
+        # MODIFY must update the stored property, not error out
+        return Statement(
+            kind="set_order_by",
+            sql=sql,
+            table=m.group("table").strip("`"),
+            order_by=m.group("e").strip(),
+        )
+    m = _MODIFY_SAMPLE_RE.match(sql)
+    if m:  # recorded SAMPLE BY backs `FROM t SAMPLE k`
+        return Statement(
+            kind="set_sample_by",
+            sql=sql,
+            table=m.group("table").strip("`"),
+            sample_by=m.group("e").strip(),
+        )
+    m = _MODIFY_COMMENT_RE.match(sql)
+    if m:  # table comment — Spark spells it COMMENT ON TABLE … IS …
+        return Statement(
+            kind="passthrough",
+            sql=f"COMMENT ON TABLE {m.group('table')} IS {m.group('c')}",
+            table=m.group("table").strip("`"),
+        )
+    m = _REMOVE_DEFAULT_RE.match(sql)
+    if m:  # column default removal — Spark: ALTER COLUMN … DROP DEFAULT
+        return Statement(
+            kind="passthrough",
+            sql=(
+                f"ALTER TABLE {m.group('table')} ALTER COLUMN "
+                f"{m.group('col')} DROP DEFAULT"
+            ),
+            table=m.group("table").strip("`"),
+            column=m.group("col").strip("`"),
+        )
     if _NOOP_OPS_RE.match(sql):
         # operational statements with no referent here: mutations are
         # synchronous (KILL MUTATION targets an empty set by

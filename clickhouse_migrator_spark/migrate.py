@@ -567,6 +567,25 @@ def _exec_translated(spark: SparkSession, st: Statement) -> DataFrame | None:
             f"ALTER TABLE {qual} SET TBLPROPERTIES ('clickhouse.ttl' = '{st.ttl}')"
         )
         return None
+    if st.kind == "set_order_by":
+        # MODIFY ORDER BY updates the recorded sort key that OPTIMIZE …
+        # DEDUPLICATE and FINAL resolve against (same recording as the
+        # CREATE-time clause)
+        qual = _qualify(spark, st.table)
+        spark.sql(
+            f"ALTER TABLE {qual} SET TBLPROPERTIES "
+            f"('clickhouse.order_by' = '{st.order_by}')"
+        )
+        return None
+    if st.kind == "set_sample_by":
+        # MODIFY SAMPLE BY updates the recorded sampling key that
+        # `FROM t SAMPLE k` resolves against
+        qual = _qualify(spark, st.table)
+        spark.sql(
+            f"ALTER TABLE {qual} SET TBLPROPERTIES "
+            f"('clickhouse.sample_by' = '{st.sample_by}')"
+        )
+        return None
     raise ValueError(f"unknown statement kind: {st.kind}")  # pragma: no cover
 
 

@@ -123,9 +123,13 @@ _REMOVE_DEFAULT_RE = re.compile(
 def _tuple_to_struct(m: "re.Match[str]") -> str:
     parts, depth, cur = [], 0, []
     for ch in m.group(1):
-        if ch == "(":
+        # the fixpoint loop may already have mapped an inner container
+        # to Spark's angle-bracket form (MAP<K, V>, ARRAY<T>,
+        # STRUCT<…>) — its commas are nested too (hypothesis catch:
+        # Tuple(Map(String, UInt8)) split inside the rewritten MAP<…>)
+        if ch in "(<":
             depth += 1
-        elif ch == ")":
+        elif ch in ")>":
             depth -= 1
         if ch == "," and depth == 0:
             parts.append("".join(cur).strip())

@@ -706,10 +706,14 @@ RULES: dict[str, Rule] = {
     # "1.23 million"-style humanized quantities
     # ClickHouse prints FIXED two decimals at every tier ('1.50
     # million'), like formatReadableSize below — round+CAST dropped
-    # trailing zeros (execution-smoke catch); format_number keeps them
-    # (no thousands separator risk: the mantissa is < 1000)
+    # trailing zeros (execution-smoke catch); format_number keeps them.
+    # The mantissa is < 1000 at every tier EXCEPT trillion (the top
+    # tier is unbounded: 1e15 → mantissa 1000), where format_number's
+    # thousands separator must be stripped — ClickHouse prints
+    # '1234.56 trillion', not '1,234.56 trillion' (ADVICE r6)
     "formatReadableQuantity": lambda a: (
-        f"(CASE WHEN abs({a[0]}) >= 1e12 THEN concat(format_number({a[0]} / 1e12, 2)"
+        f"(CASE WHEN abs({a[0]}) >= 1e12 THEN "
+        f"concat(replace(format_number({a[0]} / 1e12, 2), ',', '')"
         f", ' trillion') "
         f"WHEN abs({a[0]}) >= 1e9 THEN concat(format_number({a[0]} / 1e9, 2)"
         f", ' billion') "
@@ -1143,20 +1147,56 @@ def _rewrite_uniq_array_context(sql: str) -> str:
     alias_m = re.fullmatch(r"\s*AS\s+([A-Za-z_]\w*)\s*", items[idx][end:], re.I)
     if len(args) != 1 or not alias_m:
         return sql
+    # the inner subquery introduces `_ua_el`; if the statement already
+    # mentions that name (or the table could carry such a column that
+    # the query references), the rewrite would be ambiguous — bail
+    # (ADVICE r6 #3)
+    if "_ua_el" in sql:
+        return sql
 
     def _norm(e: str) -> str:
         return re.sub(r"\s+", " ", e).strip().lower()
 
     others = [it for i, it in enumerate(items) if i != idx]
+    sel_aliases: set[str] = {_norm(alias_m.group(1))}
     if "GROUP BY" in spans:
         keys = {_norm(k) for k in _split_top_commas(spans["GROUP BY"])}
         for it in others:
             am = re.match(r"(?is)^(.*?)\s+AS\s+([A-Za-z_]\w*)\s*$", it)
             expr, al = (am.group(1), am.group(2)) if am else (it, None)
-            if _norm(expr) not in keys and (al is None or _norm(al) not in keys):
-                return sql  # a non-key item: another aggregate — bail
+            if al is not None:
+                sel_aliases.add(_norm(al))
+            if _norm(expr) in keys:
+                continue
+            # alias-only match: `sum(v) AS k … GROUP BY k` shadows a
+            # base column — explode_outer would silently inflate the
+            # sum (ADVICE r6 #1).  Accept the alias path only when the
+            # expression provably contains no function call at all.
+            if al is not None and _norm(al) in keys and "(" not in expr:
+                continue
+            return sql  # a non-key item: another aggregate — bail
     elif others:
         return sql
+    else:
+        keys = set()
+    if "ORDER BY" in spans:
+        # the ORDER BY span is re-attached to the REWRITTEN (grouped)
+        # query verbatim; an aggregate there (`ORDER BY count(*)`)
+        # would then evaluate over exploded rows and, with LIMIT,
+        # change the returned set (ADVICE r6 #2).  Accept only sort
+        # items that are a group key, a select alias, or an ordinal.
+        for ob in _split_top_commas(spans["ORDER BY"]):
+            core = re.sub(
+                r"(?i)\s+(ASC|DESC)\s*$",
+                "",
+                re.sub(r"(?i)\s+NULLS\s+(FIRST|LAST)\s*$", "", ob.strip()),
+            ).strip()
+            if (
+                _norm(core) not in keys
+                and _norm(core) not in sel_aliases
+                and not re.fullmatch(r"\d+", core)
+            ):
+                return sql
     inner = f"SELECT *, explode_outer({args[0]}) AS _ua_el FROM {table}"
     if "WHERE" in spans:
         inner += f" WHERE {spans['WHERE']}"

@@ -192,6 +192,14 @@ def _qualify(spark: SparkSession, table: str) -> str:
     return f"`{db}`.`{t}`"
 
 
+def _sq(value: str) -> str:
+    """Escape a value for interpolation into a single-quoted Spark SQL
+    literal (TBLPROPERTIES).  ORDER BY / SAMPLE BY / TTL expressions may
+    legally contain string literals (``ORDER BY (if(k = 'x', 0, 1))``);
+    an unescaped quote would break the generated ALTER TABLE (ADVICE r6)."""
+    return value.replace("'", "''")
+
+
 def _swap_overwrite(spark: SparkSession, table: str, df: DataFrame) -> None:
     """Write ``df`` as a new physical table, then atomically swap names.
 
@@ -216,7 +224,7 @@ def _swap_overwrite(spark: SparkSession, table: str, df: DataFrame) -> None:
     spark.sql(f"DROP TABLE {qual}")
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {qual}")
     if props:
-        kv = ", ".join(f"'{k}' = '{v}'" for k, v in props.items())
+        kv = ", ".join(f"'{k}' = '{_sq(v)}'" for k, v in props.items())
         spark.sql(f"ALTER TABLE {qual} SET TBLPROPERTIES ({kv})")
 
 
@@ -413,7 +421,7 @@ def _exec_translated(spark: SparkSession, st: Statement) -> DataFrame | None:
             props["clickhouse.sample_by"] = st.sample_by
         m = _CREATE_NAME_RE.search(st.sql)
         if props and m:
-            kv = ", ".join(f"'{k}' = '{v}'" for k, v in props.items())
+            kv = ", ".join(f"'{k}' = '{_sq(v)}'" for k, v in props.items())
             spark.sql(f"ALTER TABLE {m.group('name')} SET TBLPROPERTIES ({kv})")
         return out
     if st.kind == "add_column":
@@ -564,7 +572,7 @@ def _exec_translated(spark: SparkSession, st: Statement) -> DataFrame | None:
         # enforcement pass is apply_ttl() run by a maintenance job
         qual = _qualify(spark, st.table)
         spark.sql(
-            f"ALTER TABLE {qual} SET TBLPROPERTIES ('clickhouse.ttl' = '{st.ttl}')"
+            f"ALTER TABLE {qual} SET TBLPROPERTIES ('clickhouse.ttl' = '{_sq(st.ttl)}')"
         )
         return None
     if st.kind == "set_order_by":
@@ -574,7 +582,7 @@ def _exec_translated(spark: SparkSession, st: Statement) -> DataFrame | None:
         qual = _qualify(spark, st.table)
         spark.sql(
             f"ALTER TABLE {qual} SET TBLPROPERTIES "
-            f"('clickhouse.order_by' = '{st.order_by}')"
+            f"('clickhouse.order_by' = '{_sq(st.order_by)}')"
         )
         return None
     if st.kind == "set_sample_by":
@@ -583,7 +591,7 @@ def _exec_translated(spark: SparkSession, st: Statement) -> DataFrame | None:
         qual = _qualify(spark, st.table)
         spark.sql(
             f"ALTER TABLE {qual} SET TBLPROPERTIES "
-            f"('clickhouse.sample_by' = '{st.sample_by}')"
+            f"('clickhouse.sample_by' = '{_sq(st.sample_by)}')"
         )
         return None
     raise ValueError(f"unknown statement kind: {st.kind}")  # pragma: no cover

@@ -88,3 +88,38 @@ def test_alter_modify_forms_round6(spark):
     finally:
         spark.catalog.setCurrentDatabase(prev)
         spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+def test_layout_property_values_with_single_quotes(spark):
+    """ADVICE r6 #5: ORDER BY / SAMPLE BY / TTL expressions containing
+    string literals must survive the TBLPROPERTIES interpolation (the
+    quote is escaped for the generated ALTER and round-trips intact)."""
+    db = "propdb_" + uuid.uuid4().hex[:8]
+    M.create_db(spark, db)
+    prev = spark.catalog.currentDatabase()
+    spark.catalog.setCurrentDatabase(db)
+    try:
+        M.execute_statement(
+            spark,
+            "CREATE TABLE qt (id UInt64, k String, day Date) "
+            "ENGINE = MergeTree ORDER BY (id)",
+        )
+        M.execute_statement(
+            spark, "ALTER TABLE qt MODIFY ORDER BY (if(k = 'x', 0, 1), id)"
+        )
+        M.execute_statement(
+            spark, "ALTER TABLE qt MODIFY SAMPLE BY cityHash64(concat(k, 'y'))"
+        )
+        M.execute_statement(
+            spark, "ALTER TABLE qt MODIFY TTL day + INTERVAL 30 DAY WHERE k = 'old'"
+        )
+        props = {
+            r.key: r.value
+            for r in spark.sql(f"SHOW TBLPROPERTIES `{db}`.qt").collect()
+        }
+        assert props.get("clickhouse.order_by") == "(if(k = 'x', 0, 1), id)"
+        assert props.get("clickhouse.sample_by") == "cityHash64(concat(k, 'y'))"
+        assert "'old'" in props.get("clickhouse.ttl", "")
+    finally:
+        spark.catalog.setCurrentDatabase(prev)
+        spark.sql(f"DROP DATABASE {db} CASCADE")

@@ -1044,8 +1044,63 @@ def test_uniq_array_unsafe_shapes_keep_template():
         "SELECT uniqArray(arr) FROM t",
         "SELECT uniqArray(arr) AS ua FROM (SELECT * FROM t) s",
         "SELECT g, uniqArray(arr) AS ua, sum(v) AS s FROM t GROUP BY g",
+        # ADVICE r6 #1: alias shadowing a base column — sum(v) AS k
+        # with GROUP BY k must NOT be accepted via the alias match
+        "SELECT sum(v) AS k, uniqArray(arr) AS ua FROM t GROUP BY k",
+        # ADVICE r6 #2: an aggregate in ORDER BY would evaluate over
+        # exploded rows in the rewritten query
+        "SELECT g, uniqArray(arr) AS ua FROM t GROUP BY g ORDER BY count(*) DESC",
+        "SELECT g, uniqArray(arr) AS ua FROM t GROUP BY g ORDER BY sum(v)",
+        # ADVICE r6 #3: the statement already mentions _ua_el — the
+        # inner subquery's exploded column would be ambiguous
+        "SELECT uniqArray(_ua_el) AS ua FROM t",
     ]
     for sql in unsafe:
         out = rewrite_functions(sql)
         assert "explode_outer" not in out, sql
         assert "collect_set(array_distinct(array_compact(" in out, sql
+
+
+def test_uniq_array_alias_shadowing_not_inflated(spark):
+    """ADVICE r6 #1 end-to-end: `sum(v) AS k … GROUP BY k` where the
+    table ALSO has a base column k.  The fallback template must be used
+    and the sum must not be inflated by explode fan-out."""
+    spark.range(6).selectExpr(
+        "id % 2 AS k", "1 AS v", "array(1, 2, 3) AS arr"
+    ).createOrReplaceTempView("t_uniq_shadow")
+    sql = rewrite_functions(
+        "SELECT sum(v) AS k, uniqArray(arr) AS ua FROM t_uniq_shadow GROUP BY k"
+    )
+    assert "explode_outer" not in sql
+    rows = sorted(spark.sql(sql).collect())
+    # Spark resolves GROUP BY k to the base column: two groups of 3 rows
+    assert [(r[0], r.ua) for r in rows] == [(3, 3), (3, 3)]
+
+
+def test_uniq_array_safe_order_by_forms_keep_explode_path():
+    """ORDER BY items that are group keys, select aliases, or ordinals
+    stay on the structural path (with ASC/DESC/NULLS suffixes)."""
+    safe = [
+        "SELECT g, uniqArray(arr) AS ua FROM t GROUP BY g ORDER BY g DESC",
+        "SELECT g, uniqArray(arr) AS ua FROM t GROUP BY g ORDER BY ua, g",
+        "SELECT g, uniqArray(arr) AS ua FROM t GROUP BY g ORDER BY 1 ASC",
+        "SELECT g AS grp, uniqArray(arr) AS ua FROM t GROUP BY g "
+        "ORDER BY grp NULLS LAST",
+    ]
+    for sql in safe:
+        out = rewrite_functions(sql)
+        assert "explode_outer" in out, sql
+
+
+def test_format_readable_quantity_top_tier_no_separator(spark):
+    """ADVICE r6 #4: at >=1e15 the trillion-tier mantissa reaches 1000
+    and format_number would insert a thousands separator; ClickHouse
+    prints '1234.56 trillion' without one."""
+    row = spark.sql(
+        rewrite_functions(
+            "SELECT formatReadableQuantity(1234560000000000) AS big, "
+            "formatReadableQuantity(1500000000000) AS small"
+        )
+    ).first()
+    assert row.big == "1234.56 trillion"
+    assert row.small == "1.50 trillion"

@@ -32,6 +32,8 @@ import hashlib
 import json
 import os
 import re
+import threading
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Row, SparkSession, functions as F
@@ -55,6 +57,32 @@ def _ch_expr(s: str) -> "F.Column":
     return F.expr(_rewrite_funcs(s))
 
 LEDGER = "schema_versions"
+# `__` prefix = engine-internal, hidden from show_tables like the
+# cow-swap temps and detached-table names
+CLAIMS = "__schema_versions_claims"
+
+# Serializes the claim-append + claim-read pair within ONE driver
+# process, making the guard exact for concurrent migrate() calls in the
+# same application (the only coordination a plain-parquet warehouse can
+# give; see :class:`ConcurrentMigrationError` for the cross-process
+# contract).
+_CLAIM_LOCK = threading.Lock()
+
+
+class ConcurrentMigrationError(RuntimeError):
+    """Another runner holds the claim for a pending migration version.
+
+    The reference delegates this race to the ClickHouse server (one
+    authoritative mutation queue per table); a Spark parquet warehouse
+    has no transactional commit, so the runner takes a ledger-adjacent
+    claim row before executing each script and refuses when any other
+    claim for that version is visible.  Within one driver process the
+    check is exact (claim append + read are serialized under a lock);
+    across separate driver processes it is at-most-one — two racing
+    claimants can BOTH refuse, in which case a rerun applies the script.
+    A runner that crashes mid-script leaves its claim behind; clear it
+    with :func:`clear_claims` after confirming no runner is live (the
+    same operator step as Flyway's ``repair``)."""
 
 LEDGER_SCHEMA = StructType(
     [
@@ -98,6 +126,28 @@ def init_db(spark: SparkSession, db_name: str) -> None:
         "(version BIGINT, md5 STRING, script STRING, created_at TIMESTAMP) "
         "USING PARQUET"
     )
+    _init_claims(spark, db_name)
+
+
+def _init_claims(spark: SparkSession, db_name: str) -> None:
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS `{db_name}`.`{CLAIMS}` "
+        "(version BIGINT, owner STRING, started_at TIMESTAMP) "
+        "USING PARQUET"
+    )
+
+
+def clear_claims(spark: SparkSession, db_name: str) -> int:
+    """Operator recovery: drop ALL claim rows (see
+    :class:`ConcurrentMigrationError` — a runner that crashed mid-script
+    leaves its claim behind and blocks reruns of that version).  Returns
+    the number of claims cleared."""
+    _init_claims(spark, db_name)
+    qual = f"`{db_name}`.`{CLAIMS}`"
+    n = spark.table(qual).count()
+    if n:
+        _swap_overwrite(spark, f"{db_name}.{CLAIMS}", spark.table(qual).limit(0))
+    return n
 
 
 # ── manifest scan (reference migrate.py:84-86) ───────────────────────────────
@@ -632,18 +682,75 @@ def apply_migration(
     correct (SURVEY.md §3.3).
     """
     applied = 0
+    _init_claims(spark, db_name)
+    ledger_qual = f"`{db_name}`.`{LEDGER}`"
+    claims_qual = f"`{db_name}`.`{CLAIMS}`"
+    owner = uuid.uuid4().hex
     for row in migrations.orderBy("version").collect():
-        for stmt in _parse_script(row.script):
-            execute_statement(spark, stmt)
-        entry = (
+        version = int(row.version)
+        # ── concurrent-runner guard (VERDICT r6 #3) ──────────────────
+        # Claim the version BEFORE executing; refuse if any other claim
+        # is visible.  Claim append + read are serialized in-process by
+        # _CLAIM_LOCK (exact for same-driver races); across processes
+        # the durable-before-visible append makes the guard at-most-one
+        # (two racers can both refuse — rerun applies).
+        with _CLAIM_LOCK:
+            # a rival runner appends through its OWN SparkSession; this
+            # session's relation cache would serve a stale file listing
+            # for both metadata tables — refresh before every guard read
+            spark.catalog.refreshTable(ledger_qual)
+            spark.catalog.refreshTable(claims_qual)
+            if (
+                spark.table(ledger_qual)
+                .filter(F.col("version") == version)
+                .limit(1)
+                .count()
+            ):
+                # another runner applied it between our diff and now
+                print(f"Skipping V{version}: already applied by a concurrent runner")
+                continue
             spark.createDataFrame(
-                [Row(version=int(row.version), md5=row.md5, script=row.script)],
+                [Row(version=version, owner=owner)]
+            ).withColumn("started_at", F.current_timestamp()).select(
+                "version", "owner", "started_at"
+            ).write.mode("append").insertInto(claims_qual)
+            rivals = (
+                spark.table(claims_qual)
+                .filter((F.col("version") == version) & (F.col("owner") != owner))
+                .limit(1)
+                .count()
             )
-            .withColumn("created_at", F.current_timestamp())
-            .select("version", "md5", "script", "created_at")
-        )
-        entry.write.mode("append").insertInto(f"`{db_name}`.`{LEDGER}`")
-        print(f"Applied migration V{row.version}: {os.path.basename(row.script)}")
+        if rivals:
+            raise ConcurrentMigrationError(
+                f"migration V{version} is claimed by another runner "
+                f"(claims table `{db_name}`.`{CLAIMS}`; if that runner "
+                "crashed, clear with migrate.clear_claims())"
+            )
+        try:
+            for stmt in _parse_script(row.script):
+                execute_statement(spark, stmt)
+            entry = (
+                spark.createDataFrame(
+                    [Row(version=version, md5=row.md5, script=row.script)],
+                )
+                .withColumn("created_at", F.current_timestamp())
+                .select("version", "md5", "script", "created_at")
+            )
+            entry.write.mode("append").insertInto(ledger_qual)
+        finally:
+            # a FAILED statement releases the claim (the runner is
+            # alive and fail-stop is the contract — the rerun must be
+            # able to re-execute the script, SURVEY §4); only a CRASH
+            # leaves a stale claim, for clear_claims().  The release
+            # rewrites the claims table, so it takes the same lock the
+            # claim append/read pair holds.
+            with _CLAIM_LOCK:
+                _swap_overwrite(
+                    spark,
+                    f"{db_name}.{CLAIMS}",
+                    spark.table(claims_qual).filter(F.col("version") != version),
+                )
+        print(f"Applied migration V{version}: {os.path.basename(row.script)}")
         applied += 1
     return applied
 

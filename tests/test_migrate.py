@@ -337,3 +337,163 @@ def test_unsigned_default_wraps_two_complement(spark, db):
         assert vals == {4294967295}
     finally:
         spark.catalog.setCurrentDatabase("default")
+
+
+# ── mid-script failure / rerun semantics (VERDICT r6 #2) ────────────────────
+
+
+def _write_migrations(d, files):
+    for name, content in files.items():
+        (d / name).write_text(content)
+    return str(d)
+
+
+def test_mid_script_failure_rerun_semantics(spark, db, tmp_path):
+    """Reference contract (`/root/reference/README.md:58`): a failure
+    stops the run and no further version files execute.  SURVEY §4
+    caveat: a multi-statement script is NOT atomic — statements before
+    the failing one are applied but unrecorded, and a rerun after
+    fixing the script re-executes the script from statement 1."""
+    import json as _json
+
+    home = tmp_path / "mig"
+    home.mkdir()
+    _write_migrations(
+        home,
+        {
+            "V1__create.sql": "CREATE TABLE t_mid (v Int64) ENGINE = MergeTree ORDER BY tuple()",
+            "V2_inserts.json": _json.dumps(
+                [
+                    f"INSERT INTO `{db}`.t_mid VALUES (1)",
+                    "THIS IS NOT SQL AT ALL (",
+                    f"INSERT INTO `{db}`.t_mid VALUES (3)",
+                ]
+            ),
+        },
+    )
+    with pytest.raises(Exception):
+        M.migrate(spark, db, str(home), create_db_if_no_exists=False)
+    # statement 1 of V2 persisted (applied-but-unrecorded), statement 3
+    # never ran, the ledger records only V1
+    vals = sorted(r.v for r in spark.table(f"`{db}`.t_mid").collect())
+    assert vals == [1]
+    ledger = [r.version for r in spark.table(f"`{db}`.schema_versions").collect()]
+    assert ledger == [1]
+    # a failed (never-recorded) script MAY be edited — the edited-guard
+    # only protects recorded migrations
+    (home / "V2_inserts.json").write_text(
+        _json.dumps(
+            [
+                f"INSERT INTO `{db}`.t_mid VALUES (1)",
+                f"INSERT INTO `{db}`.t_mid VALUES (2)",
+                f"INSERT INTO `{db}`.t_mid VALUES (3)",
+            ]
+        )
+    )
+    assert M.migrate(spark, db, str(home), create_db_if_no_exists=False) == 1
+    # statement 1 re-executed: the value 1 appears TWICE — the exact
+    # non-atomicity surface SURVEY §4 documents
+    vals = sorted(r.v for r in spark.table(f"`{db}`.t_mid").collect())
+    assert vals == [1, 1, 2, 3]
+    ledger = sorted(
+        r.version for r in spark.table(f"`{db}`.schema_versions").collect()
+    )
+    assert ledger == [1, 2]
+
+
+def test_fail_stop_skips_later_versions(spark, db, tmp_path):
+    """A failing V2 must prevent V3 from ever executing (fail-stop in
+    version order), and the claim taken for V2 is released so the rerun
+    is not blocked."""
+    home = tmp_path / "mig"
+    home.mkdir()
+    _write_migrations(
+        home,
+        {
+            "V1__create.sql": "CREATE TABLE t_fs (v Int64) ENGINE = MergeTree ORDER BY tuple()",
+            "V2__boom.sql": "SELECT * FROM `nonexistent_db_xyz`.`no_such_table`",
+            "V3__later.sql": f"INSERT INTO `{db}`.t_fs VALUES (30)",
+        },
+    )
+    with pytest.raises(Exception):
+        M.migrate(spark, db, str(home), create_db_if_no_exists=False)
+    assert spark.table(f"`{db}`.t_fs").count() == 0  # V3 never ran
+    assert [r.version for r in spark.table(f"`{db}`.schema_versions").collect()] == [1]
+    # claim released on failure: no stale claim rows
+    assert spark.table(f"`{db}`.`{M.CLAIMS}`").count() == 0
+
+
+# ── concurrent-runner guard (VERDICT r6 #3) ─────────────────────────────────
+
+
+def test_concurrent_runners_exactly_one_applies(spark, db, tmp_path):
+    """Two runners racing on the SAME pending set: the claims protocol
+    must let exactly one apply each script (the loser either raises
+    ConcurrentMigrationError or skips an already-applied version)."""
+    import threading
+
+    home = tmp_path / "mig"
+    home.mkdir()
+    _write_migrations(
+        home,
+        {
+            "V1__create.sql": (
+                "CREATE TABLE t_race (v Int64) ENGINE = MergeTree ORDER BY tuple()"
+            ),
+            "V2__insert.sql": f"INSERT INTO `{db}`.t_race VALUES (42)",
+        },
+    )
+    # both runners compute the SAME pending set first (the worst-case
+    # interleaving), then race through apply_migration
+    manifest = M.manifest_df(spark, M.scan_migrations(str(home)))
+    pending = M.migrations_to_apply(spark, db, manifest).collect()
+    barrier = threading.Barrier(2)
+    results: dict[str, object] = {}
+
+    def run(name):
+        sess = spark.newSession()
+        sess.catalog.setCurrentDatabase(db)
+        pend = sess.createDataFrame(pending, M.MANIFEST_SCHEMA)
+        barrier.wait()
+        try:
+            results[name] = M.apply_migration(sess, db, pend)
+        except M.ConcurrentMigrationError as e:
+            results[name] = e
+
+    ts = [threading.Thread(target=run, args=(n,)) for n in ("a", "b")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    applied = [v for v in results.values() if isinstance(v, int)]
+    errs = [v for v in results.values() if isinstance(v, M.ConcurrentMigrationError)]
+    # exactly one runner made progress; the other refused (or skipped
+    # everything after the winner finished: applied == 0)
+    assert sum(v for v in applied) + 0 == 2 or (applied and errs), results
+    # the real invariants: single ledger row per version, single effect
+    spark.catalog.refreshTable(f"`{db}`.schema_versions")
+    spark.catalog.refreshTable(f"`{db}`.t_race")
+    spark.catalog.refreshTable(f"`{db}`.`{M.CLAIMS}`")
+    ledger = spark.table(f"`{db}`.schema_versions")
+    versions = [r.version for r in ledger.orderBy("version").collect()]
+    assert versions == [1, 2], versions  # no duplicates, both applied overall
+    assert spark.table(f"`{db}`.t_race").count() == 1  # INSERT ran exactly once
+    assert spark.table(f"`{db}`.`{M.CLAIMS}`").count() == 0  # all claims released
+
+
+def test_stale_claim_blocks_and_clear_claims_recovers(spark, db, tmp_path):
+    """A claim left behind by a crashed runner blocks the version; the
+    documented operator recovery is clear_claims()."""
+    home = tmp_path / "mig"
+    home.mkdir()
+    _write_migrations(
+        home,
+        {"V1__create.sql": "CREATE TABLE t_stale (v Int64) ENGINE = MergeTree ORDER BY tuple()"},
+    )
+    spark.sql(
+        f"INSERT INTO `{db}`.`{M.CLAIMS}` VALUES (1, 'deadbeef', current_timestamp())"
+    )
+    with pytest.raises(M.ConcurrentMigrationError, match="clear_claims"):
+        M.migrate(spark, db, str(home), create_db_if_no_exists=False)
+    assert M.clear_claims(spark, db) >= 1
+    assert M.migrate(spark, db, str(home), create_db_if_no_exists=False) == 1

@@ -1090,9 +1090,12 @@ def _rewrite_clauses(query: str) -> str:
     query = _QUERY_SETTINGS_RE.sub("", query)
     query = _GLOBAL_RE.sub("", query)
     query = _rewrite_numbers(query)
-    query = _rewrite_limit_by(query)
-    query = _rewrite_with_fill(query)
 
+    # PREWHERE merges BEFORE the LIMIT BY / WITH FILL rewrites: those
+    # wrap the statement in subqueries, and a merge running after them
+    # would scan past the wrapper's closing parens (the boundary
+    # keywords it looks for now belong to the OUTER query — caught by
+    # the round-7 compositional fuzzer)
     m = _PREWHERE_RE.search(query)
     if m:
         pred = m.group("p").strip()
@@ -1103,6 +1106,8 @@ def _rewrite_clauses(query: str) -> str:
         else:
             query = f"{query[: m.start()]}WHERE {pred} {rest}".rstrip()
 
+    query = _rewrite_limit_by(query)
+    query = _rewrite_with_fill(query)
     return _rewrite_array_join(query)
 
 
@@ -1113,9 +1118,20 @@ _CLAUSE_BOUNDARY_RE = re.compile(
 
 def _merge_prewhere(pred: str, rest_after_where: str) -> str:
     """AND-merge a PREWHERE predicate into the following WHERE clause,
-    wrapping only up to the next clause boundary."""
-    b = _CLAUSE_BOUNDARY_RE.search(rest_after_where)
-    cut = b.start() if b else len(rest_after_where)
+    wrapping only up to the next DEPTH-0 clause boundary (a boundary
+    keyword inside a WHERE subquery — ``WHERE v IN (SELECT … LIMIT 3)``
+    — belongs to that subquery, not to this clause)."""
+    cut = len(rest_after_where)
+    for b in _CLAUSE_BOUNDARY_RE.finditer(rest_after_where):
+        d = 0
+        for ch in rest_after_where[: b.start()]:
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+        if d <= 0:
+            cut = b.start()
+            break
     wpred = rest_after_where[:cut].strip()
     tail = rest_after_where[cut:]
     return f"WHERE ({pred}) AND ({wpred}) {tail}".rstrip()

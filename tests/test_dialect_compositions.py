@@ -1,0 +1,246 @@
+"""Compositional dialect fuzzing (VERDICT r6 #4).
+
+Round 6's single-construct properties and the 283-spelling execution
+smoke each exercise ONE rewriter rule at a time; the bugs they caught
+(CTE-prefix drop, rand() rewrite loop, ALTER passthroughs) were all
+*interaction* bugs.  This suite draws random COMPOSITIONS of the
+clause rewrites — CTE prefix × [LEFT] ARRAY JOIN × PREWHERE/WHERE
+spellings × (grouped aggregates | LIMIT BY | WITH FILL) × ORDER
+BY/LIMIT — and asserts, for every generated statement:
+
+1. the full rewrite pipeline (`migrate.rewrite_query`) is idempotent,
+2. the rewritten statement EXECUTES on Spark, and
+3. the result agrees exactly with a DuckDB oracle composed from the
+   same component pairs (each ClickHouse fragment carries its own
+   independently-written ANSI twin).
+
+Value domains are integer/string only, so agreement is exact — no
+float tolerance.  NULL conventions follow the engine's documented
+contracts (LEFT ARRAY JOIN → NULL element via LATERAL VIEW OUTER;
+WITH FILL → NULL non-fill columns).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from clickhouse_migrator_spark import migrate as M
+
+VIEW = "fuzz_comp_t"
+
+
+def _fixture_pdf() -> pd.DataFrame:
+    n = 120
+    return pd.DataFrame(
+        {
+            "id": range(n),
+            "g": [i % 7 for i in range(n)],
+            "v": [(i * 37) % 101 for i in range(n)],
+            "s": [(f"w{i % 5}Ax" if i % 2 else f"q{i % 4}") for i in range(n)],
+            "arr": [list(range(i % 4)) for i in range(n)],
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def comp_env(spark):
+    pdf = _fixture_pdf()
+    spark.createDataFrame(pdf).createOrReplaceTempView(VIEW)
+    con = duckdb.connect()
+    con.register(VIEW, pdf)
+    yield spark, con
+    spark.catalog.dropTempView(VIEW)
+    con.close()
+
+
+# ── component pairs: (clickhouse fragment, duckdb fragment) ─────────────────
+
+_PREDICATES = [
+    ("modulo(id, 7) != 3", "id % 7 != 3"),
+    ("toInt64(v) > 20", "CAST(v AS BIGINT) > 20"),
+    ("position(s, 'A') > 0", "strpos(s, 'A') > 0"),
+    ("length(s) >= 3", "length(s) >= 3"),
+]
+
+# aggregates valid with or without ARRAY JOIN
+_AGGS_BASE = [
+    ("count(*) AS cnt", "CAST(count(*) AS BIGINT) AS cnt"),
+    ("uniqExact(s) AS us", "CAST(count(DISTINCT s) AS BIGINT) AS us"),
+    (
+        "countIf(v > 50) AS chi",
+        "CAST(count(*) FILTER (WHERE v > 50) AS BIGINT) AS chi",
+    ),
+    ("max(v) AS mx", "max(v) AS mx"),
+    ("min(toInt64(v)) AS mn", "CAST(min(v) AS BIGINT) AS mn"),
+]
+# aggregates over the ARRAY JOIN element
+_AGGS_X = [
+    ("sum(x) AS sx", "CAST(sum(x) AS BIGINT) AS sx"),
+    ("uniqExact(x) AS ux", "CAST(count(DISTINCT x) AS BIGINT) AS ux"),
+]
+
+
+@st.composite
+def compositions(draw):
+    """One ClickHouse statement + its DuckDB oracle, built in parallel
+    from independently drawn component pairs."""
+    use_cte = draw(st.booleans())
+    aj = draw(st.sampled_from([None, "inner", "left"]))
+    shape = draw(st.sampled_from(["grouped", "limit_by", "with_fill"]))
+    if shape == "limit_by":
+        aj = None  # id uniqueness is the deterministic tie-break
+    n_preds = draw(st.integers(0, 2))
+    preds = draw(
+        st.lists(st.sampled_from(_PREDICATES), min_size=n_preds, max_size=n_preds)
+    )
+    use_prewhere = bool(preds) and draw(st.booleans())
+
+    src = "base" if use_cte else VIEW
+    cte_ch = cte_dd = ""
+    if use_cte:
+        cte_ch = cte_dd = f"WITH base AS (SELECT * FROM {VIEW} WHERE id < 90) "
+
+    from_ch, from_dd = f"FROM {src}", f"FROM {src}"
+    if aj == "inner":
+        from_ch += " ARRAY JOIN arr AS x"
+        from_dd += ", UNNEST(arr) AS _u(x)"
+    elif aj == "left":
+        from_ch += " LEFT ARRAY JOIN arr AS x"
+        from_dd += " LEFT JOIN LATERAL (SELECT UNNEST(arr) AS x) AS _u ON TRUE"
+
+    where_ch = where_dd = ""
+    if preds:
+        if use_prewhere:
+            where_ch = f" PREWHERE {preds[0][0]}"
+            if len(preds) > 1:
+                where_ch += f" WHERE {preds[1][0]}"
+        else:
+            where_ch = " WHERE " + " AND ".join(p[0] for p in preds)
+        where_dd = " WHERE " + " AND ".join(f"({p[1]})" for p in preds)
+
+    if shape == "grouped":
+        pool = _AGGS_BASE + (_AGGS_X if aj else [])
+        k = draw(st.integers(1, 3))
+        idxs = draw(
+            st.lists(
+                st.integers(0, len(pool) - 1), min_size=k, max_size=k, unique=True
+            )
+        )
+        aggs = [pool[i] for i in idxs]
+        sel_ch = "g, " + ", ".join(a[0] for a in aggs)
+        sel_dd = "g, " + ", ".join(a[1] for a in aggs)
+        having = draw(st.booleans())
+        hv_ch = hv_dd = " HAVING max(v) > 10" if having else ""
+        limit = draw(st.sampled_from(["", " LIMIT 3"]))
+        ch = (
+            f"{cte_ch}SELECT {sel_ch} {from_ch}{where_ch} "
+            f"GROUP BY g{hv_ch} ORDER BY g{limit}"
+        )
+        dd = (
+            f"{cte_dd}SELECT {sel_dd} {from_dd}{where_dd} "
+            f"GROUP BY g{hv_dd} ORDER BY g{limit}"
+        )
+        ordered = True
+    elif shape == "limit_by":
+        n = draw(st.integers(1, 3))
+        tail = draw(st.sampled_from(["", " LIMIT 5"]))
+        ch = (
+            f"{cte_ch}SELECT id, g, v {from_ch}{where_ch} "
+            f"ORDER BY v, id LIMIT {n} BY g{tail}"
+        )
+        dd = (
+            f"{cte_dd}SELECT id, g, v FROM ("
+            f"SELECT id, g, v, row_number() OVER "
+            f"(PARTITION BY g ORDER BY v, id) AS _rn {from_dd}{where_dd}"
+            f") WHERE _rn <= {n} ORDER BY v, id{tail}"
+        )
+        ordered = True
+    else:  # with_fill
+        step = draw(st.sampled_from([1, 2]))
+        ch = (
+            f"{cte_ch}SELECT g, count(*) AS cnt {from_ch}{where_ch} "
+            f"GROUP BY g ORDER BY g WITH FILL FROM 0 TO 10 STEP {step}"
+        )
+        dd = (
+            f"{cte_dd.replace('WITH ', 'WITH __grid AS (SELECT unnest(generate_series(0, 9, ' + str(step) + ')) AS g), ') if use_cte else 'WITH __grid AS (SELECT unnest(generate_series(0, 9, ' + str(step) + ')) AS g) '}"
+            f"SELECT coalesce(__q.g, __grid.g) AS g, cnt FROM ("
+            f"SELECT g, count(*) AS cnt {from_dd}{where_dd} GROUP BY g"
+            f") __q FULL OUTER JOIN __grid USING (g) ORDER BY 1"
+        )
+        ordered = False  # filled rows interleave; compare as sorted sets
+    return ch, dd, ordered
+
+
+def _normalize(cols, rows, ordered):
+    """Column-name-sorted tuples; rows sorted unless order matters."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(r[i] for i in order) for r in rows]
+    if not ordered:
+        out.sort(key=lambda t: tuple((x is None, x) for x in t))
+    return [c for c in sorted(cols)], out
+
+
+@settings(max_examples=120, deadline=None)
+@given(comp=compositions())
+def test_composed_statements_rewrite_execute_and_agree(comp_env, comp):
+    spark, con = comp_env
+    ch, dd, ordered = comp
+    rewritten = M.rewrite_query(spark, ch)
+    assert M.rewrite_query(spark, rewritten) == rewritten, ch  # idempotent
+    sdf = spark.sql(rewritten)
+    s_cols, s_rows = _normalize(
+        sdf.columns, [tuple(r) for r in sdf.collect()], ordered
+    )
+    rel = con.sql(dd)
+    d_cols, d_rows = _normalize(
+        list(rel.columns), rel.fetchall(), ordered
+    )
+    assert s_cols == d_cols, (ch, s_cols, d_cols)
+    # int-valued everywhere — exact agreement expected
+    assert s_rows == d_rows, (ch, rewritten, dd, s_rows[:5], d_rows[:5])
+
+
+def test_prewhere_limit_by_composition_pinned(comp_env):
+    """Pinned regression (found by this fuzzer, round 7): PREWHERE used
+    to merge AFTER the LIMIT BY wrap, so its WHERE-merge boundary scan
+    ran over the wrapper's closing parens and produced unbalanced SQL
+    (`WHERE (p1) AND (p2)) WHERE __rn <= n)`)."""
+    spark, con = comp_env
+    ch = (
+        f"WITH base AS (SELECT * FROM {VIEW} WHERE id < 90) "
+        "SELECT id, g, v FROM base PREWHERE toInt64(v) > 20 "
+        "WHERE length(s) >= 3 ORDER BY v, id LIMIT 1 BY g LIMIT 5"
+    )
+    out = M.rewrite_query(spark, ch)
+    got = [(r.id, r.g, r.v) for r in spark.sql(out).collect()]
+    want = con.sql(
+        f"WITH base AS (SELECT * FROM {VIEW} WHERE id < 90) "
+        "SELECT id, g, v FROM ("
+        "SELECT id, g, v, row_number() OVER (PARTITION BY g ORDER BY v, id) AS _rn "
+        "FROM base WHERE CAST(v AS BIGINT) > 20 AND length(s) >= 3"
+        ") WHERE _rn <= 1 ORDER BY v, id LIMIT 5"
+    ).fetchall()
+    assert got == want and len(got) == 5
+
+
+def test_prewhere_boundary_ignores_subquery_keywords(comp_env):
+    """The WHERE-merge boundary scan is depth-aware: LIMIT/ORDER BY
+    inside a WHERE subquery belong to that subquery."""
+    spark, con = comp_env
+    ch = (
+        f"SELECT g, count(*) AS cnt FROM {VIEW} "
+        f"PREWHERE v > 10 "
+        f"WHERE id IN (SELECT id FROM {VIEW} ORDER BY id LIMIT 50) "
+        "GROUP BY g ORDER BY g"
+    )
+    out = M.rewrite_query(spark, ch)
+    got = [(r.g, r.cnt) for r in spark.sql(out).collect()]
+    want = con.sql(
+        f"SELECT g, CAST(count(*) AS BIGINT) AS cnt FROM {VIEW} "
+        f"WHERE v > 10 AND id IN (SELECT id FROM {VIEW} ORDER BY id LIMIT 50) "
+        "GROUP BY g ORDER BY g"
+    ).fetchall()
+    assert got == want

@@ -891,11 +891,34 @@ _WITH_TOTALS_RE = re.compile(
 # PREWHERE is a ClickHouse scan-stage optimization hint; semantically it
 # is a conjunct of WHERE.  Catalyst's predicate pushdown already does
 # what PREWHERE asks for, so the rewrite is purely syntactic.
-_PREWHERE_RE = re.compile(
-    r"\bPREWHERE\s+(?P<p>.*?)\s*(?=\bWHERE\b|\bGROUP\s+BY\b|\bHAVING\b"
-    r"|\bORDER\s+BY\b|\bLIMIT\b|\bSETTINGS\b|\bFORMAT\b|\bARRAY\s+JOIN\b|$)",
-    re.I | re.S,
+_PREWHERE_START_RE = re.compile(r"\bPREWHERE\s+", re.I)
+_PREWHERE_END_RE = re.compile(
+    r"\bWHERE\b|\bGROUP\s+BY\b|\bHAVING\b|\bORDER\s+BY\b|\bLIMIT\b"
+    r"|\bSETTINGS\b|\bFORMAT\b|\bARRAY\s+JOIN\b",
+    re.I,
 )
+
+
+def _find_prewhere(query: str):
+    """Locate ``PREWHERE <pred>`` with a paren-depth-aware end scan: a
+    boundary keyword inside a predicate subquery (``PREWHERE id IN
+    (SELECT … LIMIT 3)``) belongs to the subquery, not to the clause
+    (the regex-lookahead form truncated there — round-7 fuzzer class).
+    Returns (start, end_of_pred, pred) or None."""
+    m = _PREWHERE_START_RE.search(query)
+    if not m:
+        return None
+    depth = 0
+    for b in _PREWHERE_END_RE.finditer(query, m.end()):
+        d = 0
+        for ch in query[m.end() : b.start()]:
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+        if d <= 0:
+            return m.start(), b.start(), query[m.end() : b.start()].strip()
+    return m.start(), len(query), query[m.end() :].strip()
 # `[LEFT] ARRAY JOIN expr AS alias` — single-column form only (the
 # multi-column zip form has no 1:1 Spark clause; raise, don't mangle).
 _ARRAY_JOIN_START_RE = re.compile(r"\b(?P<left>LEFT\s+)?ARRAY\s+JOIN\s+", re.I)
@@ -1096,15 +1119,15 @@ def _rewrite_clauses(query: str) -> str:
     # would scan past the wrapper's closing parens (the boundary
     # keywords it looks for now belong to the OUTER query — caught by
     # the round-7 compositional fuzzer)
-    m = _PREWHERE_RE.search(query)
-    if m:
-        pred = m.group("p").strip()
-        rest = query[m.end() :]
+    pw = _find_prewhere(query)
+    if pw:
+        start, pred_end, pred = pw
+        rest = query[pred_end:]
         if re.match(r"\s*WHERE\b", rest, re.I):
             rest = re.sub(r"\s*WHERE\b", "", rest, count=1, flags=re.I)
-            query = query[: m.start()] + _merge_prewhere(pred, rest)
+            query = query[:start] + _merge_prewhere(pred, rest)
         else:
-            query = f"{query[: m.start()]}WHERE {pred} {rest}".rstrip()
+            query = f"{query[:start]}WHERE {pred} {rest}".rstrip()
 
     query = _rewrite_limit_by(query)
     query = _rewrite_with_fill(query)

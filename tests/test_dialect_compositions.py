@@ -63,6 +63,12 @@ _PREDICATES = [
     ("toInt64(v) > 20", "CAST(v AS BIGINT) > 20"),
     ("position(s, 'A') > 0", "strpos(s, 'A') > 0"),
     ("length(s) >= 3", "length(s) >= 3"),
+    # a subquery with boundary keywords (ORDER BY/LIMIT) inside the
+    # predicate — exercises the depth-aware PREWHERE/WHERE scans
+    (
+        f"id IN (SELECT id FROM {VIEW} ORDER BY id LIMIT 80)",
+        f"id IN (SELECT id FROM {VIEW} ORDER BY id LIMIT 80)",
+    ),
 ]
 
 # aggregates valid with or without ARRAY JOIN
@@ -241,6 +247,27 @@ def test_prewhere_boundary_ignores_subquery_keywords(comp_env):
     want = con.sql(
         f"SELECT g, CAST(count(*) AS BIGINT) AS cnt FROM {VIEW} "
         f"WHERE v > 10 AND id IN (SELECT id FROM {VIEW} ORDER BY id LIMIT 50) "
+        "GROUP BY g ORDER BY g"
+    ).fetchall()
+    assert got == want
+
+
+def test_prewhere_predicate_with_subquery_keywords(comp_env):
+    """Pinned (round-7 fuzzer class): the PREWHERE predicate capture is
+    depth-aware — ORDER BY/LIMIT inside the predicate's own subquery
+    no longer truncate it (the regex-lookahead form emitted a double
+    WHERE)."""
+    spark, con = comp_env
+    ch = (
+        f"SELECT g, count(*) AS cnt FROM {VIEW} "
+        f"PREWHERE id IN (SELECT id FROM {VIEW} ORDER BY id LIMIT 30) "
+        "WHERE v > 1 GROUP BY g ORDER BY g"
+    )
+    out = M.rewrite_query(spark, ch)
+    got = [(r.g, r.cnt) for r in spark.sql(out).collect()]
+    want = con.sql(
+        f"SELECT g, CAST(count(*) AS BIGINT) AS cnt FROM {VIEW} "
+        f"WHERE id IN (SELECT id FROM {VIEW} ORDER BY id LIMIT 30) AND v > 1 "
         "GROUP BY g ORDER BY g"
     ).fetchall()
     assert got == want

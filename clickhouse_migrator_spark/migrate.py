@@ -46,7 +46,11 @@ from pyspark.sql.types import (
 )
 
 from .ddl import Statement, _split_top as _ddl_split_top, translate
-from .functions.select_funcs import rewrite_functions as _rewrite_funcs
+from .functions.select_funcs import (
+    _depths as _paren_depths,
+    _string_mask,
+    rewrite_functions as _rewrite_funcs,
+)
 
 
 def _ch_expr(s: str) -> "F.Column":
@@ -694,6 +698,22 @@ def apply_migration(
         # _CLAIM_LOCK (exact for same-driver races); across processes
         # the durable-before-visible append makes the guard at-most-one
         # (two racers can both refuse — rerun applies).
+        def _release_own_claim_locked() -> None:
+            # every live runner removes ONLY its own claim rows (a
+            # rival's row may belong to an ACTIVE runner mid-protocol;
+            # deleting it would let a third runner slip past the
+            # guard).  Refresh first: rival claims appended through
+            # other sessions must SURVIVE the rewrite — without it the
+            # stale relation-cache snapshot would silently drop them.
+            spark.catalog.refreshTable(claims_qual)
+            _swap_overwrite(
+                spark,
+                f"{db_name}.{CLAIMS}",
+                spark.table(claims_qual).filter(
+                    ~((F.col("version") == version) & (F.col("owner") == owner))
+                ),
+            )
+
         with _CLAIM_LOCK:
             # a rival runner appends through its OWN SparkSession; this
             # session's relation cache would serve a stale file listing
@@ -720,6 +740,29 @@ def apply_migration(
                 .limit(1)
                 .count()
             )
+            if rivals:
+                # release OWN claim before refusing: both racers may
+                # refuse (the documented cross-process outcome), and
+                # neither may leave a row that blocks the rerun
+                _release_own_claim_locked()
+            else:
+                # cross-process close: a rival may have finished and
+                # RELEASED between our first ledger check and the
+                # rivals read (its claim is gone, its ledger row is
+                # durable-before-visible) — re-check the ledger now
+                # that we hold the winning claim
+                spark.catalog.refreshTable(ledger_qual)
+                if (
+                    spark.table(ledger_qual)
+                    .filter(F.col("version") == version)
+                    .limit(1)
+                    .count()
+                ):
+                    _release_own_claim_locked()
+                    print(
+                        f"Skipping V{version}: already applied by a concurrent runner"
+                    )
+                    continue
         if rivals:
             raise ConcurrentMigrationError(
                 f"migration V{version} is claimed by another runner "
@@ -737,19 +780,21 @@ def apply_migration(
                 .select("version", "md5", "script", "created_at")
             )
             entry.write.mode("append").insertInto(ledger_qual)
-        finally:
+        except BaseException:
             # a FAILED statement releases the claim (the runner is
             # alive and fail-stop is the contract — the rerun must be
             # able to re-execute the script, SURVEY §4); only a CRASH
-            # leaves a stale claim, for clear_claims().  The release
-            # rewrites the claims table, so it takes the same lock the
-            # claim append/read pair holds.
-            with _CLAIM_LOCK:
-                _swap_overwrite(
-                    spark,
-                    f"{db_name}.{CLAIMS}",
-                    spark.table(claims_qual).filter(F.col("version") != version),
-                )
+            # leaves a stale claim, for clear_claims().  A release
+            # failure must never MASK the statement error the user
+            # needs to fix the script.
+            try:
+                with _CLAIM_LOCK:
+                    _release_own_claim_locked()
+            except Exception:
+                pass
+            raise
+        with _CLAIM_LOCK:
+            _release_own_claim_locked()
         print(f"Applied migration V{version}: {os.path.basename(row.script)}")
         applied += 1
     return applied
@@ -900,23 +945,29 @@ _PREWHERE_END_RE = re.compile(
 
 
 def _find_prewhere(query: str):
-    """Locate ``PREWHERE <pred>`` with a paren-depth-aware end scan: a
-    boundary keyword inside a predicate subquery (``PREWHERE id IN
-    (SELECT … LIMIT 3)``) belongs to the subquery, not to the clause
-    (the regex-lookahead form truncated there — round-7 fuzzer class).
+    """Locate ``PREWHERE <pred>`` with a quote-aware, paren-depth-aware
+    end scan: a boundary keyword inside a predicate subquery
+    (``PREWHERE id IN (SELECT … LIMIT 3)``) belongs to the subquery,
+    and keywords or parens inside STRING LITERALS count for nothing
+    (``PREWHERE s = '('`` — both round-7 fuzzer/review classes).
     Returns (start, end_of_pred, pred) or None."""
-    m = _PREWHERE_START_RE.search(query)
-    if not m:
+    mask = _string_mask(query)
+    m = next(
+        (
+            mm
+            for mm in _PREWHERE_START_RE.finditer(query)
+            if not mask[mm.start()]
+        ),
+        None,
+    )
+    if m is None or m.end() >= len(query):
         return None
-    depth = 0
+    depths = _paren_depths(query, mask)
+    base = depths[m.end()]
     for b in _PREWHERE_END_RE.finditer(query, m.end()):
-        d = 0
-        for ch in query[m.end() : b.start()]:
-            if ch == "(":
-                d += 1
-            elif ch == ")":
-                d -= 1
-        if d <= 0:
+        if mask[b.start()]:
+            continue
+        if depths[b.start()] - base <= 0:
             return m.start(), b.start(), query[m.end() : b.start()].strip()
     return m.start(), len(query), query[m.end() :].strip()
 # `[LEFT] ARRAY JOIN expr AS alias` — single-column form only (the
@@ -1025,7 +1076,17 @@ def _rewrite_limit_by(query: str) -> str:
     the (already reduced) outer ORDER BY.  An explicit ORDER BY is
     required — ClickHouse's LIMIT BY without one picks arbitrary rows,
     which a distributed rewrite must not silently reproduce."""
-    m = _LIMIT_BY_TAIL_RE.search(query)
+    # anchor on the LAST depth-0, unquoted ORDER BY — an ORDER BY
+    # inside a predicate subquery (`WHERE id IN (SELECT … ORDER BY id
+    # LIMIT 80)`) must not become the window's sort key (round-7
+    # fuzzer catch, same class as the PREWHERE scans)
+    mask = _string_mask(query)
+    depths = _paren_depths(query, mask)
+    anchor = None
+    for om in re.finditer(r"\bORDER\s+BY\b", query, re.I):
+        if not mask[om.start()] and depths[om.start()] == 0:
+            anchor = om.start()
+    m = _LIMIT_BY_TAIL_RE.match(query, anchor) if anchor is not None else None
     if not m:
         if _LIMIT_BY_ANY_RE.search(query):
             raise ValueError(
@@ -1143,16 +1204,15 @@ def _merge_prewhere(pred: str, rest_after_where: str) -> str:
     """AND-merge a PREWHERE predicate into the following WHERE clause,
     wrapping only up to the next DEPTH-0 clause boundary (a boundary
     keyword inside a WHERE subquery — ``WHERE v IN (SELECT … LIMIT 3)``
-    — belongs to that subquery, not to this clause)."""
+    — belongs to that subquery, not to this clause; keywords and parens
+    inside string literals are ignored)."""
+    mask = _string_mask(rest_after_where)
+    depths = _paren_depths(rest_after_where, mask)
     cut = len(rest_after_where)
     for b in _CLAUSE_BOUNDARY_RE.finditer(rest_after_where):
-        d = 0
-        for ch in rest_after_where[: b.start()]:
-            if ch == "(":
-                d += 1
-            elif ch == ")":
-                d -= 1
-        if d <= 0:
+        if mask[b.start()]:
+            continue
+        if depths[b.start()] <= 0:
             cut = b.start()
             break
     wpred = rest_after_where[:cut].strip()

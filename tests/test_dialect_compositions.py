@@ -271,3 +271,45 @@ def test_prewhere_predicate_with_subquery_keywords(comp_env):
         "GROUP BY g ORDER BY g"
     ).fetchall()
     assert got == want
+
+
+def test_prewhere_scan_is_string_literal_aware():
+    """Pinned (round-7 review): parens and boundary keywords inside
+    string literals count for nothing in the PREWHERE/WHERE scans."""
+    from clickhouse_migrator_spark.migrate import _rewrite_clauses
+
+    assert (
+        _rewrite_clauses("SELECT count(*) FROM t PREWHERE s = '(' WHERE v > 0")
+        == "SELECT count(*) FROM t WHERE (s = '(') AND (v > 0)"
+    )
+    assert (
+        _rewrite_clauses("SELECT g FROM t PREWHERE v > 1 WHERE s = '(' GROUP BY g")
+        == "SELECT g FROM t WHERE (v > 1) AND (s = '(') GROUP BY g"
+    )
+    assert (
+        _rewrite_clauses("SELECT g FROM t PREWHERE s = 'WHERE LIMIT' GROUP BY g")
+        == "SELECT g FROM t WHERE s = 'WHERE LIMIT' GROUP BY g"
+    )
+    # the word PREWHERE inside a literal is not a clause
+    sql = "SELECT 'PREWHERE' AS lit FROM t WHERE v > 0"
+    assert _rewrite_clauses(sql) == sql
+
+
+def test_limit_by_anchors_on_depth0_order_by(comp_env):
+    """Pinned (round-7 fuzzer catch #2): an ORDER BY inside a predicate
+    subquery must not become the LIMIT BY window's sort key."""
+    spark, con = comp_env
+    ch = (
+        f"SELECT id, g, v FROM {VIEW} "
+        f"WHERE id IN (SELECT id FROM {VIEW} ORDER BY id LIMIT 80) "
+        "ORDER BY v, id LIMIT 1 BY g"
+    )
+    out = M.rewrite_query(spark, ch)
+    got = [(r.id, r.g, r.v) for r in spark.sql(out).collect()]
+    want = con.sql(
+        f"SELECT id, g, v FROM ("
+        f"SELECT id, g, v, row_number() OVER (PARTITION BY g ORDER BY v, id) AS _rn "
+        f"FROM {VIEW} WHERE id IN (SELECT id FROM {VIEW} ORDER BY id LIMIT 80)"
+        ") WHERE _rn <= 1 ORDER BY v, id"
+    ).fetchall()
+    assert got == want and len(got) == 7

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import math
 import os
 import statistics
 import subprocess
@@ -68,7 +67,9 @@ def main() -> None:
             flush=True,
         )
 
-    names = sorted(runs[0]["queries"])
+    # union across runs: a query that errored in one run but ran in the
+    # others must still get spread stats (and tripwire history)
+    names = sorted({q for r in runs for q in r["queries"]})
     per_query = {}
     for q in names:
         vals = [r["queries"][q] for r in runs if q in r["queries"]]

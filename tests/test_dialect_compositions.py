@@ -22,6 +22,8 @@ WITH FILL → NULL non-fill columns).
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pandas as pd
 import pytest
@@ -69,6 +71,13 @@ _PREDICATES = [
         f"id IN (SELECT id FROM {VIEW} ORDER BY id LIMIT 80)",
         f"id IN (SELECT id FROM {VIEW} ORDER BY id LIMIT 80)",
     ),
+    # GLOBAL distribution hint is dropped; parens/keywords in string
+    # literals count for nothing in the clause scans
+    (
+        f"id GLOBAL IN (SELECT id FROM {VIEW} ORDER BY id LIMIT 80)",
+        f"id IN (SELECT id FROM {VIEW} ORDER BY id LIMIT 80)",
+    ),
+    ("s != '(WHERE'", "s != '(WHERE'"),
 ]
 
 # aggregates valid with or without ARRAY JOIN
@@ -139,17 +148,28 @@ def compositions(draw):
         sel_ch = "g, " + ", ".join(a[0] for a in aggs)
         sel_dd = "g, " + ", ".join(a[1] for a in aggs)
         having = draw(st.booleans())
+        totals = not having and draw(st.booleans())
         hv_ch = hv_dd = " HAVING max(v) > 10" if having else ""
-        limit = draw(st.sampled_from(["", " LIMIT 3"]))
+        if totals:
+            # WITH TOTALS → GROUPING SETS ((g), ()); the totals row has
+            # g NULL and the engines order NULLs differently, so compare
+            # unordered and skip LIMIT
+            gb_ch, gb_dd, limit = "GROUP BY g WITH TOTALS", (
+                "GROUP BY GROUPING SETS ((g), ())"
+            ), ""
+            ordered = False
+        else:
+            gb_ch = gb_dd = "GROUP BY g"
+            limit = draw(st.sampled_from(["", " LIMIT 3"]))
+            ordered = True
         ch = (
             f"{cte_ch}SELECT {sel_ch} {from_ch}{where_ch} "
-            f"GROUP BY g{hv_ch} ORDER BY g{limit}"
+            f"{gb_ch}{hv_ch} ORDER BY g{limit}"
         )
         dd = (
             f"{cte_dd}SELECT {sel_dd} {from_dd}{where_dd} "
-            f"GROUP BY g{hv_dd} ORDER BY g{limit}"
+            f"{gb_dd}{hv_dd} ORDER BY g{limit}"
         )
-        ordered = True
     elif shape == "limit_by":
         n = draw(st.integers(1, 3))
         tail = draw(st.sampled_from(["", " LIMIT 5"]))
@@ -177,6 +197,9 @@ def compositions(draw):
             f") __q FULL OUTER JOIN __grid USING (g) ORDER BY 1"
         )
         ordered = False  # filled rows interleave; compare as sorted sets
+    # wire-format / server-knob tails are stripped before every other
+    # clause rewrite — compose them onto ANY shape
+    ch += draw(st.sampled_from(["", " FORMAT JSON", " SETTINGS max_threads = 4"]))
     return ch, dd, ordered
 
 
@@ -189,7 +212,11 @@ def _normalize(cols, rows, ordered):
     return [c for c in sorted(cols)], out
 
 
-@settings(max_examples=120, deadline=None)
+# deep-fuzz sessions: SPARK_GRAFT_FUZZ_EXAMPLES=800 pytest … (default 120)
+@settings(
+    max_examples=int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "120")),
+    deadline=None,
+)
 @given(comp=compositions())
 def test_composed_statements_rewrite_execute_and_agree(comp_env, comp):
     spark, con = comp_env

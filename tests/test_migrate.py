@@ -497,3 +497,77 @@ def test_stale_claim_blocks_and_clear_claims_recovers(spark, db, tmp_path):
         M.migrate(spark, db, str(home), create_db_if_no_exists=False)
     assert M.clear_claims(spark, db) >= 1
     assert M.migrate(spark, db, str(home), create_db_if_no_exists=False) == 1
+
+
+def test_cross_process_race_at_most_one_applies(spark, db, tmp_path, monkeypatch):
+    """Simulate SEPARATE driver processes (no shared in-process lock) by
+    neutralizing _CLAIM_LOCK: the claims protocol alone must guarantee
+    AT MOST ONE application (both racers may refuse — the documented
+    cross-process outcome), and a serial rerun afterwards must converge
+    to exactly-once regardless of which interleaving happened."""
+    import threading
+
+    class _NoLock:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    monkeypatch.setattr(M, "_CLAIM_LOCK", _NoLock())
+    home = tmp_path / "mig"
+    home.mkdir()
+    _write_migrations(
+        home,
+        {
+            "V1__create.sql": (
+                "CREATE TABLE t_xrace (v Int64) ENGINE = MergeTree ORDER BY tuple()"
+            ),
+            "V2__insert.sql": f"INSERT INTO `{db}`.t_xrace VALUES (7)",
+        },
+    )
+    manifest = M.manifest_df(spark, M.scan_migrations(str(home)))
+    pending = M.migrations_to_apply(spark, db, manifest).collect()
+    barrier = threading.Barrier(2)
+    results: dict[str, object] = {}
+
+    def run(name):
+        sess = spark.newSession()
+        sess.catalog.setCurrentDatabase(db)
+        pend = sess.createDataFrame(pending, M.MANIFEST_SCHEMA)
+        barrier.wait()
+        try:
+            results[name] = M.apply_migration(sess, db, pend)
+        except Exception as e:  # ConcurrentMigrationError or swap races
+            results[name] = e
+
+    ts = [threading.Thread(target=run, args=(n,)) for n in ("a", "b")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    # at-most-one invariant in EVERY interleaving: never a duplicate
+    # ledger row, never a doubled INSERT
+    spark.catalog.refreshTable(f"`{db}`.schema_versions")
+    ledger = spark.table(f"`{db}`.schema_versions")
+    per_version = (
+        ledger.groupBy("version").count().filter(F.col("count") > 1).count()
+    )
+    assert per_version == 0, results
+    if any(
+        r.tableName == "t_xrace"
+        for r in spark.sql(f"SHOW TABLES IN `{db}`").collect()
+    ):
+        spark.catalog.refreshTable(f"`{db}`.t_xrace")
+        assert spark.table(f"`{db}`.t_xrace").count() <= 1
+    # convergence: clear any stale claims from refused/crashed racers,
+    # then a serial rerun lands the warehouse in the exactly-once state
+    M.clear_claims(spark, db)
+    M.migrate(spark, db, str(home), create_db_if_no_exists=False)
+    spark.catalog.refreshTable(f"`{db}`.schema_versions")
+    versions = sorted(
+        r.version for r in spark.table(f"`{db}`.schema_versions").collect()
+    )
+    assert versions == [1, 2], (versions, results)
+    spark.catalog.refreshTable(f"`{db}`.t_xrace")
+    assert spark.table(f"`{db}`.t_xrace").count() == 1

@@ -246,6 +246,36 @@ def _qualify(spark: SparkSession, table: str) -> str:
     return f"`{db}`.`{t}`"
 
 
+def _search_unquoted(pattern: "re.Pattern[str]", query: str, pos: int = 0):
+    """First match of ``pattern`` that does not START inside a string
+    literal or backticked identifier.  Every clause-level rewrite must
+    use this (or :func:`_sub_unquoted`): a keyword inside a literal —
+    ``SELECT 'use SETTINGS a=1'`` — is data, not a clause (round-7
+    review class: the PREWHERE scan had this bug; a probe battery found
+    the same hole in every other clause regex)."""
+    mask = _string_mask(query)
+    for m in pattern.finditer(query, pos):
+        if not mask[m.start()]:
+            return m
+    return None
+
+
+def _sub_unquoted(pattern: "re.Pattern[str]", repl, query: str) -> str:
+    """``pattern.sub`` that skips matches starting inside string
+    literals / backticked identifiers (see :func:`_search_unquoted`)."""
+    mask = _string_mask(query)
+    out: list[str] = []
+    last = 0
+    for m in pattern.finditer(query):
+        if mask[m.start()]:
+            continue
+        out.append(query[last : m.start()])
+        out.append(repl(m) if callable(repl) else m.expand(repl))
+        last = m.end()
+    out.append(query[last:])
+    return "".join(out)
+
+
 def _sq(value: str) -> str:
     """Escape a value for interpolation into a single-quoted Spark SQL
     literal (TBLPROPERTIES).  ORDER BY / SAMPLE BY / TTL expressions may
@@ -896,7 +926,7 @@ def _rewrite_dictget(spark: SparkSession, query: str) -> str:
     The typed variants (dictGetString/dictGetUInt64/...) share the
     rewrite; the view's column type already carries the type."""
     while True:
-        m = _DICTGET_RE.search(query)
+        m = _search_unquoted(_DICTGET_RE, query)
         if not m:
             return query
         # balanced-paren scan for the argument list
@@ -983,7 +1013,7 @@ def _rewrite_array_join(query: str) -> str:
     awareness (it may contain commas inside calls); the alias is the
     first top-level ``AS``."""
     while True:
-        m = _ARRAY_JOIN_START_RE.search(query)
+        m = _search_unquoted(_ARRAY_JOIN_START_RE, query)
         if not m:
             return query
         i, n = m.end(), len(query)
@@ -1047,7 +1077,7 @@ def _rewrite_numbers(query: str) -> str:
         lo, hi = ("0", a) if b is None else (a, str(int(a) + int(b)))
         return f"(SELECT id AS number FROM range({lo}, {hi}))"
 
-    return _NUMBERS_RE.sub(_sub, query)
+    return _sub_unquoted(_NUMBERS_RE, _sub, query)
 
 
 # `ORDER BY … LIMIT n BY cols [LIMIT m]` at the query tail (the
@@ -1088,7 +1118,7 @@ def _rewrite_limit_by(query: str) -> str:
             anchor = om.start()
     m = _LIMIT_BY_TAIL_RE.match(query, anchor) if anchor is not None else None
     if not m:
-        if _LIMIT_BY_ANY_RE.search(query):
+        if _search_unquoted(_LIMIT_BY_ANY_RE, query):
             raise ValueError(
                 "LIMIT BY requires an explicit ORDER BY (… ORDER BY o "
                 "LIMIT n BY cols [LIMIT m]) so the kept rows are "
@@ -1128,9 +1158,9 @@ def _rewrite_with_fill(query: str) -> str:
     ClickHouse's TO bound is exclusive and is honored with a grid
     filter.  Non-fill columns are NULL on filled rows, as in
     ClickHouse."""
-    m = _WITH_FILL_RE.search(query)
+    m = _search_unquoted(_WITH_FILL_RE, query)
     if not m:
-        if re.search(r"\bWITH\s+FILL\b", query, re.I):
+        if _search_unquoted(re.compile(r"\bWITH\s+FILL\b", re.I), query):
             raise ValueError(
                 "WITH FILL is supported for a single trailing ORDER BY "
                 "column (ORDER BY c [ASC|DESC] WITH FILL [FROM a] [TO b] "
@@ -1170,9 +1200,9 @@ def _rewrite_clauses(query: str) -> str:
     - ``ORDER BY o LIMIT n BY c [LIMIT m]`` → per-group top-n via a
       ``row_number`` window filter (see :func:`_rewrite_limit_by`)
     """
-    query = _TRAILING_FORMAT_RE.sub("", query)
-    query = _QUERY_SETTINGS_RE.sub("", query)
-    query = _GLOBAL_RE.sub("", query)
+    query = _sub_unquoted(_TRAILING_FORMAT_RE, "", query)
+    query = _sub_unquoted(_QUERY_SETTINGS_RE, "", query)
+    query = _sub_unquoted(_GLOBAL_RE, "", query)
     query = _rewrite_numbers(query)
 
     # PREWHERE merges BEFORE the LIMIT BY / WITH FILL rewrites: those
@@ -1244,9 +1274,13 @@ def rewrite_query(spark: SparkSession, query: str) -> str:
     query = _rewrite_clauses(query)
     query = _rewrite_funcs(query)
     query = _rewrite_dictget(spark, query)
-    query = _SYSTEM_RE.sub(lambda m: _system_view(spark, m.group("which").lower()), query)
-    query = _WITH_TOTALS_RE.sub(
-        lambda m: f"GROUP BY GROUPING SETS (({m.group('keys')}), ())", query
+    query = _sub_unquoted(
+        _SYSTEM_RE, lambda m: _system_view(spark, m.group("which").lower()), query
+    )
+    query = _sub_unquoted(
+        _WITH_TOTALS_RE,
+        lambda m: f"GROUP BY GROUPING SETS (({m.group('keys')}), ())",
+        query,
     )
 
     def _sub(m: "re.Match[str]") -> str:
@@ -1280,7 +1314,7 @@ def rewrite_query(spark: SparkSession, query: str) -> str:
         df.createOrReplaceTempView(view)
         return f"FROM {view}"
 
-    return _QUERY_MOD_RE.sub(_sub, query)
+    return _sub_unquoted(_QUERY_MOD_RE, _sub, query)
 
 
 def execute_and_inflate(spark: SparkSession, query: str) -> DataFrame:

@@ -340,3 +340,45 @@ def test_limit_by_anchors_on_depth0_order_by(comp_env):
         ") WHERE _rn <= 1 ORDER BY v, id"
     ).fetchall()
     assert got == want and len(got) == 7
+
+
+def test_all_clause_rewrites_ignore_string_literals():
+    """Pinned (round-7 probe battery): every clause-level rewrite must
+    treat keywords inside string literals as data — the quote-blind
+    regexes silently truncated at a literal SETTINGS, mutated a literal
+    GLOBAL/ARRAY JOIN/numbers(), and raised on literal WITH FILL and
+    LIMIT BY."""
+    from clickhouse_migrator_spark.migrate import _rewrite_clauses
+
+    passthrough = [
+        "SELECT x, 'tail SETTINGS a = 1' AS note FROM t",
+        "SELECT x, 'pick FORMAT JSON' AS note FROM t",
+        "SELECT 'GLOBAL IN' AS note, x FROM t WHERE v > 0",
+        "SELECT 'ORDER BY x WITH FILL' AS note FROM t",
+        "SELECT 'ARRAY JOIN arr AS x' AS note FROM t",
+        "SELECT 'LIMIT 3 BY g' AS note FROM t",
+        "SELECT x FROM t WHERE s = 'numbers(10)'",
+        "SELECT 'PREWHERE v' AS note FROM t",
+    ]
+    for sql in passthrough:
+        assert _rewrite_clauses(sql) == sql, sql
+    # and the REAL clauses still rewrite next to literals
+    out = _rewrite_clauses(
+        "SELECT g, 'keep SETTINGS' AS note FROM t ARRAY JOIN arr AS x "
+        "WHERE v GLOBAL IN (SELECT v FROM u) SETTINGS max_threads = 4"
+    )
+    assert "LATERAL VIEW explode(arr)" in out
+    assert "'keep SETTINGS'" in out
+    assert not out.rstrip().endswith("= 4")
+    assert " GLOBAL " not in out
+
+
+def test_rewrite_query_subs_ignore_string_literals(comp_env):
+    """system.* / WITH TOTALS / FINAL / dictGet spellings inside string
+    literals are data too (rewrite_query layer)."""
+    spark, _ = comp_env
+    sql = (
+        "SELECT 'system.tables' AS a, 'GROUP BY g WITH TOTALS' AS b, "
+        "'FROM t FINAL' AS c, 'dictGet(''d'', ''x'', id)' AS d"
+    )
+    assert M.rewrite_query(spark, sql) == sql

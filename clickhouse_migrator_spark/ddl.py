@@ -148,10 +148,38 @@ def _tuple_to_struct(m: "re.Match[str]") -> str:
     return "STRUCT<" + ", ".join(fields) + ">"
 
 
+_LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
+_LIT_SLOT_RE = re.compile("\x00(\\d+)\x00")
+
+
+def _mask_literal_contents(sql: str) -> tuple[str, list[str]]:
+    """Replace every string-literal's CONTENT with a ``\\x00i\\x00``
+    slot (quotes stay, so quote-expecting grammar still matches).  Type
+    tokens, ENGINE/ORDER BY/PARTITION BY keywords, commas, or parens
+    inside a literal are DATA — the quote-blind scans rewrote
+    ``DEFAULT 'a UInt32 b'`` and captured layout clauses out of
+    ``DEFAULT 'ORDER BY x'`` (round-7 probe battery)."""
+    lits: list[str] = []
+
+    def _slot(m: "re.Match[str]") -> str:
+        lits.append(m.group(0)[1:-1])
+        return f"'\x00{len(lits) - 1}\x00'"
+
+    return _LITERAL_RE.sub(_slot, sql), lits
+
+
+def _unmask_literal_contents(sql: str | None, lits: list[str]) -> str | None:
+    if sql is None or not lits:
+        return sql
+    return _LIT_SLOT_RE.sub(lambda m: lits[int(m.group(1))], sql)
+
+
 def map_types(sql: str) -> str:
     """Rewrite ClickHouse type tokens to Spark DDL types (including the
     wrapper types real-world DDL uses: Nullable / LowCardinality /
-    Enum / Decimal / Array)."""
+    Enum / Decimal / Array).  String-literal contents are never
+    touched."""
+    sql, lits = _mask_literal_contents(sql)
     prev = None
     while prev != sql:  # unwrap nested wrappers/containers to fixpoint
         prev = sql
@@ -161,7 +189,9 @@ def map_types(sql: str) -> str:
         sql = _TUPLE_RE.sub(_tuple_to_struct, sql)
     sql = _ENUM_RE.sub("STRING", sql)  # enums → their string labels
     sql = _DECIMAL_RE.sub("DECIMAL(", sql)
-    return _TYPE_RE.sub(lambda m: TYPE_MAP[m.group(1)], sql)
+    return _unmask_literal_contents(
+        _TYPE_RE.sub(lambda m: TYPE_MAP[m.group(1)], sql), lits
+    )
 
 
 @dataclass
@@ -596,7 +626,11 @@ def translate(sql: str) -> Statement:
             ttl=m.group("e").strip(),
         )
     if _CREATE_RE.match(sql):
-        out = map_types(sql).strip().rstrip(";")
+        # mask literal contents for the whole clause-scan phase: a
+        # column DEFAULT/COMMENT literal may contain ENGINE/ORDER BY/
+        # PARTITION BY/AS SELECT spellings, commas, or parens that the
+        # scans below must not see (round-7 probe battery)
+        out, _lits = _mask_literal_contents(map_types(sql).strip().rstrip(";"))
         # CTAS: split off the SELECT before clause-stripping, or the
         # layout-clause regexes would eat the query (ORDER BY inside the
         # SELECT is *its* order, and `AS SELECT ...` after ORDER BY (k)
@@ -636,11 +670,11 @@ def translate(sql: str) -> Statement:
         out += ctas_tail  # Spark syntax: USING comes before AS SELECT
         return Statement(
             kind="create_table",
-            sql=out,
-            order_by=order_by,
-            partition_by=partition_by,
+            sql=_unmask_literal_contents(out, _lits),
+            order_by=_unmask_literal_contents(order_by, _lits),
+            partition_by=_unmask_literal_contents(partition_by, _lits),
             engine=engine,
-            ttl=ttl,
-            sample_by=sample_by,
+            ttl=_unmask_literal_contents(ttl, _lits),
+            sample_by=_unmask_literal_contents(sample_by, _lits),
         )
     return Statement(kind="passthrough", sql=map_types(sql).strip().rstrip(";"))

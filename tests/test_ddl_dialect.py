@@ -202,3 +202,56 @@ def test_operational_statements_are_noops():
     ):
         st = translate(sql)
         assert st.kind == "passthrough" and st.sql == "SELECT 1", sql
+
+
+def test_ddl_literals_are_opaque_to_all_scans():
+    """Pinned (round-7 probe battery): string-literal contents are data
+    to every DDL scan — type tokens are not rewritten inside them, and
+    ENGINE/ORDER BY/PARTITION BY/SETTINGS/AS SELECT spellings (or commas
+    and parens) inside a column DEFAULT/COMMENT literal neither corrupt
+    the emitted Spark DDL nor leak into the recorded layout clauses."""
+    from clickhouse_migrator_spark.ddl import map_types, translate
+
+    assert map_types("INSERT INTO t VALUES ('a UInt32 b')") == (
+        "INSERT INTO t VALUES ('a UInt32 b')"
+    )
+    assert map_types("SELECT 'String' AS s") == "SELECT 'String' AS s"
+    assert (
+        map_types("SELECT 'it''s a Tuple(x UInt8)' AS s")
+        == "SELECT 'it''s a Tuple(x UInt8)' AS s"
+    )
+
+    st = translate(
+        "CREATE TABLE t (s String DEFAULT 'ORDER BY x', id UInt64) "
+        "ENGINE = MergeTree ORDER BY (id) PARTITION BY tuple()"
+    )
+    assert st.sql == "CREATE TABLE t (s STRING , id BIGINT) USING PARQUET"
+    assert st.order_by == "(id)" and st.partition_by == "tuple()"
+
+    st = translate(
+        "CREATE TABLE t (s String COMMENT 'ENGINE = Memory SETTINGS x=1') "
+        "ENGINE = MergeTree ORDER BY tuple()"
+    )
+    assert st.engine == "MergeTree"
+    assert "COMMENT 'ENGINE = Memory SETTINGS x=1'" in st.sql
+
+    # a literal containing , and ) no longer truncates the DEFAULT strip
+    st = translate(
+        "CREATE TABLE t (s String DEFAULT 'a,b)c') ENGINE = MergeTree "
+        "ORDER BY tuple()"
+    )
+    assert st.sql == "CREATE TABLE t (s STRING ) USING PARQUET"
+
+    # quoted expressions in recorded clauses survive unmasking intact
+    st = translate(
+        "CREATE TABLE t (id UInt64) ENGINE = MergeTree "
+        "ORDER BY (if(k = 'x', 0, 1), id)"
+    )
+    assert st.order_by == "(if(k = 'x', 0, 1), id)"
+
+    # AS SELECT inside a literal is not a CTAS
+    st = translate(
+        "CREATE TABLE t (s String DEFAULT 'x AS SELECT y') "
+        "ENGINE = MergeTree ORDER BY tuple()"
+    )
+    assert "AS SELECT" not in st.sql

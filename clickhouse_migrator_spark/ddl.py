@@ -348,9 +348,25 @@ _DEFAULT_COL_RE = re.compile(r"\s+DEFAULT\s+[^,)]+", re.I)
 
 
 def _split_top(s: str) -> list[str]:
-    """Split on top-level commas only (paren-depth aware)."""
+    """Split on top-level commas only (paren-depth AND quote aware: a
+    comma or paren inside a string literal — ``SET s = 'a,b', v = 2``
+    — is data; ``''`` is the escaped quote)."""
     parts, depth, cur = [], 0, []
-    for ch in s:
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if s[j] == "'":
+                    if j + 1 < n and s[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            cur.append(s[i : min(j + 1, n)])
+            i = j + 1
+            continue
         if ch == "(":
             depth += 1
         elif ch == ")":
@@ -360,6 +376,7 @@ def _split_top(s: str) -> list[str]:
             cur = []
         else:
             cur.append(ch)
+        i += 1
     if cur:
         parts.append("".join(cur))
     return parts

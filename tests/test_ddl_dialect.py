@@ -255,3 +255,35 @@ def test_ddl_literals_are_opaque_to_all_scans():
         "ENGINE = MergeTree ORDER BY tuple()"
     )
     assert "AS SELECT" not in st.sql
+
+
+def test_split_top_is_quote_aware(spark):
+    """Pinned (round-7): top-level comma splits treat literal commas as
+    data — end-to-end through an ALTER UPDATE with a comma literal."""
+    from clickhouse_migrator_spark.ddl import _split_top
+    from clickhouse_migrator_spark import migrate as M
+    import uuid
+
+    assert _split_top("'a,b', 'c', k") == ["'a,b'", " 'c'", " k"]
+    assert _split_top("a = 'x,y', b = 2") == ["a = 'x,y'", " b = 2"]
+    assert _split_top("f(x, y), 'it''s, ok'") == ["f(x, y)", " 'it''s, ok'"]
+
+    db = "splitdb_" + uuid.uuid4().hex[:8]
+    prev = spark.catalog.currentDatabase()
+    M.create_db(spark, db)
+    spark.catalog.setCurrentDatabase(db)
+    try:
+        M.execute_statement(
+            spark,
+            "CREATE TABLE su (id UInt64, s String, v UInt64) "
+            "ENGINE = MergeTree ORDER BY (id)",
+        )
+        spark.sql(f"INSERT INTO `{db}`.su VALUES (1, 'x', 0)")
+        M.execute_statement(
+            spark, "ALTER TABLE su UPDATE s = 'a,b', v = 2 WHERE id = 1"
+        )
+        row = spark.table(f"`{db}`.su").first()
+        assert row.s == "a,b" and row.v == 2
+    finally:
+        spark.catalog.setCurrentDatabase(prev)
+        spark.sql(f"DROP DATABASE `{db}` CASCADE")

@@ -148,7 +148,7 @@ def _tuple_to_struct(m: "re.Match[str]") -> str:
     return "STRUCT<" + ", ".join(fields) + ">"
 
 
-_LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
+_LITERAL_RE = re.compile(r"'(?:\\.|''|[^'\\])*'")
 _LIT_SLOT_RE = re.compile("\x00(\\d+)\x00")
 
 
@@ -358,6 +358,10 @@ def _split_top(s: str) -> list[str]:
         if ch == "'":
             j = i + 1
             while j < n:
+                if s[j] == "\\" and j + 1 < n:
+                    # backslash-escaped char (ClickHouse default style)
+                    j += 2
+                    continue
                 if s[j] == "'":
                     if j + 1 < n and s[j + 1] == "'":
                         j += 2

@@ -79,6 +79,13 @@ def _string_mask(sql: str) -> list[bool]:
             i += 1
             while i < n:
                 mask[i] = True
+                if sql[i] == "\\" and i + 1 < n:
+                    # ClickHouse's default escaping style: a backslash
+                    # escapes the next char ('it\'s' stays one literal —
+                    # ADVICE r7: the ''-only scan truncated it)
+                    mask[i + 1] = True
+                    i += 2
+                    continue
                 if sql[i] == quote:
                     # '' escape inside single quotes
                     if quote == "'" and i + 1 < n and sql[i + 1] == "'":
@@ -108,6 +115,9 @@ def _scan_args(sql: str, start: int) -> tuple[list[str], int]:
         if ch == "'":
             j = i + 1
             while j < n:
+                if sql[j] == "\\" and j + 1 < n:
+                    j += 2
+                    continue
                 if sql[j] == "'":
                     if j + 1 < n and sql[j + 1] == "'":
                         j += 2

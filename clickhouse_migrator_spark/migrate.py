@@ -136,20 +136,43 @@ def init_db(spark: SparkSession, db_name: str) -> None:
 def _init_claims(spark: SparkSession, db_name: str) -> None:
     spark.sql(
         f"CREATE TABLE IF NOT EXISTS `{db_name}`.`{CLAIMS}` "
-        "(version BIGINT, owner STRING, started_at TIMESTAMP) "
-        "USING PARQUET"
+        "(version BIGINT, owner STRING, started_at TIMESTAMP, "
+        "released BOOLEAN) USING PARQUET"
     )
+    qual = f"`{db_name}`.`{CLAIMS}`"
+    if "released" not in {f.name for f in spark.table(qual).schema.fields}:
+        # claims table from a pre-tombstone build: widen in place
+        # (existing rows read NULL → treated as live claims, exactly
+        # their old meaning)
+        spark.sql(f"ALTER TABLE {qual} ADD COLUMNS (released BOOLEAN)")
+        spark.catalog.refreshTable(qual)
+
+
+def _live_claims(spark: SparkSession, claims_qual: str) -> DataFrame:
+    """Claims minus release tombstones.  Releases are APPEND-ONLY rows
+    (``released = true`` for the same (version, owner)) rather than a
+    table rewrite: the old ``_swap_overwrite``-based release had a
+    DROP/RENAME window in which a rival's freshly-appended claim was
+    silently destroyed and a rival's read could hit FileNotFound
+    (ADVICE r7).  Appends never destroy rival rows."""
+    c = spark.table(claims_qual)
+    rel = F.coalesce(F.col("released"), F.lit(False))
+    tombs = c.filter(rel).select("version", "owner")
+    return c.filter(~rel).join(tombs, ["version", "owner"], "left_anti")
 
 
 def clear_claims(spark: SparkSession, db_name: str) -> int:
     """Operator recovery: drop ALL claim rows (see
     :class:`ConcurrentMigrationError` — a runner that crashed mid-script
-    leaves its claim behind and blocks reruns of that version).  Returns
-    the number of claims cleared."""
+    leaves its claim behind and blocks reruns of that version).  Also
+    compacts accumulated release tombstones.  Returns the number of
+    LIVE claims cleared.  Single-operator step by contract (like
+    Flyway's ``repair``): run it only when no runner is live, so the
+    compaction rewrite races nothing."""
     _init_claims(spark, db_name)
     qual = f"`{db_name}`.`{CLAIMS}`"
-    n = spark.table(qual).count()
-    if n:
+    n = _live_claims(spark, qual).count()
+    if spark.table(qual).limit(1).count():
         _swap_overwrite(spark, f"{db_name}.{CLAIMS}", spark.table(qual).limit(0))
     return n
 
@@ -343,20 +366,13 @@ _PART_FUNCS: list[tuple[re.Pattern[str], "object"]] = [
 
 
 def _split_top_commas(s: str) -> list[str]:
-    parts, depth, cur = [], 0, []
-    for ch in s:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
-            parts.append("".join(cur).strip())
-            cur = []
-        else:
-            cur.append(ch)
-    if cur:
-        parts.append("".join(cur).strip())
-    return parts
+    """Quote- AND paren-aware top-level comma split (ADVICE r7: this
+    local copy was quote-blind after ddl/select_funcs were hardened —
+    a PARTITION BY expression or partition value with a ',' inside a
+    string literal mis-split).  Delegates to the shared quote-aware
+    splitter; parts come back stripped, same contract as before."""
+    parts = [p.strip() for p in _ddl_split_top(s)]
+    return parts if parts != [""] else []
 
 
 def _partition_cond(partition_by: str, value: str):
@@ -729,20 +745,17 @@ def apply_migration(
         # the durable-before-visible append makes the guard at-most-one
         # (two racers can both refuse — rerun applies).
         def _release_own_claim_locked() -> None:
-            # every live runner removes ONLY its own claim rows (a
-            # rival's row may belong to an ACTIVE runner mid-protocol;
-            # deleting it would let a third runner slip past the
-            # guard).  Refresh first: rival claims appended through
-            # other sessions must SURVIVE the rewrite — without it the
-            # stale relation-cache snapshot would silently drop them.
-            spark.catalog.refreshTable(claims_qual)
-            _swap_overwrite(
-                spark,
-                f"{db_name}.{CLAIMS}",
-                spark.table(claims_qual).filter(
-                    ~((F.col("version") == version) & (F.col("owner") == owner))
-                ),
-            )
+            # append-only release: a tombstone row (released = true)
+            # for OUR (version, owner).  No table rewrite — the old
+            # DROP/RENAME release window destroyed rival claims
+            # appended mid-swap and could serve a rival's read a
+            # FileNotFound (ADVICE r7); an append races nothing and a
+            # rival's rows are physically untouched.
+            spark.createDataFrame([Row(version=version, owner=owner)]).withColumn(
+                "started_at", F.current_timestamp()
+            ).withColumn("released", F.lit(True)).select(
+                "version", "owner", "started_at", "released"
+            ).write.mode("append").insertInto(claims_qual)
 
         with _CLAIM_LOCK:
             # a rival runner appends through its OWN SparkSession; this
@@ -761,11 +774,13 @@ def apply_migration(
                 continue
             spark.createDataFrame(
                 [Row(version=version, owner=owner)]
-            ).withColumn("started_at", F.current_timestamp()).select(
-                "version", "owner", "started_at"
+            ).withColumn("started_at", F.current_timestamp()).withColumn(
+                "released", F.lit(False)
+            ).select(
+                "version", "owner", "started_at", "released"
             ).write.mode("append").insertInto(claims_qual)
             rivals = (
-                spark.table(claims_qual)
+                _live_claims(spark, claims_qual)
                 .filter((F.col("version") == version) & (F.col("owner") != owner))
                 .limit(1)
                 .count()
@@ -929,15 +944,20 @@ def _rewrite_dictget(spark: SparkSession, query: str) -> str:
         m = _search_unquoted(_DICTGET_RE, query)
         if not m:
             return query
-        # balanced-paren scan for the argument list
+        # balanced-paren scan for the argument list — masked positions
+        # (string literals / backticks / comments) count for nothing: a
+        # paren inside a literal arg, dictGet('d', 'x', concat(k, ')')),
+        # must not close the call (ADVICE r7, mirrors _find_prewhere)
+        mask = _string_mask(query)
         depth, i = 1, m.end()
         while depth:
             if i >= len(query):
                 raise ValueError(f"unclosed dictGet call: {query[m.start():]!r}")
-            if query[i] == "(":
-                depth += 1
-            elif query[i] == ")":
-                depth -= 1
+            if not mask[i]:
+                if query[i] == "(":
+                    depth += 1
+                elif query[i] == ")":
+                    depth -= 1
             i += 1
         args = _ddl_split_top(query[m.end() : i - 1])
         if len(args) != 3:
@@ -1116,7 +1136,21 @@ def _rewrite_limit_by(query: str) -> str:
     for om in re.finditer(r"\bORDER\s+BY\b", query, re.I):
         if not mask[om.start()] and depths[om.start()] == 0:
             anchor = om.start()
-    m = _LIMIT_BY_TAIL_RE.match(query, anchor) if anchor is not None else None
+    # run the tail parse on a literal-masked SAME-LENGTH copy: the
+    # regex past the anchor was still quote-blind, so ' LIMIT 9 BY '
+    # spelled inside a string literal after ORDER BY split the query
+    # there (ADVICE r7).  Masked positions become \x01 — no keyword,
+    # digit, or ';' can match inside a literal — and every captured
+    # group is recovered by SPAN from the original text, literals
+    # intact.
+    masked = "".join(
+        "\x01" if mask[i] else ch for i, ch in enumerate(query)
+    )
+    m = _LIMIT_BY_TAIL_RE.match(masked, anchor) if anchor is not None else None
+    if m is not None and depths[m.start("n")] != 0:
+        # a ' LIMIT n BY ' nested in parens belongs to a subexpression,
+        # not the statement tail
+        m = None
     if not m:
         if _search_unquoted(_LIMIT_BY_ANY_RE, query):
             raise ValueError(
@@ -1126,7 +1160,9 @@ def _rewrite_limit_by(query: str) -> str:
             )
         return query
     inner = query[: m.start()].strip()
-    ord_, cols, n = m.group("ord").strip(), m.group("cols").strip(), m.group("n")
+    ord_ = query[m.start("ord") : m.end("ord")].strip()
+    cols = query[m.start("cols") : m.end("cols")].strip()
+    n = m.group("n")
     tail_limit = f" LIMIT {m.group('m')}" if m.group("m") else ""
     return (
         f"SELECT * EXCEPT (__rn) FROM ("

@@ -419,8 +419,10 @@ def test_fail_stop_skips_later_versions(spark, db, tmp_path):
         M.migrate(spark, db, str(home), create_db_if_no_exists=False)
     assert spark.table(f"`{db}`.t_fs").count() == 0  # V3 never ran
     assert [r.version for r in spark.table(f"`{db}`.schema_versions").collect()] == [1]
-    # claim released on failure: no stale claim rows
-    assert spark.table(f"`{db}`.`{M.CLAIMS}`").count() == 0
+    # claim released on failure: no stale LIVE claims (releases are
+    # append-only tombstones now — the raw table keeps claim+release
+    # row pairs; what must be empty is the live view)
+    assert M._live_claims(spark, f"`{db}`.`{M.CLAIMS}`").count() == 0
 
 
 # ── concurrent-runner guard (VERDICT r6 #3) ─────────────────────────────────
@@ -478,7 +480,9 @@ def test_concurrent_runners_exactly_one_applies(spark, db, tmp_path):
     versions = [r.version for r in ledger.orderBy("version").collect()]
     assert versions == [1, 2], versions  # no duplicates, both applied overall
     assert spark.table(f"`{db}`.t_race").count() == 1  # INSERT ran exactly once
-    assert spark.table(f"`{db}`.`{M.CLAIMS}`").count() == 0  # all claims released
+    # all claims released: live view empty (raw rows are append-only
+    # claim+tombstone pairs)
+    assert M._live_claims(spark, f"`{db}`.`{M.CLAIMS}`").count() == 0
 
 
 def test_stale_claim_blocks_and_clear_claims_recovers(spark, db, tmp_path):
@@ -491,12 +495,38 @@ def test_stale_claim_blocks_and_clear_claims_recovers(spark, db, tmp_path):
         {"V1__create.sql": "CREATE TABLE t_stale (v Int64) ENGINE = MergeTree ORDER BY tuple()"},
     )
     spark.sql(
-        f"INSERT INTO `{db}`.`{M.CLAIMS}` VALUES (1, 'deadbeef', current_timestamp())"
+        f"INSERT INTO `{db}`.`{M.CLAIMS}` "
+        "VALUES (1, 'deadbeef', current_timestamp(), false)"
     )
     with pytest.raises(M.ConcurrentMigrationError, match="clear_claims"):
         M.migrate(spark, db, str(home), create_db_if_no_exists=False)
     assert M.clear_claims(spark, db) >= 1
     assert M.migrate(spark, db, str(home), create_db_if_no_exists=False) == 1
+
+
+def test_release_preserves_rival_claims(spark, db, tmp_path):
+    """Releases are append-only tombstones (ADVICE r7): a rival's claim
+    row present while our runner releases its own claims must survive
+    physically AND stay live — the old rewrite-based release could
+    destroy a rival claim appended during its DROP/RENAME window."""
+    home = tmp_path / "mig"
+    home.mkdir()
+    _write_migrations(
+        home,
+        {
+            "V1__create.sql": (
+                "CREATE TABLE t_keep (v Int64) ENGINE = MergeTree ORDER BY tuple()"
+            )
+        },
+    )
+    # a rival holds a claim for a DIFFERENT (future) version
+    spark.sql(
+        f"INSERT INTO `{db}`.`{M.CLAIMS}` "
+        "VALUES (99, 'rival', current_timestamp(), false)"
+    )
+    assert M.migrate(spark, db, str(home), create_db_if_no_exists=False) == 1
+    live = M._live_claims(spark, f"`{db}`.`{M.CLAIMS}`").collect()
+    assert [(r.version, r.owner) for r in live] == [(99, "rival")]
 
 
 def test_cross_process_race_at_most_one_applies(spark, db, tmp_path, monkeypatch):

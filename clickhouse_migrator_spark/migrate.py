@@ -307,8 +307,16 @@ def _sq(value: str) -> str:
     return value.replace("'", "''")
 
 
+def _crash_point(stage: str) -> None:
+    """Test seam: the crash-injection tests monkeypatch this to abort
+    :func:`_swap_overwrite` between its non-transactional statements
+    (VERDICT r7 #1) and then assert :func:`recover_cow` converges.
+    Production: no-op."""
+    return None
+
+
 def _swap_overwrite(spark: SparkSession, table: str, df: DataFrame) -> None:
-    """Write ``df`` as a new physical table, then atomically swap names.
+    """Write ``df`` as a new physical table, then swap catalog names.
 
     Spark cannot overwrite a table it is currently reading; the
     write-to-new-location + catalog-rename swap is also the only
@@ -317,7 +325,13 @@ def _swap_overwrite(spark: SparkSession, table: str, df: DataFrame) -> None:
 
     The recorded ``clickhouse.*`` layout/engine properties are carried
     over — every mutation path flows through here, and OPTIMIZE's
-    dedupe/compaction decisions depend on them surviving."""
+    dedupe/compaction decisions depend on them surviving.  Props are
+    copied onto the TEMP table *before* the old table is dropped, so a
+    crash in the DROP→RENAME window loses nothing: the complete new
+    table (data + properties) sits under ``__cow_<t>`` and
+    :func:`recover_cow` finishes the rename.  A crash anywhere earlier
+    leaves the user-visible table untouched and :func:`recover_cow`
+    rolls the orphan back."""
     qual = _qualify(spark, table)
     db, t = qual.split(".", 1)
     props = {
@@ -328,11 +342,61 @@ def _swap_overwrite(spark: SparkSession, table: str, df: DataFrame) -> None:
     tmp = f"{db}.`__cow_{t.strip('`')}`"
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     df.write.mode("overwrite").format("parquet").saveAsTable(tmp.replace("`", ""))
-    spark.sql(f"DROP TABLE {qual}")
-    spark.sql(f"ALTER TABLE {tmp} RENAME TO {qual}")
     if props:
         kv = ", ".join(f"'{k}' = '{_sq(v)}'" for k, v in props.items())
-        spark.sql(f"ALTER TABLE {qual} SET TBLPROPERTIES ({kv})")
+        spark.sql(f"ALTER TABLE {tmp} SET TBLPROPERTIES ({kv})")
+    _crash_point("before_drop")
+    spark.sql(f"DROP TABLE {qual}")
+    _crash_point("after_drop")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {qual}")
+
+
+def recover_cow(spark: SparkSession, db_name: str) -> dict[str, str]:
+    """Crash recovery for the copy-on-write swap (VERDICT r7 #1).
+
+    :func:`_swap_overwrite` runs ``DROP TABLE <t>`` then ``ALTER TABLE
+    __cow_<t> RENAME TO <t>`` as two non-transactional statements — a
+    plain-parquet warehouse has no multi-statement transaction (the
+    reference delegates this atomicity to the ClickHouse server).  A
+    driver crash can therefore strand a ``__cow_<t>`` temp table.  For
+    each one found:
+
+    - target ``<t>`` ABSENT from the catalog → the crash hit the
+      DROP→RENAME window; the temp table is the complete post-mutation
+      table (data + carried properties) → COMPLETE the rename.  Note
+      the interrupted migration script was never recorded, so its
+      rerun re-executes the mutation on the recovered (already
+      mutated) data — the same statement-level rerun semantics SURVEY
+      §4 documents for mid-script failures.
+    - target PRESENT → the swap never reached its DROP (the temp may
+      even be a partial write); the user-visible table is intact →
+      ROLL BACK by dropping the orphan.
+
+    Run it like :func:`clear_claims`, as a single-operator recovery
+    step with no live runners.  Returns {target_table: "completed" |
+    "rolled_back"}."""
+    actions: dict[str, str] = {}
+    for r in spark.sql(f"SHOW TABLES IN `{db_name}`").collect():
+        if r["isTemporary"] or not r["tableName"].startswith("__cow_"):
+            continue
+        orphan = r["tableName"]
+        target = orphan[len("__cow_") :]
+        exists = (
+            spark.sql(f"SHOW TABLES IN `{db_name}` LIKE '{_sq(target)}'")
+            .filter(~F.col("isTemporary"))
+            .limit(1)
+            .count()
+            > 0
+        )
+        if exists:
+            spark.sql(f"DROP TABLE `{db_name}`.`{orphan}`")
+            actions[target] = "rolled_back"
+        else:
+            spark.sql(
+                f"ALTER TABLE `{db_name}`.`{orphan}` RENAME TO `{db_name}`.`{target}`"
+            )
+            actions[target] = "completed"
+    return actions
 
 
 _CREATE_NAME_RE = __import__("re").compile(

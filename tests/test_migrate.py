@@ -504,6 +504,93 @@ def test_stale_claim_blocks_and_clear_claims_recovers(spark, db, tmp_path):
     assert M.migrate(spark, db, str(home), create_db_if_no_exists=False) == 1
 
 
+# ── copy-on-write crash recovery (VERDICT r7 #1) ────────────────────────────
+
+
+def _raw_tables(spark, db):
+    return {
+        r.tableName
+        for r in spark.sql(f"SHOW TABLES IN `{db}`").collect()
+        if not r.isTemporary
+    }
+
+
+def test_cow_crash_in_drop_rename_window_recovers_forward(
+    spark, db, tmp_path, monkeypatch, request
+):
+    """A crash between the swap's DROP and RENAME leaves the user table
+    gone from the catalog but the complete post-mutation table (data +
+    carried clickhouse.* properties) durable under __cow_<t>.
+    recover_cow() must COMPLETE the rename, losslessly."""
+    spark.catalog.setCurrentDatabase(db)
+    request.addfinalizer(lambda: spark.catalog.setCurrentDatabase("default"))
+    M.execute_statement(
+        spark,
+        f"CREATE TABLE t_cowf (v Int64) ENGINE = ReplacingMergeTree ORDER BY (v)",
+    )
+    spark.sql(f"INSERT INTO `{db}`.t_cowf VALUES (1), (2)")
+
+    def boom(stage):
+        if stage == "after_drop":
+            raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(M, "_crash_point", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        M.execute_statement(
+            spark, f"ALTER TABLE t_cowf UPDATE v = v + 10 WHERE v > 0"
+        )
+    names = _raw_tables(spark, db)
+    assert "t_cowf" not in names and "__cow_t_cowf" in names
+    monkeypatch.setattr(M, "_crash_point", lambda s: None)
+    actions = M.recover_cow(spark, db)
+    assert actions == {"t_cowf": "completed"}
+    assert sorted(r.v for r in spark.table(f"`{db}`.t_cowf").collect()) == [11, 12]
+    # layout/engine properties survived the crash + recovery
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES `{db}`.t_cowf").collect()
+    }
+    assert props.get("clickhouse.engine") == "ReplacingMergeTree"
+    assert "__cow_t_cowf" not in _raw_tables(spark, db)
+    # recovery is idempotent / empty on a clean warehouse
+    assert M.recover_cow(spark, db) == {}
+
+
+def test_cow_crash_before_drop_rolls_back(spark, db, tmp_path, monkeypatch, request):
+    """A crash BEFORE the swap's DROP (e.g. mid-write or right after)
+    leaves the user-visible table fully intact; recover_cow() must drop
+    the orphan temp and the rerun then applies cleanly."""
+    spark.catalog.setCurrentDatabase(db)
+    request.addfinalizer(lambda: spark.catalog.setCurrentDatabase("default"))
+    M.execute_statement(
+        spark,
+        f"CREATE TABLE t_cowb (v Int64) ENGINE = MergeTree ORDER BY tuple()",
+    )
+    spark.sql(f"INSERT INTO `{db}`.t_cowb VALUES (1), (2)")
+
+    def boom(stage):
+        if stage == "before_drop":
+            raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(M, "_crash_point", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        M.execute_statement(
+            spark, f"ALTER TABLE t_cowb UPDATE v = v + 10 WHERE v > 0"
+        )
+    assert {"t_cowb", "__cow_t_cowb"} <= _raw_tables(spark, db)
+    # old data untouched
+    assert sorted(r.v for r in spark.table(f"`{db}`.t_cowb").collect()) == [1, 2]
+    monkeypatch.setattr(M, "_crash_point", lambda s: None)
+    actions = M.recover_cow(spark, db)
+    assert actions == {"t_cowb": "rolled_back"}
+    assert "__cow_t_cowb" not in _raw_tables(spark, db)
+    # the rerun (reference fail-stop contract: fix and rerun) applies
+    M.execute_statement(
+        spark, f"ALTER TABLE t_cowb UPDATE v = v + 10 WHERE v > 0"
+    )
+    assert sorted(r.v for r in spark.table(f"`{db}`.t_cowb").collect()) == [11, 12]
+
+
 def test_release_preserves_rival_claims(spark, db, tmp_path):
     """Releases are append-only tombstones (ADVICE r7): a rival's claim
     row present while our runner releases its own claims must survive

@@ -148,6 +148,73 @@ def _init_claims(spark: SparkSession, db_name: str) -> None:
         spark.catalog.refreshTable(qual)
 
 
+def _table_location(spark: SparkSession, qual: str) -> str | None:
+    """Local-filesystem path of a table's storage location, or None for
+    non-file schemes (object stores — where the atomic-rename append
+    below doesn't apply and a transactional table format is the
+    production answer, per README)."""
+    from urllib.parse import urlparse
+
+    rows = [
+        r
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {qual}").collect()
+        if r.col_name == "Location"
+    ]
+    if not rows:
+        return None
+    p = urlparse(rows[0].data_type)
+    if p.scheme in ("file", ""):
+        return p.path
+    return None
+
+
+def _append_claim_row(
+    spark: SparkSession, claims_qual: str, version: int, owner: str, released: bool
+) -> None:
+    """Append ONE claim/tombstone row with a private-staging atomic
+    rename instead of a Spark insert.
+
+    Two drivers appending to the same parquet table path concurrently
+    share the Hadoop FileOutputCommitter's ``_temporary/0`` staging
+    directory — the first commit DELETES it and the rival's in-flight
+    append dies with FileNotFoundException (found by the real
+    two-process race test, round 8).  Writing the finished file under a
+    dot-prefixed name (invisible to Spark's file listing) in the table
+    directory and ``os.rename``-ing it into place is atomic on
+    POSIX/HDFS and races nothing: a reader sees the whole row file or
+    nothing — exactly the durable-before-visible contract the guard
+    needs."""
+    loc = _table_location(spark, claims_qual)
+    if loc is None:  # pragma: no cover - object-store fallback
+        spark.createDataFrame([Row(version=version, owner=owner)]).withColumn(
+            "started_at", F.current_timestamp()
+        ).withColumn("released", F.lit(bool(released))).select(
+            "version", "owner", "started_at", "released"
+        ).write.mode("append").insertInto(claims_qual)
+        return
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "version": pa.array([version], pa.int64()),
+            "owner": pa.array([owner], pa.string()),
+            "started_at": pa.array(
+                [datetime.datetime.now(datetime.timezone.utc)],
+                pa.timestamp("us", tz="UTC"),
+            ),
+            "released": pa.array([bool(released)], pa.bool_()),
+        }
+    )
+    fname = f"part-claim-{uuid.uuid4().hex}.snappy.parquet"
+    tmp = os.path.join(loc, "." + fname)
+    pq.write_table(table, tmp, compression="snappy")
+    os.rename(tmp, os.path.join(loc, fname))
+    spark.catalog.refreshTable(claims_qual)
+
+
 def _live_claims(spark: SparkSession, claims_qual: str) -> DataFrame:
     """Claims minus release tombstones.  Releases are APPEND-ONLY rows
     (``released = true`` for the same (version, owner)) rather than a
@@ -813,13 +880,9 @@ def apply_migration(
             # for OUR (version, owner).  No table rewrite — the old
             # DROP/RENAME release window destroyed rival claims
             # appended mid-swap and could serve a rival's read a
-            # FileNotFound (ADVICE r7); an append races nothing and a
-            # rival's rows are physically untouched.
-            spark.createDataFrame([Row(version=version, owner=owner)]).withColumn(
-                "started_at", F.current_timestamp()
-            ).withColumn("released", F.lit(True)).select(
-                "version", "owner", "started_at", "released"
-            ).write.mode("append").insertInto(claims_qual)
+            # FileNotFound (ADVICE r7); an atomic-rename append races
+            # nothing and a rival's rows are physically untouched.
+            _append_claim_row(spark, claims_qual, version, owner, released=True)
 
         with _CLAIM_LOCK:
             # a rival runner appends through its OWN SparkSession; this
@@ -836,13 +899,7 @@ def apply_migration(
                 # another runner applied it between our diff and now
                 print(f"Skipping V{version}: already applied by a concurrent runner")
                 continue
-            spark.createDataFrame(
-                [Row(version=version, owner=owner)]
-            ).withColumn("started_at", F.current_timestamp()).withColumn(
-                "released", F.lit(False)
-            ).select(
-                "version", "owner", "started_at", "released"
-            ).write.mode("append").insertInto(claims_qual)
+            _append_claim_row(spark, claims_qual, version, owner, released=False)
             rivals = (
                 _live_claims(spark, claims_qual)
                 .filter((F.col("version") == version) & (F.col("owner") != owner))

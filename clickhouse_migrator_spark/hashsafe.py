@@ -33,6 +33,27 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 
+# DuckDB's trim() strips EXACTLY Unicode category Zs (space
+# separators: U+0020, NBSP, U+1680, U+2000–200A, U+202F, U+205F,
+# U+3000) — NOT tab/newline/CR/NEL/U+2028/29 (probed utf8proc
+# behavior, round 8).  Java \p{Zs} is exactly that set.
+_UNICODE_WS_EDGES = '(^\\p{Zs}+)|(\\p{Zs}+$)'
+
+
+def utrim(col: Column | str) -> Column:
+    """DuckDB-parity trim.  DuckDB's ``trim()`` strips the Unicode Zs
+    space-separator set (NBSP included, via utf8proc; tab/newline
+    EXCLUDED) while Spark's ``trim()`` strips only the ASCII space — a
+    text with unicode-whitespace EDGES tokenized differently across
+    the two engines (round-8 data-edge fuzz catch,
+    ``unicode/text_flesch_reading_ease``).  Java regex ``\\p{Zs}`` is
+    exactly that set, so this column is bit-identical to the DuckDB
+    oracles' ``trim(text)``.  Pure JVM expression — stays in
+    whole-stage codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, _UNICODE_WS_EDGES, "")
+
+
 def dec_str(col: Column | str, scale: int = 4, precision: int = 28) -> Column:
     """Render a numeric column as a fixed-point string, identically to
     DuckDB's ``CAST(x AS DECIMAL(p,s))::VARCHAR``."""
@@ -152,8 +173,12 @@ def round_quotient(
     # Fold the denominator sign into the numerator, then HALF_UP away
     # from zero on |T| (the engines' integer-division semantics differ
     # on negatives — truncation vs floor — so stay non-negative).
+    # A ZERO denominator becomes NULL first: DuckDB's `// 0`/`% 0`
+    # yield NULL, but Spark's ANSI `%` THROWS — on degenerate inputs
+    # (empty group, single-row sample) the engines diverged crash-vs-
+    # NULL (round-8 data-edge fuzz catch, `single/agg_ks_two_sample`).
     t = F.when(d0 < 0, -t0).otherwise(t0)
-    d = F.abs(d0)
+    d = F.when(d0 == 0, F.lit(None)).otherwise(F.abs(d0))
     mag = _int_div(
         (F.lit(2) * F.abs(t) + d).cast("decimal(38,0)"),
         (F.lit(2) * d).cast("decimal(38,0)"),

@@ -101,7 +101,13 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = o.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey", 0.01).alias("est")
     )
-    both = exact.join(F.broadcast(approx), "o_orderpriority")
+    # null-safe equality: an all-NULL group key (data-edge fuzz,
+    # round 8) must survive the rejoin — a plain equi-join drops the
+    # NULL group that the oracle's single GROUP BY keeps
+    both = exact.join(
+        F.broadcast(approx),
+        exact["o_orderpriority"].eqNullSafe(approx["o_orderpriority"]),
+    ).drop(approx["o_orderpriority"])
     return both.select(
         "o_orderpriority",
         "n_customers_exact",

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from ..hashsafe import oracle_round_quotient, round_quotient
+from ..hashsafe import oracle_round_quotient, round_quotient, utrim
 from ..registry import register
 from ..tables import table
 
@@ -52,7 +52,7 @@ SHINGLE_DF_CAP = 64
 
 
 def _tokens() -> Column:
-    return F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return F.split(F.lower(utrim(F.col("text"))), r"\s+")
 
 
 def kgrams(toks: Column, k: int) -> Column:
@@ -331,7 +331,7 @@ def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("text").alias("n_distinct_texts"),
-        F.countDistinct(F.md5(F.lower(F.trim(F.col("text"))))).alias(
+        F.countDistinct(F.md5(F.lower(utrim(F.col("text"))))).alias(
             "n_normalized_distinct"
         ),
         (F.count(F.lit(1)) - F.countDistinct("text")).alias("n_exact_dups"),
@@ -1362,7 +1362,7 @@ def dedup_boundary_stitch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the boundary gram — hash-partitioned, linear, no
     candidate blow-up: the cheapest member of the dedup family."""
     t = table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks")
+        "doc_id", F.split(F.lower(utrim(F.col("text"))), r"\s+").alias("toks")
     )
     k = BOUNDARY_K
     b = t.filter(F.size("toks") >= k).select(

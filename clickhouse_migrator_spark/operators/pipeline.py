@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..hashsafe import oracle_round_quotient, round_quotient
+from ..hashsafe import oracle_round_quotient, round_quotient, utrim
 
 _N_TOK_SQL = r"len(string_split_regex(lower(trim(text)), '\s+'))"
 from ..registry import register
@@ -80,7 +80,7 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (n_tok >= 20)
         & avg_len.between(3, 12)
     )
-    keep = gated.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("fp")).agg(
+    keep = gated.groupBy(F.md5(F.lower(utrim(F.col("text")))).alias("fp")).agg(
         F.min("doc_id").alias("doc_id")
     )
     return (
@@ -391,7 +391,7 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_chars",
         F.size(_tokens()).alias("n_tokens"),
-        F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
+        F.md5(F.lower(utrim(F.col("text")))).alias("h"),
     )
     per_source = t.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -459,7 +459,7 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
-        F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
+        F.md5(F.lower(utrim(F.col("text")))).alias("h"),
         (hash_bucket(F.col("doc_id")) < _P * 0.1).alias("is_new"),
     )
     corpus = t.filter(~F.col("is_new")).select("h").distinct()
@@ -659,7 +659,7 @@ def pipeline_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .stats import with_global_row_number
 
     d = table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = F.split(F.lower(utrim(F.col("text"))), r"\s+")
     t = d.select(
         "doc_id",
         "source",
@@ -997,7 +997,7 @@ def pipeline_dataset_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFram
     100 TB this is a single co-partitioned pass, and with both
     snapshots bucketed by doc_id it needs no shuffle at all."""
     d = table(spark, sf_dir, "documents")
-    norm = F.lower(F.trim(F.col("text")))
+    norm = F.lower(utrim(F.col("text")))
     a = d.filter(F.col("doc_id") % 11 != 0).select(
         "doc_id", F.md5(norm).alias("fp_a")
     )

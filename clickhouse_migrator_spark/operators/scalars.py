@@ -19,6 +19,7 @@ Cross-engine determinism rules (vs the DuckDB oracle):
 
 from __future__ import annotations
 
+from ..hashsafe import utrim
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import register
@@ -54,7 +55,7 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("p_name", 1, 5).alias("name_head"),
         F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
         F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
-        F.trim("p_name").alias("name_trim"),
+        utrim(F.col("p_name")).alias("name_trim"),
         F.reverse("p_brand").alias("brand_rev"),
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
         F.instr("p_type", "ED").alias("ed_pos"),
@@ -407,9 +408,16 @@ def scalar_ipv4_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH u AS (
       SELECT p_partkey,
-             concat('https://shop', CAST(p_partkey % 10 AS VARCHAR),
-                    '.example.com/parts/', CAST(p_partkey AS VARCHAR),
-                    '?brand=', replace(p_brand, '#', '')) AS url
+             -- || not concat(): DuckDB's concat() SKIPS nulls while
+             -- Spark's propagates them; with an all-NULL p_brand the
+             -- two built different urls (round-8 data-edge fuzz catch)
+             -- brand sanitized to [A-Za-z0-9] on BOTH sides: arbitrary
+             -- text (unicode fuzz) made an invalid URL that Spark's
+             -- parse_url rejects while regexes happily chew it
+             'https://shop' || CAST(p_partkey % 10 AS VARCHAR)
+                || '.example.com/parts/' || CAST(p_partkey AS VARCHAR)
+                || '?brand=' || regexp_replace(p_brand, '[^A-Za-z0-9]', '', 'g')
+                AS url
       FROM part)
     SELECT p_partkey, url,
            regexp_extract(url, '^https?://([^/?#]+)', 1)  AS host,
@@ -434,7 +442,7 @@ def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(".example.com/parts/"),
             F.col("p_partkey").cast("string"),
             F.lit("?brand="),
-            F.replace(F.col("p_brand"), F.lit("#"), F.lit("")),
+            F.regexp_replace(F.col("p_brand"), "[^A-Za-z0-9]", ""),
         ).alias("url"),
     )
     return u.select(

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..hashsafe import oracle_round_quotient, round_quotient
+from ..hashsafe import oracle_round_quotient, round_quotient, utrim
 from ..registry import register
 from ..tables import table
 
@@ -1547,7 +1547,7 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     The OLS fit is the same closed-form moment aggregation as
     `agg_linear_regression`."""
     tok = table(spark, sf_dir, "documents").select(
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+        F.explode(F.split(F.lower(utrim(F.col("text"))), r"\s+")).alias("token")
     )
     freq = (
         tok.groupBy("token")
@@ -1804,12 +1804,17 @@ def agg_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("na").cast("decimal(19,0)") * F.col("nb").cast("decimal(19,0)"),
             6,
         ).alias("abs_lift"),
+        # try_divide: a degenerate experiment (zero or total conversion
+        # → pooled variance 0) must yield NULL like DuckDB's /0, not an
+        # ANSI DIVIDE_BY_ZERO crash (round-8 data-edge fuzz catch)
         F.round(
-            (F.col("rb") - F.col("ra"))
-            / F.sqrt(
-                pooled
-                * (1 - pooled)
-                * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+            F.try_divide(
+                F.col("rb") - F.col("ra"),
+                F.sqrt(
+                    pooled
+                    * (1 - pooled)
+                    * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+                ),
             ),
             6,
         ).alias("z_stat"),

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
-from ..hashsafe import oracle_round_quotient, round_quotient
+from ..hashsafe import oracle_round_quotient, round_quotient, utrim
 from ..registry import register
 from ..tables import table
 from .dedup import kgrams
@@ -24,7 +24,7 @@ STOP_DE = ("der", "die", "das", "und", "zu", "ist", "ein", "eine")
 
 
 def _tokens(col: str = "text") -> Column:
-    return F.split(F.lower(F.trim(F.col(col))), r"\s+")
+    return F.split(F.lower(utrim(F.col(col))), r"\s+")
 
 
 def _stop_hits(tokens: Column, stops: tuple[str, ...]) -> Column:
@@ -184,7 +184,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(toks)))).alias("fingerprint"),
-        F.md5(F.lower(F.trim(F.col("text")))).alias("exact_hash"),
+        F.md5(F.lower(utrim(F.col("text")))).alias("exact_hash"),
     )
 
 
@@ -294,7 +294,7 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     every intermediate < 2^57, exact in int64 in both engines; computed
     with JVM higher-order functions (`F.aggregate`), no Python UDF."""
     d = table(spark, sf_dir, "documents")
-    chars = F.split(F.lower(F.trim(F.col("text"))), "")
+    chars = F.split(F.lower(utrim(F.col("text"))), "")
     roll = F.aggregate(
         chars,
         F.lit(7).cast("bigint"),
@@ -1135,7 +1135,7 @@ def text_char_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode+groupBy (a corpus-sized shuffle), this stays one scan, zero
     shuffles, linearithmic per row — trivially data-parallel at 100 TB."""
     d = _docs_cpu(spark, sf_dir)
-    s = F.lower(F.trim(F.col("text")))
+    s = F.lower(utrim(F.col("text")))
     # trigrams from a one-time char split + the shifted-slice zip build
     # (see dedup.kgrams): the previous per-position s.substr inside the
     # HOF lambda allocated one interpreted substring PER WINDOW —

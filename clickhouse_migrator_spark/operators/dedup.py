@@ -731,6 +731,10 @@ def _embedding_cosine_pairs(
     import pandas as pd
 
     base = table(spark, sf_dir, "embeddings")
+    # NULL embeddings carry no vector: they can't form a pair on either
+    # engine (oracle similarity of NULL fails the threshold) but a None
+    # inside the GEMM batch crashed the worker (round-8 edge fuzz)
+    base = base.filter(F.col("embedding").isNotNull())
     if n_cap is not None:
         base = _cap_sample(base, "vec_id", n_cap)
     e = base.select(

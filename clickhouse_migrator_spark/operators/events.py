@@ -394,10 +394,15 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     two scans, one tiny shuffle (10 groups), no driver round-trip."""
     e = table(spark, sf_dir, "events")
     stats = e.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    # try_divide: a constant-valued (or single-row) stream zeroes the
+    # bucket width (round-8 edge fuzz)
     bucket = F.least(
-        F.floor((F.col("value") - F.col("vmin")) / ((F.col("vmax") - F.col("vmin")) / 10.0)).cast(
-            "int"
-        ),
+        F.floor(
+            F.try_divide(
+                F.col("value") - F.col("vmin"),
+                (F.col("vmax") - F.col("vmin")) / 10.0,
+            )
+        ).cast("int"),
         F.lit(9),
     )
     return (
@@ -667,12 +672,19 @@ def agg_summap_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("v")
     )
-    m = F.map_from_entries(
-        F.array_sort(F.collect_list(F.struct("event_type", "v")))
-    )
+    # project the key-sorted entries array directly rather than through
+    # map_from_entries: a NULL key (degenerate data) crashes Spark's
+    # map construction with NULL_MAP_KEY while the DuckDB oracle's
+    # list() carries it (round-8 edge fuzz catch); the rendered
+    # parallel arrays are identical for valid keys
+    entries = F.array_sort(F.collect_list(F.struct("event_type", "v")))
     return per.groupBy("user_id").agg(
-        F.concat_ws(",", F.map_keys(m)).alias("map_keys"),
-        F.concat_ws(",", F.map_values(m)).alias("map_values"),
+        F.concat_ws(
+            ",", F.transform(entries, lambda s: s["event_type"])
+        ).alias("map_keys"),
+        F.concat_ws(",", F.transform(entries, lambda s: s["v"])).alias(
+            "map_values"
+        ),
     )
 
 

@@ -76,6 +76,10 @@ def graph_pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = sym.groupBy(F.col("doc_a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
     nodes = deg.select("node")
     n = nodes.count()
+    if n == 0:
+        # empty graph: the recursive-CTE oracle also yields 0 rows; the
+        # uniform prior 1/n is undefined (round-8 edge fuzz crash)
+        return spark.createDataFrame([], "node bigint, pagerank double")
     ranks = nodes.withColumn("r", F.lit(1.0 / n))
     for _ in range(PR_ITERS):
         contrib = (
@@ -243,10 +247,13 @@ def graph_density_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nn.crossJoin(F.broadcast(ne)).select(
         "n_nodes",
         "n_edges",
+        # try_divide: a 0/1-node graph has no pair denominator —
+        # NULL like DuckDB's /0, not an ANSI crash (round-8 edge fuzz)
         F.round(
-            2.0
-            * F.col("n_edges")
-            / (F.col("n_nodes") * (F.col("n_nodes") - 1)).cast("double"),
+            F.try_divide(
+                2.0 * F.col("n_edges"),
+                (F.col("n_nodes") * (F.col("n_nodes") - 1)).cast("double"),
+            ),
             6,
         ).alias("density"),
         "max_degree",

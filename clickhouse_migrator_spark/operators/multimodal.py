@@ -110,11 +110,19 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = [fake_decode(p) for p in pdf["payload"]]
+            # NULL payloads (null source text) decode to NULL metadata,
+            # matching the oracle's NULL propagation — len(None) crashed
+            # the worker (round-8 edge fuzz); fmt stays the constant
+            meta = [
+                fake_decode(p) if p is not None else (None, None, None, "fake")
+                for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
-                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "n_bytes": [
+                        len(p) if p is not None else None for p in pdf["payload"]
+                    ],
                     "width": [m[0] for m in meta],
                     "height": [m[1] for m in meta],
                     "n_frames": [m[2] for m in meta],
@@ -330,6 +338,11 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             embs = []
             for payload in pdf["payload"]:
+                if payload is None:
+                    # NULL payload → NULL embedding (oracle: md5(NULL)
+                    # is NULL); bytes(None) crashed the worker
+                    embs.append(None)
+                    continue
                 h = hashlib.md5(bytes(payload)).hexdigest()
                 # fixed-point rendering matches DuckDB DECIMAL(10,6)::VARCHAR
                 embs.append(
@@ -565,6 +578,10 @@ def multimodal_chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_chunks"),
         F.countDistinct("chash").alias("n_unique_chunks"),
         F.round(
-            1 - F.countDistinct("chash") / F.count(F.lit(1)).cast("double"), 6
+            1
+            - F.try_divide(
+                F.countDistinct("chash"), F.count(F.lit(1)).cast("double")
+            ),
+            6,
         ).alias("chunk_dedup_rate"),
     )

@@ -950,7 +950,10 @@ def pipeline_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_heldout",
         "n_contaminated",
         F.round(
-            F.col("n_contaminated") / F.col("n_heldout").cast("double"), 6
+            F.try_divide(
+                F.col("n_contaminated"), F.col("n_heldout").cast("double")
+            ),
+            6,
         ).alias("leakage_rate"),
     )
 

@@ -643,7 +643,10 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n1 = F.sum("c_pos")
     n2 = F.sum("c_neg")
-    r1 = F.sum(F.col("c_pos") * F.col("avg_rank"))
+    # R₁ over POSITIVE rows only: with zero purchases the oracle's
+    # conditional sum is NULL (empty sum) while summing c_pos·rank
+    # would give 0.0 — align to NULL (round-8 edge fuzz, single-row)
+    r1 = F.sum(F.when(F.col("c_pos") > 0, F.col("c_pos") * F.col("avg_rank")))
     u1 = r1 - (n1 * (n1 + 1)) / 2.0
     return ranked.agg(
         F.round(u1, 4).alias("u1"),
@@ -927,10 +930,13 @@ def agg_association_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chi2") / F.col("nn")
         - (F.col("nr") - 1) * (F.col("nc") - 1) / (F.col("nn") - 1),
     )
+    # try_divide: a single-row table zeroes nn-1 (round-8 edge fuzz)
     k_corr = (
         F.least(
-            F.col("nr") - F.pow(F.col("nr") - 1, 2) / (F.col("nn") - 1),
-            F.col("nc") - F.pow(F.col("nc") - 1, 2) / (F.col("nn") - 1),
+            F.col("nr")
+            - F.try_divide(F.pow(F.col("nr") - 1, 2), F.col("nn") - 1),
+            F.col("nc")
+            - F.try_divide(F.pow(F.col("nc") - 1, 2), F.col("nn") - 1),
         )
         - 1
     )
@@ -941,7 +947,7 @@ def agg_association_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(phi2_corr / k_corr), 6).alias("cramers_v_corrected"),
         # round-ok: entropies are log-derived — float-stat provenance
         F.round(
-            (F.col("h_a") - F.col("h_a_given_b")) / F.col("h_a"), 6
+            F.try_divide(F.col("h_a") - F.col("h_a_given_b"), F.col("h_a")), 6
         ).alias("theils_u"),
         F.col("nn").cast("long").alias("n_rows"),
     )
@@ -1337,9 +1343,15 @@ def ml_ols_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("l_extendedprice").alias("my"),
         F.count(F.lit(1)).alias("n"),
     )
+    # try_divide: a singular design matrix (constant features /
+    # single row) zeroes det — NULL like DuckDB, not an ANSI crash
     det = F.col("v11") * F.col("v22") - F.col("v12") * F.col("v12")
-    b1 = (F.col("c1") * F.col("v22") - F.col("c2") * F.col("v12")) / det
-    b2 = (F.col("c2") * F.col("v11") - F.col("c1") * F.col("v12")) / det
+    b1 = F.try_divide(
+        F.col("c1") * F.col("v22") - F.col("c2") * F.col("v12"), det
+    )
+    b2 = F.try_divide(
+        F.col("c2") * F.col("v11") - F.col("c1") * F.col("v12"), det
+    )
     return m.select(
         F.round(b1, 6).alias("beta_quantity"),
         F.round(b2, 6).alias("beta_discount"),
@@ -1391,8 +1403,9 @@ def agg_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = cell.withColumn("tg", F.sum("g").over(w)).withColumn(
         "tb", F.sum("b").over(w)
     )
-    pg = F.col("g").cast("double") / F.col("tg")
-    pb = F.col("b").cast("double") / F.col("tb")
+    # try_divide: an all-good or all-bad corpus zeroes a class total
+    pg = F.try_divide(F.col("g").cast("double"), F.col("tg"))
+    pb = F.try_divide(F.col("b").cast("double"), F.col("tb"))
     return t.select(
         "event_type",
         F.round((pg - pb) * F.log(pg / pb), 6).alias("iv_component"),
@@ -1454,9 +1467,15 @@ def agg_anova_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sb_minus, 4).alias("ss_between"),
         F.round(ssw, 4).alias("ss_within"),
         # round-ok: sums of squares are float — float-stat provenance
-        F.round((sb_minus / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 6).alias(
-            "f_stat"
-        ),
+        # try_divide: k=1 groups or n=k rows zero a denominator —
+        # NULL like DuckDB, not an ANSI crash (round-8 edge fuzz)
+        F.round(
+            F.try_divide(
+                F.try_divide(sb_minus, F.col("k") - 1),
+                F.try_divide(ssw, F.col("n") - F.col("k")),
+            ),
+            6,
+        ).alias("f_stat"),
     )
 
 
@@ -2146,7 +2165,12 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     c = (
         series.crossJoin(F.broadcast(m))
-        .withColumn("s", F.sum((F.col("y") - F.col("mu")) / F.col("sigma")).over(w))
+        .withColumn(
+            "s",
+            F.sum(
+                F.try_divide(F.col("y") - F.col("mu"), F.col("sigma"))
+            ).over(w),
+        )
     )
     top = c.withColumn(
         "rn", F.row_number().over(Window.orderBy(F.abs("s").desc(), "d"))
@@ -2348,13 +2372,15 @@ def agg_ratio_metric_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame
         F.var_samp("y").alias("vy"),
         F.covar_samp("x", "y").alias("cxy"),
     )
-    ratio = F.col("mx") / F.col("my")
+    # try_divide throughout: zero/NULL means (degenerate inputs —
+    # round-8 edge fuzz) must yield NULL like DuckDB's /0, not crash
+    ratio = F.try_divide(F.col("mx"), F.col("my"))
     rel_var = (
-        F.col("vx") / (F.col("mx") * F.col("mx"))
-        + F.col("vy") / (F.col("my") * F.col("my"))
-        - 2 * F.col("cxy") / (F.col("mx") * F.col("my"))
+        F.try_divide(F.col("vx"), F.col("mx") * F.col("mx"))
+        + F.try_divide(F.col("vy"), F.col("my") * F.col("my"))
+        - 2 * F.try_divide(F.col("cxy"), F.col("mx") * F.col("my"))
     )
-    se = F.sqrt(rel_var / F.col("n")) * ratio
+    se = F.sqrt(F.try_divide(rel_var, F.col("n"))) * ratio
     return m.select(
         "n",
         F.round(ratio, 6).alias("ratio"),

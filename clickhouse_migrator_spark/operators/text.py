@@ -115,7 +115,11 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stopword_ratio"
         ),
         round_quotient(
-            F.size(F.regexp_extract_all("text", F.lit(r"[\p{Punct}]"))),
+            # explicit group 0: the default idx=1 errors at the FIRST
+            # match because the pattern has no capture group — latent
+            # until a text actually contained punctuation (round-8
+            # edge fuzz, unicode variant)
+            F.size(F.regexp_extract_all("text", F.lit(r"[\p{Punct}]"), 0)),
             F.length("text"),
             6,
         ).alias("punct_ratio"),
@@ -876,8 +880,12 @@ def text_lexical_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFr
                 / (F.col("n") * (F.col("n") - 1)).cast("double"),
                 6,
             ).alias("simpson_index"),
+            # try_divide: a 1-type vocabulary zeroes log(v)
             F.round(
-                (-F.sum(p * F.log(p))) / F.log(F.col("v").cast("double")), 6
+                F.try_divide(
+                    -F.sum(p * F.log(p)), F.log(F.col("v").cast("double"))
+                ),
+                6,
             ).alias("shannon_evenness"),
         )
         .select(

@@ -503,11 +503,19 @@ def window_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.orderBy("day").rowsBetween(-6, 0)
+    # Pearson from windowed moments with try_divide, NOT F.corr: under
+    # ANSI, corr() THROWS on a zero-variance frame (constant series)
+    # while DuckDB's corr yields NULL (round-8 edge fuzz catch).  Same
+    # accumulators (Welford covar/stddev), same value, crash-free.
+    rolling_r = F.try_divide(
+        F.covar_samp("buy_v", "clicks").over(w),
+        F.stddev_samp("buy_v").over(w) * F.stddev_samp("clicks").over(w),
+    )
     return daily.select(
         "day",
         F.round("buy_v", 2).alias("buy_v"),
         "clicks",
-        F.round(F.corr("buy_v", "clicks").over(w), 6).alias("corr_7d"),
+        F.round(rolling_r, 6).alias("corr_7d"),
     ).orderBy("day")
 
 

@@ -304,9 +304,9 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted_values",
     oracle="""
     SELECT o_orderpriority,
-           array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+           coalesce(array_to_string(list_sort(list_distinct(list(o_orderstatus))), ','), '')
                AS statuses,
-           array_to_string(list_sort(list_distinct(list(year(o_orderdate)))), ',')
+           coalesce(array_to_string(list_sort(list_distinct(list(year(o_orderdate)))), ','), '')
                AS years
     FROM orders GROUP BY o_orderpriority
     """,
@@ -372,6 +372,9 @@ def agg_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
             variableColumnName="measure",
             valueColumnName="val",
         )
+        # SQL UNPIVOT (and DuckDB's) EXCLUDES NULL cells; Spark's
+        # unpivot keeps them — drop to match (round-8 edge fuzz)
+        .filter(F.col("val").isNotNull())
         .groupBy("measure")
         .agg(
             round_quotient(
@@ -468,10 +471,10 @@ def agg_statistical_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_quantiles_array",
     oracle="""
     SELECT l_returnflag,
-           array_to_string(
+           coalesce(array_to_string(
              list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
                             x -> CAST(CAST(round(x, 6) AS DECIMAL(18,6))
-                                      AS VARCHAR)), ',') AS qty_quartiles,
+                                      AS VARCHAR)), ','), '') AS qty_quartiles,
            round(quantile_cont(l_extendedprice, 0.5), 6) AS price_median
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -533,7 +536,7 @@ def agg_bit_group(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM counted
     )
     SELECT o_orderstatus,
-           array_to_string(list(o_orderpriority ORDER BY rk), ',') AS top_priorities,
+           coalesce(array_to_string(list(o_orderpriority ORDER BY rk), ','), '') AS top_priorities,
            array_to_string(list(cnt ORDER BY rk), ',')             AS top_counts
     FROM ranked WHERE rk <= 3 GROUP BY o_orderstatus
     """,
@@ -579,7 +582,10 @@ def agg_topk_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
              avg(pow(l.l_extendedprice - mu.m, 2)) AS m2,
              avg(pow(l.l_extendedprice - mu.m, 3)) AS m3,
              avg(pow(l.l_extendedprice - mu.m, 4)) AS m4
-      FROM lineitem l JOIN mu USING (l_returnflag)
+      -- null-safe join: the NULL flag group must survive like
+      -- Spark's groupBy does (round-8 edge fuzz)
+      FROM lineitem l JOIN mu
+        ON l.l_returnflag IS NOT DISTINCT FROM mu.l_returnflag
       GROUP BY l.l_returnflag
     )
     SELECT l_returnflag,
@@ -649,7 +655,7 @@ def agg_entropy_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_group_array_ordered",
     oracle="""
     SELECT user_id,
-           array_to_string((list(event_type ORDER BY ts, event_id))[1:5], ',')
+           coalesce(array_to_string((list(event_type ORDER BY ts, event_id))[1:5], ','), '')
              AS first_types,
            count(*) AS n_events
     FROM events GROUP BY user_id
@@ -697,8 +703,8 @@ def agg_group_array_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM wsum
     )
     SELECT o_orderstatus,
-           array_to_string(list(o_orderpriority ORDER BY rk), ',') AS top_priorities,
-           array_to_string(list(weight ORDER BY rk), ',')          AS top_weights
+           coalesce(array_to_string(list(o_orderpriority ORDER BY rk), ','), '') AS top_priorities,
+           coalesce(array_to_string(list(weight ORDER BY rk), ','), '')          AS top_weights
     FROM ranked WHERE rk <= 3 GROUP BY o_orderstatus
     """,
 )
@@ -756,7 +762,7 @@ def agg_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id,
-           array_to_string((list(mv ORDER BY ts, event_id))[1:8], ',')
+           coalesce(array_to_string((list(mv ORDER BY ts, event_id))[1:8], ','), '')
              AS moving_sums
     FROM r GROUP BY user_id
     """,
@@ -816,13 +822,17 @@ def agg_group_array_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
                       count(DISTINCT a) AS nr,
                       count(DISTINCT b) AS nc
                FROM c)
+    -- null-safe joins keep NULL categories like Spark's window
+    -- partitions; +0 normalizes -0.0 on degenerate contingency tables
     SELECT round(sqrt(sum(pow(c.n - rt.rn * ct.cn / tot.nn, 2)
                           / (rt.rn * ct.cn / tot.nn))
                       / (max(tot.nn)
-                         * (least(max(tot.nr), max(tot.nc)) - 1))), 4)
+                         * (least(max(tot.nr), max(tot.nc)) - 1))), 4) + 0
              AS cramers_v,
            CAST(max(tot.nn) AS BIGINT) AS n_rows
-    FROM c JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot
+    FROM c JOIN rt ON c.a IS NOT DISTINCT FROM rt.a
+           JOIN ct ON c.b IS NOT DISTINCT FROM ct.b
+           CROSS JOIN tot
     """,
 )
 def agg_cramers_v_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1083,7 +1093,8 @@ def agg_avg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_group_concat",
     oracle="""
     SELECT o_orderpriority,
-           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+           -- coalesce: all-NULL group renders '' like Spark concat_ws
+           coalesce(string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus), '')
              AS statuses,
            count(DISTINCT o_orderstatus) AS n_statuses
     FROM orders GROUP BY o_orderpriority
@@ -1356,8 +1367,15 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.countDistinct("user_id").alias("exact_uniques"))
     )
+    # null-safe equality: an all-NULL group key must survive the
+    # exact⋈merged rejoin (round-8 edge fuzz, same class as
+    # agg_approx_count_distinct)
     return (
-        exact.join(merged, "event_type")
+        exact.join(
+            merged,
+            exact["event_type"].eqNullSafe(merged["event_type"]),
+        )
+        .drop(merged["event_type"])
         .select(
             "event_type",
             "exact_uniques",
@@ -1440,7 +1458,8 @@ def agg_count_min_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag AS flag, count(*) AS n_rows,
            true AS p50_within_1pct,
            true AS p99_within_1pct
-    FROM lineitem GROUP BY l_returnflag ORDER BY flag
+    FROM lineitem WHERE l_extendedprice IS NOT NULL
+    GROUP BY l_returnflag ORDER BY flag
     """,
 )
 def agg_tdigest_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1563,7 +1582,7 @@ def agg_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
       SELECT o_totalprice,
              ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
-      FROM orders)
+      FROM orders WHERE o_totalprice IS NOT NULL)
     SELECT decile, count(*) AS n,
            round(min(o_totalprice), 2) AS lo,
            round(max(o_totalprice), 2) AS hi,

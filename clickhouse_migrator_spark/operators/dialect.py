@@ -324,7 +324,7 @@ def dialect_array_lambdas(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dialect_group_uniq_concat",
     oracle="""
     SELECT o_orderpriority,
-           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+           coalesce(string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus), '')
              AS statuses
     FROM orders GROUP BY o_orderpriority
     """,

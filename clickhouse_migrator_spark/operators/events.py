@@ -491,10 +491,13 @@ def events_retention_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup is a partial-agg of three ints, so the plan carries one
     narrow shuffle regardless of event volume."""
     e = table(spark, sf_dir, "events")
+    # when/otherwise, not bool-cast: a NULL event_type must count 0
+    # like the oracle's CASE ... ELSE 0 (a bare comparison yields NULL
+    # → max/sum NULL on an all-null column; round-8 edge fuzz)
     per_user = e.groupBy("user_id").agg(
-        F.max((F.col("event_type") == "signup").cast("int")).alias("s"),
-        F.max((F.col("event_type") == "view").cast("int")).alias("v"),
-        F.max((F.col("event_type") == "purchase").cast("int")).alias("p"),
+        F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias("s"),
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("v"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("p"),
     )
     return per_user.agg(
         F.sum("s").alias("signed_up"),
@@ -1003,13 +1006,14 @@ def events_max_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id, event_type
     )
     SELECT user_id,
-           array_to_string(list(event_type ORDER BY event_type), ',') AS map_keys,
-           array_to_string(list(CAST(CAST(lo AS DECIMAL(18,4)) AS VARCHAR)
-                                ORDER BY event_type), ',')  AS min_values,
-           array_to_string(list(CAST(CAST(hi AS DECIMAL(18,4)) AS VARCHAR)
-                                ORDER BY event_type), ',')  AS max_values,
-           array_to_string(list(CAST(CAST(mean AS DECIMAL(18,4)) AS VARCHAR)
-                                ORDER BY event_type), ',')  AS avg_values
+           -- coalesce: all-NULL renderings match Spark concat_ws ''
+           coalesce(array_to_string(list(event_type ORDER BY event_type), ','), '') AS map_keys,
+           coalesce(array_to_string(list(CAST(CAST(lo AS DECIMAL(18,4)) AS VARCHAR)
+                                ORDER BY event_type), ','), '')  AS min_values,
+           coalesce(array_to_string(list(CAST(CAST(hi AS DECIMAL(18,4)) AS VARCHAR)
+                                ORDER BY event_type), ','), '')  AS max_values,
+           coalesce(array_to_string(list(CAST(CAST(mean AS DECIMAL(18,4)) AS VARCHAR)
+                                ORDER BY event_type), ','), '')  AS avg_values
     FROM per GROUP BY user_id
     """,
 )

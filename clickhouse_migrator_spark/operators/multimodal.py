@@ -475,6 +475,7 @@ _MAGIC = {
                    WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 12 ELSE 0 END)
              AS BIGINT) AS total_bytes
     FROM documents
+    WHERE text IS NOT NULL
     GROUP BY 1
     ORDER BY sniffed_type
     """,
@@ -491,7 +492,9 @@ def multimodal_magic_byte_sniffing(spark: SparkSession, sf_dir: str) -> DataFram
     row-local JVM expressions over the binary column, no decode, no
     Python; the rollup is one hash aggregate.  This is the cheap
     first-pass that routes blobs to the right decoder pool at 100 TB."""
-    d = binary_docs(spark, sf_dir)
+    # sniffing contract: a NULL payload has no bytes to sniff
+    # (both sides; round-8 edge fuzz)
+    d = binary_docs(spark, sf_dir).filter(F.col("payload").isNotNull())
     payload = F.concat(
         F.when(F.col("doc_id") % 4 == 0, F.lit(_MAGIC[0][0]))
         .when(F.col("doc_id") % 4 == 1, F.lit(_MAGIC[1][0]))

@@ -285,9 +285,10 @@ CHUNK_STRIDE = 24  # chunk start step (overlap = CHUNK_TOKENS - CHUNK_STRIDE)
       FROM t)
     SELECT doc_id, k AS chunk_id, k * {CHUNK_STRIDE} AS start_tok,
            least({CHUNK_TOKENS}, n_tokens - k * {CHUNK_STRIDE}) AS chunk_len,
-           md5(array_to_string(
+           md5(coalesce(array_to_string(
                list_slice(toks, k * {CHUNK_STRIDE} + 1,
-                          k * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ')) AS chunk_hash
+                          k * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' '), ''))
+             AS chunk_hash
     FROM n, unnest(generate_series(0, n_chunks - 1)) AS u(k)
     """,
 )
@@ -439,8 +440,13 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus AS (SELECT DISTINCT h FROM t WHERE NOT is_new)
     SELECT t.source,
            count(*) AS n_new_docs,
-           count(*) FILTER (WHERE t.h IN (SELECT h FROM corpus)) AS n_dup_of_corpus,
-           count(*) FILTER (WHERE t.h NOT IN (SELECT h FROM corpus)) AS n_novel
+           -- EXISTS (not IN): a NULL fingerprint must count as NOVEL,
+           -- matching the engine's anti-join semantics; NULL IN (...)
+           -- is three-valued and silently drops from BOTH filters
+           count(*) FILTER (WHERE EXISTS
+               (SELECT 1 FROM corpus c WHERE c.h = t.h)) AS n_dup_of_corpus,
+           count(*) FILTER (WHERE NOT EXISTS
+               (SELECT 1 FROM corpus c WHERE c.h = t.h)) AS n_novel
     FROM t WHERE t.is_new
     GROUP BY t.source ORDER BY t.source
     """,
@@ -628,7 +634,7 @@ def pipeline_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, source,
              len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
              {oracle_round_quotient("length(text)", _N_TOK_SQL, 6)} AS difficulty
-      FROM documents),
+      FROM documents WHERE text IS NOT NULL),
     r AS (
       SELECT *,
              row_number() OVER (ORDER BY difficulty, doc_id) AS rn,
@@ -658,7 +664,8 @@ def pipeline_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract of `tests/test_global_window_audit.py`)."""
     from .stats import with_global_row_number
 
-    d = table(spark, sf_dir, "documents")
+    # rank contract: NULL text has no difficulty (both sides)
+    d = table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = F.split(F.lower(utrim(F.col("text"))), r"\s+")
     t = d.select(
         "doc_id",

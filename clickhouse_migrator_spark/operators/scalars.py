@@ -34,14 +34,16 @@ from ..tables import table
            upper(p_brand)                         AS brand_upper,
            length(p_name)                         AS name_len,
            substr(p_name, 1, 5)                   AS name_head,
-           concat(p_brand, ':', p_type)           AS brand_type,
+           concat_ws(':', p_brand, p_type)        AS brand_type,
            replace(p_type, ' ', '_')              AS type_snake,
            trim(p_name)                           AS name_trim,
            reverse(p_brand)                       AS brand_rev,
            lpad(CAST(p_size AS VARCHAR), 4, '0')  AS size_padded,
            strpos(p_type, 'ED')                   AS ed_pos,
            regexp_extract(p_name, '^(\\w+)', 1)   AS first_word,
-           split_part(p_type, ' ', 1)             AS type_first_token
+           -- DuckDB split_part(NULL)='' but Spark's is NULL-preserving
+           CASE WHEN p_type IS NULL THEN NULL
+                ELSE split_part(p_type, ' ', 1) END   AS type_first_token
     FROM part
     """,
 )
@@ -276,7 +278,8 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            props['status'][1]                       AS status_val,
            array_to_string(map_keys(props), ',')    AS key_list,
-           array_to_string(map_values(props), ',')  AS val_list,
+           -- coalesce: both map values NULL renders '' like concat_ws
+           coalesce(array_to_string(map_values(props), ','), '')  AS val_list,
            CAST(cardinality(props) AS INT)          AS n_entries
     FROM m
     """,
@@ -514,8 +517,8 @@ def scalar_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(words)                                   AS n_words,
            list_contains(words, 'green')                AS has_green,
            list_position(words, 'green')                AS green_pos,
-           array_to_string(list_sort(list_distinct(words)), ',') AS uniq_sorted,
-           array_to_string(list_slice(words, 2, 3), ',')         AS mid_slice,
+           coalesce(array_to_string(list_sort(list_distinct(words)), ','), '') AS uniq_sorted,
+           coalesce(array_to_string(list_slice(words, 2, 3), ','), '')         AS mid_slice,
            array_to_string(flatten([words, ['#']]), ',')         AS with_sentinel
     FROM a
     """,
@@ -537,8 +540,18 @@ def scalar_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "uniq_sorted"
         ),
         F.concat_ws(",", F.slice(F.col("words"), 2, 2)).alias("mid_slice"),
+        # null-safe sentinel append: DuckDB's flatten skips a NULL
+        # inner list (yields ['#']) while Spark's flatten nulls out
         F.concat_ws(
-            ",", F.flatten(F.array(F.col("words"), F.array(F.lit("#"))))
+            ",",
+            F.flatten(
+                F.array(
+                    F.coalesce(
+                        F.col("words"), F.array().cast("array<string>")
+                    ),
+                    F.array(F.lit("#")),
+                )
+            ),
         ).alias("with_sentinel"),
     )
 
@@ -882,7 +895,9 @@ def scalar_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = F.array_intersect(F.col("head"), F.col("tail"))
     return t.select(
         "doc_id",
-        F.array_join(F.array_sort(both), ",").alias("both_str"),
+        # concat_ws, not array_join: a NULL intersect (NULL inputs)
+        # renders '' like the oracle's coalesce (round-8 edge fuzz)
+        F.concat_ws(",", F.array_sort(both)).alias("both_str"),
         F.size(both).alias("n_both"),
         F.size(F.array_union(F.col("head"), F.col("tail"))).alias("n_union"),
         F.size(F.array_except(F.col("head"), F.col("tail"))).alias("n_only_head"),

@@ -36,10 +36,19 @@ def _dot(x: Column, y: Column) -> Column:
 
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-        "label",
+    """Typed vector scan.  NULL embeddings are excluded — a missing
+    vector cannot be searched or ranked; the sign-LSH bucket of a NULL
+    vector otherwise rendered as '' and matched every other NULL
+    (round-8 edge fuzz); all sim_* oracles carry the same
+    `WHERE embedding IS NOT NULL` contract."""
+    return (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+            "label",
+        )
     )
 
 
@@ -115,7 +124,7 @@ def sim_topk_cosine_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_topk_euclidean",
     oracle=f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
     scored AS (
       SELECT query_id, e.vec_id AS cand_id, list_distance(qv, e.v) AS d
@@ -158,7 +167,7 @@ def sim_topk_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_lsh_bucket_topk",
     oracle=f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
     sigs AS (
       SELECT vec_id, v,
              array_to_string(list_transform(v[1:{LSH_DIMS}],
@@ -215,7 +224,7 @@ def sim_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_ivf_label_topk",
     oracle=f"""
-    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
     dims AS (
       SELECT vec_id, label, unnest(v) AS val, unnest(range(1, 65)) AS dim FROM e
     ),
@@ -504,7 +513,7 @@ def ivf_kmeans_topk(
     oracle="""
     WITH v AS (
       SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings),
+      FROM embeddings WHERE embedding IS NOT NULL),
     s AS (
       SELECT label, v,
              list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
@@ -573,7 +582,7 @@ TRUNC_DIMS = 16
     oracle=f"""
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS fv
-      FROM embeddings),
+      FROM embeddings WHERE embedding IS NOT NULL),
     q AS (SELECT vec_id AS query_id, fv AS qv FROM v WHERE vec_id < {N_QUERIES}),
     full_scored AS (
       SELECT query_id, v.vec_id,
@@ -669,7 +678,7 @@ def sim_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
       SELECT label, vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS fv
-      FROM embeddings),
+      FROM embeddings WHERE embedding IS NOT NULL),
     cent AS (
       SELECT label, list(avg_val ORDER BY i) AS cv FROM (
         SELECT label, u.i AS i, avg(fv[u.i]) AS avg_val
@@ -819,7 +828,7 @@ def _sql_jl_sign(i: str, j: str) -> str:
 @register(
     "sim_jl_projection_audit",
     oracle=f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
     p AS (
       SELECT vec_id, v,
              list_transform(range(0, {JL_K}),
@@ -898,7 +907,7 @@ def sim_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_doc_semantic_neighbors",
     oracle=f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
     scored AS (
       SELECT query_id, e.vec_id AS cand_id,

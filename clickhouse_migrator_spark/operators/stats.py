@@ -341,6 +341,7 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY l_returnflag
                                 ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rny
       FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
     ), avg_ranked AS (
       SELECT l_returnflag,
              avg(rnx) OVER (PARTITION BY l_returnflag, l_quantity)      AS rx,
@@ -362,8 +363,14 @@ def agg_rank_corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact rows), joined back onto the rows on (group, value) — two
     shuffle joins + one co-moment agg, never a per-row sort of a whole
     group in one partition."""
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_quantity", "l_extendedprice"
+    # rank contract: only non-null (x, y) pairs rank (both sides)
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_quantity").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+        )
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
     )
 
     def grid_ranks(col: str, out: str) -> DataFrame:
@@ -399,7 +406,7 @@ def agg_rank_corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
              avg(rn) OVER (PARTITION BY value) AS avg_rank
       FROM (SELECT event_type, value,
                    row_number() OVER (ORDER BY value, event_id) AS rn
-            FROM events)
+            FROM events WHERE value IS NOT NULL)
     )
     SELECT {oracle_round_quotient(
                "CAST(2 * sum(CASE WHEN pos THEN avg_rank END) AS HUGEINT)"
@@ -425,8 +432,11 @@ def agg_value_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted aggregate of grid rows.  The only ordered pass is a
     running-sum window over the (much smaller) grid — the same
     O(|distinct|) state as the KS query."""
-    e = table(spark, sf_dir, "events").select(
-        (F.col("event_type") == "purchase").alias("pos"), "value"
+    # rank contract: a NULL score cannot be ranked (both sides)
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select((F.col("event_type") == "purchase").alias("pos"), "value")
     )
     grid = e.groupBy("value").agg(
         F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("c_pos"),
@@ -660,7 +670,7 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_group_uniq_array",
     oracle="""
     SELECT o_orderpriority,
-           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+           coalesce(array_to_string(list_sort(list(DISTINCT o_orderstatus)), ','), '') AS statuses,
            count(DISTINCT o_orderstatus)           AS n_statuses
     FROM orders GROUP BY o_orderpriority
     """,
@@ -830,10 +840,10 @@ def events_max_intersections_position(spark: SparkSession, sf_dir: str) -> DataF
     "scalar_regex_funcs",
     oracle="""
     SELECT p_partkey,
-           array_to_string(regexp_extract_all(p_name, '[a-z]+'), ',') AS name_tokens,
+           coalesce(array_to_string(regexp_extract_all(p_name, '[a-z]+'), ','), '') AS name_tokens,
            len(regexp_extract_all(p_name, '[a-z]+')) AS n_name_tokens,
            regexp_extract(p_name, '^[a-z]+')         AS first_token,
-           array_to_string(string_split_regex(p_type, '\\s+'), ',')   AS type_words,
+           coalesce(array_to_string(string_split_regex(p_type, '\\s+'), ','), '')   AS type_words,
            regexp_replace(p_type, '[AEIOU]', '', 'g') AS type_no_vowels,
            regexp_matches(p_name, '[0-9]')           AS has_digit
     FROM part
@@ -1107,7 +1117,7 @@ _LTTB_LASTB = LTTB_N_OUT - 3   # last interior bucket index
                                 ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
                - 1 AS i,
              count(*) OVER (PARTITION BY event_type) AS n
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     sel AS (
       SELECT event_type, n, CAST(-1 AS BIGINT) AS b, CAST(0 AS BIGINT) AS i,
@@ -1167,7 +1177,8 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the triangle area from the same exact integers (µs grid × cents
     grid, see ``_lttb_pandas``), so the argmax — ties included — is
     bit-identical across engines."""
-    e = table(spark, sf_dir, "events")
+    # downsampling contract: NULL values carry no point (both sides)
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     pts = e.select(
         "event_type",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("x_us"),
@@ -1964,7 +1975,7 @@ def agg_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH grid AS (
       SELECT l_extendedprice AS v,
              sum(CAST(round(l_quantity * 100) AS BIGINT)) AS w
-      FROM lineitem GROUP BY 1),
+      FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
     c AS (
       SELECT v, w,
              sum(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw,

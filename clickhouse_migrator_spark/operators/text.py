@@ -173,8 +173,11 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     oracle="""
     SELECT doc_id,
-           md5(array_to_string(list_sort(list_distinct(
-               string_split_regex(lower(trim(text)), '\\s+'))), ' ')) AS fingerprint,
+           -- coalesce: NULL text fingerprints as md5('') like the
+           -- Spark side's concat_ws-of-NULL rendering
+           md5(coalesce(array_to_string(list_sort(list_distinct(
+               string_split_regex(lower(trim(text)), '\\s+'))), ' '), ''))
+             AS fingerprint,
            md5(lower(trim(text))) AS exact_hash
     FROM documents
     """,
@@ -283,10 +286,14 @@ def text_ngram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_rolling_hash",
     oracle="""
     SELECT doc_id,
-           list_reduce(list_prepend(CAST(7 AS BIGINT),
-               list_transform(string_split(lower(trim(text)), ''),
-                              c -> CAST(ord(c) AS BIGINT))),
-               (acc, code) -> (acc * 131 + code) % 1000000007) AS roll_hash,
+           -- NULL text hashes to NULL (Spark's fold of a NULL array),
+           -- not the bare seed 7 DuckDB's NULL-skipping prepend yields
+           CASE WHEN text IS NULL THEN NULL
+                ELSE list_reduce(list_prepend(CAST(7 AS BIGINT),
+                    list_transform(string_split(lower(trim(text)), ''),
+                                   c -> CAST(ord(c) AS BIGINT))),
+                    (acc, code) -> (acc * 131 + code) % 1000000007)
+           END AS roll_hash,
            length(text) AS n_chars_hashed
     FROM documents
     """,
@@ -677,9 +684,11 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     b AS (
       SELECT doc_id, len(toks) AS n_tokens,
              len(list_distinct(toks)) AS n_distinct,
-             len(list_distinct(list_transform(
-                 range(1, greatest(len(toks), 2)),
-                 i -> toks[i] || ' ' || toks[i + 1]))) AS n_distinct_bigrams
+             CASE WHEN toks IS NULL THEN NULL
+                  ELSE len(list_distinct(list_transform(
+                      range(1, greatest(len(toks), 2)),
+                      i -> toks[i] || ' ' || toks[i + 1]))) END
+               AS n_distinct_bigrams
       FROM t)
     SELECT doc_id, n_tokens,
            round(n_distinct / CAST(n_tokens AS DOUBLE), 6) AS ttr,
@@ -1157,7 +1166,9 @@ def text_char_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grams = F.transform(z, lambda t: F.concat(t["0"], t["1"], t["2"]))
     g = d.select("doc_id", grams.alias("grams"))
-    n = F.size("grams")
+    # size(NULL grams) is NULL; a NULL text has 0 trigrams like the
+    # oracle's CASE ... ELSE [] (round-8 edge fuzz)
+    n = F.coalesce(F.size("grams"), F.lit(0))
     sg = F.array_sort("grams")
     gcol = g.select("doc_id", n.alias("n"), sg.alias("sg"))
     nn = F.col("n")

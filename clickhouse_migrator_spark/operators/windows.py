@@ -182,7 +182,7 @@ def window_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
              ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
              row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rn,
              count(*) OVER () AS n
-      FROM customer)
+      FROM customer WHERE c_acctbal IS NOT NULL)
     SELECT c_custkey, quartile,
            {oracle_round_quotient("rn - 1", "n - 1", 6)} AS pct_rank,
            {oracle_round_quotient("rn", "n", 6)} AS cume
@@ -200,7 +200,12 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     work is 64 rows at any table size."""
     from .stats import exact_ntile, with_global_row_number
 
-    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    # rank contract: only non-null balances rank (both sides)
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal").isNotNull())
+        .select("c_custkey", "c_acctbal")
+    )
     ranked = with_global_row_number(c, ["c_acctbal", "c_custkey"], rn_col="rn")
     # count from the SOURCE, not the ranked frame: counting the ranked
     # frame would re-execute the whole substrate pipeline for one int

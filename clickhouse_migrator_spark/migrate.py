@@ -684,9 +684,29 @@ def _exec_translated(spark: SparkSession, st: Statement) -> DataFrame | None:
         qual = _qualify(spark, st.table)
         df = spark.table(qual)
         pred = _ch_expr(st.predicate)
-        out = df
-        for col, expr in st.assignments:
-            out = out.withColumn(col, F.when(pred, _ch_expr(expr).cast(dict(df.dtypes).get(col, "string"))).otherwise(F.col(col)))
+        # ONE simultaneous projection, ClickHouse UPDATE semantics:
+        # every RHS and the predicate read the PRE-update snapshot.
+        # The old chained withColumn made assignment k see assignment
+        # k−1's writes — `UPDATE v = 0, s = f(s) WHERE v > 20` skipped
+        # the s-assignment wherever the v-assignment had just falsified
+        # the predicate (round-8 ALTER UPDATE composition fuzz catch).
+        dtypes = dict(df.dtypes)
+        assigned = {col: expr for col, expr in st.assignments}
+        out = df.select(
+            *[
+                (
+                    F.when(
+                        pred,
+                        _ch_expr(assigned[c]).cast(dtypes.get(c, "string")),
+                    )
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in assigned
+                    else F.col(c)
+                )
+                for c in df.columns
+            ]
+        )
         _swap_overwrite(spark, st.table, out)
         return None
     if st.kind == "cow_delete":

@@ -78,6 +78,11 @@ _PREDICATES = [
         f"id IN (SELECT id FROM {VIEW} ORDER BY id LIMIT 80)",
     ),
     ("s != '(WHERE'", "s != '(WHERE'"),
+    # backtick-quoted identifiers (round-8 widening): the rewriter's
+    # masks treat backticks as opaque spans — a quoted column crossing
+    # a clause scan must survive verbatim
+    ("`v` > 20", '"v" > 20'),
+    ("length(`s`) >= 3", 'length("s") >= 3'),
 ]
 
 # aggregates valid with or without ARRAY JOIN
@@ -102,7 +107,8 @@ _AGGS_X = [
 def compositions(draw):
     """One ClickHouse statement + its DuckDB oracle, built in parallel
     from independently drawn component pairs."""
-    use_cte = draw(st.booleans())
+    cte_mode = draw(st.sampled_from(["none", "single", "nested"]))
+    use_cte = cte_mode != "none"
     aj = draw(st.sampled_from([None, "inner", "left"]))
     shape = draw(st.sampled_from(["grouped", "limit_by", "with_fill"]))
     if shape == "limit_by":
@@ -113,10 +119,19 @@ def compositions(draw):
     )
     use_prewhere = bool(preds) and draw(st.booleans())
 
-    src = "base" if use_cte else VIEW
+    src = VIEW
     cte_ch = cte_dd = ""
-    if use_cte:
+    if cte_mode == "single":
+        src = "base"
         cte_ch = cte_dd = f"WITH base AS (SELECT * FROM {VIEW} WHERE id < 90) "
+    elif cte_mode == "nested":
+        # two chained CTEs (round-8 widening): the rewrites must anchor
+        # past the WHOLE prefix, not just the first CTE
+        src = "base2"
+        cte_ch = cte_dd = (
+            f"WITH base AS (SELECT * FROM {VIEW} WHERE id < 90), "
+            "base2 AS (SELECT * FROM base WHERE g != 6) "
+        )
 
     from_ch, from_dd = f"FROM {src}", f"FROM {src}"
     if aj == "inner":
@@ -382,3 +397,90 @@ def test_rewrite_query_subs_ignore_string_literals(comp_env):
         "'FROM t FINAL' AS c, 'dictGet(''d'', ''x'', id)' AS d"
     )
     assert M.rewrite_query(spark, sql) == sql
+
+
+# ── ALTER UPDATE expression compositions (round-8 widening) ─────────────────
+#
+# The runner path round 7's comma-literal pin touched: translated
+# ClickHouse mutation DML through the copy-on-write swap, with
+# assignment expressions drawn from ClickHouse-function / literal-decoy
+# pairs and a WHERE from the predicate pool.  The oracle computes the
+# same simultaneous-assignment UPDATE as a SELECT-CASE over the
+# pre-update snapshot (exactly the engine's copy-on-write semantics).
+
+_UPD_ASSIGNS = [
+    ("v = v + 1", "v", "v + 1"),
+    ("v = multiIf(v > 50, 0, v + 1)", "v", "CASE WHEN v > 50 THEN 0 ELSE v + 1 END"),
+    ("v = toInt64(length(s))", "v", "CAST(length(s) AS BIGINT)"),
+    ("s = concat(s, ',x')", "s", "s || ',x'"),
+    ("s = 'a,b'", "s", "'a,b'"),
+    ("s = upper(`s`)", "s", 'upper("s")'),
+    ("s = if(v > 50, 'hi', s)", "s", "CASE WHEN v > 50 THEN 'hi' ELSE s END"),
+]
+
+_UPD_PREDS = [
+    ("modulo(id, 7) != 3", "id % 7 != 3"),
+    ("toInt64(v) > 20", "CAST(v AS BIGINT) > 20"),
+    ("s != '(WHERE'", "s != '(WHERE'"),
+    ("position(s, 'A') > 0 AND length(s) >= 3", "strpos(s, 'A') > 0 AND length(s) >= 3"),
+]
+
+_UPD_DB = "fuzz_upd_db"
+_UPD_TBL = f"{_UPD_DB}.t_upd"
+
+
+@pytest.fixture(scope="module")
+def upd_env(spark):
+    pdf = _fixture_pdf().drop(columns=["arr"])
+    pdf["v"] = pdf["v"].astype("int64")
+    pdf["id"] = pdf["id"].astype("int64")
+    pdf["g"] = pdf["g"].astype("int64")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {_UPD_DB}")
+    con = duckdb.connect()
+    con.register("src", pdf)
+    yield spark, con, pdf
+    con.close()
+    spark.sql(f"DROP DATABASE {_UPD_DB} CASCADE")
+
+
+@settings(
+    max_examples=int(os.environ.get("SPARK_GRAFT_UPD_FUZZ_EXAMPLES", "12")),
+    deadline=None,
+)
+@given(data=st.data())
+def test_alter_update_expression_compositions(upd_env, data):
+    spark, con, pdf = upd_env
+    k = data.draw(st.integers(1, 2))
+    idxs = data.draw(
+        st.lists(
+            st.integers(0, len(_UPD_ASSIGNS) - 1),
+            min_size=k,
+            max_size=k,
+            unique_by=lambda i: _UPD_ASSIGNS[i][1],  # one assign per column
+        )
+    )
+    assigns = [_UPD_ASSIGNS[i] for i in idxs]
+    pred_ch, pred_dd = data.draw(st.sampled_from(_UPD_PREDS))
+
+    spark.createDataFrame(pdf).write.mode("overwrite").saveAsTable(_UPD_TBL)
+    stmt = (
+        f"ALTER TABLE {_UPD_TBL} UPDATE "
+        + ", ".join(a[0] for a in assigns)
+        + f" WHERE {pred_ch}"
+    )
+    M.execute_statement(spark, stmt)
+    spark.catalog.refreshTable(_UPD_TBL)
+    got = sorted(
+        (r.id, r.g, r.v, r.s) for r in spark.table(_UPD_TBL).collect()
+    )
+
+    sel = {"id": "id", "g": "g", "v": "v", "s": "s"}
+    for _, col, expr in assigns:
+        sel[col] = f"CASE WHEN {pred_dd} THEN {expr} ELSE {col} END"
+    want = sorted(
+        con.sql(
+            f"SELECT {sel['id']} AS id, {sel['g']} AS g, "
+            f"CAST({sel['v']} AS BIGINT) AS v, {sel['s']} AS s FROM src"
+        ).fetchall()
+    )
+    assert got == want, (stmt, got[:3], want[:3])

@@ -653,8 +653,8 @@ def events_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id, event_type
     )
     SELECT user_id,
-           array_to_string(list(event_type ORDER BY event_type), ',') AS map_keys,
-           array_to_string(list(v ORDER BY event_type), ',')          AS map_values
+           coalesce(array_to_string(list(event_type ORDER BY event_type), ','), '') AS map_keys,
+           coalesce(array_to_string(list(v ORDER BY event_type), ','), '')          AS map_values
     FROM per GROUP BY user_id
     """,
 )

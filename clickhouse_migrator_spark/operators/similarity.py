@@ -89,7 +89,11 @@ CAND_CAP = 10_000
     "sim_topk_cosine_bruteforce",
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM {sql_cap_sample("vec_id", "embeddings", CAND_CAP)}),
+               FROM {sql_cap_sample(
+                   "vec_id",
+                   "(SELECT * FROM embeddings WHERE embedding IS NOT NULL)",
+                   CAND_CAP,
+               )}),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
     scored AS (
       SELECT query_id, e.vec_id AS cand_id,

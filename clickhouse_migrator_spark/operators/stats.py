@@ -889,12 +889,18 @@ def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
              max(tot.nn) AS nn, max(tot.nr) AS nr, max(tot.nc) AS nc,
              -sum(c.n / tot.nn * ln(rt.rn / tot.nn))  AS h_a,
              -sum(c.n / tot.nn * ln(c.n / ct.cn))     AS h_a_given_b
-      FROM c JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot
+      -- null-safe joins: NULL categories survive like Spark's
+      -- window partitions (round-8 edge fuzz)
+      FROM c JOIN rt ON c.a IS NOT DISTINCT FROM rt.a
+             JOIN ct ON c.b IS NOT DISTINCT FROM ct.b
+             CROSS JOIN tot
     )
     SELECT round(sqrt(chi2 / (chi2 + nn)), 6) AS contingency_c,
+           -- +0 normalizes IEEE -0.0 on degenerate (single-category)
+           -- contingency tables
            round(sqrt(greatest(0.0, chi2 / nn - (nr - 1) * (nc - 1) / (nn - 1))
                       / (least(nr - pow(nr - 1, 2) / (nn - 1),
-                               nc - pow(nc - 1, 2) / (nn - 1)) - 1)), 6)
+                               nc - pow(nc - 1, 2) / (nn - 1)) - 1)), 6) + 0
              AS cramers_v_corrected,
            round((h_a - h_a_given_b) / h_a, 6) AS theils_u,
            CAST(nn AS BIGINT) AS n_rows
@@ -954,7 +960,9 @@ def agg_association_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.col("chi2") / (F.col("chi2") + F.col("nn"))), 6).alias(
             "contingency_c"
         ),
-        F.round(F.sqrt(phi2_corr / k_corr), 6).alias("cramers_v_corrected"),
+        (F.round(F.sqrt(F.try_divide(phi2_corr, k_corr)), 6) + 0.0).alias(
+            "cramers_v_corrected"
+        ),
         # round-ok: entropies are log-derived — float-stat provenance
         F.round(
             F.try_divide(F.col("h_a") - F.col("h_a_given_b"), F.col("h_a")), 6

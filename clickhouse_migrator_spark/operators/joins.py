@@ -533,8 +533,8 @@ def join_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_fuzzy_entity_match",
     oracle="""
-    WITH c AS (SELECT c_custkey, c_name, right(c_name, 2) AS blk FROM customer),
-    s AS (SELECT s_suppkey, s_name, right(s_name, 2) AS blk FROM supplier),
+    WITH c AS (SELECT c_custkey, c_name, right(c_name, 3) AS blk FROM customer),
+    s AS (SELECT s_suppkey, s_name, right(s_name, 3) AS blk FROM supplier),
     scored AS (
       SELECT s.s_suppkey, s.s_name, c.c_name,
              levenshtein(s.s_name, c.c_name) AS dist,
@@ -555,18 +555,22 @@ def join_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     join every entity-dedup / record-linkage pipeline runs (author
     dedup, org canonicalization in training-data curation).
 
-    The scale decision is the BLOCKING key (last-2 chars here): an
+    The scale decision is the BLOCKING key (last-3 chars here): an
     unblocked fuzzy join is the all-pairs quadratic; blocking turns it
     into an equi-join whose fan-out is bounded by block sizes, with the
     edit distance evaluated only inside blocks (JVM `levenshtein`, no
-    UDF).  Production tunes block keys (phonetic codes, sorted-token
-    prefixes) exactly like LSH bands tune `near_dup_pairs` — same
-    candidate-then-verify shape, string edition."""
+    UDF).  Block-key ENTROPY must grow with the corpus, exactly like
+    LSH band width: with a fixed key both sides grow n× and per-block
+    pairs grow n² (the round-8 sf1 scaling bench flagged the last-2
+    key at 63× on 10× data; last-3 restores ~linear at this decade —
+    size the key ∝ log n, or use phonetic/sorted-token-prefix keys,
+    in production).  Same candidate-then-verify shape as
+    `near_dup_pairs`, string edition."""
     c = table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", F.substring(F.col("c_name"), -2, 2).alias("blk")
+        "c_custkey", "c_name", F.substring(F.col("c_name"), -3, 3).alias("blk")
     )
     s = table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_name", F.substring(F.col("s_name"), -2, 2).alias("blk")
+        "s_suppkey", "s_name", F.substring(F.col("s_name"), -3, 3).alias("blk")
     )
     scored = s.join(c, "blk").select(
         "s_suppkey",

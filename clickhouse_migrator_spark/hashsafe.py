@@ -36,8 +36,11 @@ from pyspark.sql import Column, functions as F
 # DuckDB's trim() strips EXACTLY Unicode category Zs (space
 # separators: U+0020, NBSP, U+1680, U+2000–200A, U+202F, U+205F,
 # U+3000) — NOT tab/newline/CR/NEL/U+2028/29 (probed utf8proc
-# behavior, round 8).  Java \p{Zs} is exactly that set.
-_UNICODE_WS_EDGES = '(^\\p{Zs}+)|(\\p{Zs}+$)'
+# behavior, round 8).  Java \p{Zs} is exactly that set.  Anchored
+# with \z, not $: Java's $ also matches BEFORE a final line
+# terminator, so 'hello \n' would lose the space that DuckDB's trim
+# (stopping at the non-Zs newline) keeps (round-8 code review).
+_UNICODE_WS_EDGES = '(^\\p{Zs}+)|(\\p{Zs}+\\z)'
 
 
 def utrim(col: Column | str) -> Column:

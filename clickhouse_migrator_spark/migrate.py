@@ -162,9 +162,13 @@ def _table_location(spark: SparkSession, qual: str) -> str | None:
     ]
     if not rows:
         return None
+    from urllib.parse import unquote
+
     p = urlparse(rows[0].data_type)
     if p.scheme in ("file", ""):
-        return p.path
+        # the Hadoop URI percent-escapes spaces etc.; os.rename needs
+        # the real filesystem path (round-8 code review)
+        return unquote(p.path)
     return None
 
 
@@ -691,7 +695,23 @@ def _exec_translated(spark: SparkSession, st: Statement) -> DataFrame | None:
         # the s-assignment wherever the v-assignment had just falsified
         # the predicate (round-8 ALTER UPDATE composition fuzz catch).
         dtypes = dict(df.dtypes)
-        assigned = {col: expr for col, expr in st.assignments}
+        assigned: dict[str, str] = {}
+        lower_cols = {c.lower(): c for c in df.columns}
+        for col, expr in st.assignments:
+            resolved = lower_cols.get(col.lower())
+            if resolved is None:
+                # ClickHouse rejects unknown columns; the projection
+                # form would otherwise silently no-op the assignment
+                # and record the migration as applied (round-8 review)
+                raise ValueError(
+                    f"ALTER UPDATE assigns unknown column {col!r} "
+                    f"(table has {df.columns})"
+                )
+            if resolved in assigned:
+                raise ValueError(
+                    f"ALTER UPDATE assigns column {col!r} twice"
+                )
+            assigned[resolved] = expr
         out = df.select(
             *[
                 (

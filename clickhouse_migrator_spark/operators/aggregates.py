@@ -1486,7 +1486,12 @@ def agg_tdigest_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     its per-partition row count is bounded by the cents-quantized
     TPC-H price domain (≤ ~10⁶ distinct prices at any corpus size),
     so no value buffer and no corpus-sized sort exists anywhere."""
-    li = table(spark, sf_dir, "lineitem")
+    # non-null price contract on BOTH the exact grid and the sketch
+    # side (the oracle filters identically; an unfiltered n_rows
+    # counted NULL-price rows — round-8 code review)
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
     grid = (
         li.groupBy(F.col("l_returnflag").alias("flag"), F.col("l_extendedprice").alias("price"))
         .agg(F.count(F.lit(1)).alias("c"))
@@ -1532,7 +1537,11 @@ def agg_tdigest_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("a50"),
         F.expr("approx_percentile(l_extendedprice, 0.99, 10000)").alias("a99"),
     )
-    both = sketch.join(F.broadcast(exact_rows), "flag")
+    # null-safe: a NULL flag group with non-null prices must survive
+    both = sketch.join(
+        F.broadcast(exact_rows),
+        sketch["flag"].eqNullSafe(exact_rows["flag"]),
+    ).drop(exact_rows["flag"])
     return both.select(
         "flag",
         "n_rows",
@@ -1607,7 +1616,14 @@ def agg_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate."""
     from .stats import exact_ntile, with_global_row_number
 
-    o = table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    # non-null rank contract BOTH in the substrate and in n_total —
+    # an unfiltered count inflated the ntile divisor while the range
+    # join dropped NULL prices (round-8 code review)
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select("o_totalprice", "o_orderkey")
+    )
     ranked = with_global_row_number(
         o, ["o_totalprice", "o_orderkey"], rn_col="_rn"
     )

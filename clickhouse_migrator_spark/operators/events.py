@@ -653,8 +653,8 @@ def events_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id, event_type
     )
     SELECT user_id,
-           coalesce(array_to_string(list(event_type ORDER BY event_type), ','), '') AS map_keys,
-           coalesce(array_to_string(list(v ORDER BY event_type), ','), '')          AS map_values
+           coalesce(array_to_string(list(event_type ORDER BY event_type NULLS FIRST), ','), '') AS map_keys,
+           coalesce(array_to_string(list(v ORDER BY event_type NULLS FIRST), ','), '')          AS map_values
     FROM per GROUP BY user_id
     """,
 )
@@ -1007,13 +1007,13 @@ def events_max_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            -- coalesce: all-NULL renderings match Spark concat_ws ''
-           coalesce(array_to_string(list(event_type ORDER BY event_type), ','), '') AS map_keys,
+           coalesce(array_to_string(list(event_type ORDER BY event_type NULLS FIRST), ','), '') AS map_keys,
            coalesce(array_to_string(list(CAST(CAST(lo AS DECIMAL(18,4)) AS VARCHAR)
-                                ORDER BY event_type), ','), '')  AS min_values,
+                                ORDER BY event_type NULLS FIRST), ','), '')  AS min_values,
            coalesce(array_to_string(list(CAST(CAST(hi AS DECIMAL(18,4)) AS VARCHAR)
-                                ORDER BY event_type), ','), '')  AS max_values,
+                                ORDER BY event_type NULLS FIRST), ','), '')  AS max_values,
            coalesce(array_to_string(list(CAST(CAST(mean AS DECIMAL(18,4)) AS VARCHAR)
-                                ORDER BY event_type), ','), '')  AS avg_values
+                                ORDER BY event_type NULLS FIRST), ','), '')  AS avg_values
     FROM per GROUP BY user_id
     """,
 )

@@ -2010,8 +2010,13 @@ def agg_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     Weights ride the exact integer centi-quantity grid, so the
     crossing compares exact integers."""
     li = table(spark, sf_dir, "lineitem")
-    grid = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
-        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("w")
+    # filter BEFORE the grid: the prefix-sum substrate drops the NULL
+    # price key but an unfiltered total kept its weight in tw, skewing
+    # the median crossing (round-8 code review; oracle matches)
+    grid = (
+        li.filter(F.col("l_extendedprice").isNotNull())
+        .groupBy(F.col("l_extendedprice").alias("v"))
+        .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("w"))
     )
     # the grid feeds three consumers (quantile bounds, the bucketed
     # windows, the total) — materialize the linear-sized aggregate once

@@ -1,0 +1,122 @@
+"""Round-8 code-review regressions (session-diff review findings):
+
+1. ``utrim`` anchors with ``\\z``, not ``$`` — Java's ``$`` also
+   matches before a FINAL line terminator, so a Zs run preceding a
+   trailing newline was stripped while DuckDB's trim (stopping at the
+   non-Zs newline) kept it.
+2. ``ALTER UPDATE`` must REJECT an unknown assignment column (the
+   simultaneous-projection rewrite would otherwise silently no-op it
+   and record the migration as applied) and duplicate assignments.
+3. Mixed NULL/non-NULL map keys render in the same order both engines
+   (Spark struct sort is NULLS FIRST; oracles say so explicitly).
+4. ``_table_location`` percent-decodes the Hadoop URI so warehouse
+   paths with spaces survive the atomic claim append.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_migrator_spark import migrate as M
+from clickhouse_migrator_spark.hashsafe import utrim
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "hello \n",       # Zs before a FINAL newline — $ stripped it
+        "hello\xa0\r",
+        "a \n b ",        # trailing Zs at true end — still stripped
+        "\xa0lead",
+    ],
+)
+def test_utrim_final_line_terminator_parity(spark, text):
+    got = (
+        spark.createDataFrame([(text,)], "t string")
+        .select(utrim(F.col("t")).alias("x"))
+        .collect()[0]
+        .x
+    )
+    want = duckdb.execute("SELECT trim(?)", [text]).fetchone()[0]
+    assert got == want, (repr(text), repr(got), repr(want))
+
+
+@pytest.fixture()
+def db(spark):
+    name = "reviewdb_" + uuid.uuid4().hex[:8]
+    M.create_db(spark, name)
+    spark.catalog.setCurrentDatabase(name)
+    yield name
+    spark.catalog.setCurrentDatabase("default")
+    spark.sql(f"DROP DATABASE `{name}` CASCADE")
+
+
+def test_alter_update_unknown_column_raises(spark, db):
+    M.execute_statement(
+        spark, "CREATE TABLE t_rv (v Int64) ENGINE = MergeTree ORDER BY tuple()"
+    )
+    spark.sql(f"INSERT INTO `{db}`.t_rv VALUES (1)")
+    with pytest.raises(ValueError, match="unknown column"):
+        M.execute_statement(spark, "ALTER TABLE t_rv UPDATE tpyo = 0 WHERE v > 0")
+    with pytest.raises(ValueError, match="twice"):
+        M.execute_statement(
+            spark, "ALTER TABLE t_rv UPDATE v = 1, v = 2 WHERE v > 0"
+        )
+    # case-insensitive resolution still applies the assignment
+    M.execute_statement(spark, "ALTER TABLE t_rv UPDATE V = v + 1 WHERE v > 0")
+    assert spark.table(f"`{db}`.t_rv").collect()[0].v == 2
+
+
+def test_mixed_null_map_keys_render_consistently(spark, tmp_path):
+    """agg_summap_user_values on a user with a NULL-typed event: keys
+    skip the NULL (concat_ws), values keep it FIRST — identical to the
+    oracle's NULLS FIRST ordering."""
+    import __spark_entry__ as e
+
+    events = spark.createDataFrame(
+        [
+            (1, None, 1, None, 10.0, None),
+            (2, None, 1, "click", 5.0, None),
+            (3, None, 1, "view", 2.0, None),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    events.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    sf = str(tmp_path)
+    row = e.queries()["agg_summap_user_values"](spark, sf).collect()[0]
+    con = duckdb.connect()
+    # Spark writes a parquet DIRECTORY; glob its part files for DuckDB
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet/*.parquet'"
+    )
+    want = con.sql(e.oracle_sql()["agg_summap_user_values"]).fetchone()
+    assert (row.user_id, row.map_keys, row.map_values) == want
+    assert row.map_keys == "click,view"
+    assert row.map_values.split(",")[0] == "10.00"  # NULL key's sum first
+
+
+def test_table_location_unquotes_percent_escapes(spark, tmp_path, monkeypatch):
+    class _Row:
+        col_name = "Location"
+        data_type = "file:/tmp/Application%20Support/wh/t"
+
+    monkeypatch.setattr(
+        M.SparkSession, "sql", lambda self, q: _FakeDF([_Row()]), raising=False
+    )
+
+    class _FakeDF:
+        def __init__(self, rows):
+            self._rows = rows
+
+        def collect(self):
+            return self._rows
+
+    assert (
+        M._table_location(spark, "`x`.`t`")
+        == "/tmp/Application Support/wh/t"
+    )

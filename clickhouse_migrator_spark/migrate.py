@@ -72,6 +72,17 @@ CLAIMS = "__schema_versions_claims"
 # contract).
 _CLAIM_LOCK = threading.Lock()
 
+# Set by apply_migration around each script's statements so the
+# copy-on-write swap can stamp the in-flight migration version onto the
+# temp table BEFORE its non-transactional DROP→RENAME window — letting
+# recover_cow() tell the operator WHICH script's effects are already
+# present in a forward-completed table (ADVICE r8: the mandatory rerun
+# re-executes that script, so non-idempotent mutations would otherwise
+# double-apply silently).  Thread-local because concurrent migrate()
+# calls in one driver are supported (see _CLAIM_LOCK).
+_INFLIGHT = threading.local()
+_COW_VERSION_PROP = "clickhouse.cow_inflight_version"
+
 
 class ConcurrentMigrationError(RuntimeError):
     """Another runner holds the claim for a pending migration version.
@@ -137,14 +148,24 @@ def _init_claims(spark: SparkSession, db_name: str) -> None:
     spark.sql(
         f"CREATE TABLE IF NOT EXISTS `{db_name}`.`{CLAIMS}` "
         "(version BIGINT, owner STRING, started_at TIMESTAMP, "
-        "released BOOLEAN) USING PARQUET"
+        "released BOOLEAN, claim_id STRING) USING PARQUET"
     )
     qual = f"`{db_name}`.`{CLAIMS}`"
-    if "released" not in {f.name for f in spark.table(qual).schema.fields}:
-        # claims table from a pre-tombstone build: widen in place
-        # (existing rows read NULL → treated as live claims, exactly
-        # their old meaning)
-        spark.sql(f"ALTER TABLE {qual} ADD COLUMNS (released BOOLEAN)")
+    have = {f.name for f in spark.table(qual).schema.fields}
+    widen = [
+        c
+        for c, t in (("released", "BOOLEAN"), ("claim_id", "STRING"))
+        if c not in have
+    ]
+    if widen:
+        # claims table from an older build: widen in place (existing
+        # rows read NULL → released NULL = live claim, claim_id NULL =
+        # legacy row matched by its (version, owner) composite — both
+        # exactly their old meaning)
+        cols = ", ".join(
+            f"{c} {t}" for c, t in (("released", "BOOLEAN"), ("claim_id", "STRING")) if c in widen
+        )
+        spark.sql(f"ALTER TABLE {qual} ADD COLUMNS ({cols})")
         spark.catalog.refreshTable(qual)
 
 
@@ -173,7 +194,12 @@ def _table_location(spark: SparkSession, qual: str) -> str | None:
 
 
 def _append_claim_row(
-    spark: SparkSession, claims_qual: str, version: int, owner: str, released: bool
+    spark: SparkSession,
+    claims_qual: str,
+    version: int,
+    owner: str,
+    released: bool,
+    claim_id: str | None = None,
 ) -> None:
     """Append ONE claim/tombstone row with a private-staging atomic
     rename instead of a Spark insert.
@@ -184,16 +210,33 @@ def _append_claim_row(
     append dies with FileNotFoundException (found by the real
     two-process race test, round 8).  Writing the finished file under a
     dot-prefixed name (invisible to Spark's file listing) in the table
-    directory and ``os.rename``-ing it into place is atomic on
-    POSIX/HDFS and races nothing: a reader sees the whole row file or
-    nothing — exactly the durable-before-visible contract the guard
-    needs."""
+    directory and ``os.rename``-ing it into place races nothing: a
+    reader sees the whole row file or nothing — exactly the
+    durable-before-visible contract the guard needs.
+
+    Scope of the atomicity claim: ``os.rename`` is a LOCAL-filesystem
+    syscall, so the rename path applies only to POSIX local
+    warehouses.  ``_table_location`` returns ``None`` for ``hdfs://``
+    and object-store schemes, routing those to the Spark
+    ``insertInto`` fallback below — which still has the shared
+    ``_temporary`` staging race this function exists to eliminate.  On
+    HDFS/object stores a transactional table format (Delta/Iceberg) is
+    the production answer, per README.
+
+    ``claim_id`` uniquely identifies one claim row; its release
+    tombstone carries the SAME claim_id, and :func:`_live_claims`
+    anti-joins on it — so a tombstone can never shadow a FUTURE claim
+    that happens to reuse a (version, owner) pair (ADVICE r8: the old
+    (version, owner) tombstone join silently degraded the at-most-one
+    guard to both-proceed under owner reuse)."""
     loc = _table_location(spark, claims_qual)
-    if loc is None:  # pragma: no cover - object-store fallback
+    if loc is None:  # pragma: no cover - hdfs/object-store fallback
         spark.createDataFrame([Row(version=version, owner=owner)]).withColumn(
             "started_at", F.current_timestamp()
-        ).withColumn("released", F.lit(bool(released))).select(
-            "version", "owner", "started_at", "released"
+        ).withColumn("released", F.lit(bool(released))).withColumn(
+            "claim_id", F.lit(claim_id).cast("string")
+        ).select(
+            "version", "owner", "started_at", "released", "claim_id"
         ).write.mode("append").insertInto(claims_qual)
         return
     import datetime
@@ -210,6 +253,7 @@ def _append_claim_row(
                 pa.timestamp("us", tz="UTC"),
             ),
             "released": pa.array([bool(released)], pa.bool_()),
+            "claim_id": pa.array([claim_id], pa.string()),
         }
     )
     fname = f"part-claim-{uuid.uuid4().hex}.snappy.parquet"
@@ -221,15 +265,31 @@ def _append_claim_row(
 
 def _live_claims(spark: SparkSession, claims_qual: str) -> DataFrame:
     """Claims minus release tombstones.  Releases are APPEND-ONLY rows
-    (``released = true`` for the same (version, owner)) rather than a
-    table rewrite: the old ``_swap_overwrite``-based release had a
-    DROP/RENAME window in which a rival's freshly-appended claim was
-    silently destroyed and a rival's read could hit FileNotFound
-    (ADVICE r7).  Appends never destroy rival rows."""
+    (``released = true`` carrying the released claim's ``claim_id``)
+    rather than a table rewrite: the old ``_swap_overwrite``-based
+    release had a DROP/RENAME window in which a rival's freshly-appended
+    claim was silently destroyed and a rival's read could hit
+    FileNotFound (ADVICE r7).  Appends never destroy rival rows.
+
+    The tombstone join key is the per-row ``claim_id`` (ADVICE r8): a
+    (version, owner)-keyed anti-join would permanently shadow any
+    future claim reusing a tombstoned pair, silently degrading the
+    at-most-one guard to both-proceed.  Legacy rows written before the
+    claim_id column (claim_id NULL) fall back to their (version, owner)
+    composite — exactly the old semantics for exactly the old rows."""
     c = spark.table(claims_qual)
     rel = F.coalesce(F.col("released"), F.lit(False))
-    tombs = c.filter(rel).select("version", "owner")
-    return c.filter(~rel).join(tombs, ["version", "owner"], "left_anti")
+    key = F.coalesce(
+        F.col("claim_id"),
+        F.concat_ws("#", F.col("version").cast("string"), F.col("owner")),
+    ).alias("_ck")
+    tombs = c.filter(rel).select(key)
+    return (
+        c.filter(~rel)
+        .withColumn("_ck", key)
+        .join(tombs, ["_ck"], "left_anti")
+        .drop("_ck")
+    )
 
 
 def clear_claims(spark: SparkSession, db_name: str) -> int:
@@ -413,6 +473,14 @@ def _swap_overwrite(spark: SparkSession, table: str, df: DataFrame) -> None:
     tmp = f"{db}.`__cow_{t.strip('`')}`"
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     df.write.mode("overwrite").format("parquet").saveAsTable(tmp.replace("`", ""))
+    # recovery marker: when running under apply_migration, stamp the
+    # in-flight script version on the temp BEFORE the drop so a crash
+    # in the window below is attributable (see recover_cow / _INFLIGHT)
+    inflight = getattr(_INFLIGHT, "version", None)
+    if inflight is not None:
+        props = {**props, _COW_VERSION_PROP: str(inflight)}
+    else:
+        props.pop(_COW_VERSION_PROP, None)
     if props:
         kv = ", ".join(f"'{k}' = '{_sq(v)}'" for k, v in props.items())
         spark.sql(f"ALTER TABLE {tmp} SET TBLPROPERTIES ({kv})")
@@ -420,6 +488,10 @@ def _swap_overwrite(spark: SparkSession, table: str, df: DataFrame) -> None:
     spark.sql(f"DROP TABLE {qual}")
     _crash_point("after_drop")
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {qual}")
+    if inflight is not None:
+        # the swap completed inside the live runner; the marker is
+        # transient and must not leak into the durable table props
+        spark.sql(f"ALTER TABLE {qual} UNSET TBLPROPERTIES ('{_COW_VERSION_PROP}')")
 
 
 def recover_cow(spark: SparkSession, db_name: str) -> dict[str, str]:
@@ -434,18 +506,25 @@ def recover_cow(spark: SparkSession, db_name: str) -> dict[str, str]:
 
     - target ``<t>`` ABSENT from the catalog → the crash hit the
       DROP→RENAME window; the temp table is the complete post-mutation
-      table (data + carried properties) → COMPLETE the rename.  Note
-      the interrupted migration script was never recorded, so its
-      rerun re-executes the mutation on the recovered (already
-      mutated) data — the same statement-level rerun semantics SURVEY
-      §4 documents for mid-script failures.
+      table (data + carried properties) → COMPLETE the rename.  **The
+      interrupted migration script was never recorded in the ledger, so
+      the mandatory rerun RE-EXECUTES it on the recovered (already
+      mutated) data** — the same statement-level rerun semantics SURVEY
+      §4 documents for mid-script failures.  A non-idempotent mutation
+      (``UPDATE v = v + 1``) would double-apply: when the crashed swap
+      ran under :func:`apply_migration`, the temp carries the in-flight
+      script version (``clickhouse.cow_inflight_version``, stamped
+      before the DROP), and the action value is ``"completed:V<n>"`` so
+      the operator knows exactly which script's effects are already
+      present — verify that script is idempotent before rerunning, or
+      record it applied by hand (insert its ledger row).
     - target PRESENT → the swap never reached its DROP (the temp may
       even be a partial write); the user-visible table is intact →
       ROLL BACK by dropping the orphan.
 
     Run it like :func:`clear_claims`, as a single-operator recovery
     step with no live runners.  Returns {target_table: "completed" |
-    "rolled_back"}."""
+    "completed:V<n>" | "rolled_back"}."""
     actions: dict[str, str] = {}
     for r in spark.sql(f"SHOW TABLES IN `{db_name}`").collect():
         if r["isTemporary"] or not r["tableName"].startswith("__cow_"):
@@ -463,10 +542,27 @@ def recover_cow(spark: SparkSession, db_name: str) -> dict[str, str]:
             spark.sql(f"DROP TABLE `{db_name}`.`{orphan}`")
             actions[target] = "rolled_back"
         else:
+            inflight = _table_props(spark, f"`{db_name}`.`{orphan}`").get(
+                _COW_VERSION_PROP
+            )
             spark.sql(
                 f"ALTER TABLE `{db_name}`.`{orphan}` RENAME TO `{db_name}`.`{target}`"
             )
-            actions[target] = "completed"
+            if inflight is not None:
+                spark.sql(
+                    f"ALTER TABLE `{db_name}`.`{target}` "
+                    f"UNSET TBLPROPERTIES ('{_COW_VERSION_PROP}')"
+                )
+                actions[target] = f"completed:V{inflight}"
+                print(
+                    f"recover_cow: completed the interrupted swap of "
+                    f"`{db_name}`.`{target}` — the effects of migration "
+                    f"V{inflight} are ALREADY PRESENT but unrecorded; the "
+                    f"rerun will re-execute V{inflight}, so verify it is "
+                    "idempotent or record it applied manually"
+                )
+            else:
+                actions[target] = "completed"
     return actions
 
 
@@ -696,16 +792,26 @@ def _exec_translated(spark: SparkSession, st: Statement) -> DataFrame | None:
         # the predicate (round-8 ALTER UPDATE composition fuzz catch).
         dtypes = dict(df.dtypes)
         assigned: dict[str, str] = {}
+        exact_cols = set(df.columns)
         lower_cols = {c.lower(): c for c in df.columns}
         for col, expr in st.assignments:
-            resolved = lower_cols.get(col.lower())
-            if resolved is None:
+            # ClickHouse column names are CASE-SENSITIVE: resolve the
+            # assignment target by exact match first; a case-only
+            # mismatch is rejected with a did-you-mean instead of being
+            # silently applied to the differently-cased column
+            # (ADVICE r8 — quiet semantic divergence from the
+            # reference's engine otherwise)
+            if col in exact_cols:
+                resolved = col
+            else:
+                near = lower_cols.get(col.lower())
+                hint = f"; did you mean {near!r}?" if near is not None else ""
                 # ClickHouse rejects unknown columns; the projection
                 # form would otherwise silently no-op the assignment
                 # and record the migration as applied (round-8 review)
                 raise ValueError(
                     f"ALTER UPDATE assigns unknown column {col!r} "
-                    f"(table has {df.columns})"
+                    f"(table has {df.columns}{hint})"
                 )
             if resolved in assigned:
                 raise ValueError(
@@ -915,14 +1021,20 @@ def apply_migration(
         # _CLAIM_LOCK (exact for same-driver races); across processes
         # the durable-before-visible append makes the guard at-most-one
         # (two racers can both refuse — rerun applies).
+        # one fresh claim_id per (runner, version) claim; its tombstone
+        # releases exactly this row and can never shadow a future claim
+        claim_id = uuid.uuid4().hex
+
         def _release_own_claim_locked() -> None:
             # append-only release: a tombstone row (released = true)
-            # for OUR (version, owner).  No table rewrite — the old
+            # carrying OUR claim_id.  No table rewrite — the old
             # DROP/RENAME release window destroyed rival claims
             # appended mid-swap and could serve a rival's read a
             # FileNotFound (ADVICE r7); an atomic-rename append races
             # nothing and a rival's rows are physically untouched.
-            _append_claim_row(spark, claims_qual, version, owner, released=True)
+            _append_claim_row(
+                spark, claims_qual, version, owner, released=True, claim_id=claim_id
+            )
 
         with _CLAIM_LOCK:
             # a rival runner appends through its OWN SparkSession; this
@@ -939,7 +1051,9 @@ def apply_migration(
                 # another runner applied it between our diff and now
                 print(f"Skipping V{version}: already applied by a concurrent runner")
                 continue
-            _append_claim_row(spark, claims_qual, version, owner, released=False)
+            _append_claim_row(
+                spark, claims_qual, version, owner, released=False, claim_id=claim_id
+            )
             rivals = (
                 _live_claims(spark, claims_qual)
                 .filter((F.col("version") == version) & (F.col("owner") != owner))
@@ -976,8 +1090,12 @@ def apply_migration(
                 "crashed, clear with migrate.clear_claims())"
             )
         try:
-            for stmt in _parse_script(row.script):
-                execute_statement(spark, stmt)
+            _INFLIGHT.version = version
+            try:
+                for stmt in _parse_script(row.script):
+                    execute_statement(spark, stmt)
+            finally:
+                _INFLIGHT.version = None
             entry = (
                 spark.createDataFrame(
                     [Row(version=version, md5=row.md5, script=row.script)],

@@ -496,7 +496,7 @@ def test_stale_claim_blocks_and_clear_claims_recovers(spark, db, tmp_path):
     )
     spark.sql(
         f"INSERT INTO `{db}`.`{M.CLAIMS}` "
-        "VALUES (1, 'deadbeef', current_timestamp(), false)"
+        "VALUES (1, 'deadbeef', current_timestamp(), false, 'stale1')"
     )
     with pytest.raises(M.ConcurrentMigrationError, match="clear_claims"):
         M.migrate(spark, db, str(home), create_db_if_no_exists=False)
@@ -609,7 +609,7 @@ def test_release_preserves_rival_claims(spark, db, tmp_path):
     # a rival holds a claim for a DIFFERENT (future) version
     spark.sql(
         f"INSERT INTO `{db}`.`{M.CLAIMS}` "
-        "VALUES (99, 'rival', current_timestamp(), false)"
+        "VALUES (99, 'rival', current_timestamp(), false, 'rival1')"
     )
     assert M.migrate(spark, db, str(home), create_db_if_no_exists=False) == 1
     live = M._live_claims(spark, f"`{db}`.`{M.CLAIMS}`").collect()

@@ -66,8 +66,12 @@ def test_alter_update_unknown_column_raises(spark, db):
         M.execute_statement(
             spark, "ALTER TABLE t_rv UPDATE v = 1, v = 2 WHERE v > 0"
         )
-    # case-insensitive resolution still applies the assignment
-    M.execute_statement(spark, "ALTER TABLE t_rv UPDATE V = v + 1 WHERE v > 0")
+    # case-only mismatch is rejected with a did-you-mean (ClickHouse
+    # column names are case-sensitive — ADVICE r9 superseded the r8
+    # case-insensitive resolution)
+    with pytest.raises(ValueError, match="did you mean 'v'"):
+        M.execute_statement(spark, "ALTER TABLE t_rv UPDATE V = v + 1 WHERE v > 0")
+    M.execute_statement(spark, "ALTER TABLE t_rv UPDATE v = v + 1 WHERE v > 0")
     assert spark.table(f"`{db}`.t_rv").collect()[0].v == 2
 
 

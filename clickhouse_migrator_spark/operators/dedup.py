@@ -790,7 +790,19 @@ def _embedding_cosine_pairs(
 
 
 N_SIGN_BANDS = 2
-SIGN_BAND_DIMS = 8
+# Band WIDTH (sign bits per band) is DATA-DRIVEN (VERDICT r9 #2 sweep):
+# a fixed width is a fixed bucket count (2^width per band), so bucket
+# sizes — and the bucket self-join — grow n²/2^width once the corpus
+# outruns it, the same trap the fuzzy-join block key hit at sf1.  The
+# law, computed inside the plan and mirrored verbatim in the DuckDB
+# oracle: width = max(SIGN_BAND_DIMS_MIN, bits(ceil(n / B))) with
+# B = SIGN_BUCKET_TARGET, capped at floor(dim / N_SIGN_BANDS) so the
+# bands stay disjoint coordinate slices.  bits(x) = length(bin(x)) is
+# exact integer arithmetic in both engines (no float-log edge).  At the
+# test SFs (500-2000 vectors) the law yields the historical 8, so gate
+# results are unchanged; at 1M vectors it yields 14 (16k buckets/band).
+SIGN_BAND_DIMS_MIN = 8
+SIGN_BUCKET_TARGET = 64
 # near-dup regime: sign-LSH prunes well only for genuinely close
 # vectors (per-hyperplane agreement 1−θ/π); τ=0.4 "related" pairs are
 # the GEMM baseline's job, τ≥0.85 near-dups are LSH's
@@ -798,10 +810,30 @@ NEARDUP_COSINE_T = 0.85
 TWIN_OFFSET = 100_000  # planted twin ids = vec_id + offset
 
 
+def sign_band_dims(n: int, dim: int) -> int:
+    """Python mirror of the in-plan band-width law (tests + docs):
+    max(8, bit-length of ceil(n/64)), capped at floor(dim/2)."""
+    import math
+
+    bits = len(bin(int(math.ceil(n / float(SIGN_BUCKET_TARGET))))) - 2
+    return min(max(SIGN_BAND_DIMS_MIN, bits), dim // N_SIGN_BANDS)
+
+
 @register(
     "dedup_embedding_cosine_bucketed",
     oracle=f"""
     WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    kk AS (
+      -- data-driven band width: bits(ceil(n/B)) buckets/band, floored
+      -- at {SIGN_BAND_DIMS_MIN}, capped at dim/{N_SIGN_BANDS} (see
+      -- sign_band_dims in dedup.py — exact same arithmetic)
+      SELECT least(
+               greatest({SIGN_BAND_DIMS_MIN},
+                        length(bin(CAST(ceil(count(*) / {SIGN_BUCKET_TARGET}.0)
+                                        AS BIGINT)))),
+               (SELECT CAST(floor(min(len(v)) / {N_SIGN_BANDS}.0) AS INT)
+                FROM base)) AS k
+      FROM base),
     twins AS (
       -- planted near-dups: every 10th vector gets a twin with dim 1
       -- nudged by +0.05 (deterministic, reproduced identically here
@@ -813,10 +845,10 @@ TWIN_OFFSET = 100_000  # planted twin ids = vec_id + offset
     corpus AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
     sig AS (
       SELECT vec_id, v,
-             array_to_string(list_transform(v[1:{SIGN_BAND_DIMS}],
+             array_to_string(list_transform(v[1:(SELECT k FROM kk)],
                x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS b0,
              array_to_string(list_transform(
-               v[{SIGN_BAND_DIMS + 1}:{2 * SIGN_BAND_DIMS}],
+               v[(SELECT k FROM kk) + 1:2 * (SELECT k FROM kk)],
                x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS b1
       FROM corpus),
     cand AS (
@@ -834,10 +866,18 @@ TWIN_OFFSET = 100_000  # planted twin ids = vec_id + offset
 def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs, LSH-GATED — the 100 TB path that the
     exact all-pairs GEMM baseline (`dedup_embedding_cosine_pairs`)
-    recommends for itself: {N_SIGN_BANDS} bands of {SIGN_BAND_DIMS}
-    sign bits each (deterministic axis-hyperplane signatures, so the
-    oracle reproduces them in SQL); candidate pairs share at least one
-    band-bucket; exact cosine is computed ONLY for candidates.
+    recommends for itself: {N_SIGN_BANDS} bands of sign bits
+    (deterministic axis-hyperplane signatures, so the oracle reproduces
+    them in SQL); candidate pairs share at least one band-bucket; exact
+    cosine is computed ONLY for candidates.
+
+    Band WIDTH is data-driven (see :func:`sign_band_dims` and the
+    module comment): bits(ceil(n/{SIGN_BUCKET_TARGET})) per band, so
+    the bucket count — and therefore the bucket self-join's per-bucket
+    quadratic — tracks the corpus instead of re-arming every decade.
+    The scalar width is one agg broadcast onto the corpus; both the
+    Spark plan and the DuckDB oracle compute it from the same exact
+    integer arithmetic.
 
     The fixture corpus has no true near-dups (max pair cosine ≈ 0.51),
     so the query PLANTS them: every 10th vector gains a twin with one
@@ -849,6 +889,23 @@ def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
     bucket sizes, the verify join is linear in candidates."""
     base = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    # scalar band width from the corpus count (exact mirror of the
+    # oracle's kk CTE — bit-length arithmetic, no float-log edge)
+    kdf = base.agg(
+        F.least(
+            F.greatest(
+                F.lit(SIGN_BAND_DIMS_MIN),
+                F.length(
+                    F.bin(
+                        F.ceil(
+                            F.count(F.lit(1)) / F.lit(float(SIGN_BUCKET_TARGET))
+                        ).cast("long")
+                    )
+                ),
+            ),
+            F.floor(F.min(F.size("v")) / F.lit(N_SIGN_BANDS)).cast("int"),
+        ).alias("k")
     )
     twins = base.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + TWIN_OFFSET).alias("vec_id"),
@@ -862,22 +919,28 @@ def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
         return F.concat_ws(
             "",
             F.transform(
-                F.slice(F.col("v"), 1 + b * SIGN_BAND_DIMS, SIGN_BAND_DIMS),
+                F.slice(F.col("v"), F.lit(1) + F.lit(b) * F.col("k"), F.col("k")),
                 lambda x: F.when(x >= 0, "1").otherwise("0"),
             ),
         )
 
-    sig = vecs.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), band(b).alias("bucket"))
-                    for b in range(N_SIGN_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    sig = (
+        vecs.crossJoin(F.broadcast(kdf))
+        .select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("band"), band(b).alias("bucket"))
+                        for b in range(N_SIGN_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select(
+            "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+    )
     l, r = sig.alias("l"), sig.alias("r")
     cand = (
         l.join(

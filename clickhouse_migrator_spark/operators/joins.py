@@ -530,11 +530,33 @@ def join_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# join_fuzzy_entity_match: average customers-per-block the data-driven
+# key targets.  The key LENGTH scales (digits of ceil(n/B)) so per-block
+# pair counts stay ~B×(B/fan) regardless of corpus size; the constant
+# only positions the linear curve.  Registered in tools/plan_audit.py's
+# entropy-constant section.
+FUZZY_BLOCK_TARGET = 100
+
+
+def fuzzy_block_len(n: int, target: int = FUZZY_BLOCK_TARGET) -> int:
+    """Python mirror of the in-plan block-key-length law (tests +
+    documentation): k = max(2, decimal digits of ceil(n / target))."""
+    import math
+
+    return max(2, len(str(int(math.ceil(n / float(target))))))
+
+
 @register(
     "join_fuzzy_entity_match",
     oracle="""
-    WITH c AS (SELECT c_custkey, c_name, right(c_name, 3) AS blk FROM customer),
-    s AS (SELECT s_suppkey, s_name, right(s_name, 3) AS blk FROM supplier),
+    WITH kk AS (
+      SELECT greatest(2, length(CAST(CAST(ceil(count(*) / 100.0) AS BIGINT)
+                                     AS VARCHAR))) AS k
+      FROM customer),
+    c AS (SELECT c_custkey, c_name,
+                 right(c_name, (SELECT k FROM kk)) AS blk FROM customer),
+    s AS (SELECT s_suppkey, s_name,
+                 right(s_name, (SELECT k FROM kk)) AS blk FROM supplier),
     scored AS (
       SELECT s.s_suppkey, s.s_name, c.c_name,
              levenshtein(s.s_name, c.c_name) AS dist,
@@ -555,22 +577,40 @@ def join_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     join every entity-dedup / record-linkage pipeline runs (author
     dedup, org canonicalization in training-data curation).
 
-    The scale decision is the BLOCKING key (last-3 chars here): an
-    unblocked fuzzy join is the all-pairs quadratic; blocking turns it
-    into an equi-join whose fan-out is bounded by block sizes, with the
-    edit distance evaluated only inside blocks (JVM `levenshtein`, no
-    UDF).  Block-key ENTROPY must grow with the corpus, exactly like
-    LSH band width: with a fixed key both sides grow n× and per-block
-    pairs grow n² (the round-8 sf1 scaling bench flagged the last-2
-    key at 63× on 10× data; last-3 restores ~linear at this decade —
-    size the key ∝ log n, or use phonetic/sorted-token-prefix keys,
-    in production).  Same candidate-then-verify shape as
-    `near_dup_pairs`, string edition."""
-    c = table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", F.substring(F.col("c_name"), -3, 3).alias("blk")
+    The scale decision is the BLOCKING key, and its ENTROPY is
+    DATA-DRIVEN (VERDICT r8 #2): a fixed-length key re-arms the
+    per-block n² every decade (the round-8 sf1 bench caught last-2 at
+    63× on 10× data; last-3 fixed that decade but was still a
+    constant).  The key length is now computed FROM the corpus inside
+    the plan: k = max(2, digits(ceil(n_customers / B))) with
+    B = FUZZY_BLOCK_TARGET = 100 — the last-k name characters (TPC-H
+    names end in a 9-digit sequence, so last-k digits are ~uniform)
+    give ≥ ceil(n/B) blocks, bounding expected customers/block by ~B
+    at EVERY scale: n=1.5k→k=2, 15k→k=3, 150k→k=4, 1.5M→k=5.  Total
+    candidate pairs stay ~linear in n (pairs ≈ n_s·n_c/10^k ≤ B·n_s);
+    `tests/test_entropy_scaling.py` pins the decade-over-decade pair
+    ratio.  The scalar k is an agg broadcast onto both sides — no
+    driver collect, no extra shuffle.  Edit distance runs only inside
+    blocks (JVM `levenshtein`, no UDF); same candidate-then-verify
+    shape as `near_dup_pairs`, string edition."""
+    c_raw = table(spark, sf_dir, "customer")
+    # scalar block-key length, derived from the corpus count (shared
+    # with the DuckDB oracle: both spell digits(ceil(n/100)) exactly)
+    kdf = c_raw.agg(
+        F.greatest(
+            F.lit(2),
+            F.length(
+                F.ceil(F.count(F.lit(1)) / F.lit(100.0)).cast("long").cast("string")
+            ),
+        ).alias("k")
     )
-    s = table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_name", F.substring(F.col("s_name"), -3, 3).alias("blk")
+    c = c_raw.crossJoin(F.broadcast(kdf)).select(
+        "c_custkey", "c_name", F.expr("right(c_name, k)").alias("blk")
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .crossJoin(F.broadcast(kdf))
+        .select("s_suppkey", "s_name", F.expr("right(s_name, k)").alias("blk"))
     )
     scored = s.join(c, "blk").select(
         "s_suppkey",

@@ -60,6 +60,8 @@ BOUNDS: dict[str, str] = {
     "agg_welch_ttest": "2-row group-stats frame + " + _SCALAR,
     # ── dedup / similarity ─────────────────────────────────────────────
     "dedup_embedding_cosine_pairs": "pair-count scalar + threshold-bounded pair sort",
+    "dedup_embedding_cosine_bucketed": "data-driven band-width scalar (" + _SCALAR + ")",
+    "join_fuzzy_entity_match": "data-driven block-key-length scalar (" + _SCALAR + ")",
     "dedup_exact_summary": _SCALAR,
     "dedup_shingle_cap_audit": _SCALAR,
     "sim_ivf_kmeans_topk": "k-means training sample ≤4096 rows + top-k heap frame",

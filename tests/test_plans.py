@@ -297,7 +297,14 @@ def test_fuzzy_match_blocked_not_all_pairs(spark, sf_dir):
     df = J.join_fuzzy_entity_match(spark, sf_dir)
     plan = _plan_string(df)
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # the data-driven key length is attached as a broadcast 1-row
+    # scalar (r9): exactly the two scalar attaches may appear as
+    # BroadcastNestedLoopJoin; the CANDIDATE join itself must still be
+    # an equi-join on the blocking key
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "blk" in plan and (
+        "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+    )
 
 
 def test_bootstrap_fanout_is_broadcast(spark, sf_dir):

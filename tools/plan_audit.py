@@ -89,8 +89,23 @@ def main() -> int:
             f"\nSTALE registry entries (no SinglePartition in plan now — "
             f"prune from bounded_single_partition.py): {stale}"
         )
+    # ── fixed-entropy constant audit (VERDICT r9 #2) ─────────────────
+    from clickhouse_migrator_spark.plans.entropy_constants import (
+        ENTROPY_CONSTANTS,
+        check as entropy_check,
+    )
+
+    problems = entropy_check()
+    print(f"\nEntropy-constant registry ({len(ENTROPY_CONSTANTS)} entries):")
+    for cname, ec in sorted(ENTROPY_CONSTANTS.items()):
+        print(f"  [{ec.kind:12s}] {cname}")
+    if problems:
+        for p in problems:
+            print(f"  ROTTED: {p}  <-- REVIEW")
+        flagged += len(problems)
+
     print(f"\n{flagged} queries flagged; {len(seen_single)} bounded single-partition")
-    return 0
+    return 1 if flagged else 0
 
 
 if __name__ == "__main__":

@@ -40,7 +40,25 @@ from pyspark.sql import Column, functions as F
 # with \z, not $: Java's $ also matches BEFORE a final line
 # terminator, so 'hello \n' would lose the space that DuckDB's trim
 # (stopping at the non-Zs newline) keeps (round-8 code review).
+#: Java regex for the Zs edge-strip — kept as the SPEC (and the parity
+#: test's second implementation); the hot path below uses btrim.
 _UNICODE_WS_EDGES = '(^\\p{Zs}+)|(\\p{Zs}+\\z)'
+
+#: The 17 Unicode Zs (space-separator) codepoints — exactly Java's
+#: ``\p{Zs}`` and utf8proc's Zs category (what DuckDB's trim strips).
+#: All BMP, so the btrim char-set walk has no surrogate-pair hazard.
+_ZS_CHARS = "".join(
+    chr(c)
+    for c in (
+        0x0020,  # SPACE
+        0x00A0,  # NO-BREAK SPACE
+        0x1680,  # OGHAM SPACE MARK
+        *range(0x2000, 0x200B),  # EN QUAD .. HAIR SPACE (11)
+        0x202F,  # NARROW NO-BREAK SPACE
+        0x205F,  # MEDIUM MATHEMATICAL SPACE
+        0x3000,  # IDEOGRAPHIC SPACE
+    )
+)
 
 
 def utrim(col: Column | str) -> Column:
@@ -49,12 +67,19 @@ def utrim(col: Column | str) -> Column:
     EXCLUDED) while Spark's ``trim()`` strips only the ASCII space — a
     text with unicode-whitespace EDGES tokenized differently across
     the two engines (round-8 data-edge fuzz catch,
-    ``unicode/text_flesch_reading_ease``).  Java regex ``\\p{Zs}`` is
-    exactly that set, so this column is bit-identical to the DuckDB
-    oracles' ``trim(text)``.  Pure JVM expression — stays in
+    ``unicode/text_flesch_reading_ease``).
+
+    Implementation is ``btrim(text, <the 17 Zs chars>)`` — a plain
+    char-set edge walk, ~2× cheaper than the equivalent anchored
+    ``\\p{Zs}`` regexp_replace that r8 shipped (the ``utrim`` tax on
+    every text scan was VERDICT r9 #3; numbers in SCALE.md).  The two
+    are character-for-character equal — btrim's end-of-string is the
+    regex's ``\\z``, never ``$`` (no final-line-terminator divergence)
+    — pinned by ``tests/test_review_r8.py`` parity tests and the
+    hypothesis equivalence test.  Pure JVM expression — stays in
     whole-stage codegen."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(c, _UNICODE_WS_EDGES, "")
+    return F.btrim(c, F.lit(_ZS_CHARS))
 
 
 def dec_str(col: Column | str, scale: int = 4, precision: int = 28) -> Column:

@@ -45,6 +45,37 @@ def test_utrim_final_line_terminator_parity(spark, text):
     assert got == want, (repr(text), repr(got), repr(want))
 
 
+def test_utrim_btrim_equals_regex_spec_on_all_zs(spark):
+    """The r9 btrim fast path must equal the anchored \\p{Zs} regex
+    SPEC character-for-character: every Zs codepoint alone and layered
+    with non-Zs whitespace (tab/newline stay, exactly like DuckDB),
+    verified against DuckDB trim() itself in the same sweep."""
+    from clickhouse_migrator_spark.hashsafe import _UNICODE_WS_EDGES, _ZS_CHARS
+
+    assert len(_ZS_CHARS) == 17
+    cases = []
+    for z in _ZS_CHARS:
+        cases.extend(
+            [
+                f"{z}x{z}",
+                f"{z}{z}a b{z}\n",   # Zs then final newline: newline survives
+                f"\t{z}mid{z}\t",    # tab is NOT Zs: survives on both ends
+                f"{z}",
+                f"x{z}y",            # interior Zs untouched
+            ]
+        )
+    cases.extend(["", "\n", "   　 ", "no-ws"])
+    df = spark.createDataFrame([(c,) for c in cases], "t string").select(
+        F.col("t"),
+        utrim(F.col("t")).alias("fast"),
+        F.regexp_replace(F.col("t"), _UNICODE_WS_EDGES, "").alias("spec"),
+    )
+    for r in df.collect():
+        assert r.fast == r.spec, repr(r.t)
+        want = duckdb.execute("SELECT trim(?)", [r.t]).fetchone()[0]
+        assert r.fast == want, (repr(r.t), repr(r.fast), repr(want))
+
+
 @pytest.fixture()
 def db(spark):
     name = "reviewdb_" + uuid.uuid4().hex[:8]

@@ -1,0 +1,437 @@
+"""End-to-end migration-runner orchestration fuzz (VERDICT r9 #5).
+
+The dialect fuzzers cover statement REWRITES; this harness fuzzes the
+ORCHESTRATION layer that round 8's three real bugs lived in: manifest
+scan → diff → claim → apply → ledger → release, plus recover_cow /
+clear_claims.  Each scenario drives `migrate()` over a randomly grown
+migration directory with randomly injected faults, against a MODEL that
+replays exactly the statements the engine executed (including the
+documented non-idempotent rerun semantics after a mid-script failure or
+a copy-on-write crash), and asserts the invariants after every epoch:
+
+  I1  ledger versions == the model's applied set (exactly, ordered);
+  I2  every fuzzed table's (k, v) contents == the model state;
+  I3  zero live claims after any completed/failed run (failures release
+      their claim; only CRASHES leave one, and clear_claims clears it);
+  I4  a rerun after convergence applies 0 migrations (idempotent diff);
+  I5  duplicate versions / edited-after-commit / deleted-after-commit
+      manifests are rejected, and the run they reject is a no-op.
+
+Faults per epoch (random, seeded):
+  - mid-script failure at a random statement index of a .json script
+    (fail-stop: prior statements' effects persist, ledger unchanged,
+    rerun re-executes the whole script — the model replays both runs);
+  - copy-on-write crash injection at before_drop / after_drop during a
+    random ALTER UPDATE/DELETE, then recover_cow (the model applies the
+    interrupted mutation 0, 1, or 2 times according to the recovery
+    action — "rolled_back" → rerun applies once; "completed:V<n>" →
+    effects present AND rerun re-applies);
+  - duplicate-version file (expect scan_migrations rejection);
+  - edit-after-commit / delete-after-commit (expect diff rejection).
+
+Usage:
+    python tools/runner_fuzz.py [n_scenarios] [seed]
+Exit 0 = all invariants held.  The pytest wrapper
+(tests/test_runner_fuzz.py) runs a bounded number of seeded scenarios
+every CI run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import shutil
+import sys
+import uuid
+from dataclasses import dataclass, field
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from clickhouse_migrator_spark import migrate as M  # noqa: E402
+
+
+# ── statement generators (engine SQL + model effect) ────────────────────────
+
+
+@dataclass
+class Stmt:
+    sql: str
+    kind: str  # create | insert | update | delete
+    table: str
+    # model params
+    rows: list[tuple[int, int]] = field(default_factory=list)  # insert
+    mod: int = 1
+    rem: int = 0
+    delta: int = 0  # update: v += delta (delta=None → v = set_to)
+    set_to: int | None = None
+    cow: bool = False  # goes through _swap_overwrite
+
+    def apply(self, state: dict[str, dict[int, int]]) -> None:
+        """Replay this statement's effect on the model state."""
+        if self.kind == "create":
+            state[self.table] = {}
+        elif self.kind == "insert":
+            state[self.table].update(dict(self.rows))
+        elif self.kind == "update":
+            for k in list(state[self.table]):
+                if k % self.mod == self.rem:
+                    if self.set_to is not None:
+                        state[self.table][k] = self.set_to
+                    else:
+                        state[self.table][k] += self.delta
+        elif self.kind == "delete":
+            for k in list(state[self.table]):
+                if k % self.mod == self.rem:
+                    del state[self.table][k]
+
+
+class Gen:
+    def __init__(self, rng: random.Random):
+        self.rng = rng
+        self.tables: list[str] = []
+        self.next_key: dict[str, int] = {}
+
+    def stmt(self) -> Stmt:
+        r = self.rng
+        if not self.tables or r.random() < 0.15:
+            t = f"fz_{len(self.tables)}"
+            self.tables.append(t)
+            self.next_key[t] = 0
+            return Stmt(
+                sql=(
+                    f"CREATE TABLE {t} (k Int64, v Int64) "
+                    "ENGINE = MergeTree ORDER BY tuple()"
+                ),
+                kind="create",
+                table=t,
+            )
+        t = r.choice(self.tables)
+        kind = r.choice(["insert", "insert", "update", "update", "delete"])
+        if kind == "insert":
+            k0 = self.next_key[t]
+            n = r.randint(1, 6)
+            self.next_key[t] = k0 + n
+            rows = [(k0 + i, r.randint(0, 99)) for i in range(n)]
+            vals = ", ".join(f"({k}, {v})" for k, v in rows)
+            return Stmt(
+                sql=f"INSERT INTO {t} VALUES {vals}", kind="insert", table=t, rows=rows
+            )
+        mod, rem = r.randint(1, 4), 0
+        rem = r.randint(0, mod - 1)
+        if kind == "update":
+            if r.random() < 0.5:  # non-idempotent
+                d = r.randint(1, 9)
+                return Stmt(
+                    sql=f"ALTER TABLE {t} UPDATE v = v + {d} WHERE k % {mod} = {rem}",
+                    kind="update",
+                    table=t,
+                    mod=mod,
+                    rem=rem,
+                    delta=d,
+                    cow=True,
+                )
+            s = r.randint(100, 199)
+            return Stmt(
+                sql=f"ALTER TABLE {t} UPDATE v = {s} WHERE k % {mod} = {rem}",
+                kind="update",
+                table=t,
+                mod=mod,
+                rem=rem,
+                set_to=s,
+                cow=True,
+            )
+        return Stmt(
+            sql=f"ALTER TABLE {t} DELETE WHERE k % {mod} = {rem}",
+            kind="delete",
+            table=t,
+            mod=mod,
+            rem=rem,
+            cow=True,
+        )
+
+
+# ── scenario driver ──────────────────────────────────────────────────────────
+
+BAD_SQL = "ALTER TABLE __no_such_table__ UPDATE v = 0 WHERE k = 0"
+
+
+
+def _expect_reject(fn, needle: str, ctx: str) -> None:
+    """Run fn expecting the ENGINE's rejection (AssertionError/ValueError
+    whose message contains `needle`).  The harness's own invariant
+    failures are AssertionErrors too — the needle match keeps them
+    distinguishable."""
+    try:
+        fn()
+    except (AssertionError, ValueError) as e:
+        assert needle in str(e), f"{ctx}: wrong rejection: {e}"
+        return
+    raise AssertionError(f"{ctx}: expected rejection ({needle!r}) did not happen")
+
+
+def _write_script(home: str, version: int, stmts: list[str], rng: random.Random) -> str:
+    """Randomly .json (multi-statement) or .sql (single statement —
+    only when the script has exactly one)."""
+    if len(stmts) == 1 and rng.random() < 0.4:
+        path = os.path.join(home, f"V{version}__s.sql")
+        with open(path, "w") as f:
+            f.write(stmts[0])
+    else:
+        path = os.path.join(home, f"V{version}__s.json")
+        with open(path, "w") as f:
+            json.dump(stmts, f)
+    return path
+
+
+def _assert_state(spark, db: str, state: dict[str, dict[int, int]], ctx: str) -> None:
+    for t, want in state.items():
+        got = {
+            r.k: r.v for r in spark.table(f"`{db}`.`{t}`").select("k", "v").collect()
+        }
+        assert got == want, f"{ctx}: table {t}: got {got} want {want}"
+
+
+def _assert_ledger(spark, db: str, applied: list[int], ctx: str) -> None:
+    got = sorted(
+        r.version for r in spark.table(f"`{db}`.`{M.LEDGER}`").select("version").collect()
+    )
+    assert got == sorted(applied), f"{ctx}: ledger {got} != applied {applied}"
+
+
+def _live_claim_count(spark, db: str) -> int:
+    return M._live_claims(spark, f"`{db}`.`{M.CLAIMS}`").count()
+
+
+def run_scenario(spark, seed: int, n_epochs: int = 4, verbose: bool = False) -> None:
+    rng = random.Random(seed)
+    gen = Gen(rng)
+    db = f"fuzzdb_{seed}_{uuid.uuid4().hex[:6]}"
+    home = f"/tmp/runner_fuzz_{db}"
+    os.makedirs(home, exist_ok=True)
+    M.create_db(spark, db)
+    M.init_db(spark, db)
+    state: dict[str, dict[int, int]] = {}
+    applied: list[int] = []
+    version = 0
+    prev_db = spark.catalog.currentDatabase()
+    orig_crash = M._crash_point
+    try:
+        for epoch in range(n_epochs):
+            ctx = f"seed={seed} epoch={epoch}"
+            # ── grow the migration dir ────────────────────────────────
+            new: list[tuple[int, list[Stmt], str]] = []
+            for _ in range(rng.randint(1, 3)):
+                version += rng.randint(1, 3)  # gaps allowed
+                stmts = [gen.stmt() for _ in range(rng.randint(1, 4))]
+                path = _write_script(home, version, [s.sql for s in stmts], rng)
+                new.append((version, stmts, path))
+
+            fault = rng.choice(["none", "midfail", "crash", "dupver", "edit", "delete"])
+            if verbose:
+                print(f"{ctx}: fault={fault} new={[v for v, _, _ in new]}")
+
+            if fault == "dupver":
+                # duplicate version file → scan rejects, run is a no-op
+                dup_v = new[-1][0]
+                dup = os.path.join(home, f"V{dup_v}__dup.sql")
+                with open(dup, "w") as f:
+                    f.write("SELECT 1")
+                try:
+                    _expect_reject(
+                        lambda: M.migrate(spark, db, home),
+                        "Duplicate migration version",
+                        ctx,
+                    )
+                finally:
+                    os.remove(dup)
+            elif fault == "edit" and applied:
+                # edit an applied script → diff rejects, run is a no-op
+                tgt = rng.choice(
+                    [f for f in os.listdir(home) if int(f.split("_")[0][1:]) in applied]
+                )
+                p = os.path.join(home, tgt)
+                orig = open(p).read()
+                with open(p, "w") as f:
+                    f.write(orig + " ")
+                try:
+                    _expect_reject(
+                        lambda: M.migrate(spark, db, home),
+                        "Do not edit migrations once run",
+                        ctx,
+                    )
+                finally:
+                    with open(p, "w") as f:
+                        f.write(orig)
+            elif fault == "delete" and applied:
+                tgt = rng.choice(
+                    [f for f in os.listdir(home) if int(f.split("_")[0][1:]) in applied]
+                )
+                p = os.path.join(home, tgt)
+                orig = open(p).read()
+                os.remove(p)
+                try:
+                    _expect_reject(
+                        lambda: M.migrate(spark, db, home),
+                        "deleted from codebase but already run",
+                        ctx,
+                    )
+                finally:
+                    with open(p, "w") as f:
+                        f.write(orig)
+            elif fault == "midfail":
+                # inject a failing statement into the LAST new script at
+                # a random index BEFORE any CREATE (a re-executed CREATE
+                # would fail the rerun — the documented fix-and-rerun
+                # contract makes that the user's problem, not the
+                # orchestrator's; the fuzz pins orchestration);
+                # fail-stop leaves prior statements' effects, ledger
+                # without the failed version; the fixed rerun
+                # re-executes the WHOLE script (model replays both)
+                v_bad, stmts, path = new[-1]
+                first_create = next(
+                    (i for i, s in enumerate(stmts) if s.kind == "create"), len(stmts)
+                )
+                bad_idx = min(rng.randint(0, len(stmts)), first_create)
+                sqls = [s.sql for s in stmts]
+                sqls.insert(bad_idx, BAD_SQL)
+                os.remove(path)
+                path = os.path.join(home, f"V{v_bad}__s.json")
+                with open(path, "w") as f:
+                    json.dump(sqls, f)
+                new[-1] = (v_bad, stmts, path)
+                raised = False
+                try:
+                    M.migrate(spark, db, home)
+                except Exception:
+                    raised = True
+                assert raised, f"{ctx}: mid-script failure did not raise"
+                # model: earlier new versions fully applied; bad script's
+                # statements BEFORE the bad index applied (fail-stop)
+                for v, ss, _ in new[:-1]:
+                    for s in ss:
+                        s.apply(state)
+                    applied.append(v)
+                for s in stmts[:bad_idx]:
+                    s.apply(state)
+                assert _live_claim_count(spark, db) == 0, f"{ctx}: claim leaked"
+                _assert_ledger(spark, db, applied, ctx + " (post-fail)")
+                _assert_state(spark, db, state, ctx + " (post-fail)")
+                # fix: rewrite without the bad statement; rerun converges
+                with open(path, "w") as f:
+                    json.dump([s.sql for s in stmts], f)
+                M.migrate(spark, db, home)
+                for s in stmts:  # whole-script rerun semantics
+                    s.apply(state)
+                applied.append(v_bad)
+            elif fault == "crash":
+                # crash the FIRST cow statement of the new batch at a
+                # random swap stage, then recover_cow + clear_claims +
+                # rerun.  Model: statements before the cow applied once;
+                # the cow applied per the recovery action; rerun replays
+                # every script that was not yet in the ledger.
+                # target must be the FIRST cow statement of the batch
+                # (so the armed crash_point hits it) and must precede
+                # any CREATE in its own script (a re-executed CREATE
+                # fails the rerun — same fix-and-rerun contract note as
+                # the midfail fault)
+                target = None
+                for v, ss, _ in new:
+                    for i, s in enumerate(ss):
+                        if s.kind == "create":
+                            break
+                        if s.cow:
+                            target = (v, i)
+                            break
+                    if target or any(s.cow for s in ss):
+                        break
+                if target is None:
+                    M.migrate(spark, db, home)
+                    for v, ss, _ in new:
+                        for s in ss:
+                            s.apply(state)
+                        applied.append(v)
+                else:
+                    stage = rng.choice(["before_drop", "after_drop"])
+                    armed = {"n": 1}
+
+                    def boom(s, _stage=stage, _armed=armed):
+                        if s == _stage and _armed["n"] > 0:
+                            _armed["n"] -= 1
+                            raise RuntimeError("fuzz crash")
+
+                    M._crash_point = boom
+                    try:
+                        M.migrate(spark, db, home)
+                        raise AssertionError(f"{ctx}: injected crash did not raise")
+                    except RuntimeError:
+                        pass
+                    finally:
+                        M._crash_point = orig_crash
+                    v_crash, i_crash = target
+                    actions = M.recover_cow(spark, db)
+                    # versions BEFORE the crashed one applied fully
+                    for v, ss, _ in new:
+                        if v == v_crash:
+                            break
+                        for s in ss:
+                            s.apply(state)
+                        applied.append(v)
+                    crash_stmts = next(ss for v, ss, _ in new if v == v_crash)
+                    for s in crash_stmts[:i_crash]:
+                        s.apply(state)
+                    act = actions.get(crash_stmts[i_crash].table, "rolled_back")
+                    if act.startswith("completed"):
+                        # ADVICE r9: forward recovery names the version
+                        assert act == f"completed:V{v_crash}", f"{ctx}: {act}"
+                        crash_stmts[i_crash].apply(state)
+                    _assert_state(spark, db, state, ctx + " (post-recover)")
+                    # crashed runner left its claim: clear, then rerun
+                    M.clear_claims(spark, db)
+                    M.migrate(spark, db, home)
+                    for v, ss, _ in new:
+                        if v in applied:
+                            continue
+                        for s in ss:
+                            s.apply(state)
+                        applied.append(v)
+            if fault in ("none", "dupver", "edit", "delete"):
+                # the faulted run was a no-op; a clean run applies all new
+                M.migrate(spark, db, home)
+                for v, ss, _ in new:
+                    if v in applied:
+                        continue
+                    for s in ss:
+                        s.apply(state)
+                    applied.append(v)
+
+            # ── invariants after every epoch ──────────────────────────
+            _assert_ledger(spark, db, applied, ctx)
+            _assert_state(spark, db, state, ctx)
+            assert _live_claim_count(spark, db) == 0, f"{ctx}: live claims remain"
+            assert M.migrate(spark, db, home) == 0, f"{ctx}: rerun not a no-op"
+    finally:
+        M._crash_point = orig_crash
+        spark.catalog.setCurrentDatabase(prev_db)
+        spark.sql(f"DROP DATABASE IF EXISTS `{db}` CASCADE")
+        shutil.rmtree(home, ignore_errors=True)
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    seed0 = int(sys.argv[2]) if len(sys.argv) > 2 else 900
+    from clickhouse_migrator_spark.session import get_spark
+
+    spark = get_spark(app_name="runner-fuzz", cpus=4, shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    for i in range(n):
+        run_scenario(spark, seed0 + i, verbose=True)
+        print(f"scenario {seed0 + i}: OK")
+    print(f"{n} scenarios, all invariants held")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -339,12 +339,21 @@ SESSION_OUT_SCHEMA = (
 )
 
 
-def sessionize_with_state(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def sessionize_with_state(
+    events: DataFrame, gap_minutes: int = 30, timeout_pad_ms: int = 60_000
+) -> DataFrame:
     """Custom stateful sessionizer via ``applyInPandasWithState`` — the
     pattern for session logic `session_window` can't express (e.g.
     value-dependent gaps).  Emits a session whenever a new event
     arrives past the gap; flushes the open session on state timeout.
-    """
+
+    ``timeout_pad_ms`` is the event-time timeout distance past the
+    current watermark.  The 60 s default means an availableNow drain's
+    CLOSING batch (watermark advanced, no new files) flushes every open
+    session — the behavior the registered mirror wants.  The
+    checkpoint-restart tests pass a LARGE pad so open sessions stay in
+    state across a graceful stop and provably restore on resume
+    (tests/test_streaming_restart_all.py)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap = pd.Timedelta(minutes=gap_minutes)
@@ -392,7 +401,18 @@ def sessionize_with_state(events: DataFrame, gap_minutes: int = 30) -> DataFrame
                     last, n, total = t, n + 1, total + float(val_arr[i])
                 last64 = t64
             state.update((start, last, n, total))
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 60_000)
+            # timeout anchored to the session's LAST EVENT (not the
+            # current watermark): "flush once the watermark passes the
+            # last event by pad".  A watermark-anchored stamp is 0-based
+            # on the first batch, so ANY later watermark advance fired
+            # it — flushing every open session at end-of-run and making
+            # checkpoint-restart of open sessions untestable (r9).  The
+            # max() keeps the stamp legal (must exceed the watermark)
+            # for a restored `last` that trails it.
+            last_ms = int(pd.Timestamp(last).value // 1_000_000)
+            state.setTimeoutTimestamp(
+                max(state.getCurrentWatermarkMs(), last_ms) + timeout_pad_ms
+            )
         if out:
             yield pd.DataFrame(
                 out,

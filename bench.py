@@ -175,8 +175,25 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     specs = all_specs()
+    # SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts to a subset (the scaling
+    # probes bench the ~15 risk queries on partial fixtures)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {q.strip() for q in only.split(",") if q.strip()}
+        missing = keep - set(specs)
+        if missing:
+            print(f"bench: unknown queries in BENCH_ONLY: {sorted(missing)}", file=sys.stderr)
+        specs = {n: s for n, s in specs.items() if n in keep}
     # warm the JVM + parquet footers once so per-query numbers are steady
-    materialize(spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1))
+    # (subset fixtures may lack lineitem — warm on whatever exists)
+    try:
+        materialize(spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1))
+    except Exception:
+        import glob as _glob
+
+        any_pq = sorted(_glob.glob(f"{sf_dir}/*.parquet"))
+        if any_pq:
+            materialize(spark.read.parquet(any_pq[0]).limit(1))
     # spin up the reusable Python/Arrow workers once so the one-time
     # fork+import cost doesn't land on whichever pandas-UDF query runs
     # first (spark.python.worker.reuse keeps them alive session-wide)

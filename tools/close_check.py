@@ -1,0 +1,130 @@
+"""Artifact-freshness close gate (VERDICT r9 #1).
+
+Round 8's close slipped: the committed GATE/sf1 artifacts were
+generated two operator-touching commits before HEAD, and the committed
+BENCH_SF1 still carried the pre-fix fuzzy join — so the round's own
+ratio report exited 1 on its own artifacts.  This script makes
+freshness a HARD gate; it must exit 0 on the final tree of every round:
+
+  1. every required r{N} artifact exists;
+  2. NO package/tool file is newer in git history than the artifact
+     commit — i.e. `git log <artifact-commit>..HEAD` touches no file
+     under clickhouse_migrator_spark/ or bench.py/__spark_entry__.py
+     (artifacts must be regenerated in or after the last code commit);
+  3. the committed sf1 ratio report passes (exit 0) on the committed
+     artifact pair;
+  4. the bench tripwire passes on the committed spread.
+
+Usage:
+    python tools/close_check.py <round>        # e.g. 9
+Run it as the LAST step before the round's final commit, then commit
+the artifacts; CI-style usage re-runs it at HEAD where the artifact
+files are the committed ones.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: paths whose post-artifact modification invalidates the close
+CODE_PATHS = ("clickhouse_migrator_spark/", "bench.py", "__spark_entry__.py")
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", *args], cwd=REPO, capture_output=True, text=True, check=True
+    ).stdout
+
+
+def main() -> int:
+    rnd = sys.argv[1] if len(sys.argv) > 1 else "9"
+    problems: list[str] = []
+
+    required = [
+        f"GATE_r{rnd}_sf0001.json",
+        f"GATE_r{rnd}_sf001.json",
+        f"GATE_r{rnd}_sf01.json",
+        f"GATE_r{rnd}_pandas_sf0001.json",
+        f"GATE_r{rnd}_pandas_sf001.json",
+        f"GATE_r{rnd}_pandas_sf01.json",
+        f"BENCH_LOCAL_r{rnd}.json",
+        f"BENCH_SPREAD_r{rnd}.json",
+        f"BENCH_SF1_r{rnd}.json",
+        f"PLAN_AUDIT_r{rnd}.txt",
+    ]
+    for f in required:
+        if not os.path.exists(os.path.join(REPO, f)):
+            problems.append(f"missing artifact: {f}")
+
+    # freshness: newest commit touching any artifact must be >= newest
+    # commit touching code (in history order)
+    def last_commit(paths: list[str]) -> str | None:
+        out = _git("log", "-1", "--format=%H", "--", *paths).strip()
+        return out or None
+
+    code_head = last_commit(list(CODE_PATHS))
+    present = [f for f in required if os.path.exists(os.path.join(REPO, f))]
+    if code_head and present:
+        for f in present:
+            art_commit = last_commit([f])
+            if art_commit is None:
+                problems.append(f"artifact not committed yet: {f} (commit it with/after the last code change)")
+                continue
+            # code_head must be an ancestor of (or equal to) art_commit
+            anc = subprocess.run(
+                ["git", "merge-base", "--is-ancestor", code_head, art_commit],
+                cwd=REPO,
+            ).returncode
+            if anc != 0:
+                problems.append(
+                    f"STALE artifact: {f} (committed {art_commit[:9]}) predates the "
+                    f"last code commit {code_head[:9]} — regenerate on the final tree"
+                )
+
+    # uncommitted code changes also invalidate any committed artifact
+    dirty = _git("status", "--porcelain").strip()
+    dirty_code = [
+        ln for ln in dirty.splitlines() if any(p in ln for p in CODE_PATHS)
+    ]
+    if dirty_code:
+        problems.append(f"uncommitted code changes: {dirty_code}")
+
+    # the round's own gates must pass on the committed artifacts
+    sf1_base = os.path.join(REPO, f"BENCH_SF1_BASE_r{rnd}.json")
+    base = sf1_base if os.path.exists(sf1_base) else os.path.join(REPO, f"BENCH_LOCAL_r{rnd}.json")
+    if os.path.exists(base) and os.path.exists(os.path.join(REPO, f"BENCH_SF1_r{rnd}.json")):
+        r = subprocess.run(
+            [sys.executable, "tools/sf1_ratio_report.py", base, f"BENCH_SF1_r{rnd}.json"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+        )
+        if r.returncode != 0:
+            problems.append(
+                "sf1_ratio_report exits nonzero on the committed pair:\n" + r.stdout[-1500:]
+            )
+    if os.path.exists(os.path.join(REPO, f"BENCH_SPREAD_r{rnd}.json")):
+        r = subprocess.run(
+            [sys.executable, "tools/bench_tripwire.py", f"BENCH_SPREAD_r{rnd}.json"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+        )
+        if r.returncode != 0:
+            problems.append("bench_tripwire exits nonzero:\n" + r.stdout[-1500:])
+
+    if problems:
+        print(f"CLOSE CHECK r{rnd}: FAIL")
+        for p in problems:
+            print(" -", p)
+        return 1
+    print(f"CLOSE CHECK r{rnd}: OK ({len(present)} artifacts fresh, gates pass)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -18,7 +18,14 @@ empirical decade.  Each table is 10 shifted copies of sf0.1:
 
 Pure pyarrow — no Spark session, so it can run alongside other work.
 
-Usage: python tools/gen_sf1.py [src_dir] [dst_dir]
+Usage: python tools/gen_sf1.py [src_dir] [dst_dir] [tables_csv] [copies]
+
+``tables_csv`` (default: all) restricts generation to a subset — the
+round-9 second-decade probe builds sf10 for only the risk-subset
+tables (documents/events/customer/supplier/embeddings) by running this
+tool FROM the sf1 fixture with copies=10 again; the token remap and
+sign-flip compose (copy tags nest: ``k<outer>k<inner>tok``), so
+cross-copy decorrelation holds at the second decade too.
 """
 
 from __future__ import annotations
@@ -83,23 +90,31 @@ def _flip_embedding(arr: pa.ChunkedArray, k: int) -> pa.Array:
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 and sys.argv[3] != "all" else None
+    global COPIES
+    if len(sys.argv) > 4:
+        COPIES = int(sys.argv[4])
     os.makedirs(dst, exist_ok=True)
 
+    key_shifts = {
+        n: k for n, k in KEY_SHIFTS.items() if only is None or n in only
+    }
+    single_copy = [n for n in SINGLE_COPY if only is None or n in only]
     bases: dict[str, int] = {}
     tables = {}
-    for name in list(KEY_SHIFTS) + list(SINGLE_COPY):
+    for name in list(key_shifts) + list(single_copy):
         tables[name] = pq.read_table(os.path.join(src, f"{name}.parquet"))
-    for name, keys in KEY_SHIFTS.items():
+    for name, keys in key_shifts.items():
         for key in keys:
             fam = _FAMILY[key]
             mx = pc.max(tables[name].column(key)).as_py() or 0
             bases[fam] = max(bases.get(fam, 0), int(mx) + 1)
 
-    for name in SINGLE_COPY:
+    for name in single_copy:
         pq.write_table(tables[name], os.path.join(dst, f"{name}.parquet"))
         print(f"{name}: copied")
 
-    for name, keys in KEY_SHIFTS.items():
+    for name, keys in key_shifts.items():
         t = tables[name]
         parts = []
         for k in range(COPIES):

@@ -540,7 +540,16 @@ FUZZY_BLOCK_TARGET = 100
 
 def fuzzy_block_len(n: int, target: int = FUZZY_BLOCK_TARGET) -> int:
     """Python mirror of the in-plan block-key-length law (tests +
-    documentation): k = max(2, decimal digits of ceil(n / target))."""
+    documentation): k = max(2, decimal digits of ceil(n / target)).
+
+    ``n`` is the number of DISTINCT names, not rows: blocking entropy
+    comes from distinct key material — a duplicate-heavy corpus (the
+    r9 sf10 probe's verbatim-copied names: 100 copies of every name)
+    has the entropy of its distinct set, and a row-count law overcounts
+    it, leaving per-block pairs ∝ dup_rate² (caught at 27× on the
+    second decade).  Duplicate names still meet in blocks — that
+    fan-out is the operator's OUTPUT for duplicate keys, irreducible by
+    any blocking scheme."""
     import math
 
     return max(2, len(str(int(math.ceil(n / float(target))))))
@@ -550,8 +559,8 @@ def fuzzy_block_len(n: int, target: int = FUZZY_BLOCK_TARGET) -> int:
     "join_fuzzy_entity_match",
     oracle="""
     WITH kk AS (
-      SELECT greatest(2, length(CAST(CAST(ceil(count(*) / 100.0) AS BIGINT)
-                                     AS VARCHAR))) AS k
+      SELECT greatest(2, length(CAST(CAST(ceil(count(DISTINCT c_name) / 100.0)
+                                          AS BIGINT) AS VARCHAR))) AS k
       FROM customer),
     c AS (SELECT c_custkey, c_name,
                  right(c_name, (SELECT k FROM kk)) AS blk FROM customer),
@@ -594,13 +603,17 @@ def join_fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks (JVM `levenshtein`, no UDF); same candidate-then-verify
     shape as `near_dup_pairs`, string edition."""
     c_raw = table(spark, sf_dir, "customer")
-    # scalar block-key length, derived from the corpus count (shared
-    # with the DuckDB oracle: both spell digits(ceil(n/100)) exactly)
+    # scalar block-key length from the DISTINCT-name count — the real
+    # entropy measure (see fuzzy_block_len: row count overcounts
+    # duplicate-heavy corpora, r9 second-decade catch).  Shared with
+    # the DuckDB oracle: both spell digits(ceil(n_distinct/100)).
     kdf = c_raw.agg(
         F.greatest(
             F.lit(2),
             F.length(
-                F.ceil(F.count(F.lit(1)) / F.lit(100.0)).cast("long").cast("string")
+                F.ceil(F.countDistinct("c_name") / F.lit(100.0))
+                .cast("long")
+                .cast("string")
             ),
         ).alias("k")
     )

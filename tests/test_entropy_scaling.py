@@ -35,7 +35,7 @@ from clickhouse_migrator_spark.plans.entropy_constants import (
 
 
 def test_fuzzy_block_len_law():
-    # digits(ceil(n/100)), floored at 2 — one more digit per decade
+    # digits(ceil(n_distinct/100)), floored at 2 — one more digit per decade
     assert fuzzy_block_len(150) == 2
     assert fuzzy_block_len(1_500) == 2
     assert fuzzy_block_len(15_000) == 3
@@ -55,14 +55,20 @@ def test_sign_band_dims_law():
 
 
 def _spark_fuzzy_k(spark, n):
-    """The law as the PLAN computes it (must equal the Python mirror)."""
+    """The law as the PLAN computes it (must equal the Python mirror):
+    distinct-NAME count, the real blocking-entropy measure (r9 sf10
+    catch: row count overcounts duplicate-heavy corpora)."""
+    names = spark.range(n).select(
+        F.format_string("Customer#%09d", F.col("id")).alias("c_name")
+    )
     return (
-        spark.range(n)
-        .agg(
+        names.agg(
             F.greatest(
                 F.lit(2),
                 F.length(
-                    F.ceil(F.count(F.lit(1)) / F.lit(100.0)).cast("long").cast("string")
+                    F.ceil(F.countDistinct("c_name") / F.lit(100.0))
+                    .cast("long")
+                    .cast("string")
                 ),
             ).alias("k")
         )

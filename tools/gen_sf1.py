@@ -125,6 +125,27 @@ def main() -> None:
                     t.schema.field(key).type
                 )
                 c = c.set_column(c.schema.get_field_index(key), key, col)
+            if name in ("customer", "supplier") and k > 0:
+                # keep the TPC-H name↔key invariant (Customer#%09d of
+                # the SHIFTED key): verbatim-copied names collapse name
+                # entropy to the sf0.1 distinct set — 100 duplicate
+                # copies of every name at the second decade — which is
+                # the densification trap (round-5 lesson) in string
+                # form; the r9 sf10 probe caught the fuzzy join at 27×
+                # on exactly this
+                key_col = "c_custkey" if name == "customer" else "s_suppkey"
+                prefix = "Customer#" if name == "customer" else "Supplier#"
+                name_col = "c_name" if name == "customer" else "s_name"
+                new_names = pa.array(
+                    [
+                        None if v is None else f"{prefix}{v:09d}"
+                        for v in c.column(key_col).to_pylist()
+                    ],
+                    pa.string(),
+                )
+                c = c.set_column(
+                    c.schema.get_field_index(name_col), name_col, new_names
+                )
             if name == "documents" and k > 0:
                 c = c.set_column(
                     c.schema.get_field_index("text"),

@@ -323,12 +323,22 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_locf_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-observation-carried-forward interpolation over a dense
     per-user hour grid (the standard sensor/metric densification step):
-    missing hours inherit the most recent observed hourly average via
-    `last(..., ignorenulls=True)` over an unbounded-preceding window.
+    missing hours inherit the most recent observed hourly average.
 
-    Scale: one window pass partitioned by user — state is a single
-    value per partition; the grid fan-out is #users × #hours, generated
-    distributively (no driver loop)."""
+    Plan shape (r9 sf10 probe rewrite): the dense grid is generated
+    SPARSELY — each observed row explodes the hour range it covers
+    (``[bucket, next_bucket)``, last observation carries to the grid
+    end) with its value attached, plus per-user leading-NULL rows from
+    the grid start to the first observation.  Equivalent row-for-row to
+    the old dense-grid LEFT JOIN + carry-forward window, but with NO
+    dense-grid shuffle and NO dense window sort: the ×#hours fan-out
+    happens inside ``Generate`` on the (well-partitioned) observed
+    rows.  The old shape also hid an AQE trap — coalescePartitions
+    sized the distinct-users exchange on its PRE-fan-out bytes (~2 MB)
+    and collapsed it to ONE partition, so the whole 108M-row grid was
+    generated and windowed in a single task at sf10 (124 s of 188 s,
+    single-threaded; an explicit repartition gets collapsed into the
+    coalescable ENSURE_REQUIREMENTS exchange and does not help)."""
     from pyspark.sql import Window
 
     e = table(spark, sf_dir, "events")
@@ -345,33 +355,35 @@ def events_locf_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", F.min("ts")).alias("lo"),
         F.date_trunc("hour", F.max("ts")).alias("hi"),
     )
-    grid = (
-        hourly.select("user_id")
-        .distinct()
-        .crossJoin(
-            F.broadcast(
-                bounds.select(
-                    F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
-                        "bucket"
-                    )
-                )
+    w_obs = Window.partitionBy("user_id").orderBy("bucket")
+    seg = (
+        hourly.withColumn("nt", F.lead("bucket").over(w_obs))
+        .crossJoin(F.broadcast(bounds))
+    )
+    hour = F.expr("INTERVAL 1 HOUR")
+    covered = seg.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("bucket"), F.coalesce(F.col("nt") - hour, F.col("hi")), hour
             )
-        )
+        ).alias("bucket"),
+        F.col("avg_value").alias("locf_value"),
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        grid.join(hourly, ["user_id", "bucket"], "left")
+    leading = (
+        hourly.groupBy("user_id")
+        .agg(F.min("bucket").alias("first_obs"))
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("first_obs") > F.col("lo"))
         .select(
             "user_id",
-            "bucket",
-            F.last("avg_value", ignorenulls=True).over(w).alias("locf_value"),
+            F.explode(
+                F.sequence(F.col("lo"), F.col("first_obs") - hour, hour)
+            ).alias("bucket"),
+            F.lit(None).cast("double").alias("locf_value"),
         )
-        .orderBy("user_id", "bucket")
     )
+    return covered.unionByName(leading).orderBy("user_id", "bucket")
 
 
 @register(
@@ -1120,16 +1132,18 @@ def events_linear_interp_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     The interpolated value is computed with exact integer half-up
     rounding in 1e-4 units (the bracketing values are 4-decimal
     rationals and k/n is a small exact ratio, so engine round()
-    boundary behavior never enters; values are non-negative).  Plan:
-    the same grid fan-out as LOCF plus ONE window pass over the dense
-    grid (backward carry of the preceding observation) — the FORWARD
-    neighbor comes from a ``lead`` window over the sparse OBSERVED rows
-    only, joined back on the carried (user, pt) key.  An earlier shape
-    ran a second descending-sort window over the whole dense grid for
-    the forward carry; sorting ~users×hours rows twice is the dominant
-    cost at scale and the sparse-side lead is equivalent (every gap row
-    between two observations carries pt = the earlier one, whose lead
-    IS the later one)."""
+    boundary behavior never enters; values are non-negative).
+
+    Plan shape (r9 sf10 probe rewrite, with ``events_locf_hourly_value``):
+    the dense grid is generated SPARSELY from the observed rows — one
+    ``lead`` window over the 2M observed rows, then each observation
+    explodes the segment it brackets (``[pt, nt)``; bucket==pt keeps
+    the observed value, interior buckets interpolate), plus per-user
+    trailing and leading NULL segments.  No dense-grid shuffle, no
+    dense window sort, and no AQE pre-fan-out-coalesce trap (the old
+    dense shape ran the whole users×hours grid in ONE task at sf10
+    because the distinct-users exchange looked tiny before the
+    fan-out)."""
     from pyspark.sql import Window
 
     e = table(spark, sf_dir, "events")
@@ -1146,60 +1160,68 @@ def events_linear_interp_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", F.min("ts")).alias("lo"),
         F.date_trunc("hour", F.max("ts")).alias("hi"),
     )
-    grid = (
-        hourly.select("user_id")
-        .distinct()
-        .crossJoin(
-            F.broadcast(
-                bounds.select(
-                    F.explode(
-                        F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
-                    ).alias("bucket")
-                )
-            )
-        )
-    )
-    wb = (
-        Window.partitionBy("user_id")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     w_obs = Window.partitionBy("user_id").orderBy("bucket")
-    nxt = hourly.select(
-        "user_id",
-        F.col("bucket").alias("pt"),
-        F.lead("avg_value").over(w_obs).alias("nv"),
-        F.lead("bucket").over(w_obs).alias("nt"),
-    )
-    obs_t = F.when(F.col("avg_value").isNotNull(), F.col("bucket"))
-    j = (
-        grid.join(hourly, ["user_id", "bucket"], "left")
-        .select(
+    hour = F.expr("INTERVAL 1 HOUR")
+    base = (
+        hourly.select(
             "user_id",
-            "bucket",
+            F.col("bucket").alias("pt"),
             "avg_value",
-            F.last("avg_value", ignorenulls=True).over(wb).alias("pv"),
-            F.last(obs_t, ignorenulls=True).over(wb).alias("pt"),
+            F.lead("avg_value").over(w_obs).alias("nv"),
+            F.lead("bucket").over(w_obs).alias("nt"),
         )
-        .join(nxt, ["user_id", "pt"], "left")
+        .crossJoin(F.broadcast(bounds))
     )
     k = F.expr("timestampdiff(HOUR, pt, bucket)").cast("long")
     n = F.expr("timestampdiff(HOUR, pt, nt)").cast("long")
-    p = F.round(F.col("pv") * 10000).cast("long")
+    p = F.round(F.col("avg_value") * 10000).cast("long")
     q = F.round(F.col("nv") * 10000).cast("long")
     interp_e4 = F.floor(
         (F.lit(2) * (p * (n - k) + q * k) + n) / (F.lit(2) * n)
     )
-    return j.select(
+    # bracketed segment [pt, nt): bucket==pt is the observation itself,
+    # interior buckets draw the line; a last observation (nt NULL)
+    # contributes only itself here — its tail is the NULL segment below
+    interior = base.select(
+        "user_id",
+        "pt",
+        "avg_value",
+        "nv",
+        "nt",
+        F.explode(
+            F.sequence(F.col("pt"), F.coalesce(F.col("nt") - hour, F.col("pt")), hour)
+        ).alias("bucket"),
+    ).select(
         "user_id",
         "bucket",
-        F.when(F.col("avg_value").isNotNull(), F.col("avg_value"))
-        .when(
-            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
-            interp_e4 / F.lit(10000.0),
-        )
+        F.when(F.col("bucket") == F.col("pt"), F.col("avg_value"))
+        .otherwise(interp_e4 / F.lit(10000.0))
         .alias("interp_value"),
     )
+    trailing = (
+        base.filter(F.col("nt").isNull() & (F.col("pt") < F.col("hi")))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("pt") + hour, F.col("hi"), hour)).alias(
+                "bucket"
+            ),
+            F.lit(None).cast("double").alias("interp_value"),
+        )
+    )
+    leading = (
+        hourly.groupBy("user_id")
+        .agg(F.min("bucket").alias("first_obs"))
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("first_obs") > F.col("lo"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("first_obs") - hour, hour)
+            ).alias("bucket"),
+            F.lit(None).cast("double").alias("interp_value"),
+        )
+    )
+    return interior.unionByName(trailing).unionByName(leading)
 
 
 @register(

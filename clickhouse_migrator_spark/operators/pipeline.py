@@ -875,11 +875,19 @@ LEAK_DF_CAP = 64  # drop grams shared by more docs than this (boilerplate)
                   ELSE 'heldout' END AS split,
              string_split_regex(lower(trim(text)), '\\s+') AS w
       FROM documents),
-    g AS (
-      SELECT DISTINCT doc_id, split,
+    g0 AS (
+      SELECT doc_id, split,
              unnest(list_transform(range(1, greatest(len(w) - {LEAK_K - 2}, 2)),
                     i -> array_to_string(w[i:i+{LEAK_K - 1}], ' '))) AS gram
       FROM t WHERE len(w) >= {LEAK_K}),
+    -- portable 60-bit gram hash (same md5 construction as the simhash
+    -- oracle): every downstream join/distinct/df-count runs on BIGINT
+    -- keys in both engines, so hash collisions (if any) merge
+    -- IDENTICALLY here and in the engine
+    g AS (
+      SELECT DISTINCT doc_id, split,
+             CAST(('0x' || substr(md5(gram), 1, 15))::UBIGINT AS BIGINT) AS gram
+      FROM g0),
     capped AS (
       SELECT g.* FROM g
       JOIN (SELECT gram FROM g GROUP BY gram
@@ -923,13 +931,31 @@ def pipeline_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shifted-slice zip window build (see dedup.kgrams): total for
     # short arrays, so no pre-filter guard is needed on the expression
     grams = kgrams(F.col("w"), LEAK_K)
+    # r9 sf10 probe: (a) grams travel as PORTABLE 60-bit md5 hashes
+    # (same construction as dedup_simhash; the oracle mirrors it), so
+    # every shuffle/join/distinct below moves int64 keys instead of
+    # ~50-char strings — ~10x smaller exchanges and cache; collisions
+    # merge identically in both engines, so the oracle stays exact.
+    # (b) an explicit round-robin repartition spreads the document rows
+    # before the interpreted k-gram HOF fans out — the raw scan's file
+    # splits are few and skewed (one straggler task carried half the
+    # gram build).
+    gram_h = F.conv(F.substring(F.md5(F.col("_g")), 1, 15), 16, 10).cast("bigint")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # three consumers (df-cap agg, heldout probe, train probe) read the
     # gram stream; the gram transform is an interpreted HOF over every
     # token window, so cache the exploded result rather than re-running
     # tokenize+gram per consumer
     g = (
         t.filter(F.size("w") >= LEAK_K)
-        .select("doc_id", "split", F.explode(F.array_distinct(grams)).alias("gram"))
+        .repartition(n_part)
+        .select(
+            "doc_id",
+            "split",
+            F.explode(F.array_distinct(grams)).alias("_g"),
+        )
+        .select("doc_id", "split", gram_h.alias("gram"))
+        .distinct()
         .cache()
     )
     ok = (

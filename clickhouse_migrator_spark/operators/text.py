@@ -9,6 +9,7 @@ scan of the corpus.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — pandas_udf type-hint resolution (rolling hash)
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..hashsafe import oracle_round_quotient, round_quotient, utrim
@@ -282,6 +283,89 @@ def text_ngram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def jvm_rolling_hash(col) -> Column:
+    """The rolling hash as a pure-JVM fold — the SPEC implementation
+    (split to a per-char array, aggregate Horner).  O(len) but
+    constant-factor heavy: every character becomes a 1-char UTF8String
+    object, and the fold is an interpreted HOF — the r9 sf10 probe
+    measured it 1.65× above byte-linear (GC pressure) at 500k docs.
+    Kept for the equivalence test; the registered query uses the
+    Arrow-vectorized twin below."""
+    chars = F.split(col, "")
+    return F.aggregate(
+        chars,
+        F.lit(7).cast("bigint"),
+        lambda acc, c: (acc * 131 + F.ascii(c).cast("bigint")) % 1_000_000_007,
+    )
+
+
+#: grow-on-demand table of 131^j mod p, shared across batches
+_ROLL_PW: "np.ndarray | None" = None
+
+
+def _roll_powers(n: int):
+    import numpy as np
+
+    global _ROLL_PW
+    if _ROLL_PW is None or len(_ROLL_PW) <= n:
+        size = max(n + 1, 4096)
+        pw = np.empty(size, dtype=np.int64)
+        pw[0] = 1
+        for j in range(1, size):
+            pw[j] = (pw[j - 1] * 131) % 1_000_000_007
+        _ROLL_PW = pw
+    return _ROLL_PW
+
+
+def rolling_hash_batch(texts) -> "pd.Series":
+    """Vectorized twin of :func:`jvm_rolling_hash` over one Arrow batch
+    (character-for-character equal, pinned by
+    tests/test_rolling_hash_parity.py):
+
+    hash(s) = (7·131^n + Σ cp_i·131^(n-1-i)) mod p over the UNICODE
+    CODE POINTS of s (numpy view of the UTF-32 encoding — Java's
+    empty-regex split is code-point aware, so the models agree on
+    astral chars), with the JVM's empty-string artifact mirrored
+    (split("","") yields [""], ascii("") = 0 → one zero term).
+    Products cp·131^k mod p stay < 2^51 and the elementwise-mod terms
+    < 2^30, so a single int64 reduceat per doc is exact for any
+    realistic length (< 2^33 chars)."""
+    import numpy as np
+    import pandas as pd
+
+    P = 1_000_000_007
+    empty_code = np.zeros(1, dtype=np.uint32)
+    codes: list = []
+    lens = np.empty(len(texts), dtype=np.int64)
+    null = np.zeros(len(texts), dtype=bool)
+    for i, v in enumerate(texts):
+        if v is None:
+            null[i] = True
+            lens[i] = 0
+        elif len(v) == 0:
+            codes.append(empty_code)
+            lens[i] = 1
+        else:
+            codes.append(np.frombuffer(v.encode("utf-32-le"), dtype=np.uint32))
+            lens[i] = len(codes[-1])
+    if codes:
+        nz = lens[~null]
+        allc = np.concatenate(codes).astype(np.int64)
+        pw = _roll_powers(int(nz.max()))
+        mult = np.concatenate([pw[n - 1 :: -1] for n in nz])
+        terms = (allc * mult) % P
+        offsets = np.zeros(len(nz), dtype=np.int64)
+        np.cumsum(nz[:-1], out=offsets[1:])
+        sums = np.add.reduceat(terms, offsets)
+        hashes = (7 * pw[nz] % P + sums) % P
+    else:
+        hashes = np.array([], dtype=np.int64)
+    out = np.zeros(len(texts), dtype=np.int64)
+    out[~null] = hashes
+    return pd.Series(out).mask(null, None).astype("Int64")
+
+
+
 @register(
     "text_rolling_hash",
     oracle="""
@@ -302,18 +386,28 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polynomial (Rabin-Karp) rolling hash over the normalized char
     stream — the incremental-fingerprint primitive behind shingle
     hashing and content-defined chunking.  Base 131 mod 1e9+7 keeps
-    every intermediate < 2^57, exact in int64 in both engines; computed
-    with JVM higher-order functions (`F.aggregate`), no Python UDF."""
+    every intermediate < 2^57, exact in int64 in both engines.
+
+    Computed by an ARROW-VECTORIZED pandas UDF (`rolling_hash_batch`):
+    the pure-JVM fold (`jvm_rolling_hash`, kept as the spec) allocates
+    a 1-char UTF8String per character and runs an interpreted HOF —
+    the r9 sf10 probe measured it 1.65× above byte-linear from GC
+    pressure alone.  The numpy twin views each string's UTF-32
+    encoding (C-speed code-point extraction), multiplies against a
+    shared power table and reduces per-doc in one `np.add.reduceat` —
+    this is exactly the "Arrow-batched Pandas UDF when the JVM
+    expression can't be made cheap" posture, and the equivalence is
+    pinned character-for-character in tests/test_rolling_hash_parity.py
+    (incl. astral, empty, NULL)."""
+
+    @F.pandas_udf("bigint")
+    def roll_udf(s: pd.Series) -> pd.Series:
+        return rolling_hash_batch(s)
+
     d = table(spark, sf_dir, "documents")
-    chars = F.split(F.lower(utrim(F.col("text"))), "")
-    roll = F.aggregate(
-        chars,
-        F.lit(7).cast("bigint"),
-        lambda acc, c: (acc * 131 + F.ascii(c).cast("bigint")) % 1_000_000_007,
-    )
     return d.select(
         "doc_id",
-        roll.alias("roll_hash"),
+        roll_udf(F.lower(utrim(F.col("text")))).alias("roll_hash"),
         F.length("text").alias("n_chars_hashed"),
     )
 

@@ -7,6 +7,12 @@ Threshold: 10× data × 1.5 noise/accounting headroom = 15×, with a
 plan/codegen dominates and ratios there are meaningless).
 
     python tools/sf1_ratio_report.py BENCH_LOCAL_r8.json BENCH_SF1_r8.json
+    python tools/sf1_ratio_report.py --threshold 22 SF1.json SF10.json
+
+``--threshold`` overrides the default 15×: the sf10 subset fixture's
+token remap grows text BYTES 1.47× per decade by construction
+(measured 395→580 avg chars), so byte-linear text queries legitimately
+run up to ~14.7× on "10×" data — threshold 22 = 14.7 × 1.5 headroom.
 
 Exit 1 if any query is flagged.
 """
@@ -21,7 +27,12 @@ FLOOR_S = 0.5
 
 
 def main() -> int:
-    base_path, sf1_path = sys.argv[1], sys.argv[2]
+    global THRESHOLD
+    args = list(sys.argv[1:])
+    if args and args[0] == "--threshold":
+        THRESHOLD = float(args[1])
+        args = args[2:]
+    base_path, sf1_path = args[0], args[1]
     base = json.load(open(base_path))["queries"]
     sf1 = json.load(open(sf1_path))["queries"]
     rows = []

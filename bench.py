@@ -36,6 +36,47 @@ def materialize(df) -> None:
         df.count()
 
 
+def _cpu_snapshot() -> tuple[int, int]:
+    """(system-wide busy jiffies, busy jiffies of OUR process subtree).
+
+    Foreign-CPU attribution (VERDICT r9 #2): the r9 driver-session run
+    showed one contiguous ~12-query window inflated 3.3-7.4× that no
+    local replay of the same code/order/SF reproduces — transient
+    external CPU contention on the bench machine.  Recording, per
+    query, how much CPU the REST of the machine burned makes any
+    future inflated window attributable from the artifact alone:
+    inflated wall + inflated foreign CPU = contention; inflated wall +
+    quiet foreign CPU = a real regression.  The subtree walk covers
+    the python driver, the Spark JVM, and the reused pandas-UDF
+    workers (children of the JVM)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    busy = sum(vals) - vals[3] - vals[4]  # minus idle + iowait
+    procs: dict[int, tuple[int, int]] = {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                s = f.read()
+        except OSError:
+            continue
+        rest = s[s.rfind(")") + 2 :].split()
+        procs[int(pid)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+    kids: dict[int, list[int]] = {}
+    for pid, (ppid, _) in procs.items():
+        kids.setdefault(ppid, []).append(pid)
+    mine = 0
+    stack = [os.getpid()]
+    while stack:
+        p = stack.pop()
+        if p in procs:
+            mine += procs[p][1]
+            stack.extend(kids.get(p, []))
+    return busy, mine
+
+
 def _warm_shapes(spark) -> None:
     try:
         _warm_shapes_inner(spark)
@@ -182,8 +223,19 @@ def main() -> None:
         keep = {q.strip() for q in only.split(",") if q.strip()}
         missing = keep - set(specs)
         if missing:
-            print(f"bench: unknown queries in BENCH_ONLY: {sorted(missing)}", file=sys.stderr)
+            # hard failure: a mistyped subset would otherwise produce a
+            # normal-looking artifact that silently benched fewer
+            # (possibly zero) queries, which the freshness/ratio gates
+            # downstream would then consume as truth (ADVICE r9)
+            print(
+                f"bench: unknown queries in BENCH_ONLY: {sorted(missing)}",
+                file=sys.stderr,
+            )
+            sys.exit(2)
         specs = {n: s for n, s in specs.items() if n in keep}
+        if not specs:
+            print("bench: BENCH_ONLY filtered every query out", file=sys.stderr)
+            sys.exit(2)
     # warm the JVM + parquet footers once so per-query numbers are steady
     # (subset fixtures may lack lineitem — warm on whatever exists)
     try:
@@ -216,6 +268,12 @@ def main() -> None:
     _warm_streaming(spark)
 
     timings: dict[str, float] = {}
+    foreign: dict[str, float] = {}
+    hz = os.sysconf("SC_CLK_TCK")
+    try:
+        busy0, mine0 = _cpu_snapshot()
+    except Exception:  # pragma: no cover — non-Linux fallback
+        busy0 = mine0 = None
     for name, spec in sorted(specs.items()):
         t0 = time.perf_counter()
         try:
@@ -224,6 +282,15 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             timings[name] = -1.0
             print(f"bench error {name}: {e}", file=sys.stderr)
+        if busy0 is not None:
+            try:
+                busy1, mine1 = _cpu_snapshot()
+                foreign[name] = round(
+                    max(0, (busy1 - busy0) - (mine1 - mine0)) / hz, 3
+                )
+                busy0, mine0 = busy1, mine1
+            except Exception:  # pragma: no cover
+                busy0 = None
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -242,6 +309,11 @@ def main() -> None:
                 "n_queries": len(timings),
                 "n_errors": n_err,
                 "queries": timings,
+                # per-query CPU seconds burned by processes OUTSIDE the
+                # bench's own subtree (driver + JVM + pandas workers) —
+                # the contention fingerprint for variance forensics
+                "foreign_cpu_s": foreign,
+                "foreign_cpu_total_s": round(sum(foreign.values()), 1),
             },
             f,
             indent=1,
@@ -263,6 +335,7 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "n_errors": n_err,
+                "foreign_cpu_total_s": round(sum(foreign.values()), 1),
                 "per_query_file": out_path,
                 "queries": top,
             }

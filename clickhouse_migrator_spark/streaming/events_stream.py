@@ -347,13 +347,20 @@ def sessionize_with_state(
     value-dependent gaps).  Emits a session whenever a new event
     arrives past the gap; flushes the open session on state timeout.
 
-    ``timeout_pad_ms`` is the event-time timeout distance past the
-    current watermark.  The 60 s default means an availableNow drain's
-    CLOSING batch (watermark advanced, no new files) flushes every open
-    session — the behavior the registered mirror wants.  The
-    checkpoint-restart tests pass a LARGE pad so open sessions stay in
-    state across a graceful stop and provably restore on resume
-    (tests/test_streaming_restart_all.py)."""
+    ``timeout_pad_ms`` is the event-time timeout distance past each
+    session's LAST EVENT (the timeout timestamp is re-anchored to
+    ``last + pad`` on every batch).  Because the watermark itself trails
+    the stream maximum by the configured delay, a PLAIN availableNow
+    drain does NOT flush every open session: sessions whose last event
+    falls within (watermark delay + pad) of the stream's max timestamp
+    never time out and stay in state.  The registered mirror
+    (``streaming_stateful_sessions``) only emits a complete result
+    because it appends a far-future sentinel batch that advances the
+    watermark past every ``last + pad``; external callers that need a
+    full flush must do the same (or read the leftovers on a restart —
+    the checkpoint-restart tests pass a LARGE pad so open sessions
+    provably stay in state across a graceful stop and restore on
+    resume, tests/test_streaming_restart_all.py)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap = pd.Timedelta(minutes=gap_minutes)

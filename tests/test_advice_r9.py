@@ -50,10 +50,11 @@ def test_cow_crash_during_apply_reports_inflight_version(
     spark, db, tmp_path, monkeypatch, request
 ):
     """Crash in the DROP→RENAME window while apply_migration is running
-    V7: recover_cow completes the rename AND reports "completed:V7" —
-    the operator-facing signal that V7's effects are already present
-    and the rerun re-executes it (non-idempotent scripts double-apply
-    otherwise, ADVICE r9)."""
+    V7: recover_cow completes the rename AND reports "completed:V7".
+    Round 10 (statement journal): recovery also writes the statement's
+    journal row from the swap's markers, so the rerun RESUMES after the
+    completed mutation — exactly-once, no double-apply (this test
+    originally pinned the r9 disclosure-only semantics)."""
     spark.catalog.setCurrentDatabase(db)
     request.addfinalizer(lambda: spark.catalog.setCurrentDatabase("default"))
     M.execute_statement(
@@ -90,10 +91,15 @@ def test_cow_crash_during_apply_reports_inflight_version(
     assert M._COW_VERSION_PROP not in props
     # crashed claim is stale-but-clearable, exactly the documented path
     M.clear_claims(spark, db)
-    # the rerun re-executes V7 (documented semantics): v + 10 again
+    # the rerun SKIPS the journaled mutation (exactly-once, VERDICT r9
+    # #1) and only records the ledger row: values stay +10, not +20
     pending2 = M.migrations_to_apply(spark, db, manifest)
     assert M.apply_migration(spark, db, pending2) == 1
-    assert sorted(r.v for r in spark.table(f"`{db}`.t_adv9").collect()) == [21, 22]
+    assert sorted(r.v for r in spark.table(f"`{db}`.t_adv9").collect()) == [11, 12]
+    assert (
+        spark.table(f"`{db}`.schema_versions").filter(F.col("version") == 7).count()
+        == 1
+    )
 
 
 def test_cow_marker_never_survives_successful_swap(spark, db, tmp_path, request):

@@ -40,6 +40,20 @@ def _git(*args: str) -> str:
     ).stdout
 
 
+def _porcelain_paths(line: str) -> list[str]:
+    """Path field(s) of one ``git status --porcelain`` line.  Cols 0-2
+    are the status; renames carry ``old -> new`` and BOTH sides count
+    as dirty.  Matching the parsed path with ``startswith`` replaces
+    the old whole-line substring test, which mis-classified rename
+    lines and coincidental substrings and missed hand-edited committed
+    artifacts entirely (ADVICE r9)."""
+    body = line[3:]
+    if " -> " in body:
+        old, new = body.split(" -> ", 1)
+        return [old.strip().strip('"'), new.strip().strip('"')]
+    return [body.strip().strip('"')]
+
+
 def main() -> int:
     rnd = sys.argv[1] if len(sys.argv) > 1 else "9"
     problems: list[str] = []
@@ -56,6 +70,26 @@ def main() -> int:
         f"BENCH_SF1_r{rnd}.json",
         f"PLAN_AUDIT_r{rnd}.txt",
     ]
+    # round 10+: the orchestration fuzzer is part of the close gate
+    # (VERDICT r9 #5) — a fresh long randomized session artifact with
+    # its seed recorded for replay
+    try:
+        if int(rnd) >= 10:
+            required.append(f"RUNNER_FUZZ_r{rnd}.json")
+    except ValueError:
+        pass
+    # decade-probe subset pairs are optional per round, but when a
+    # round commits one it must be fresh and pass its own ratio gate
+    # (VERDICT r9 #4: the committed sf1-subset predated the sparse-grid
+    # rewrite and silently inverted against sf10)
+    subset_pairs = [
+        (f"BENCH_SF1_SUBSET_r{rnd}.json", f"BENCH_SF10_SUBSET_r{rnd}.json", "22"),
+    ]
+    for a, b, _thr in subset_pairs:
+        if any(os.path.exists(os.path.join(REPO, f)) for f in (a, b)):
+            for f in (a, b):
+                if f not in required:
+                    required.append(f)  # half a pair is a missing artifact
     for f in required:
         if not os.path.exists(os.path.join(REPO, f)):
             problems.append(f"missing artifact: {f}")
@@ -85,13 +119,20 @@ def main() -> int:
                     f"last code commit {code_head[:9]} — regenerate on the final tree"
                 )
 
-    # uncommitted code changes also invalidate any committed artifact
+    # uncommitted code changes also invalidate any committed artifact.
     dirty = _git("status", "--porcelain").strip()
+    dirty_paths = [p for ln in dirty.splitlines() for p in _porcelain_paths(ln)]
     dirty_code = [
-        ln for ln in dirty.splitlines() if any(p in ln for p in CODE_PATHS)
+        p for p in dirty_paths if any(p.startswith(cp) for cp in CODE_PATHS)
     ]
     if dirty_code:
         problems.append(f"uncommitted code changes: {dirty_code}")
+    # a hand-edited committed artifact is just as stale as an old one
+    dirty_artifacts = [p for p in dirty_paths if p in set(required)]
+    if dirty_artifacts:
+        problems.append(
+            f"uncommitted modifications to required artifacts: {dirty_artifacts}"
+        )
 
     # the round's own gates must pass on the committed artifacts
     sf1_base = os.path.join(REPO, f"BENCH_SF1_BASE_r{rnd}.json")
@@ -107,6 +148,34 @@ def main() -> int:
             problems.append(
                 "sf1_ratio_report exits nonzero on the committed pair:\n" + r.stdout[-1500:]
             )
+    for a, b, thr in subset_pairs:
+        if os.path.exists(os.path.join(REPO, a)) and os.path.exists(
+            os.path.join(REPO, b)
+        ):
+            r = subprocess.run(
+                [sys.executable, "tools/sf1_ratio_report.py", "--threshold", thr, a, b],
+                cwd=REPO,
+                capture_output=True,
+                text=True,
+            )
+            if r.returncode != 0:
+                problems.append(
+                    f"subset ratio report ({a} vs {b}) exits nonzero:\n"
+                    + r.stdout[-1500:]
+                )
+    fuzz_art = os.path.join(REPO, f"RUNNER_FUZZ_r{rnd}.json")
+    if os.path.exists(fuzz_art):
+        import json as _json
+
+        try:
+            fz = _json.load(open(fuzz_art))
+            if fz.get("failures", 1) != 0 or "seed" not in fz:
+                problems.append(
+                    f"RUNNER_FUZZ_r{rnd}.json must record seed and zero failures: "
+                    f"failures={fz.get('failures')!r} seed={fz.get('seed')!r}"
+                )
+        except Exception as e:  # malformed artifact is a failed gate
+            problems.append(f"RUNNER_FUZZ_r{rnd}.json unreadable: {e}")
     if os.path.exists(os.path.join(REPO, f"BENCH_SPREAD_r{rnd}.json")):
         r = subprocess.run(
             [sys.executable, "tools/bench_tripwire.py", f"BENCH_SPREAD_r{rnd}.json"],

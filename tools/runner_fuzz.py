@@ -19,13 +19,20 @@ a copy-on-write crash), and asserts the invariants after every epoch:
 
 Faults per epoch (random, seeded):
   - mid-script failure at a random statement index of a .json script
-    (fail-stop: prior statements' effects persist, ledger unchanged,
-    rerun re-executes the whole script — the model replays both runs);
+    (fail-stop: prior statements' effects persist, ledger unchanged;
+    the FIX edits the script, so its md5 changes, the statement
+    journal's progress is discarded, and the rerun re-executes the
+    whole fixed script — the model replays both runs);
   - copy-on-write crash injection at before_drop / after_drop during a
-    random ALTER UPDATE/DELETE, then recover_cow (the model applies the
-    interrupted mutation 0, 1, or 2 times according to the recovery
-    action — "rolled_back" → rerun applies once; "completed:V<n>" →
-    effects present AND rerun re-applies);
+    random ALTER UPDATE/DELETE, then recover_cow + journal-aware rerun
+    (r10 exactly-once: the journaled prefix is SKIPPED; the crashed
+    mutation applies exactly once — "rolled_back" → the rerun executes
+    it, "completed:V<n>" → recovery journaled it from the swap markers
+    and the rerun resumes after it);
+  - statement-journal crash injection (r10, fault "crashj") at
+    before_stmt / after_stmt / after_journal on a random statement of
+    the batch — covering the journal-append and marker-unset windows
+    themselves; the model asserts every statement applies exactly once;
   - duplicate-version file (expect scan_migrations rejection);
   - edit-after-commit / delete-after-commit (expect diff rejection).
 
@@ -229,7 +236,9 @@ def run_scenario(spark, seed: int, n_epochs: int = 4, verbose: bool = False) -> 
                 path = _write_script(home, version, [s.sql for s in stmts], rng)
                 new.append((version, stmts, path))
 
-            fault = rng.choice(["none", "midfail", "crash", "dupver", "edit", "delete"])
+            fault = rng.choice(
+                ["none", "midfail", "crash", "crashj", "dupver", "edit", "delete"]
+            )
             if verbose:
                 print(f"{ctx}: fault={fault} new={[v for v, _, _ in new]}")
 
@@ -388,15 +397,79 @@ def run_scenario(spark, seed: int, n_epochs: int = 4, verbose: bool = False) -> 
                         assert act == f"completed:V{v_crash}", f"{ctx}: {act}"
                         crash_stmts[i_crash].apply(state)
                     _assert_state(spark, db, state, ctx + " (post-recover)")
-                    # crashed runner left its claim: clear, then rerun
+                    # crashed runner left its claim: clear, then rerun.
+                    # STATEMENT JOURNAL (r10): the rerun RESUMES — the
+                    # journaled [:i_crash] are skipped; the crashed cow
+                    # is skipped too when recovery completed (it wrote
+                    # the journal row from the swap's markers) and
+                    # re-executed when rolled back.  Exactly-once.
                     M.clear_claims(spark, db)
                     M.migrate(spark, db, home)
                     for v, ss, _ in new:
                         if v in applied:
                             continue
-                        for s in ss:
-                            s.apply(state)
+                        if v == v_crash:
+                            start = (
+                                i_crash + 1
+                                if act.startswith("completed")
+                                else i_crash
+                            )
+                            for s in ss[start:]:
+                                s.apply(state)
+                        else:
+                            for s in ss:
+                                s.apply(state)
                         applied.append(v)
+            elif fault == "crashj":
+                # crash around the STATEMENT JOURNAL itself (r10): the
+                # seam fires once per executed statement — before_stmt
+                # (nothing done yet), after_stmt (effects durable,
+                # journal row lost), after_journal (journal durable,
+                # swap markers possibly still on the table).  Model:
+                # every statement of every new version applies EXACTLY
+                # once — the journaled prefix is skipped on rerun, an
+                # un-journaled cow is journaled late by recover_cow
+                # from its markers, and an un-journaled INSERT
+                # re-executes (documented at-least-once window;
+                # duplicate (k,v) rows collapse in the k→v model).
+                seq = [(v, i, s) for v, ss, _ in new for i, s in enumerate(ss)]
+                stage = rng.choice(["before_stmt", "after_stmt", "after_journal"])
+                # a re-executed CREATE fails the rerun (same
+                # fix-and-rerun contract note as midfail) — don't arm
+                # after_stmt on one
+                cand = [
+                    k
+                    for k, (_v, _i, s) in enumerate(seq)
+                    if not (stage == "after_stmt" and s.kind == "create")
+                ]
+                if not cand:
+                    stage = "after_journal"
+                    cand = list(range(len(seq)))
+                k = rng.choice(cand)
+                armed_j = {"n": 0}
+
+                def boomj(s, _stage=stage, _k=k, _armed=armed_j):
+                    if s == _stage:
+                        if _armed["n"] == _k:
+                            _armed["n"] += 1
+                            raise RuntimeError("fuzz crashj")
+                        _armed["n"] += 1
+
+                M._crash_point = boomj
+                try:
+                    M.migrate(spark, db, home)
+                    raise AssertionError(f"{ctx}: injected crashj did not raise")
+                except RuntimeError:
+                    pass
+                finally:
+                    M._crash_point = orig_crash
+                M.recover_cow(spark, db)
+                M.clear_claims(spark, db)
+                M.migrate(spark, db, home)
+                for v, ss, _ in new:
+                    for s in ss:
+                        s.apply(state)
+                    applied.append(v)
             if fault in ("none", "dupver", "edit", "delete"):
                 # the faulted run was a no-op; a clean run applies all new
                 M.migrate(spark, db, home)
@@ -420,15 +493,76 @@ def run_scenario(spark, seed: int, n_epochs: int = 4, verbose: bool = False) -> 
 
 
 def main() -> int:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    seed0 = int(sys.argv[2]) if len(sys.argv) > 2 else 900
+    """CLI: ``runner_fuzz.py [n_scenarios] [seed] [--artifact PATH
+    [--xproc K]]``.  Artifact mode (the round-close gate, VERDICT r9
+    #5) records the seed for replay, runs the scenarios WITHOUT
+    fail-fast (counting failures), optionally runs the REAL two-process
+    racer K times as a fuzz stage (pytest tests/test_migrate_xproc.py
+    in a fresh interpreter each run), and writes one JSON artifact that
+    tools/close_check.py asserts on (seed present, zero failures)."""
+    import time as _time
+
+    args = [a for a in sys.argv[1:]]
+    artifact = None
+    xproc = 0
+    if "--artifact" in args:
+        i = args.index("--artifact")
+        artifact = args[i + 1]
+        del args[i : i + 2]
+    if "--xproc" in args:
+        i = args.index("--xproc")
+        xproc = int(args[i + 1])
+        del args[i : i + 2]
+    n = int(args[0]) if len(args) > 0 else 10
+    seed0 = int(args[1]) if len(args) > 1 else 900
     from clickhouse_migrator_spark.session import get_spark
 
+    t0 = _time.time()
     spark = get_spark(app_name="runner-fuzz", cpus=4, shuffle_partitions=4)
     spark.sparkContext.setLogLevel("ERROR")
+    failures: list[dict] = []
     for i in range(n):
-        run_scenario(spark, seed0 + i, verbose=True)
-        print(f"scenario {seed0 + i}: OK")
+        try:
+            run_scenario(spark, seed0 + i, verbose=True)
+            print(f"scenario {seed0 + i}: OK")
+        except Exception as e:
+            if artifact is None:
+                raise
+            failures.append({"seed": seed0 + i, "error": str(e)[:500]})
+            print(f"scenario {seed0 + i}: FAILED: {e}")
+    xproc_failures = 0
+    import subprocess as _sp
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for i in range(xproc):
+        r = _sp.run(
+            [sys.executable, "-m", "pytest", "tests/test_migrate_xproc.py", "-x", "-q"],
+            cwd=repo,
+            capture_output=True,
+            text=True,
+        )
+        ok = r.returncode == 0
+        print(f"xproc race {i}: {'OK' if ok else 'FAILED'}")
+        if not ok:
+            xproc_failures += 1
+            failures.append({"xproc_run": i, "error": r.stdout[-500:]})
+    if artifact is not None:
+        art = {
+            "seed": seed0,
+            "scenarios": n,
+            "epochs_per_scenario": 4,
+            "epochs": 4 * n,
+            "faults": ["none", "midfail", "crash", "crashj", "dupver", "edit", "delete"],
+            "xproc_races": xproc,
+            "xproc_failures": xproc_failures,
+            "failures": len(failures),
+            "failure_detail": failures,
+            "elapsed_s": round(_time.time() - t0, 1),
+        }
+        with open(artifact, "w") as f:
+            json.dump(art, f, indent=1)
+        print(f"artifact written: {artifact} (failures={len(failures)})")
+        return 1 if failures else 0
     print(f"{n} scenarios, all invariants held")
     return 0
 

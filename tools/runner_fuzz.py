@@ -51,6 +51,7 @@ import random
 import shutil
 import sys
 import uuid
+from collections import Counter
 from dataclasses import dataclass, field
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -76,23 +77,39 @@ class Stmt:
     set_to: int | None = None
     cow: bool = False  # goes through _swap_overwrite
 
-    def apply(self, state: dict[str, dict[int, int]]) -> None:
-        """Replay this statement's effect on the model state."""
+    def apply(self, state: dict[str, "Counter"]) -> None:
+        """Replay this statement's effect on the model state.
+
+        State is an exact (k, v) MULTISET per table (collections.Counter),
+        not a k→v dict: a re-executed INSERT after an edited-script rerun
+        APPENDS duplicate rows (the engine's — and ClickHouse's —
+        semantics), and when an UPDATE ran between the two inserts the
+        duplicates differ in v.  The old dict model silently upserted and
+        the old dict-comprehension state check kept an arbitrary
+        duplicate — seed 10109 produced a nondeterministic fuzz failure
+        that was a MODEL hole, not an engine defect (r10)."""
         if self.kind == "create":
-            state[self.table] = {}
+            state[self.table] = Counter()
         elif self.kind == "insert":
-            state[self.table].update(dict(self.rows))
+            for kv in self.rows:
+                state[self.table][kv] += 1
         elif self.kind == "update":
-            for k in list(state[self.table]):
+            new: Counter = Counter()
+            for (k, v), n in state[self.table].items():
                 if k % self.mod == self.rem:
-                    if self.set_to is not None:
-                        state[self.table][k] = self.set_to
-                    else:
-                        state[self.table][k] += self.delta
+                    nv = self.set_to if self.set_to is not None else v + self.delta
+                    new[(k, nv)] += n
+                else:
+                    new[(k, v)] += n
+            state[self.table] = new
         elif self.kind == "delete":
-            for k in list(state[self.table]):
-                if k % self.mod == self.rem:
-                    del state[self.table][k]
+            state[self.table] = Counter(
+                {
+                    (k, v): n
+                    for (k, v), n in state[self.table].items()
+                    if k % self.mod != self.rem
+                }
+            )
 
 
 class Gen:
@@ -193,12 +210,16 @@ def _write_script(home: str, version: int, stmts: list[str], rng: random.Random)
     return path
 
 
-def _assert_state(spark, db: str, state: dict[str, dict[int, int]], ctx: str) -> None:
+def _assert_state(spark, db: str, state: dict[str, Counter], ctx: str) -> None:
+    """Exact (k, v) MULTISET comparison — duplicate rows (from the
+    documented whole-script-rerun re-INSERT after an edit) must match
+    the model row-for-row, not collapse through a dict."""
     for t, want in state.items():
-        got = {
-            r.k: r.v for r in spark.table(f"`{db}`.`{t}`").select("k", "v").collect()
-        }
-        assert got == want, f"{ctx}: table {t}: got {got} want {want}"
+        got = Counter(
+            (r.k, r.v)
+            for r in spark.table(f"`{db}`.`{t}`").select("k", "v").collect()
+        )
+        assert got == +want, f"{ctx}: table {t}: got {got} want {+want}"
 
 
 def _assert_ledger(spark, db: str, applied: list[int], ctx: str) -> None:
@@ -220,7 +241,7 @@ def run_scenario(spark, seed: int, n_epochs: int = 4, verbose: bool = False) -> 
     os.makedirs(home, exist_ok=True)
     M.create_db(spark, db)
     M.init_db(spark, db)
-    state: dict[str, dict[int, int]] = {}
+    state: dict[str, Counter] = {}
     applied: list[int] = []
     version = 0
     prev_db = spark.catalog.currentDatabase()
@@ -304,6 +325,8 @@ def run_scenario(spark, seed: int, n_epochs: int = 4, verbose: bool = False) -> 
                     (i for i, s in enumerate(stmts) if s.kind == "create"), len(stmts)
                 )
                 bad_idx = min(rng.randint(0, len(stmts)), first_create)
+                if verbose:
+                    print(f"{ctx}: midfail v_bad={v_bad} bad_idx={bad_idx}")
                 sqls = [s.sql for s in stmts]
                 sqls.insert(bad_idx, BAD_SQL)
                 os.remove(path)

@@ -71,7 +71,8 @@ CLAIMS = "__schema_versions_claims"
 # durable effect and its ledger append no longer re-executes
 # non-idempotent statements.  Rows for ledgered versions are dead
 # weight by construction (the diff never re-applies them) and are
-# compacted by clear_journal().
+# compacted automatically after each ledger append (compact_journal);
+# clear_journal() additionally drops live progress as an operator step.
 JOURNAL = "__stmt_journal"
 
 # Serializes the claim-append + claim-read pair within ONE driver
@@ -334,6 +335,40 @@ def _append_journal_row(
         ).write.mode("append").insertInto(journal_qual)
 
 
+def _read_journal_rows(spark: SparkSession, journal_qual: str) -> list[dict]:
+    """All journal rows as plain dicts.  On a local-filesystem warehouse
+    the read is a direct pyarrow scan that TOLERATES files vanishing
+    between the listing and the read — :func:`compact_journal` removes
+    whole dead part files, and a rival runner's read racing a compaction
+    must see the surviving rows, not die on FileNotFound (the journal is
+    one single-row file per append, so every surviving row is intact).
+    Non-local warehouses read through Spark (no compaction there)."""
+    spark.catalog.refreshTable(journal_qual)
+    loc = _table_location(spark, journal_qual)
+    if loc is not None and os.path.isdir(loc):
+        import pyarrow.parquet as pq
+
+        out: list[dict] = []
+        for fname in sorted(os.listdir(loc)):
+            if fname.startswith((".", "_")) or not fname.endswith(".parquet"):
+                continue
+            try:
+                t = pq.read_table(
+                    os.path.join(loc, fname),
+                    columns=["version", "stmt_index", "md5", "owner"],
+                )
+            except (FileNotFoundError, OSError):  # compacted mid-listing
+                continue
+            out.extend(t.to_pylist())
+        return out
+    return [  # pragma: no cover - hdfs/object-store fallback
+        r.asDict()
+        for r in spark.table(journal_qual)
+        .select("version", "stmt_index", "md5", "owner")
+        .collect()
+    ]
+
+
 def _journaled_stmts(
     spark: SparkSession, journal_qual: str, version: int, md5: str
 ) -> tuple[set[int], bool]:
@@ -342,16 +377,230 @@ def _journaled_stmts(
     script was edited after a partial run — statement indices no longer
     correspond, so the caller discards the progress and falls back to
     the documented whole-script rerun semantics."""
-    spark.catalog.refreshTable(journal_qual)
-    rows = (
-        spark.table(journal_qual)
-        .filter(F.col("version") == version)
-        .select("stmt_index", "md5")
-        .collect()
-    )
-    done = {int(r.stmt_index) for r in rows if r.md5 == md5}
-    stale = any(r.md5 != md5 for r in rows)
+    rows = [r for r in _read_journal_rows(spark, journal_qual) if int(r["version"]) == version]
+    done = {int(r["stmt_index"]) for r in rows if r["md5"] == md5}
+    stale = any(r["md5"] != md5 for r in rows)
     return done, stale
+
+
+def compact_journal(spark: SparkSession, db_name: str) -> int:
+    """Drop journal rows for LEDGERED versions (VERDICT r10 #6).
+
+    A version's journal rows are dead weight the moment its ledger row
+    is durable — the diff never re-applies a ledgered version, so no
+    reader will ever consult them.  Without compaction the journal
+    grows one file per executed statement forever.
+
+    The physical unit is the WHOLE part file: every append writes one
+    single-row file through the atomic-rename channel, so deleting a
+    file whose rows are all ledgered can never clip a rival runner's
+    live progress rows (they live in other files, for un-ledgered
+    versions by definition).  Readers go through
+    :func:`_read_journal_rows`, which tolerates a file vanishing
+    between its listing and its read — a concurrent compaction is
+    invisible to them.  Called automatically by the runner after each
+    ledger append; safe as an operator step any time.  No-op on
+    non-local warehouses.  Returns the number of rows removed."""
+    _init_journal(spark, db_name)
+    journal_qual = f"`{db_name}`.`{JOURNAL}`"
+    ledger_qual = f"`{db_name}`.`{LEDGER}`"
+    loc = _table_location(spark, journal_qual)
+    if loc is None or not os.path.isdir(loc):
+        return 0  # pragma: no cover - hdfs/object-store: no compaction
+    spark.catalog.refreshTable(ledger_qual)
+    ledgered = {
+        int(r.version) for r in spark.table(ledger_qual).select("version").collect()
+    }
+    import pyarrow.parquet as pq
+
+    removed = 0
+    for fname in sorted(os.listdir(loc)):
+        if fname.startswith((".", "_")) or not fname.endswith(".parquet"):
+            continue
+        path = os.path.join(loc, fname)
+        try:
+            t = pq.read_table(path, columns=["version"])
+        except (FileNotFoundError, OSError):  # a rival compacted it
+            continue
+        versions = {int(v) for v in t.column("version").to_pylist()}
+        if versions and versions <= ledgered:
+            try:
+                os.remove(path)
+                removed += len(t)
+            except FileNotFoundError:  # pragma: no cover - rival won
+                pass
+    if removed:
+        spark.catalog.refreshTable(journal_qual)
+    return removed
+
+
+# ── exactly-once staged INSERT (VERDICT r10 #1) ──────────────────────────────
+#
+# A journaled COW mutation is exactly-once (the swap's markers let
+# recover_cow write the journal row late), but a plain INSERT used to
+# retain an at-least-once window: effects durable, crash before the
+# journal append → rerun re-executes it.  The staged-append path closes
+# it by making the journal row the single COMMIT POINT for the insert's
+# data too: the INSERT executes against a hidden stage table, the
+# journal row is appended (atomic rename), and only then are the staged
+# part files renamed into the target's directory.  Every crash window
+# reconciles deterministically on rerun:
+#   - before the journal append → the stage is garbage; drop it and
+#     re-execute (the target never saw the first attempt's rows);
+#   - after the append → the statement is committed; finish the renames
+#     (idempotent: deterministic target names, each file either still
+#     staged or already in place) and skip the statement.
+# Cost at scale: the insert's bytes are written ONCE (into the stage,
+# which lives on the same filesystem as the target); publish is
+# O(#files) metadata renames — no second data pass.
+_STAGE_PREFIX = "__stage_stmt_"
+_STAGE_TARGET_PROP = "clickhouse.stage_target"
+_INSERT_TARGET_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(?P<t>[\w.`$]+)", re.I
+)
+
+
+def _local_parquet_location(spark: SparkSession, qual: str) -> str | None:
+    """Local-filesystem path of a PARQUET catalog table, or None (view,
+    non-parquet provider, object-store scheme — the staged-append path
+    doesn't apply there, same scope rule as :func:`_atomic_append`)."""
+    from urllib.parse import unquote, urlparse
+
+    info = {}
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {qual}").collect():
+        info.setdefault(r.col_name, r.data_type)
+    if (info.get("Provider") or "").lower() != "parquet":
+        return None
+    loc = info.get("Location")
+    if not loc:
+        return None
+    p = urlparse(loc)
+    if p.scheme in ("file", ""):
+        return unquote(p.path)
+    return None
+
+
+def _journal_owner_map(
+    spark: SparkSession, journal_qual: str, version: int, md5: str
+) -> dict[int, str]:
+    """stmt_index → owner of the journal row that committed it for this
+    exact script body (first row wins; a duplicate row — e.g. one
+    written late by recover_cow racing the runner's own append — is
+    harmless, both attest the same fact)."""
+    out: dict[int, str] = {}
+    for r in _read_journal_rows(spark, journal_qual):
+        if int(r["version"]) == version and r["md5"] == md5:
+            out.setdefault(int(r["stmt_index"]), r["owner"])
+    return out
+
+
+def _maybe_stage_insert(
+    spark: SparkSession,
+    db_name: str,
+    sql: str,
+    version: int,
+    stmt_index: int,
+    owner: str,
+) -> tuple[str, str] | None:
+    """Execute an INSERT statement against a hidden stage table instead
+    of its target; returns (stage_qual, target_qual), or None when the
+    statement is not an INSERT into a local-filesystem parquet table
+    (the caller falls back to direct execution).
+
+    The stage is an empty schema-clone of the target, so Spark's insert
+    analysis (positional/by-name resolution, coercions, column lists)
+    matches a direct execution exactly; the original statement text is
+    rewritten only at the target-name span and flows through the same
+    :func:`execute_statement` translation.  A failure (not crash) drops
+    the stage and re-raises — fail-stop semantics unchanged."""
+    m = _INSERT_TARGET_RE.match(sql)
+    if m is None or m.group("t").lower() == "function":
+        return None
+    try:
+        target_qual = _qualify(spark, m.group("t").replace("`", ""))
+        if _local_parquet_location(spark, target_qual) is None:
+            return None
+        target_df = spark.table(target_qual)
+    except Exception:
+        # unresolvable target: let direct execution raise the user error
+        return None
+    stage = f"{_STAGE_PREFIX}{owner}_{version}_{stmt_index}"
+    stage_qual = f"`{db_name}`.`{stage}`"
+    spark.sql(f"DROP TABLE IF EXISTS {stage_qual}")
+    target_df.limit(0).write.format("parquet").saveAsTable(
+        stage_qual.replace("`", "")
+    )
+    try:
+        spark.sql(
+            f"ALTER TABLE {stage_qual} SET TBLPROPERTIES "
+            f"('{_STAGE_TARGET_PROP}' = '{_sq(target_qual)}')"
+        )
+        staged_sql = sql[: m.start("t")] + stage_qual + sql[m.end("t") :]
+        execute_statement(spark, staged_sql)
+    except BaseException:
+        spark.sql(f"DROP TABLE IF EXISTS {stage_qual}")
+        raise
+    return stage_qual, target_qual
+
+
+def _publish_stage(spark: SparkSession, stage_qual: str, target_qual: str) -> None:
+    """Make a journal-committed stage's rows visible: rename each data
+    file into the target's directory under a deterministic name derived
+    from the stage identity + source file name, so an interrupted
+    publish finishes idempotently on rerun (each file is either still
+    staged or already in place — never both, never duplicated).  The
+    stage table is dropped once empty."""
+    src = _table_location(spark, stage_qual)
+    dst = _table_location(spark, target_qual)
+    token = stage_qual.rsplit(".", 1)[1].strip("`")[len(_STAGE_PREFIX) :]
+    if src is not None and dst is not None and os.path.isdir(src):
+        for fname in sorted(os.listdir(src)):
+            if fname.startswith((".", "_")) or not fname.endswith(".parquet"):
+                continue
+            # 'part-stmt-' prefix: visible to Spark's file listing
+            # (a '_'-prefixed name would be treated as hidden)
+            os.rename(
+                os.path.join(src, fname),
+                os.path.join(dst, f"part-stmt-{token}-{fname}"),
+            )
+            _crash_point("mid_publish")
+    spark.sql(f"DROP TABLE IF EXISTS {stage_qual}")
+    spark.catalog.refreshTable(target_qual)
+
+
+def _reconcile_staged(spark: SparkSession, db_name: str, version: int, md5: str) -> None:
+    """Finish or garbage-collect insert stages left behind by a crashed
+    or failed earlier run of ``version`` (called before the statement
+    loop).  A stage whose (stmt_index, owner) matches a journal row for
+    the CURRENT script body is committed → publish it so statements the
+    rerun skips are fully visible to the ones it re-executes.  Every
+    other stage for the version (no journal row: crashed pre-commit;
+    different md5: script edited; different owner: superseded attempt)
+    is garbage → drop it, so the re-executed statement starts clean."""
+    stages: list[tuple[str, str, int]] = []
+    for r in spark.sql(f"SHOW TABLES IN `{db_name}`").collect():
+        name = r["tableName"]
+        if r["isTemporary"] or not name.startswith(_STAGE_PREFIX):
+            continue
+        try:
+            owner, v_s, i_s = name[len(_STAGE_PREFIX) :].rsplit("_", 2)
+            v, i = int(v_s), int(i_s)
+        except ValueError:  # pragma: no cover - foreign table name
+            continue
+        if v != version:
+            continue  # another version's stage: reconciled when applied
+        stages.append((name, owner, i))
+    if not stages:
+        return  # common case: clean run, no journal read needed
+    journal_qual = f"`{db_name}`.`{JOURNAL}`"
+    owners = _journal_owner_map(spark, journal_qual, version, md5)
+    for name, owner, i in stages:
+        stage_qual = f"`{db_name}`.`{name}`"
+        target = _table_props(spark, stage_qual).get(_STAGE_TARGET_PROP)
+        if owners.get(i) == owner and target is not None:
+            _publish_stage(spark, stage_qual, target)
+        else:
+            spark.sql(f"DROP TABLE IF EXISTS {stage_qual}")
 
 
 def clear_journal(spark: SparkSession, db_name: str) -> int:
@@ -553,7 +802,9 @@ _EXPR_KEYWORDS = frozenset(
     all any escape year years quarter quarters month months week weeks day
     days hour hours minute minutes second seconds millisecond milliseconds
     microsecond microseconds nanosecond nanoseconds date timestamp array map
-    struct current_date current_timestamp asc desc nulls first last""".split()
+    struct current_date current_timestamp asc desc nulls first last
+    select from where group by order join inner left right full cross
+    semi anti on using having limit union except intersect""".split()
 )
 
 
@@ -570,7 +821,15 @@ def _check_read_identifiers(columns: list[str], expr: str, what: str) -> None:
     word after AS (cast target types) are skipped; only a bare or
     backquoted word that matches a real column case-insensitively but
     not exactly raises.  Unknown words that match NO column are left to
-    Spark's analyzer (the tokenizer cannot prove they are identifiers)."""
+    Spark's analyzer (the tokenizer cannot prove they are identifiers).
+
+    Expressions containing a SUBQUERY are left entirely to the analyzer
+    (ADVICE r10): ``WHERE k IN (SELECT K FROM other)`` legitimately
+    references ANOTHER relation's columns, and validating its words
+    against the target table's columns rejected valid migrations when
+    a foreign identifier case-insensitively collided with a target
+    column.  The heuristic only knows one table's schema, so any
+    SELECT in the (literal-stripped) expression disables it."""
     exact = set(columns)
     lower: dict[str, str] = {}
     for c in columns:
@@ -585,6 +844,8 @@ def _check_read_identifiers(columns: list[str], expr: str, what: str) -> None:
             )
 
     s = _STR_LIT_RE.sub(" ", expr)
+    if re.search(r"\bSELECT\b", s, re.I):
+        return  # subquery: identifiers may belong to other relations
     for m in _BQ_IDENT_RE.finditer(s):  # backquoted = explicit identifier
         _reject(m.group(1))
     s = _BQ_IDENT_RE.sub(" ", s)
@@ -781,6 +1042,29 @@ def recover_cow(spark: SparkSession, db_name: str) -> dict[str, str]:
     # live-table reconciliation: a crash AFTER the RENAME but before the
     # journal append / marker UNSET leaves a fully-swapped live table
     # still wearing its markers — journal late and pop them
+    for name, inflight in _reconcile_live_markers(spark, db_name).items():
+        actions.setdefault(name, f"journaled:V{inflight}")
+    return actions
+
+
+def _reconcile_live_markers(spark: SparkSession, db_name: str) -> dict[str, str]:
+    """Journal-late and unset COW markers left on LIVE tables.
+
+    A marker survives on a live table when the run died between the
+    swap's RENAME and the journal append — by a crash (recover_cow's
+    documented case) or by a plain EXCEPTION in the append itself, which
+    releases the claim and raises without any crash for the operator to
+    notice (ADVICE r10).  :func:`migrate` therefore runs this
+    reconciliation at start of every run: the already-applied mutation
+    gets its journal row before the diff/apply re-executes anything, so
+    the plain rerun — not just the recover_cow path — is exactly-once.
+    Racing a LIVE runner is harmless: the window between its RENAME and
+    its own journal append is reconciled idempotently (duplicate journal
+    rows collapse in :func:`_journaled_stmts`' set; UNSET is idempotent).
+    Returns {table: version} for each table reconciled."""
+    out: dict[str, str] = {}
+    _init_journal(spark, db_name)
+    journal_qual = f"`{db_name}`.`{JOURNAL}`"
     for r in spark.sql(f"SHOW TABLES IN `{db_name}`").collect():
         name = r["tableName"]
         if r["isTemporary"] or name.startswith("__cow_"):
@@ -789,11 +1073,17 @@ def recover_cow(spark: SparkSession, db_name: str) -> dict[str, str]:
         inflight = props.get(_COW_VERSION_PROP)
         if inflight is None:
             continue
-        _journal_late(inflight, props.get(_COW_STMT_PROP), props.get(_COW_MD5_PROP))
+        stmt, md5 = props.get(_COW_STMT_PROP), props.get(_COW_MD5_PROP)
+        if stmt is not None and md5 is not None:
+            done, _stale = _journaled_stmts(spark, journal_qual, int(inflight), md5)
+            if int(stmt) not in done:
+                _append_journal_row(
+                    spark, journal_qual, int(inflight), int(stmt), md5, "reconcile"
+                )
         keys = ", ".join(f"'{k}'" for k in _COW_MARKER_PROPS if k in props)
         spark.sql(f"ALTER TABLE `{db_name}`.`{name}` UNSET TBLPROPERTIES ({keys})")
-        actions.setdefault(name, f"journaled:V{inflight}")
-    return actions
+        out[name] = inflight
+    return out
 
 
 _CREATE_NAME_RE = __import__("re").compile(
@@ -1244,16 +1534,23 @@ def apply_migration(
     API fidelity; Spark's synchronous execution makes both settings
     correct (SURVEY.md §3.3).
 
-    **Rerun semantics (statement journal, VERDICT r9 #1):** each
-    successfully executed statement is journaled (version, stmt_index,
-    md5) through the same atomic-rename channel as claims.  A rerun of
-    the SAME script after a failure or crash resumes at the first
-    un-journaled statement (exactly-once for COW mutations, whose
-    journal row is recoverable from the swap's own markers; a narrow
-    at-least-once window remains for append statements between effect
-    durability and the journal append).  Editing the failed script
-    changes its md5 and discards the journaled progress — the
-    documented whole-script rerun semantics for edited scripts.
+    **Rerun semantics (statement journal, VERDICT r9 #1 / r10 #1):**
+    each successfully executed statement is journaled (version,
+    stmt_index, md5) through the same atomic-rename channel as claims.
+    A rerun of the SAME script after a failure or crash resumes at the
+    first un-journaled statement, and every statement class is
+    EXACTLY-ONCE on a local-filesystem parquet warehouse: COW mutations
+    recover their journal row from the swap's own markers
+    (:func:`recover_cow` / :func:`_reconcile_live_markers`), and plain
+    INSERTs run staged — rows become visible only after their journal
+    row is durable (:func:`_maybe_stage_insert`), so a crash on either
+    side of the commit reconciles without duplication.  On non-local
+    warehouses (hdfs/object stores) inserts fall back to direct
+    execution and keep the documented at-least-once-on-crash window —
+    a transactional table format is the production answer there.
+    Editing the failed script changes its md5 and discards the
+    journaled progress — the documented whole-script rerun semantics
+    for edited scripts.
     """
     applied = 0
     _init_claims(spark, db_name)
@@ -1347,6 +1644,10 @@ def apply_migration(
             # correspond after an edit)
             journal_qual = f"`{db_name}`.`{JOURNAL}`"
             done, stale = _journaled_stmts(spark, journal_qual, version, row.md5)
+            # publish journal-committed insert stages a crash orphaned
+            # (their statements are in `done` and will be skipped) and
+            # drop uncommitted ones (their statements re-execute clean)
+            _reconcile_staged(spark, db_name, version, row.md5)
             if stale:
                 print(
                     f"V{version}: discarding journaled progress from an "
@@ -1367,21 +1668,30 @@ def apply_migration(
                     _INFLIGHT.stmt = i
                     _INFLIGHT.swapped = None
                     _crash_point("before_stmt")
-                    execute_statement(spark, stmt)
-                    # effects durable; journal BEFORE unstamping the
-                    # swap markers so every crash window is recoverable
-                    # (recover_cow journals late from the markers).
-                    # Non-COW statements (e.g. INSERT) have a narrow
-                    # residual at-least-once window here — effects
-                    # durable, journal append lost — documented in
-                    # README; every non-idempotent MUTATION flows
-                    # through the marker-stamped swap and is
-                    # exactly-once.
+                    # INSERTs run STAGED (VERDICT r10 #1): rows land in
+                    # a hidden stage table and become visible only
+                    # after the journal append below — the journal row
+                    # is the commit point, so a crash on either side of
+                    # it reconciles to exactly-once on rerun
+                    # (_reconcile_staged).  COW mutations are
+                    # exactly-once via the swap markers (recover_cow
+                    # journals late); everything else executes direct.
+                    staged = _maybe_stage_insert(
+                        spark, db_name, stmt, version, i, owner
+                    )
+                    if staged is None:
+                        execute_statement(spark, stmt)
+                    # effects durable (or staged); journal BEFORE
+                    # unstamping the swap markers so every crash window
+                    # is recoverable (recover_cow journals late from
+                    # the markers)
                     _crash_point("after_stmt")
                     _append_journal_row(
                         spark, journal_qual, version, i, row.md5, owner
                     )
                     _crash_point("after_journal")
+                    if staged is not None:
+                        _publish_stage(spark, staged[0], staged[1])
                     swapped = getattr(_INFLIGHT, "swapped", None)
                     if swapped is not None:
                         keys = ", ".join(f"'{k}'" for k in _COW_MARKER_PROPS)
@@ -1403,6 +1713,13 @@ def apply_migration(
                 .select("version", "md5", "script", "created_at")
             )
             entry.write.mode("append").insertInto(ledger_qual)
+            # the version's journal rows are dead weight now that its
+            # ledger row is durable — compact them so the journal stays
+            # bounded across N migrations (VERDICT r10 #6).  Whole-file
+            # removal + the listing-tolerant reader make this safe
+            # against rival runners (see compact_journal).
+            with _CLAIM_LOCK:
+                compact_journal(spark, db_name)
         except BaseException:
             # a FAILED statement releases the claim (the runner is
             # alive and fail-stop is the contract — the rerun must be
@@ -1439,6 +1756,11 @@ def migrate(
     spark.catalog.setCurrentDatabase(db_name)
     try:
         init_db(spark, db_name)
+        # self-heal before the diff: a previous run that died between a
+        # swap's RENAME and its journal append (crash OR plain append
+        # failure, ADVICE r10) left markers on the live table — journal
+        # the completed mutation late so this run resumes after it
+        _reconcile_live_markers(spark, db_name)
         manifest = manifest_df(spark, scan_migrations(migrations_home))
         pending = migrations_to_apply(spark, db_name, manifest)
         return apply_migration(spark, db_name, pending, queue_exec=queue_exec)

@@ -237,6 +237,279 @@ def test_pre_journal_orphan_falls_back_to_disclosure(spark, db, tmp_path):
     assert spark.table(jq).filter(F.col("version") == 9).count() == 0
 
 
+# ── exactly-once INSERTs (VERDICT r10 #1: staged-append commit) ──────────────
+
+INSERT_STMTS = [f"INSERT INTO ji VALUES ({i}, {10 ** i})" for i in range(N_STMTS)]
+# any double-applied INSERT adds a duplicate (i, 10^i) row: the multiset
+# and the digit-sum both catch it
+INSERT_EXPECTED = {(i, 10**i) for i in range(N_STMTS)}
+
+
+def _setup_insert(spark, db, tmp_path, stmts, version=7, table="ji"):
+    M.execute_statement(
+        spark,
+        f"CREATE TABLE {table} (k Int64, v Int64) ENGINE = MergeTree ORDER BY tuple()",
+    )
+    home = tmp_path / "mig_ins"
+    home.mkdir(exist_ok=True)
+    path = home / f"V{version}__ins.json"
+    path.write_text(json.dumps(stmts))
+    return str(home), path
+
+
+def _rows(spark, db, table):
+    return sorted((r.k, r.v) for r in spark.table(f"`{db}`.{table}").collect())
+
+
+INSERT_BOUNDARIES = [
+    (stage, i)
+    for stage in ("before_stmt", "after_stmt", "after_journal")
+    for i in range(N_STMTS)
+] + [("mid_publish", 0), ("mid_publish", 2), ("mid_publish", 4)]
+
+
+@pytest.mark.parametrize(
+    "stage,occ", INSERT_BOUNDARIES, ids=[f"{s}-{i}" for s, i in INSERT_BOUNDARIES]
+)
+def test_insert_crash_at_every_boundary_exactly_once(
+    spark, db, tmp_path, monkeypatch, stage, occ
+):
+    """A crash before the journal append leaves only an invisible stage
+    (rerun drops it and re-executes); a crash after leaves a committed
+    stage (rerun publishes it and skips) — the INSERT's rows land
+    exactly once either way, including mid-publish crashes."""
+    home, _ = _setup_insert(spark, db, tmp_path, INSERT_STMTS)
+    _arm(monkeypatch, stage, occ)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        M.migrate(spark, db, home)
+    monkeypatch.setattr(M, "_crash_point", lambda s: None)
+    # an after_stmt crash means the statement's rows must NOT be visible
+    if stage == "after_stmt":
+        visible = {kv for kv in _rows(spark, db, "ji")}
+        assert (occ, 10**occ) not in visible, "uncommitted stage leaked rows"
+    M.recover_cow(spark, db)
+    M.clear_claims(spark, db)
+    assert M.migrate(spark, db, home) == 1
+    assert sorted(_rows(spark, db, "ji")) == sorted(INSERT_EXPECTED), (
+        f"double/lost INSERT at {stage}:{occ}"
+    )
+    assert M.migrate(spark, db, home) == 0
+    assert sorted(_rows(spark, db, "ji")) == sorted(INSERT_EXPECTED)
+    # no stage tables survive convergence
+    leftovers = [
+        r["tableName"]
+        for r in spark.sql(f"SHOW TABLES IN `{db}`").collect()
+        if r["tableName"].startswith(M._STAGE_PREFIX)
+    ]
+    assert leftovers == []
+
+
+MIXED_STMTS = [
+    "INSERT INTO jm VALUES (1, 1)",
+    "ALTER TABLE jm UPDATE v = v + 10 WHERE k >= 0",
+    "INSERT INTO jm VALUES (2, 100)",
+    "ALTER TABLE jm UPDATE v = v + 1000 WHERE k >= 0",
+    "INSERT INTO jm VALUES (3, 10000)",
+]
+# s0→(1,1); s1→(1,11); s2→+(2,100); s3→(1,1011),(2,1100); s4→+(3,10000)
+MIXED_EXPECTED = [(1, 1011), (2, 1100), (3, 10000)]
+
+MIXED_BOUNDARIES = [
+    (stage, i)
+    for stage in ("before_stmt", "after_stmt", "after_journal")
+    for i in range(len(MIXED_STMTS))
+]
+
+
+@pytest.mark.parametrize(
+    "stage,occ", MIXED_BOUNDARIES, ids=[f"{s}-{i}" for s, i in MIXED_BOUNDARIES]
+)
+def test_mixed_insert_cow_crash_sweep_exactly_once(
+    spark, db, tmp_path, monkeypatch, stage, occ
+):
+    """Interleaved INSERTs and non-idempotent COW mutations: the rerun
+    must publish a journal-committed-but-unpublished INSERT *before*
+    re-executing the next statement, or the following UPDATE would miss
+    its rows (ordering pin for _reconcile_staged-before-loop)."""
+    home, _ = _setup_insert(spark, db, tmp_path, MIXED_STMTS, version=8, table="jm")
+    _arm(monkeypatch, stage, occ)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        M.migrate(spark, db, home)
+    monkeypatch.setattr(M, "_crash_point", lambda s: None)
+    M.recover_cow(spark, db)
+    M.clear_claims(spark, db)
+    assert M.migrate(spark, db, home) == 1
+    assert _rows(spark, db, "jm") == MIXED_EXPECTED, f"diverged at {stage}:{occ}"
+    assert M.migrate(spark, db, home) == 0
+    assert _rows(spark, db, "jm") == MIXED_EXPECTED
+
+
+def test_self_referencing_insert_select_exactly_once(
+    spark, db, tmp_path, monkeypatch
+):
+    """INSERT INTO t SELECT ... FROM t doubles the table — the most
+    insert-shape-sensitive non-idempotent statement.  A crash after the
+    journal append must not re-double on rerun, and the staged read
+    must see only committed rows."""
+    stmts = ["INSERT INTO js SELECT k + 10, v FROM js"]
+    home, _ = _setup_insert(spark, db, tmp_path, stmts, version=9, table="js")
+    spark.sql(f"INSERT INTO `{db}`.js VALUES (1, 5), (2, 6)")
+    _arm(monkeypatch, "after_journal", 0)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        M.migrate(spark, db, home)
+    monkeypatch.setattr(M, "_crash_point", lambda s: None)
+    M.clear_claims(spark, db)
+    assert M.migrate(spark, db, home) == 1
+    assert _rows(spark, db, "js") == [(1, 5), (2, 6), (11, 5), (12, 6)]
+    assert M.migrate(spark, db, home) == 0
+    assert spark.table(f"`{db}`.js").count() == 4
+
+
+def test_insert_journal_append_failure_converges(spark, db, tmp_path, monkeypatch):
+    """The journal append FAILS with a plain exception (not a crash)
+    right after an INSERT staged: fail-stop releases the claim, the
+    staged rows stay invisible, and a plain rerun — no recover step —
+    applies the insert exactly once."""
+    stmts = ["INSERT INTO jf VALUES (1, 42)"]
+    home, _ = _setup_insert(spark, db, tmp_path, stmts, version=11, table="jf")
+    real = M._append_journal_row
+    state = {"fail": True}
+
+    def flaky(spark_, jq, version, i, md5, owner):
+        if state["fail"] and version == 11:
+            state["fail"] = False
+            raise RuntimeError("journal io error")
+        return real(spark_, jq, version, i, md5, owner)
+
+    monkeypatch.setattr(M, "_append_journal_row", flaky)
+    with pytest.raises(RuntimeError, match="journal io error"):
+        M.migrate(spark, db, home)
+    assert _rows(spark, db, "jf") == []  # staged rows never became visible
+    assert M._live_claims(spark, f"`{db}`.`{M.CLAIMS}`").count() == 0
+    assert M.migrate(spark, db, home) == 1  # plain rerun, no recovery step
+    assert _rows(spark, db, "jf") == [(1, 42)]
+
+
+# ── journal compaction (VERDICT r10 #6) ──────────────────────────────────────
+
+
+def test_journal_compacts_after_each_success(spark, db, tmp_path):
+    """Journal rows for ledgered versions are removed automatically —
+    the journal stays bounded (empty) across N successful migrations,
+    logically and physically."""
+    import json as _json
+    import os as _os
+
+    home = tmp_path / "mc"
+    home.mkdir()
+    jq = f"`{db}`.`{M.JOURNAL}`"
+    for v in (1, 2, 3):
+        (home / f"V{v}__c.json").write_text(
+            _json.dumps(
+                [
+                    f"CREATE TABLE ct{v} (k Int64, v Int64) "
+                    "ENGINE = MergeTree ORDER BY tuple()",
+                    f"INSERT INTO ct{v} VALUES ({v}, {v})",
+                ]
+            )
+        )
+        assert M.migrate(spark, db, str(home)) == 1
+        spark.catalog.refreshTable(jq)
+        assert spark.table(jq).count() == 0
+        loc = M._table_location(spark, jq)
+        files = [
+            f
+            for f in _os.listdir(loc)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+        assert files == [], f"journal files not compacted after V{v}: {files}"
+
+
+def test_compaction_preserves_failed_version_progress(
+    spark, db, tmp_path, monkeypatch
+):
+    """Compaction removes only LEDGERED versions' rows: a crashed
+    version's journaled progress survives the compaction that runs when
+    an earlier version commits, and the rerun still resumes."""
+    import json as _json
+
+    home = tmp_path / "mp"
+    home.mkdir()
+    (home / "V1__a.json").write_text(
+        _json.dumps(
+            [
+                "CREATE TABLE pt (k Int64, v Int64) ENGINE = MergeTree ORDER BY tuple()",
+                "INSERT INTO pt VALUES (0, 0)",
+            ]
+        )
+    )
+    (home / "V2__b.json").write_text(
+        _json.dumps(
+            [
+                "INSERT INTO pt VALUES (1, 1)",
+                "ALTER TABLE pt UPDATE v = v + 7 WHERE k = 1",
+            ]
+        )
+    )
+    # occurrences of before_stmt: V1 stmts 0,1 → occ 0,1; V2 stmt 0 →
+    # occ 2; V2 stmt 1 → occ 3.  Crash before V2's UPDATE.
+    _arm(monkeypatch, "before_stmt", 3)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        M.migrate(spark, db, str(home))
+    monkeypatch.setattr(M, "_crash_point", lambda s: None)
+    jq = f"`{db}`.`{M.JOURNAL}`"
+    spark.catalog.refreshTable(jq)
+    rows = [(r.version, r.stmt_index) for r in spark.table(jq).collect()]
+    assert rows == [(2, 0)], f"V1 compacted, V2 progress kept — got {rows}"
+    M.clear_claims(spark, db)
+    assert M.migrate(spark, db, str(home)) == 1
+    got = sorted((r.k, r.v) for r in spark.table(f"`{db}`.pt").collect())
+    assert got == [(0, 0), (1, 8)]  # V2 stmt0 applied once, stmt1 once
+    spark.catalog.refreshTable(jq)
+    assert spark.table(jq).count() == 0  # V2 now ledgered → compacted
+
+
+def test_compaction_races_reader_and_appender(spark, db):
+    """A rival compacting dead files concurrently with journal appends
+    and reads never breaks either: whole-file removal only ever touches
+    fully-ledgered rows, and _read_journal_rows tolerates files
+    vanishing between listing and read."""
+    import threading
+
+    jq = f"`{db}`.`{M.JOURNAL}`"
+    spark.sql(
+        f"INSERT INTO `{db}`.`{M.LEDGER}` VALUES (1, 'x', 's', current_timestamp())"
+    )
+    stop = threading.Event()
+    errors: list[Exception] = []
+
+    def compacter():
+        while not stop.is_set():
+            try:
+                M.compact_journal(spark, db)
+            except Exception as e:  # pragma: no cover - the failure we test for
+                errors.append(e)
+                return
+
+    th = threading.Thread(target=compacter)
+    th.start()
+    try:
+        for i in range(20):
+            M._append_journal_row(spark, jq, 1, i, "dead", "o")  # ledgered → dead
+            M._append_journal_row(spark, jq, 99, i, "live", "o")  # must survive
+            done, _ = M._journaled_stmts(spark, jq, 99, "live")
+            assert done == set(range(i + 1)), f"live row lost at {i}: {done}"
+    finally:
+        stop.set()
+        th.join()
+    assert errors == []
+    M.compact_journal(spark, db)
+    done, _ = M._journaled_stmts(spark, jq, 99, "live")
+    assert done == set(range(20))
+    dead, _ = M._journaled_stmts(spark, jq, 1, "dead")
+    assert dead == set()
+
+
 def test_journal_rows_keyed_by_md5_not_just_version(spark, db, tmp_path):
     """_journaled_stmts honors only rows whose md5 matches the current
     script body; rows from a different body are reported stale."""

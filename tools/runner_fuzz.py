@@ -31,8 +31,9 @@ Faults per epoch (random, seeded):
     and the rerun resumes after it);
   - statement-journal crash injection (r10, fault "crashj") at
     before_stmt / after_stmt / after_journal on a random statement of
-    the batch — covering the journal-append and marker-unset windows
-    themselves; the model asserts every statement applies exactly once;
+    the batch — covering the journal-append, staged-insert-publish and
+    marker-unset windows; the model asserts every statement (INSERTs
+    included, r11: staged-append commit) applies exactly once;
   - duplicate-version file (expect scan_migrations rejection);
   - edit-after-commit / delete-after-commit (expect diff rejection).
 
@@ -446,15 +447,19 @@ def run_scenario(spark, seed: int, n_epochs: int = 4, verbose: bool = False) -> 
             elif fault == "crashj":
                 # crash around the STATEMENT JOURNAL itself (r10): the
                 # seam fires once per executed statement — before_stmt
-                # (nothing done yet), after_stmt (effects durable,
-                # journal row lost), after_journal (journal durable,
-                # swap markers possibly still on the table).  Model:
-                # every statement of every new version applies EXACTLY
-                # once — the journaled prefix is skipped on rerun, an
-                # un-journaled cow is journaled late by recover_cow
-                # from its markers, and an un-journaled INSERT
-                # re-executes (documented at-least-once window;
-                # duplicate (k,v) rows collapse in the k→v model).
+                # (nothing done yet), after_stmt (cow effects durable /
+                # insert rows STAGED but invisible, journal row lost),
+                # after_journal (journal durable, insert not yet
+                # published / swap markers possibly still on the
+                # table).  Model: every statement of every new version
+                # applies EXACTLY once — the journaled prefix is
+                # skipped on rerun (committed insert stages are
+                # published by _reconcile_staged), an un-journaled cow
+                # is journaled late by recover_cow from its markers,
+                # and an un-journaled INSERT re-executes against a
+                # target that never saw the staged rows (r11
+                # exactly-once; the r10 at-least-once duplicate-INSERT
+                # window is closed).
                 seq = [(v, i, s) for v, ss, _ in new for i, s in enumerate(ss)]
                 stage = rng.choice(["before_stmt", "after_stmt", "after_journal"])
                 # a re-executed CREATE fails the rerun (same

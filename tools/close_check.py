@@ -13,10 +13,15 @@ freshness a HARD gate; it must exit 0 on the final tree of every round:
      (artifacts must be regenerated in or after the last code commit);
   3. the committed sf1 ratio report passes (exit 0) on the committed
      artifact pair;
-  4. the bench tripwire passes on the committed spread.
+  4. the bench tripwire passes on the committed spread;
+  5. (r11, VERDICT r10 #2) every bench artifact of the round passes its
+     own contention budget — foreign_cpu_total_s ≤ 5% of wall × cpus —
+     so a contaminated-but-committed number is structurally impossible;
+     subset pairs pass only when both halves are in the quiet class.
 
 Usage:
-    python tools/close_check.py <round>        # e.g. 9
+    python tools/close_check.py <round>        # e.g. 11
+    python tools/close_check.py                # newest round present
 Run it as the LAST step before the round's final commit, then commit
 the artifacts; CI-style usage re-runs it at HEAD where the artifact
 files are the committed ones.
@@ -24,7 +29,10 @@ files are the committed ones.
 
 from __future__ import annotations
 
+import glob
+import json
 import os
+import re
 import subprocess
 import sys
 
@@ -32,6 +40,69 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 #: paths whose post-artifact modification invalidates the close
 CODE_PATHS = ("clickhouse_migrator_spark/", "bench.py", "__spark_entry__.py")
+
+#: max foreign (non-bench) CPU as a fraction of the run's wall × cpus
+#: before a committed bench artifact is rejected as contaminated
+#: (VERDICT r10 #2).  The r9 incident artifacts measured >10%; every
+#: clean r10 artifact measured ≤2.8%.  Documented in SCALE.md.
+FOREIGN_CPU_BUDGET_PCT = 5.0
+
+
+def foreign_cpu_pct(art: dict) -> float | None:
+    """Foreign-CPU percentage of a bench artifact's total capacity
+    (foreign_cpu_total_s / (wall_s × cpus) × 100), or None when the
+    artifact predates the instrument or lacks the fields."""
+    fg, wall, cpus = (
+        art.get("foreign_cpu_total_s"),
+        art.get("value"),
+        art.get("cpus"),
+    )
+    if fg is None or not wall or not cpus:
+        return None
+    return 100.0 * float(fg) / (float(wall) * float(cpus))
+
+
+def contention_problems(paths: list[str], budget_pct: float = FOREIGN_CPU_BUDGET_PCT) -> list[str]:
+    """Reject any committed bench artifact whose own contention metric
+    exceeds the budget — a contaminated-but-committed headline number
+    becomes structurally impossible, not merely visible (VERDICT r10
+    #2).  Artifacts without the instrument's fields are skipped (the
+    freshness gate already forces current-round artifacts, which all
+    carry them)."""
+    out: list[str] = []
+    pcts: dict[str, float] = {}
+    for p in paths:
+        full = p if os.path.isabs(p) else os.path.join(REPO, p)
+        if not os.path.exists(full) or not os.path.basename(p).startswith("BENCH"):
+            continue
+        try:
+            art = json.load(open(full))
+        except Exception:
+            continue  # unreadable artifacts are caught by their own gates
+        pct = foreign_cpu_pct(art) if isinstance(art, dict) else None
+        if pct is None:
+            continue
+        pcts[p] = pct
+        if pct > budget_pct:
+            out.append(
+                f"CONTAMINATED artifact: {p} ran under {pct:.1f}% foreign CPU "
+                f"(budget {budget_pct}% of wall x cpus) — regenerate in a "
+                "quiet window"
+            )
+    return out
+
+
+def newest_round() -> str | None:
+    """Largest round number with a committed BENCH_LOCAL_r{N}.json —
+    the bare-invocation default.  The old hardcoded default silently
+    graded the PREVIOUS round after a round close (VERDICT r10 wrong
+    #4)."""
+    rounds = []
+    for p in glob.glob(os.path.join(REPO, "BENCH_LOCAL_r*.json")):
+        m = re.match(r"BENCH_LOCAL_r(\d+)\.json$", os.path.basename(p))
+        if m:
+            rounds.append(int(m.group(1)))
+    return str(max(rounds)) if rounds else None
 
 
 def _git(*args: str) -> str:
@@ -55,7 +126,12 @@ def _porcelain_paths(line: str) -> list[str]:
 
 
 def main() -> int:
-    rnd = sys.argv[1] if len(sys.argv) > 1 else "9"
+    rnd = sys.argv[1] if len(sys.argv) > 1 else newest_round()
+    if rnd is None:
+        print("CLOSE CHECK: no round argument and no BENCH_LOCAL_r*.json present")
+        return 1
+    if len(sys.argv) <= 1:
+        print(f"(no round argument: checking newest round present, r{rnd})")
     problems: list[str] = []
 
     required = [
@@ -93,6 +169,16 @@ def main() -> int:
     for f in required:
         if not os.path.exists(os.path.join(REPO, f)):
             problems.append(f"missing artifact: {f}")
+
+    # contention gate (VERDICT r10 #2): EVERY committed bench artifact
+    # of this round — required or optional probe — must pass its own
+    # foreign-CPU budget; a subset pair passes only when both halves are
+    # in the same quiet class (each ≤ budget bounds their divergence)
+    round_bench = sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(REPO, f"BENCH_*_r{rnd}.json"))
+    ) + [f"BENCH_r{int(rnd):02d}.json" if str(rnd).isdigit() else f"BENCH_r{rnd}.json"]
+    problems.extend(contention_problems(round_bench))
 
     # freshness: newest commit touching any artifact must be >= newest
     # commit touching code (in history order)

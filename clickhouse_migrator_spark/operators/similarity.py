@@ -512,6 +512,88 @@ def ivf_kmeans_topk(
     )
 
 
+# Contract floor for the IVF recall audit below.  Measured mean
+# recall@{TOP_K} at nprobe={NPROBE} is 0.44-0.48 across sf0.001/0.01/0.1
+# (r11 calibration); 0.3 leaves ≥0.14 margin while still failing loudly
+# on any real index regression (a broken list assignment or probe
+# selection collapses recall toward TOP_K/corpus ≈ 0).
+IVF_RECALL_FLOOR = 0.3
+
+
+@register(
+    "sim_ivf_recall_audit",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST({TOP_K} AS BIGINT)  AS k,
+           CAST({NPROBE} AS BIGINT) AS nprobe,
+           TRUE AS mean_recall_ge_floor,
+           TRUE AS full_probe_recall_is_1
+    FROM embeddings WHERE vec_id < {N_QUERIES} AND embedding IS NOT NULL
+    """,
+)
+def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable ANN contract for the IVF index (VERDICT r10 #3):
+    the one entry whose result k-means training state makes
+    non-SQL-expressible (`sim_ivf_kmeans_topk`, rows-only by written
+    contract) gets a FULL-oracle companion that fails the driver's
+    value-hash gate whenever the contract breaks.
+
+    Two invariants are computed in-engine against the exact brute-force
+    top-{TOP_K} (`sim_topk_cosine_full`) and emitted as booleans the
+    oracle asserts TRUE:
+
+    - ``mean_recall_ge_floor``: mean recall@{TOP_K} over the query set
+      at nprobe={NPROBE} ≥ {IVF_RECALL_FLOOR} (calibrated with margin —
+      see IVF_RECALL_FLOOR);
+    - ``full_probe_recall_is_1``: probing ALL {KMEANS_K} lists
+      reproduces the exact top-k EXACTLY — every vector lives in
+      exactly one inverted list and the scoring expression is
+      bit-identical to brute force, so nprobe=K *is* brute force; any
+      dropped/duplicated vector in the list layout breaks this.
+
+    ``n_queries`` is genuinely SQL-computed on both sides.  Scale note:
+    this is a bounded audit (one full exact scan over the query batch),
+    run to certify the index, not the production search path."""
+    exact = sim_topk_cosine_full(spark, sf_dir).select("query_id", "cand_id")
+
+    def mean_recall(nprobe: int) -> float:
+        approx = ivf_kmeans_topk(spark, sf_dir, nprobe=nprobe).select(
+            "query_id", F.col("vec_id").alias("cand_id")
+        )
+        hits = (
+            exact.join(approx, ["query_id", "cand_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        per_q = (
+            exact.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_exact"))
+            .join(hits, "query_id", "left")
+            .select((F.coalesce("n_hit", F.lit(0)) / F.col("n_exact")).alias("r"))
+        )
+        # 1-row scalar reduction (vacuous recall 1.0 on an empty corpus)
+        return float(per_q.agg(F.coalesce(F.avg("r"), F.lit(1.0))).head()[0])
+
+    n_queries = (
+        _vecs(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES).count()
+    )
+    mr = mean_recall(NPROBE)
+    fr = mean_recall(KMEANS_K)
+    return spark.createDataFrame(
+        [
+            (
+                n_queries,
+                TOP_K,
+                NPROBE,
+                bool(mr >= IVF_RECALL_FLOOR),
+                bool(fr >= 1.0),
+            )
+        ],
+        "n_queries BIGINT, k BIGINT, nprobe BIGINT, "
+        "mean_recall_ge_floor BOOLEAN, full_probe_recall_is_1 BOOLEAN",
+    )
+
+
 @register(
     "sim_quantize_int8",
     oracle="""

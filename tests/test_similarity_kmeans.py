@@ -137,3 +137,21 @@ def test_kmeans_ivf_empty_corpus_returns_empty(spark, tmp_path):
     out = sim_ivf_kmeans(spark, str(tmp_path))
     assert out.count() == 0
     assert out.columns == ["query_id", "vec_id", "cosine", "rank"]
+
+
+def test_ivf_recall_audit_contract(spark, sf_dir):
+    """The driver-visible ANN contract (VERDICT r10 #3): one row, both
+    invariants TRUE at the calibrated operating point, n_queries
+    genuinely counted."""
+    from clickhouse_migrator_spark.operators.similarity import (
+        NPROBE,
+        sim_ivf_recall_audit,
+    )
+
+    rows = sim_ivf_recall_audit(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_queries == 5
+    assert r.k == TOP_K and r.nprobe == NPROBE
+    assert r.mean_recall_ge_floor is True
+    assert r.full_probe_recall_is_1 is True

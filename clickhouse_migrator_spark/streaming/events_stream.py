@@ -339,8 +339,50 @@ SESSION_OUT_SCHEMA = (
 )
 
 
+def _watermark_sentinel_union(
+    events: DataFrame, sentinel_user_id: int
+) -> DataFrame:
+    """Union ``events`` with a one-row far-future streaming batch (a
+    single parquet file behind a file-source stream) that advances the
+    event-time watermark past every open session's ``last + pad`` — the
+    same trick the registered mirror builds by hand.  The sentinel row
+    carries ``sentinel_user_id`` so the caller can drop its own
+    "session" from the output."""
+    import tempfile
+
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    spark = events.sparkSession
+    schema = events.schema
+    ts_type = schema["ts"].dataType
+    if not isinstance(ts_type, (TimestampType, TimestampNTZType)):
+        raise ValueError(
+            "flush_trailing requires a timestamp-typed ts column "
+            f"(got {ts_type.simpleString()}); convert raw epoch columns "
+            "before sessionizing"
+        )
+    vals = []
+    for f in schema.fields:
+        if f.name == "user_id":
+            col = F.lit(sentinel_user_id).cast(f.dataType)
+        elif f.name == "ts":
+            col = F.lit("2100-01-01 00:00:00").cast(f.dataType)
+        elif f.name == "value":
+            col = F.lit(0.0).cast(f.dataType)
+        else:
+            col = F.lit(None).cast(f.dataType)
+        vals.append(col.alias(f.name))
+    d = tempfile.mkdtemp(prefix="session_flush_sentinel_")
+    spark.range(1).select(*vals).coalesce(1).write.mode("overwrite").parquet(d)
+    return events.unionByName(spark.readStream.schema(schema).parquet(d))
+
+
 def sessionize_with_state(
-    events: DataFrame, gap_minutes: int = 30, timeout_pad_ms: int = 60_000
+    events: DataFrame,
+    gap_minutes: int = 30,
+    timeout_pad_ms: int = 60_000,
+    flush_trailing: bool = False,
+    sentinel_user_id: int = 999_999_999,
 ) -> DataFrame:
     """Custom stateful sessionizer via ``applyInPandasWithState`` — the
     pattern for session logic `session_window` can't express (e.g.
@@ -353,15 +395,27 @@ def sessionize_with_state(
     the stream maximum by the configured delay, a PLAIN availableNow
     drain does NOT flush every open session: sessions whose last event
     falls within (watermark delay + pad) of the stream's max timestamp
-    never time out and stay in state.  The registered mirror
-    (``streaming_stateful_sessions``) only emits a complete result
-    because it appends a far-future sentinel batch that advances the
-    watermark past every ``last + pad``; external callers that need a
-    full flush must do the same (or read the leftovers on a restart —
-    the checkpoint-restart tests pass a LARGE pad so open sessions
-    provably stay in state across a graceful stop and restore on
-    resume, tests/test_streaming_restart_all.py)."""
+    never time out and stay in state.
+
+    ``flush_trailing=True`` (VERDICT r10 #5) closes that gap for DRAIN
+    runs without the caller knowing the trick: the input is unioned
+    with a one-row far-future sentinel batch that advances the
+    watermark past every ``last + pad``, and the sentinel's own row
+    (``sentinel_user_id``) is filtered from the output.  Constraints,
+    both inherent to watermark semantics: (1) drain-only — in a
+    continuous run the sentinel advances the watermark permanently and
+    real events arriving after it are dropped as late; (2) the sentinel
+    is visible from the FIRST micro-batch, so the drain must ingest the
+    whole backlog in that batch — do not combine with per-source rate
+    limits like ``maxFilesPerTrigger`` (the watermark jump would mark
+    later backlog batches late).  Leave it False to preserve open
+    sessions in state across a graceful stop/restart (the
+    checkpoint-restart tests pass a LARGE pad for exactly that,
+    tests/test_streaming_restart_all.py)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if flush_trailing:
+        events = _watermark_sentinel_union(events, sentinel_user_id)
 
     gap = pd.Timedelta(minutes=gap_minutes)
 
@@ -426,7 +480,7 @@ def sessionize_with_state(
                 columns=["user_id", "session_start", "session_end", "n_events", "total_value"],
             )
 
-    return (
+    out_df = (
         events.withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", "1 minute")
         .groupBy("user_id")
@@ -438,6 +492,9 @@ def sessionize_with_state(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+    if flush_trailing:
+        out_df = out_df.filter(F.col("user_id") != sentinel_user_id)
+    return out_df
 
 
 @register(

@@ -242,7 +242,7 @@ _RENAME_RE = re.compile(
 _OPTIMIZE_RE = re.compile(r"^\s*OPTIMIZE\s+TABLE\s+(?P<table>[\w.`]+)", re.I)
 _ADD_COL_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.`]+)\s+ADD\s+COLUMN\s+"
-    r"(?:IF\s+NOT\s+EXISTS\s+)?(?P<col>[\w`]+)\s+(?P<type>\w+(?:\([^)]*\))?)"
+    r"(?:(?P<ifnex>IF\s+NOT\s+EXISTS)\s+)?(?P<col>[\w`]+)\s+(?P<type>\w+(?:\([^)]*\))?)"
     r"(?:\s+DEFAULT\s+(?P<default>.+?))?\s*;?\s*$",
     re.I | re.S,
 )
@@ -272,7 +272,7 @@ _MODIFY_TTL_RE = re.compile(
 )
 _DROP_COL_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.`]+)\s+DROP\s+COLUMN\s+"
-    r"(?:IF\s+EXISTS\s+)?(?P<col>[\w`]+)\s*;?\s*$",
+    r"(?:(?P<ifex>IF\s+EXISTS)\s+)?(?P<col>[\w`]+)\s*;?\s*$",
     re.I,
 )
 _MODIFY_COL_RE = re.compile(
@@ -282,7 +282,7 @@ _MODIFY_COL_RE = re.compile(
 )
 _RENAME_COL_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.`]+)\s+RENAME\s+COLUMN\s+"
-    r"(?:IF\s+EXISTS\s+)?(?P<src>[\w`]+)\s+TO\s+(?P<dst>[\w`]+)\s*;?\s*$",
+    r"(?:(?P<ifex>IF\s+EXISTS)\s+)?(?P<src>[\w`]+)\s+TO\s+(?P<dst>[\w`]+)\s*;?\s*$",
     re.I,
 )
 # distributed-DDL decoration; meaningless off-cluster and rejected by
@@ -324,7 +324,7 @@ _PART_OP_RE = re.compile(
 )
 _CLEAR_COL_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.`]+)\s+CLEAR\s+COLUMN\s+"
-    r"(?:IF\s+EXISTS\s+)?(?P<col>[\w`]+)\s+IN\s+PARTITION\s+(?P<val>.+?)\s*;?\s*$",
+    r"(?:(?P<ifex>IF\s+EXISTS)\s+)?(?P<col>[\w`]+)\s+IN\s+PARTITION\s+(?P<val>.+?)\s*;?\s*$",
     re.I | re.S,
 )
 _FREEZE_RE = re.compile(
@@ -565,6 +565,7 @@ def translate(sql: str) -> Statement:
             table=m.group("table").strip("`"),
             column=m.group("col").strip("`"),
             predicate=m.group("val").strip(),
+            if_exists=bool(m.group("ifex")),
         )
     m = _DETACH_TABLE_RE.match(sql)
     if m:  # hide the table (rename to an internal name) until ATTACH
@@ -592,6 +593,7 @@ def translate(sql: str) -> Statement:
             sql=sql,
             table=m.group("table").strip("`"),
             column=m.group("col").strip("`"),
+            if_exists=bool(m.group("ifex")),
         )
     m = _MODIFY_COL_RE.match(sql)
     if m:  # type change → copy-on-write cast
@@ -610,6 +612,7 @@ def translate(sql: str) -> Statement:
             table=m.group("table").strip("`"),
             column=m.group("src").strip("`"),
             rename_to=m.group("dst").strip("`"),
+            if_exists=bool(m.group("ifex")),
         )
     m = _ADD_COL_RE.match(sql)
     if m:
@@ -620,6 +623,7 @@ def translate(sql: str) -> Statement:
             column=m.group("col").strip("`"),
             col_type=map_types(m.group("type")),
             default=_wrap_unsigned_default(m.group("type"), m.group("default")),
+            if_exists=bool(m.group("ifnex")),  # IF NOT EXISTS tolerance
         )
     m = _UPDATE_RE.match(sql)
     if m:

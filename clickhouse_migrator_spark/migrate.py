@@ -862,6 +862,25 @@ def _check_read_identifiers(columns: list[str], expr: str, what: str) -> None:
         prev = w
 
 
+def _check_exact_column(columns: list[str], col: str, what: str) -> None:
+    """Require an EXACT column-name match for a column-DDL target
+    (r11 case fuzz).  ClickHouse resolves identifiers case-sensitively
+    and errors on unknown columns; Spark's case-insensitive analyzer
+    silently resolved a case-mismatched DROP/MODIFY/RENAME/CLEAR target
+    (and `df.drop` silently no-ops on a missing one) — both quiet
+    semantic divergences from the reference engine."""
+    if col in columns:
+        return
+    lower = {c.lower(): c for c in columns}
+    near = lower.get(col.lower())
+    hint = (
+        f"; did you mean {near!r}? (ClickHouse identifiers are case-sensitive)"
+        if near is not None
+        else ""
+    )
+    raise ValueError(f"{what} references unknown column {col!r} (table has {columns}{hint})")
+
+
 def _crash_point(stage: str) -> None:
     """Test seam: the crash-injection tests monkeypatch this to abort
     :func:`_swap_overwrite` between its non-transactional statements
@@ -1278,16 +1297,43 @@ def _exec_translated(spark: SparkSession, st: Statement) -> DataFrame | None:
     if st.kind == "add_column":
         qual = _qualify(spark, st.table)
         df = spark.table(qual)
+        if st.column in df.columns:
+            # Spark's withColumn would silently REPLACE the existing
+            # column (data loss); ClickHouse errors unless IF NOT EXISTS
+            if st.if_exists:
+                return None
+            raise ValueError(
+                f"ALTER ADD COLUMN: column {st.column!r} already exists "
+                f"in {st.table} (use IF NOT EXISTS for a no-op)"
+            )
+        if st.column.lower() in {c.lower() for c in df.columns}:
+            # ClickHouse would allow a case-only sibling, but Spark's
+            # case-insensitive analyzer makes the pair unreadable —
+            # refuse rather than write an ambiguous table
+            raise ValueError(
+                f"ALTER ADD COLUMN: {st.column!r} differs only in case "
+                f"from an existing column of {st.table}; Spark resolves "
+                "identifiers case-insensitively and cannot represent both"
+            )
+        if st.default is not None:
+            _check_read_identifiers(
+                df.columns, st.default, f"ALTER ADD COLUMN {st.column!r} DEFAULT"
+            )
         default = _ch_expr(st.default).cast(st.col_type) if st.default is not None else F.lit(None).cast(st.col_type)
         _swap_overwrite(spark, st.table, df.withColumn(st.column, default))
         return None
     if st.kind == "drop_column":
         qual = _qualify(spark, st.table)
-        _swap_overwrite(spark, st.table, spark.table(qual).drop(st.column))
+        df = spark.table(qual)
+        if st.column not in df.columns and st.if_exists:
+            return None  # ClickHouse DROP COLUMN IF EXISTS: no-op
+        _check_exact_column(df.columns, st.column, "ALTER DROP COLUMN")
+        _swap_overwrite(spark, st.table, df.drop(st.column))
         return None
     if st.kind == "modify_column":
         qual = _qualify(spark, st.table)
         df = spark.table(qual)
+        _check_exact_column(df.columns, st.column, "ALTER MODIFY COLUMN")
         _swap_overwrite(
             spark,
             st.table,
@@ -1296,8 +1342,17 @@ def _exec_translated(spark: SparkSession, st: Statement) -> DataFrame | None:
         return None
     if st.kind == "rename_column":
         qual = _qualify(spark, st.table)
+        df = spark.table(qual)
+        if st.column not in df.columns and st.if_exists:
+            return None  # ClickHouse RENAME COLUMN IF EXISTS: no-op
+        _check_exact_column(df.columns, st.column, "ALTER RENAME COLUMN")
+        if st.rename_to in df.columns:
+            raise ValueError(
+                f"ALTER RENAME COLUMN: target name {st.rename_to!r} "
+                f"already exists in {st.table}"
+            )
         _swap_overwrite(
-            spark, st.table, spark.table(qual).withColumnRenamed(st.column, st.rename_to)
+            spark, st.table, df.withColumnRenamed(st.column, st.rename_to)
         )
         return None
     if st.kind == "cow_update":
@@ -1448,6 +1503,9 @@ def _exec_translated(spark: SparkSession, st: Statement) -> DataFrame | None:
             raise ValueError(f"table {st.table} has no recorded PARTITION BY")
         cond = _partition_cond(pby, st.predicate)
         df = spark.table(qual)
+        if st.column not in df.columns and st.if_exists:
+            return None  # CLEAR COLUMN IF EXISTS: no-op
+        _check_exact_column(df.columns, st.column, "ALTER CLEAR COLUMN")
         dtype = dict(df.dtypes).get(st.column, "string")
         _swap_overwrite(
             spark,

@@ -249,19 +249,19 @@ def main() -> int:
                     f"subset ratio report ({a} vs {b}) exits nonzero:\n"
                     + r.stdout[-1500:]
                 )
-    fuzz_art = os.path.join(REPO, f"RUNNER_FUZZ_r{rnd}.json")
-    if os.path.exists(fuzz_art):
-        import json as _json
-
+    for fuzz_name in (f"RUNNER_FUZZ_r{rnd}.json", f"CASE_FUZZ_r{rnd}.json"):
+        fuzz_art = os.path.join(REPO, fuzz_name)
+        if not os.path.exists(fuzz_art):
+            continue
         try:
-            fz = _json.load(open(fuzz_art))
+            fz = json.load(open(fuzz_art))
             if fz.get("failures", 1) != 0 or "seed" not in fz:
                 problems.append(
-                    f"RUNNER_FUZZ_r{rnd}.json must record seed and zero failures: "
+                    f"{fuzz_name} must record seed and zero failures: "
                     f"failures={fz.get('failures')!r} seed={fz.get('seed')!r}"
                 )
         except Exception as e:  # malformed artifact is a failed gate
-            problems.append(f"RUNNER_FUZZ_r{rnd}.json unreadable: {e}")
+            problems.append(f"{fuzz_name} unreadable: {e}")
     if os.path.exists(os.path.join(REPO, f"BENCH_SPREAD_r{rnd}.json")):
         r = subprocess.run(
             [sys.executable, "tools/bench_tripwire.py", f"BENCH_SPREAD_r{rnd}.json"],

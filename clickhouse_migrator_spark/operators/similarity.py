@@ -553,8 +553,10 @@ def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``n_queries`` is genuinely SQL-computed on both sides.  Scale note:
     this is a bounded audit (one full exact scan over the query batch),
-    run to certify the index, not the production search path."""
-    exact = sim_topk_cosine_full(spark, sf_dir).select("query_id", "cand_id")
+    run to certify the index, not the production search path.  The
+    exact top-k (≤ N_QUERIES × TOP_K rows) is cached so the two
+    operating-point comparisons share one brute-force scan."""
+    exact = sim_topk_cosine_full(spark, sf_dir).select("query_id", "cand_id").cache()
 
     def mean_recall(nprobe: int) -> float:
         approx = ivf_kmeans_topk(spark, sf_dir, nprobe=nprobe).select(
@@ -579,6 +581,7 @@ def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mr = mean_recall(NPROBE)
     fr = mean_recall(KMEANS_K)
+    exact.unpersist()  # both comparisons reduced to driver floats above
     return spark.createDataFrame(
         [
             (

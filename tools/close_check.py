@@ -152,6 +152,10 @@ def main() -> int:
     try:
         if int(rnd) >= 10:
             required.append(f"RUNNER_FUZZ_r{rnd}.json")
+        # round 11+: the identifier-case-mutation fuzz is part of the
+        # close gate too (VERDICT r10 #7)
+        if int(rnd) >= 11:
+            required.append(f"CASE_FUZZ_r{rnd}.json")
     except ValueError:
         pass
     # decade-probe subset pairs are optional per round, but when a

@@ -461,10 +461,18 @@ def run_scenario(spark, seed: int, n_epochs: int = 4, verbose: bool = False) -> 
                 # exactly-once; the r10 at-least-once duplicate-INSERT
                 # window is closed).
                 seq = [(v, i, s) for v, ss, _ in new for i, s in enumerate(ss)]
-                stage = rng.choice(["before_stmt", "after_stmt", "after_journal"])
+                stages = ["before_stmt", "after_stmt", "after_journal"]
+                if any(s.kind == "insert" for _v, _i, s in seq):
+                    # r11: crash INSIDE a staged insert's publish loop
+                    # (journal durable, data files partly renamed) —
+                    # _reconcile_staged must finish the publish on rerun
+                    stages.append("mid_publish")
+                stage = rng.choice(stages)
                 # a re-executed CREATE fails the rerun (same
                 # fix-and-rerun contract note as midfail) — don't arm
-                # after_stmt on one
+                # after_stmt on one.  mid_publish fires once per
+                # published FILE, only for staged inserts — arm the
+                # first firing (statement-index targeting doesn't apply)
                 cand = [
                     k
                     for k, (_v, _i, s) in enumerate(seq)
@@ -473,7 +481,9 @@ def run_scenario(spark, seed: int, n_epochs: int = 4, verbose: bool = False) -> 
                 if not cand:
                     stage = "after_journal"
                     cand = list(range(len(seq)))
-                k = rng.choice(cand)
+                k = 0 if stage == "mid_publish" else rng.choice(cand)
+                if verbose:
+                    print(f"{ctx}: crashj stage={stage} k={k}")
                 armed_j = {"n": 0}
 
                 def boomj(s, _stage=stage, _k=k, _armed=armed_j):

@@ -390,6 +390,64 @@ def test_insert_journal_append_failure_converges(spark, db, tmp_path, monkeypatc
     assert _rows(spark, db, "jf") == [(1, 42)]
 
 
+def test_staged_insert_column_list_fills_null(spark, db, tmp_path):
+    """A column-subset INSERT through the runner behaves exactly like a
+    direct execution (unspecified columns NULL) — the stage table is a
+    faithful schema clone."""
+    stmts = ["INSERT INTO jc (k) VALUES (9)"]
+    home, _ = _setup_insert(spark, db, tmp_path, stmts, version=13, table="jc")
+    assert M.migrate(spark, db, home) == 1
+    rows = spark.table(f"`{db}`.jc").collect()
+    assert [(r.k, r.v) for r in rows] == [(9, None)]
+
+
+def test_staged_insert_cross_database_target(spark, db, tmp_path, monkeypatch):
+    """INSERT INTO a table in ANOTHER database: the stage lives in the
+    migration db, the publish lands in the target db's table directory,
+    and the crash windows still reconcile exactly-once."""
+    other = db + "_x"
+    M.create_db(spark, other)
+    try:
+        spark.sql(
+            f"CREATE TABLE `{other}`.xt (k BIGINT, v BIGINT) USING PARQUET"
+        )
+        stmts = [f"INSERT INTO {other}.xt VALUES (1, 5)"]
+        home, _ = _setup_insert(spark, db, tmp_path, stmts, version=14, table="jx")
+        _arm(monkeypatch, "after_journal", 0)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            M.migrate(spark, db, home)
+        monkeypatch.setattr(M, "_crash_point", lambda s: None)
+        # journal committed, publish pending — rows not yet visible
+        assert spark.table(f"`{other}`.xt").count() == 0
+        M.clear_claims(spark, db)
+        assert M.migrate(spark, db, home) == 1
+        assert [(r.k, r.v) for r in spark.table(f"`{other}`.xt").collect()] == [
+            (1, 5)
+        ]
+        assert M.migrate(spark, db, home) == 0
+        assert spark.table(f"`{other}`.xt").count() == 1
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS `{other}` CASCADE")
+
+
+def test_staged_insert_into_missing_table_raises_user_error(spark, db, tmp_path):
+    """An INSERT whose target doesn't exist must surface the analyzer's
+    error (the staging gate returns None and direct execution raises),
+    not a staging artifact."""
+    stmts = ["INSERT INTO no_such_tbl VALUES (1, 2)"]
+    home, _ = _setup_insert(spark, db, tmp_path, stmts, version=15, table="jn")
+    with pytest.raises(Exception) as ei:
+        M.migrate(spark, db, home)
+    assert "no_such_tbl" in str(ei.value)
+    # and no stage-table garbage was left behind
+    leftovers = [
+        r["tableName"]
+        for r in spark.sql(f"SHOW TABLES IN `{db}`").collect()
+        if r["tableName"].startswith(M._STAGE_PREFIX)
+    ]
+    assert leftovers == []
+
+
 # ── journal compaction (VERDICT r10 #6) ──────────────────────────────────────
 
 

@@ -77,6 +77,69 @@ def _cpu_snapshot() -> tuple[int, int]:
     return busy, mine
 
 
+# ── per-query contention self-healing (VERDICT r11 #3) ──────────────────────
+# The committed-artifact gate (tools/close_check.py, 5% whole-run budget)
+# protects what WE commit, but the driver's own bench runs were hostage
+# to host bursts: r11's driver artifact read +36% purely because ~190 s
+# of foreign CPU landed inside query windows (42 s of it inside one
+# 0.64 s query).  bench.py now heals per query: a measurement whose
+# foreign-CPU share exceeds the budget below is re-run ONCE (after
+# clearing session caches so the repeat is honest), the quieter of the
+# two measurements is kept, and the artifact discloses both plus a
+# `retried` count — contamination self-corrects instead of being
+# diagnosed after the fact.
+RETRY_FOREIGN_ABS_S = 1.0
+RETRY_FOREIGN_PCT = 0.25
+
+
+def _contaminated(wall: float, fg: float | None, cpus: int) -> bool:
+    """True when foreign CPU during the query's window exceeds
+    max(1 s, 25% of wall × cpus) — i.e. the rest of the machine burned
+    a material share of the capacity this wall-clock was measured
+    against.  fg=None (instrument unavailable) never triggers."""
+    if fg is None or wall < 0:
+        return False
+    return fg > max(RETRY_FOREIGN_ABS_S, RETRY_FOREIGN_PCT * wall * cpus)
+
+
+def _measure_all(specs, run_once, cpus: int, reset_caches=lambda: None):
+    """Measurement loop with one-shot contention retry per query.
+
+    ``run_once(name, spec) -> (wall, foreign_s | None, errored)`` is
+    injected so the policy is unit-testable without Spark
+    (tests/test_bench_foreign_cpu.py).  Returns (timings, foreign,
+    retries) where retries[name] discloses BOTH measurements and which
+    one was kept (the quieter foreign-CPU one; an errored or
+    still-noisy retry keeps the first)."""
+    timings: dict[str, float] = {}
+    foreign: dict[str, float] = {}
+    retries: dict[str, dict] = {}
+    for name, spec in sorted(specs.items()):
+        wall, fg, err = run_once(name, spec)
+        if err:
+            timings[name] = -1.0
+            continue
+        if _contaminated(wall, fg, cpus):
+            reset_caches()
+            wall2, fg2, err2 = run_once(name, spec)
+            rec = {
+                "first_wall": wall,
+                "first_foreign_cpu_s": fg,
+                "retry_wall": wall2 if not err2 else None,
+                "retry_foreign_cpu_s": fg2 if not err2 else None,
+            }
+            if not err2 and fg2 is not None and fg2 < fg:
+                rec["kept"] = "retry"
+                wall, fg = wall2, fg2
+            else:
+                rec["kept"] = "first"
+            retries[name] = rec
+        timings[name] = wall
+        if fg is not None:
+            foreign[name] = fg
+    return timings, foreign, retries
+
+
 def _warm_shapes(spark) -> None:
     try:
         _warm_shapes_inner(spark)
@@ -267,30 +330,50 @@ def main() -> None:
     # (VERDICT r3 directive #6)
     _warm_streaming(spark)
 
-    timings: dict[str, float] = {}
-    foreign: dict[str, float] = {}
     hz = os.sysconf("SC_CLK_TCK")
-    try:
-        busy0, mine0 = _cpu_snapshot()
-    except Exception:  # pragma: no cover — non-Linux fallback
-        busy0 = mine0 = None
-    for name, spec in sorted(specs.items()):
+
+    def run_once(name, spec):
+        try:
+            snap0 = _cpu_snapshot()
+        except Exception:  # pragma: no cover — non-Linux fallback
+            snap0 = None
         t0 = time.perf_counter()
         try:
             materialize(spec.fn(spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
+            wall = round(time.perf_counter() - t0, 3)
         except Exception as e:  # pragma: no cover
-            timings[name] = -1.0
             print(f"bench error {name}: {e}", file=sys.stderr)
-        if busy0 is not None:
+            return -1.0, None, True
+        fg = None
+        if snap0 is not None:
             try:
                 busy1, mine1 = _cpu_snapshot()
-                foreign[name] = round(
-                    max(0, (busy1 - busy0) - (mine1 - mine0)) / hz, 3
+                fg = round(
+                    max(0, (busy1 - snap0[0]) - (mine1 - snap0[1])) / hz, 3
                 )
-                busy0, mine0 = busy1, mine1
             except Exception:  # pragma: no cover
-                busy0 = None
+                fg = None
+        return wall, fg, False
+
+    def reset_caches():
+        # honest repeats: operators cache intermediates and the dedup
+        # pack memoizes its pair table per (session, corpus) — a warm
+        # retry would measure reuse, not the query (the retry then
+        # re-populates the caches, so later queries see the same state
+        # they would have)
+        try:
+            spark.catalog.clearCache()
+            from clickhouse_migrator_spark.operators.dedup import (
+                invalidate_near_dup_cache,
+            )
+
+            invalidate_near_dup_cache(None)
+        except Exception:  # pragma: no cover
+            pass
+
+    timings, foreign, retries = _measure_all(
+        specs, run_once, int(cpus), reset_caches
+    )
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -314,6 +397,11 @@ def main() -> None:
                 # the contention fingerprint for variance forensics
                 "foreign_cpu_s": foreign,
                 "foreign_cpu_total_s": round(sum(foreign.values()), 1),
+                # per-query contention self-healing disclosure: queries
+                # whose first measurement blew the foreign-CPU budget,
+                # both measurements, and which was kept
+                "retried": len(retries),
+                "retries": retries,
             },
             f,
             indent=1,
@@ -336,6 +424,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "n_errors": n_err,
                 "foreign_cpu_total_s": round(sum(foreign.values()), 1),
+                "retried": len(retries),
                 "per_query_file": out_path,
                 "queries": top,
             }

@@ -97,6 +97,30 @@ _COW_VERSION_PROP = "clickhouse.cow_inflight_version"
 _COW_STMT_PROP = "clickhouse.cow_inflight_stmt"
 _COW_MD5_PROP = "clickhouse.cow_inflight_md5"
 _COW_MARKER_PROPS = (_COW_VERSION_PROP, _COW_STMT_PROP, _COW_MD5_PROP)
+# CREATE TABLE statements executed through the runner stamp the created
+# table with their (version, stmt_index, md5) identity (VERDICT r11 #1):
+# a crash AFTER the create but BEFORE its journal append used to
+# fail-stop the rerun on TABLE_ALREADY_EXISTS.  With the stamp, the
+# rerun's re-executed CREATE recognizes the existing table as ITS OWN
+# earlier attempt's product (stamp matches the in-flight triple) and
+# returns success, so the apply loop journals the statement late —
+# the same recognize-and-journal pattern recover_cow uses for COW
+# swaps.  A stamp mismatch (or no stamp) keeps the conservative
+# fail-stop: the table is someone else's and re-creating over it would
+# destroy data.
+_CREATE_STAMP_PROP = "clickhouse.create_stamp"
+
+
+def _inflight_stamp() -> str | None:
+    """`version:stmt_index:md5` of the statement the apply loop is
+    executing on THIS thread, or None outside a migration (direct
+    ``execute_statement`` calls never stamp or recognize)."""
+    v = getattr(_INFLIGHT, "version", None)
+    i = getattr(_INFLIGHT, "stmt", None)
+    md5 = getattr(_INFLIGHT, "md5", None)
+    if v is None or i is None or md5 is None:
+        return None
+    return f"{v}:{i}:{md5}"
 
 
 class ConcurrentMigrationError(RuntimeError):
@@ -461,15 +485,26 @@ _INSERT_TARGET_RE = re.compile(
 
 
 def _local_parquet_location(spark: SparkSession, qual: str) -> str | None:
-    """Local-filesystem path of a PARQUET catalog table, or None (view,
-    non-parquet provider, object-store scheme — the staged-append path
-    doesn't apply there, same scope rule as :func:`_atomic_append`)."""
+    """Local-filesystem path of a FLAT (unpartitioned, unbucketed)
+    PARQUET catalog table, or None (view, non-parquet provider,
+    object-store scheme — the staged-append path doesn't apply there,
+    same scope rule as :func:`_atomic_append`).
+
+    Partitioned or bucketed targets also return None (ADVICE r11 high):
+    the stage clone is flat and :func:`_publish_stage` renames data
+    files into the target's ROOT directory, which partition-aware
+    listing never reads — the insert would report success while its
+    rows stayed invisible.  Those targets take the direct-execution
+    fallback, which writes correct partitions/buckets (at-least-once on
+    crash-before-journal, see README scope note)."""
     from urllib.parse import unquote, urlparse
 
     info = {}
     for r in spark.sql(f"DESCRIBE TABLE EXTENDED {qual}").collect():
         info.setdefault(r.col_name, r.data_type)
     if (info.get("Provider") or "").lower() != "parquet":
+        return None
+    if "# Partition Information" in info or "Num Buckets" in info:
         return None
     loc = info.get("Location")
     if not loc:
@@ -1274,7 +1309,30 @@ def _exec_translated(spark: SparkSession, st: Statement) -> DataFrame | None:
         # migration scripts (e.g. INSERT ... SELECT ... FROM t FINAL)
         return spark.sql(rewrite_query(spark, st.sql))
     if st.kind == "create_table":
-        out = spark.sql(st.sql)
+        stamp = _inflight_stamp()
+        m = _CREATE_NAME_RE.search(st.sql)
+        try:
+            out = spark.sql(st.sql)
+        except Exception as e:
+            # crash-after-CREATE rerun window (VERDICT r11 #1): the
+            # earlier attempt created the table and stamped it, then
+            # crashed before its journal append.  If the existing
+            # table carries OUR stamp, the create already applied —
+            # report success so the apply loop journals it late.
+            if (
+                stamp is not None
+                and m is not None
+                and "ALREADY_EXISTS" in str(e).upper().replace(" ", "_")
+            ):
+                try:
+                    prior = _table_props(spark, m.group("name")).get(
+                        _CREATE_STAMP_PROP
+                    )
+                except Exception:
+                    prior = None
+                if prior == stamp:
+                    return None
+            raise
         # preserve the ClickHouse physical-layout intent as metadata:
         # ORDER BY → the write-sort a compaction job should apply;
         # PARTITION BY → candidate partition columns (SURVEY.md §1.1)
@@ -1289,7 +1347,14 @@ def _exec_translated(spark: SparkSession, st: Statement) -> DataFrame | None:
             props["clickhouse.ttl"] = st.ttl
         if st.sample_by:
             props["clickhouse.sample_by"] = st.sample_by
-        m = _CREATE_NAME_RE.search(st.sql)
+        if stamp is not None:
+            # one ALTER sets layout props and the stamp together — no
+            # window in which the table has props but no stamp.  The
+            # residual window (crash between CREATE and this ALTER)
+            # keeps the conservative fail-stop; it is one metadata
+            # statement wide, vs. the whole statement+journal span
+            # before.
+            props[_CREATE_STAMP_PROP] = stamp
         if props and m:
             kv = ", ".join(f"'{k}' = '{_sq(v)}'" for k, v in props.items())
             spark.sql(f"ALTER TABLE {m.group('name')} SET TBLPROPERTIES ({kv})")

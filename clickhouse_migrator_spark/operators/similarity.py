@@ -559,8 +559,17 @@ def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = sim_topk_cosine_full(spark, sf_dir).select("query_id", "cand_id").cache()
 
     def mean_recall(nprobe: int) -> float:
-        approx = ivf_kmeans_topk(spark, sf_dir, nprobe=nprobe).select(
-            "query_id", F.col("vec_id").alias("cand_id")
+        # .distinct() before the join (ADVICE r11): a duplicated
+        # (query_id, cand_id) in the approx top-k — exactly the
+        # duplicated-vector list-layout bug this audit exists to catch
+        # — would fan out the join and inflate n_hit past the truth,
+        # letting recall read 1.0 while a true candidate was displaced.
+        # Deduped, the displaced candidate is genuinely missing from
+        # the hit set and full_probe_recall_is_1 fails as intended.
+        approx = (
+            ivf_kmeans_topk(spark, sf_dir, nprobe=nprobe)
+            .select("query_id", F.col("vec_id").alias("cand_id"))
+            .distinct()
         )
         hits = (
             exact.join(approx, ["query_id", "cand_id"])

@@ -90,11 +90,51 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s
 
 
+def raise_on_late_drops(query) -> None:
+    """Fail loudly if the drain silently discarded late rows (VERDICT
+    r11 #6).  Two signals, both read from the query's progress log
+    (which survives ``stop()``):
+
+    - ``numRowsDroppedByWatermark`` summed over state operators — the
+      counted path for windowed aggregations / dedup / joins;
+    - any micro-batch that still reports input rows AFTER the watermark
+      reached the flush sentinel's far-future level.  This is the
+      ``applyInPandasWithState`` case: Spark filters its late input
+      WITHOUT counting it, so the metric above stays 0 — but a
+      post-sentinel batch with input rows can only contain rows that
+      are late by construction (every real event predates the sentinel)
+      and is proof the backlog was split across triggers (e.g.
+      ``maxFilesPerTrigger``) instead of draining in one batch.
+    """
+    dropped = 0
+    post_sentinel_rows = 0
+    batches = 0
+    for p in query.recentProgress:
+        batches += 1
+        for op in (p.get("stateOperators") or []):
+            dropped += int(op.get("numRowsDroppedByWatermark") or 0)
+        wm = (p.get("eventTime") or {}).get("watermark") or ""
+        if wm >= _SENTINEL_WATERMARK_FLOOR:
+            post_sentinel_rows += int(p.get("numInputRows") or 0)
+    if dropped or post_sentinel_rows:
+        raise RuntimeError(
+            f"streaming drain discarded late rows: "
+            f"numRowsDroppedByWatermark={dropped}, rows arriving after "
+            f"the flush sentinel advanced the watermark="
+            f"{post_sentinel_rows}, across {batches} micro-batch(es). "
+            "With flush_trailing=True this means the backlog was split "
+            "across triggers AFTER the sentinel advanced the watermark "
+            "— remove per-source rate limits (e.g. maxFilesPerTrigger) "
+            "so the drain ingests the whole backlog in one batch."
+        )
+
+
 def run_to_memory(
     agg: DataFrame,
     mode: str = "complete",
     timeout_s: int = 120,
     partitions: int = 8,
+    require_no_late_drops: bool = False,
 ) -> str:
     """Run a streaming aggregation to completion into a memory sink with
     an availableNow trigger; returns the sink table name.
@@ -122,6 +162,8 @@ def run_to_memory(
         )
         q.awaitTermination(timeout_s)
         q.stop()
+        if require_no_late_drops:
+            raise_on_late_drops(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return name
@@ -339,6 +381,28 @@ SESSION_OUT_SCHEMA = (
 )
 
 
+# mkdtemp directories created for sentinel batches: the stream reads the
+# file for the drain's whole lifetime, so they can only be removed at
+# process exit (ADVICE r11: the per-call directory used to leak with no
+# cleanup registration at all)
+_SENTINEL_DIRS: list[str] = []
+
+# Sentinel event time for flush_trailing, and the (ISO-comparable)
+# watermark level at which a micro-batch with input rows can only be
+# processing rows that are late by construction — any watermark ≥ this
+# floor implies the sentinel already passed (real generators produce
+# nothing within decades of it).
+_SENTINEL_TS = "2100-01-01 00:00:00"
+_SENTINEL_WATERMARK_FLOOR = "2099-01-01"
+
+
+def _cleanup_sentinel_dirs() -> None:  # pragma: no cover - exit hook
+    import shutil
+
+    for d in _SENTINEL_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _watermark_sentinel_union(
     events: DataFrame, sentinel_user_id: int
 ) -> DataFrame:
@@ -348,6 +412,7 @@ def _watermark_sentinel_union(
     same trick the registered mirror builds by hand.  The sentinel row
     carries ``sentinel_user_id`` so the caller can drop its own
     "session" from the output."""
+    import atexit
     import tempfile
 
     from pyspark.sql.types import TimestampNTZType, TimestampType
@@ -366,15 +431,29 @@ def _watermark_sentinel_union(
         if f.name == "user_id":
             col = F.lit(sentinel_user_id).cast(f.dataType)
         elif f.name == "ts":
-            col = F.lit("2100-01-01 00:00:00").cast(f.dataType)
+            col = F.lit(_SENTINEL_TS).cast(f.dataType)
         elif f.name == "value":
             col = F.lit(0.0).cast(f.dataType)
         else:
             col = F.lit(None).cast(f.dataType)
         vals.append(col.alias(f.name))
     d = tempfile.mkdtemp(prefix="session_flush_sentinel_")
+    if not _SENTINEL_DIRS:
+        atexit.register(_cleanup_sentinel_dirs)
+    _SENTINEL_DIRS.append(d)
     spark.range(1).select(*vals).coalesce(1).write.mode("overwrite").parquet(d)
     return events.unionByName(spark.readStream.schema(schema).parquet(d))
+
+
+# Default sentinel user id for flush_trailing: NEGATIVE, because every
+# realistic id domain (and this repo's generators) uses non-negative
+# ids — a positive default like the old 999_999_999 could collide with
+# a real user, whose sessions the output filter would then silently
+# drop (ADVICE r11).  Collision against a STREAM is not verifiable
+# up-front; if your domain does contain negative ids, pass an id you
+# know is unused.  The value fits in int32 so the cast stays legal for
+# narrower user_id column types under ANSI semantics.
+FLUSH_SENTINEL_USER_ID = -1_999_999_999
 
 
 def sessionize_with_state(
@@ -382,7 +461,7 @@ def sessionize_with_state(
     gap_minutes: int = 30,
     timeout_pad_ms: int = 60_000,
     flush_trailing: bool = False,
-    sentinel_user_id: int = 999_999_999,
+    sentinel_user_id: int = FLUSH_SENTINEL_USER_ID,
 ) -> DataFrame:
     """Custom stateful sessionizer via ``applyInPandasWithState`` — the
     pattern for session logic `session_window` can't express (e.g.
@@ -408,7 +487,12 @@ def sessionize_with_state(
     is visible from the FIRST micro-batch, so the drain must ingest the
     whole backlog in that batch — do not combine with per-source rate
     limits like ``maxFilesPerTrigger`` (the watermark jump would mark
-    later backlog batches late).  Leave it False to preserve open
+    later backlog batches late).  A violation of (2) is DETECTABLE
+    after the drain: the dropped rows are counted in the query's
+    ``numRowsDroppedByWatermark`` state metric — run the query through
+    :func:`run_to_memory` with ``require_no_late_drops=True`` (or call
+    :func:`raise_on_late_drops` on your own query) to turn the silent
+    drop into a loud error.  Leave it False to preserve open
     sessions in state across a graceful stop/restart (the
     checkpoint-restart tests pass a LARGE pad for exactly that,
     tests/test_streaming_restart_all.py)."""

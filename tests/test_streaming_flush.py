@@ -13,6 +13,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from clickhouse_migrator_spark.streaming.events_stream import (
+    FLUSH_SENTINEL_USER_ID,
     run_to_memory,
     sessionize_with_state,
 )
@@ -71,8 +72,69 @@ def test_flush_trailing_sentinel_row_not_in_output(spark):
         timeout_s=120,
     )
     assert (
-        spark.table(name).filter(F.col("user_id") == 999_999_999).count() == 0
+        spark.table(name).filter(F.col("user_id") == FLUSH_SENTINEL_USER_ID).count()
+        == 0
     )
+
+
+def test_flush_sentinel_default_is_negative():
+    """ADVICE r11: the old positive default (999_999_999) could equal a
+    real user id, whose sessions the output filter silently dropped —
+    the default must sit outside any non-negative id domain."""
+    assert FLUSH_SENTINEL_USER_ID < 0
+    assert -(2**31) <= FLUSH_SENTINEL_USER_ID  # int32-castable
+
+
+def test_flush_sentinel_tempdir_registered_for_cleanup(spark):
+    """ADVICE r11: each flush_trailing call creates a sentinel parquet
+    dir that must be registered for exit-time cleanup, not leaked."""
+    from clickhouse_migrator_spark.streaming import events_stream as ES
+
+    d, schema = _mk_events(spark)
+    stream = spark.readStream.schema(schema).parquet(d)
+    before = len(ES._SENTINEL_DIRS)
+    sessionize_with_state(stream, flush_trailing=True)
+    assert len(ES._SENTINEL_DIRS) == before + 1
+    import os
+
+    assert os.path.isdir(ES._SENTINEL_DIRS[-1])
+
+
+def test_flush_trailing_split_backlog_surfaces_misuse(spark):
+    """VERDICT r11 #6: flush_trailing + a per-source rate limit splits
+    the backlog across triggers; rows after the sentinel's batch are
+    silently dropped as late.  The drain must SURFACE that (loud error
+    via the counted numRowsDroppedByWatermark metric), not swallow it."""
+    d, schema = _mk_events(spark)
+    # maxFilesPerTrigger=1 on a multi-file backlog: second file's rows
+    # arrive after the sentinel advanced the watermark to ~2100
+    rows2 = [(3, T0 + dt.timedelta(minutes=5), 64.0)]
+    spark.createDataFrame(
+        rows2, "user_id BIGINT, ts TIMESTAMP, value DOUBLE"
+    ).coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    with pytest.raises(RuntimeError, match="discarded late rows"):
+        run_to_memory(
+            sessionize_with_state(stream, flush_trailing=True),
+            mode="append",
+            timeout_s=120,
+            require_no_late_drops=True,
+        )
+
+
+def test_flush_trailing_clean_drain_passes_late_drop_guard(spark):
+    """The guard is silent on a correct single-batch drain."""
+    d, schema = _mk_events(spark)
+    stream = spark.readStream.schema(schema).parquet(d)
+    name = run_to_memory(
+        sessionize_with_state(stream, flush_trailing=True),
+        mode="append",
+        timeout_s=120,
+        require_no_late_drops=True,
+    )
+    assert spark.table(name).count() == 3
 
 
 def test_flush_trailing_requires_timestamp_ts(spark):

@@ -34,6 +34,13 @@ Faults per epoch (random, seeded):
     the batch — covering the journal-append, staged-insert-publish and
     marker-unset windows; the model asserts every statement (INSERTs
     included, r11: staged-append commit) applies exactly once;
+  - fallback-path crash injection (r12, fault "crashf"): the INSERT's
+    target is made non-stageable (_local_parquet_location → None,
+    simulating partitioned/bucketed parquet, JDBC sinks, object
+    stores), a crash lands after its direct effects but before its
+    journal row, and the model asserts the rerun produces the
+    DOCUMENTED duplicate — at-least-once, in statement order, never
+    silent corruption;
   - duplicate-version file (expect scan_migrations rejection);
   - edit-after-commit / delete-after-commit (expect diff rejection).
 
@@ -259,7 +266,16 @@ def run_scenario(spark, seed: int, n_epochs: int = 4, verbose: bool = False) -> 
                 new.append((version, stmts, path))
 
             fault = rng.choice(
-                ["none", "midfail", "crash", "crashj", "dupver", "edit", "delete"]
+                [
+                    "none",
+                    "midfail",
+                    "crash",
+                    "crashj",
+                    "crashf",
+                    "dupver",
+                    "edit",
+                    "delete",
+                ]
             )
             if verbose:
                 print(f"{ctx}: fault={fault} new={[v for v, _, _ in new]}")
@@ -365,20 +381,18 @@ def run_scenario(spark, seed: int, n_epochs: int = 4, verbose: bool = False) -> 
                 # rerun.  Model: statements before the cow applied once;
                 # the cow applied per the recovery action; rerun replays
                 # every script that was not yet in the ledger.
-                # target must be the FIRST cow statement of the batch
-                # (so the armed crash_point hits it) and must precede
-                # any CREATE in its own script (a re-executed CREATE
-                # fails the rerun — same fix-and-rerun contract note as
-                # the midfail fault)
+                # target is the FIRST cow statement of the batch (so
+                # the armed crash_point hits it).  CREATEs before it
+                # are fine since r10's statement journal (they journal
+                # before the crash and the SAME-md5 rerun skips them);
+                # the r11 create-exclusion here predated the journal.
                 target = None
                 for v, ss, _ in new:
                     for i, s in enumerate(ss):
-                        if s.kind == "create":
-                            break
                         if s.cow:
                             target = (v, i)
                             break
-                    if target or any(s.cow for s in ss):
+                    if target is not None:
                         break
                 if target is None:
                     M.migrate(spark, db, home)
@@ -468,19 +482,15 @@ def run_scenario(spark, seed: int, n_epochs: int = 4, verbose: bool = False) -> 
                     # _reconcile_staged must finish the publish on rerun
                     stages.append("mid_publish")
                 stage = rng.choice(stages)
-                # a re-executed CREATE fails the rerun (same
-                # fix-and-rerun contract note as midfail) — don't arm
-                # after_stmt on one.  mid_publish fires once per
+                # r12: CREATE statements are armed at EVERY boundary —
+                # the create-stamp (clickhouse.create_stamp) lets the
+                # rerun recognize its own earlier attempt's table and
+                # journal the statement late instead of fail-stopping
+                # on TABLE_ALREADY_EXISTS (the r11 after_stmt
+                # exclusion is gone).  mid_publish fires once per
                 # published FILE, only for staged inserts — arm the
                 # first firing (statement-index targeting doesn't apply)
-                cand = [
-                    k
-                    for k, (_v, _i, s) in enumerate(seq)
-                    if not (stage == "after_stmt" and s.kind == "create")
-                ]
-                if not cand:
-                    stage = "after_journal"
-                    cand = list(range(len(seq)))
+                cand = list(range(len(seq)))
                 k = 0 if stage == "mid_publish" else rng.choice(cand)
                 if verbose:
                     print(f"{ctx}: crashj stage={stage} k={k}")
@@ -508,6 +518,67 @@ def run_scenario(spark, seed: int, n_epochs: int = 4, verbose: bool = False) -> 
                     for s in ss:
                         s.apply(state)
                     applied.append(v)
+            elif fault == "crashf":
+                # fallback-path after_stmt crash (VERDICT r11 #2): the
+                # INSERT's target is NOT stageable (partitioned/bucketed
+                # parquet, JDBC sink, object store — simulated by
+                # forcing _local_parquet_location to None), so it
+                # executes DIRECT; a crash after its effects but before
+                # its journal row makes the rerun re-execute it and
+                # DUPLICATE its rows — the documented at-least-once
+                # fallback window (README), never silent corruption.
+                # Model: the armed insert applies TWICE, everything
+                # else exactly once.
+                seq = [(v, i, s) for v, ss, _ in new for i, s in enumerate(ss)]
+                inserts = [k for k, (_v, _i, s) in enumerate(seq) if s.kind == "insert"]
+                if not inserts:
+                    M.migrate(spark, db, home)
+                    for v, ss, _ in new:
+                        for s in ss:
+                            s.apply(state)
+                        applied.append(v)
+                else:
+                    k = rng.choice(inserts)
+                    if verbose:
+                        print(f"{ctx}: crashf k={k}")
+                    armed_f = {"n": 0}
+
+                    def boomf(s, _k=k, _armed=armed_f):
+                        if s == "after_stmt":
+                            if _armed["n"] == _k:
+                                _armed["n"] += 1
+                                raise RuntimeError("fuzz crashf")
+                            _armed["n"] += 1
+
+                    orig_lpl = M._local_parquet_location
+                    M._local_parquet_location = lambda *_a, **_k: None
+                    M._crash_point = boomf
+                    try:
+                        try:
+                            M.migrate(spark, db, home)
+                            raise AssertionError(
+                                f"{ctx}: injected crashf did not raise"
+                            )
+                        except RuntimeError:
+                            pass
+                        M._crash_point = orig_crash
+                        M.recover_cow(spark, db)
+                        M.clear_claims(spark, db)
+                        # rerun with the target STILL non-stageable
+                        M.migrate(spark, db, home)
+                    finally:
+                        M._crash_point = orig_crash
+                        M._local_parquet_location = orig_lpl
+                    # replay IN ORDER with the duplicate in place: the
+                    # rerun re-executes insert k (second copy) BEFORE
+                    # the statements after it, so later updates see and
+                    # mutate both copies
+                    for idx, (_v, _i, s) in enumerate(seq):
+                        s.apply(state)
+                        if idx == k:
+                            s.apply(state)
+                    for v, _ss, _ in new:
+                        applied.append(v)
             if fault in ("none", "dupver", "edit", "delete"):
                 # the faulted run was a no-op; a clean run applies all new
                 M.migrate(spark, db, home)

@@ -81,7 +81,9 @@ def test_r10_committed_artifacts_all_pass_the_budget():
 
     arts = sorted(glob.glob(os.path.join(REPO, "BENCH_*_r10.json")))
     assert arts, "r10 artifacts missing from the repo"
-    assert close_check.contention_problems(arts) == []
+    # r10 predates the instrumented bench_spread: metric-less artifacts
+    # are skipped for historic rounds (require_metric engages at r12)
+    assert close_check.contention_problems(arts, require_metric=False) == []
 
 
 def test_newest_round_default():

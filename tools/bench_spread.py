@@ -88,6 +88,14 @@ def main() -> None:
         "n_runs": args.n,
         "sf": runs[0].get("sf"),
         "cpus": args.cpus,
+        # per-run contention + self-healing disclosure (ADVICE r11: a
+        # spread without these fields bypassed close_check's budget;
+        # the gate derives its pct from the QUIETEST run, matching the
+        # tripwire's per-query-MIN estimator)
+        "run_foreign_cpu_total_s": [
+            r.get("foreign_cpu_total_s") for r in runs
+        ],
+        "run_retried": [r.get("retried", 0) for r in runs],
         "totals": [round(t, 1) for t in totals],
         "total_mean": round(statistics.fmean(totals), 1),
         "total_sd": round(statistics.pstdev(totals), 1),

@@ -49,28 +49,82 @@ FOREIGN_CPU_BUDGET_PCT = 5.0
 
 
 def foreign_cpu_pct(art: dict) -> float | None:
-    """Foreign-CPU percentage of a bench artifact's total capacity
-    (foreign_cpu_total_s / (wall_s × cpus) × 100), or None when the
-    artifact predates the instrument or lacks the fields."""
+    """Foreign-CPU percentage of a bench artifact's capacity
+    (foreign_cpu_total_s / (wall_s × cpus) × 100), or None when no
+    metric is derivable from ANY of the shapes below (ADVICE r11: the
+    old top-level-only read silently exempted every non-flat artifact):
+
+    - flat bench.py output: top-level foreign_cpu_total_s/value/cpus;
+    - driver wrapper (BENCH_r{N}.json): the same fields nested under
+      ``parsed`` (cpus may live at either level);
+    - per-run probe records (tools/query_spread.py): ``runs`` list of
+      {wall_s, foreign_cpu_s} — the MIN per-run pct, because such a
+      probe's conclusion rests on its quiet floor (a probe may
+      deliberately record contaminated runs to show wall tracking
+      foreign CPU; the gate requires at least one certifiably quiet
+      run);
+    - multi-run spread (tools/bench_spread.py): parallel ``totals`` /
+      ``run_foreign_cpu_total_s`` lists — MIN per-run pct for the same
+      reason (the tripwire consumes per-query MINs, so the estimator
+      is sound iff at least one run is quiet)."""
+    if not isinstance(art, dict):
+        return None
+    if isinstance(art.get("parsed"), dict):
+        inner = dict(art["parsed"])
+        inner.setdefault("cpus", art.get("cpus"))
+        return foreign_cpu_pct(inner)
     fg, wall, cpus = (
         art.get("foreign_cpu_total_s"),
         art.get("value"),
         art.get("cpus"),
     )
-    if fg is None or not wall or not cpus:
-        return None
-    return 100.0 * float(fg) / (float(wall) * float(cpus))
+    if fg is not None and wall and cpus:
+        return 100.0 * float(fg) / (float(wall) * float(cpus))
+    runs = art.get("runs")
+    if (
+        isinstance(runs, list)
+        and runs
+        and isinstance(runs[0], dict)
+        and "foreign_cpu_s" in runs[0]
+        and "wall_s" in runs[0]
+        and cpus
+    ):
+        pcts = [
+            100.0 * float(r["foreign_cpu_s"]) / (float(r["wall_s"]) * float(cpus))
+            for r in runs
+            if r.get("wall_s")
+        ]
+        return min(pcts) if pcts else None
+    fgr, tot = art.get("run_foreign_cpu_total_s"), art.get("totals")
+    if (
+        isinstance(fgr, list)
+        and isinstance(tot, list)
+        and fgr
+        and len(fgr) == len(tot)
+        and cpus
+    ):
+        pcts = [
+            100.0 * float(f) / (float(t) * float(cpus))
+            for f, t in zip(fgr, tot)
+            if t and f is not None
+        ]
+        return min(pcts) if pcts else None
+    return None
 
 
-def contention_problems(paths: list[str], budget_pct: float = FOREIGN_CPU_BUDGET_PCT) -> list[str]:
+def contention_problems(
+    paths: list[str],
+    budget_pct: float = FOREIGN_CPU_BUDGET_PCT,
+    require_metric: bool = True,
+) -> list[str]:
     """Reject any committed bench artifact whose own contention metric
     exceeds the budget — a contaminated-but-committed headline number
     becomes structurally impossible, not merely visible (VERDICT r10
-    #2).  Artifacts without the instrument's fields are skipped (the
-    freshness gate already forces current-round artifacts, which all
-    carry them)."""
+    #2).  A current-round artifact from which NO metric is derivable is
+    itself a gate FAILURE, not a skip (ADVICE r11: the old skip let
+    'parsed'-nested and per-run-only artifacts bypass the budget, which
+    contradicted the contract above)."""
     out: list[str] = []
-    pcts: dict[str, float] = {}
     for p in paths:
         full = p if os.path.isabs(p) else os.path.join(REPO, p)
         if not os.path.exists(full) or not os.path.basename(p).startswith("BENCH"):
@@ -81,9 +135,14 @@ def contention_problems(paths: list[str], budget_pct: float = FOREIGN_CPU_BUDGET
             continue  # unreadable artifacts are caught by their own gates
         pct = foreign_cpu_pct(art) if isinstance(art, dict) else None
         if pct is None:
-            continue
-        pcts[p] = pct
-        if pct > budget_pct:
+            if require_metric:
+                out.append(
+                    f"UNGATEABLE artifact: {p} carries no derivable "
+                    "foreign-CPU metric (foreign_cpu_total_s/value/cpus, a "
+                    "'parsed' wrapper, per-run records, or spread run lists) "
+                    "— regenerate it with the instrumented tools"
+                )
+        elif pct > budget_pct:
             out.append(
                 f"CONTAMINATED artifact: {p} ran under {pct:.1f}% foreign CPU "
                 f"(budget {budget_pct}% of wall x cpus) — regenerate in a "
@@ -182,7 +241,12 @@ def main() -> int:
         os.path.basename(p)
         for p in glob.glob(os.path.join(REPO, f"BENCH_*_r{rnd}.json"))
     ) + [f"BENCH_r{int(rnd):02d}.json" if str(rnd).isdigit() else f"BENCH_r{rnd}.json"]
-    problems.extend(contention_problems(round_bench))
+    # from round 12 every committed bench artifact must carry a
+    # derivable contention metric (ADVICE r11: a metric-less artifact
+    # used to bypass the budget silently); earlier rounds' spreads
+    # predate the instrumented bench_spread and stay skip-only
+    require_metric = (not str(rnd).isdigit()) or int(rnd) >= 12
+    problems.extend(contention_problems(round_bench, require_metric=require_metric))
 
     # freshness: newest commit touching any artifact must be >= newest
     # commit touching code (in history order)

@@ -131,3 +131,114 @@ def test_real_two_process_race_at_most_one_applies(spark, db, tmp_path):
         for r in spark.table(f"`{db}`.schema_versions").orderBy("version").collect()
     ] == [1]
     assert spark.table(f"`{db}`.t_xp").count() == 1
+
+
+COMPACT_RUNNER = os.path.join(os.path.dirname(__file__), "xproc_compact_runner.py")
+
+
+def test_compaction_races_live_runner_appends_and_resume(spark, db, tmp_path):
+    """VERDICT r11 #5: one runner compacts the journal from a second JVM
+    while this process is mid-migration — appending journal rows,
+    crashing, and RESUMING through journal reads — against the same
+    shared location.  compact_journal's whole-file-deletion reasoning
+    (dead files only, readers tolerate vanishing files) must hold under
+    real cross-process fire: the migration converges exactly-once, the
+    compactor never raises, and the dead rows do get removed."""
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    spark.sql(f"CREATE TABLE `{db}`.t_cj (k BIGINT, v BIGINT) USING PARQUET")
+    home = tmp_path / "mig_cj"
+    home.mkdir()
+    # V1: applied up-front → its ledger row makes any v1 journal rows
+    # dead; we then hand-append a pile of dead v1 rows for the rival
+    # compactor to chew on during the race
+    (home / "V1__seed.sql").write_text(f"INSERT INTO `{db}`.t_cj VALUES (0, 0)")
+    spark.catalog.setCurrentDatabase(db)
+    try:
+        assert M.migrate(spark, db, str(home), create_db_if_no_exists=False) == 1
+        journal_qual = f"`{db}`.`{M.JOURNAL}`"
+        for i in range(40):
+            M._append_journal_row(spark, journal_qual, 1, 100 + i, "deadmd5", "x")
+
+        ready, go, stop = tmp_path / "ready", tmp_path / "go", tmp_path / "stop"
+        env = dict(os.environ)
+        env["SPARK_GRAFT_DRIVER_MEM"] = "2g"
+        proc = subprocess.Popen(
+            [
+                sys.executable,
+                COMPACT_RUNNER,
+                warehouse,
+                db,
+                str(ready),
+                str(go),
+                str(stop),
+            ],
+            stdout=subprocess.PIPE,
+            stderr=open(tmp_path / "xproc_compact_stderr.log", "w"),
+            text=True,
+            env=env,
+            cwd=os.path.dirname(os.path.dirname(COMPACT_RUNNER)),
+        )
+        try:
+            deadline = time.time() + 180
+            while not ready.exists():
+                assert proc.poll() is None, "compactor died before ready"
+                assert time.time() < deadline, "compactor never became ready"
+                time.sleep(0.05)
+            go.write_text("go")  # compactor loop starts NOW
+
+            # V2: a multi-statement non-idempotent script appending
+            # journal rows while the rival compacts; crash mid-script,
+            # then resume — the resume's journal read races deletions
+            stmts = [f"INSERT INTO t_cj VALUES ({i}, {10 ** i})" for i in range(1, 5)]
+            stmts += ["ALTER TABLE t_cj UPDATE v = v + 1 WHERE k >= 0"]
+            import json as _json
+
+            (home / "V2__race.json").write_text(_json.dumps(stmts))
+            fired = {"n": 0}
+            orig_crash = M._crash_point
+
+            def boom(s):
+                if s == "after_journal" and fired["n"] == 2:
+                    fired["n"] += 1
+                    raise RuntimeError("injected crash")
+                if s == "after_journal":
+                    fired["n"] += 1
+
+            M._crash_point = boom
+            try:
+                try:
+                    M.migrate(spark, db, str(home), create_db_if_no_exists=False)
+                    raise AssertionError("injected crash did not fire")
+                except RuntimeError:
+                    pass
+            finally:
+                M._crash_point = orig_crash
+            # seed more dead rows so the compactor still has deletions
+            # overlapping the RESUME's journal reads
+            for i in range(40):
+                M._append_journal_row(spark, journal_qual, 1, 200 + i, "deadmd5", "x")
+            M.recover_cow(spark, db)
+            M.clear_claims(spark, db)
+            assert M.migrate(spark, db, str(home), create_db_if_no_exists=False) == 1
+            stop.write_text("stop")
+            out, _ = proc.communicate(timeout=180)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+
+    assert "XPROC_COMPACT_DONE=" in out, out
+    iters = int(out.split("XPROC_COMPACT_DONE=")[1].split(",")[0])
+    assert iters >= 1, out
+
+    # exactly-once despite the concurrent compaction: V2's inserts and
+    # the final update each applied once
+    spark.catalog.refreshTable(f"`{db}`.t_cj")
+    rows = sorted((r.k, r.v) for r in spark.table(f"`{db}`.t_cj").collect())
+    assert rows == [(0, 1)] + [(i, 10**i + 1) for i in range(1, 5)], (rows, out)
+    # the dead v1 rows are gone (rival's deletions + the runner's own
+    # post-ledger compaction both contribute)
+    M.compact_journal(spark, db)
+    left = M._read_journal_rows(spark, f"`{db}`.`{M.JOURNAL}`")
+    assert [r for r in left if int(r["version"]) == 1] == [], left

@@ -661,7 +661,16 @@ def main() -> int:
             "scenarios": n,
             "epochs_per_scenario": 4,
             "epochs": 4 * n,
-            "faults": ["none", "midfail", "crash", "crashj", "dupver", "edit", "delete"],
+            "faults": [
+                "none",
+                "midfail",
+                "crash",
+                "crashj",
+                "crashf",
+                "dupver",
+                "edit",
+                "delete",
+            ],
             "xproc_races": xproc,
             "xproc_failures": xproc_failures,
             "failures": len(failures),

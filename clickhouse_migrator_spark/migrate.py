@@ -485,18 +485,21 @@ _INSERT_TARGET_RE = re.compile(
 
 
 def _local_parquet_location(spark: SparkSession, qual: str) -> str | None:
-    """Local-filesystem path of a FLAT (unpartitioned, unbucketed)
-    PARQUET catalog table, or None (view, non-parquet provider,
-    object-store scheme — the staged-append path doesn't apply there,
-    same scope rule as :func:`_atomic_append`).
+    """Local-filesystem path of an UNBUCKETED PARQUET catalog table, or
+    None (view, non-parquet provider, object-store scheme — the staged-
+    append path doesn't apply there, same scope rule as
+    :func:`_atomic_append`).
 
-    Partitioned or bucketed targets also return None (ADVICE r11 high):
-    the stage clone is flat and :func:`_publish_stage` renames data
-    files into the target's ROOT directory, which partition-aware
-    listing never reads — the insert would report success while its
-    rows stayed invisible.  Those targets take the direct-execution
-    fallback, which writes correct partitions/buckets (at-least-once on
-    crash-before-journal, see README scope note)."""
+    Partitioned targets are ELIGIBLE (round 12): the stage clone
+    mirrors the target's partitioning and :func:`_publish_stage`
+    renames files partition-by-partition, registering each touched
+    partition in the catalog (``Partition Provider: Catalog`` listing
+    never reads unregistered directories — the ADVICE r11 flat-rename
+    bug).  Bucketed targets still return None: Spark encodes the bucket
+    id in the data FILE NAME, so a renamed staged file would silently
+    violate the bucket layout that bucket-pruned reads and shuffle-free
+    joins rely on — those targets take the direct-execution fallback
+    (at-least-once on crash-before-journal, see README scope note)."""
     from urllib.parse import unquote, urlparse
 
     info = {}
@@ -504,7 +507,7 @@ def _local_parquet_location(spark: SparkSession, qual: str) -> str | None:
         info.setdefault(r.col_name, r.data_type)
     if (info.get("Provider") or "").lower() != "parquet":
         return None
-    if "# Partition Information" in info or "Num Buckets" in info:
+    if "Num Buckets" in info:
         return None
     loc = info.get("Location")
     if not loc:
@@ -513,6 +516,38 @@ def _local_parquet_location(spark: SparkSession, qual: str) -> str | None:
     if p.scheme in ("file", ""):
         return unquote(p.path)
     return None
+
+
+def _partition_columns(spark: SparkSession, qual: str) -> list[str]:
+    """Ordered partition-column names of a catalog table ([] when
+    unpartitioned) — the rows between DESCRIBE's ``# Partition
+    Information`` header and the next blank/``#`` row."""
+    out: list[str] = []
+    in_section = False
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {qual}").collect():
+        name = r.col_name or ""
+        if name == "# Partition Information":
+            in_section = True
+            continue
+        if in_section:
+            if name == "# col_name":
+                continue
+            if not name.strip() or name.startswith("#"):
+                break
+            out.append(name)
+    return out
+
+
+#: Spark/Hive's directory name for a NULL partition value
+_NULL_PARTITION_DIR = "__HIVE_DEFAULT_PARTITION__"
+_PCT_ESCAPE_RE = re.compile(r"%([0-9A-Fa-f]{2})")
+
+
+def _unescape_partition_value(v: str) -> str:
+    """Invert the %XX escaping Spark applies to partition values in
+    directory names (``a b:c`` is written as ``a b%3Ac``; ``%`` itself
+    as ``%25``, so the decode is unambiguous)."""
+    return _PCT_ESCAPE_RE.sub(lambda m: chr(int(m.group(1), 16)), v)
 
 
 def _journal_owner_map(
@@ -562,9 +597,15 @@ def _maybe_stage_insert(
     stage = f"{_STAGE_PREFIX}{owner}_{version}_{stmt_index}"
     stage_qual = f"`{db_name}`.`{stage}`"
     spark.sql(f"DROP TABLE IF EXISTS {stage_qual}")
-    target_df.limit(0).write.format("parquet").saveAsTable(
-        stage_qual.replace("`", "")
-    )
+    # mirror the target's partitioning so the staged INSERT lays its
+    # files out partition-by-partition (and so insert analysis sees the
+    # identical normalized schema — Spark moves partition columns to
+    # the END of a table's schema, and target_df already reflects that)
+    writer = target_df.limit(0).write.format("parquet")
+    pcols = _partition_columns(spark, target_qual)
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.saveAsTable(stage_qual.replace("`", ""))
     try:
         spark.sql(
             f"ALTER TABLE {stage_qual} SET TBLPROPERTIES "
@@ -578,27 +619,86 @@ def _maybe_stage_insert(
     return stage_qual, target_qual
 
 
+def _stage_partition_dirs(src: str, depth: int) -> list[tuple[str, ...]]:
+    """Relative ``col=value`` path tuples of every partition directory
+    ``depth`` levels under ``src`` (sorted, for deterministic publish
+    order).  Directories that don't look like partition segments
+    (hidden/``_temporary``/no ``=``) are skipped defensively."""
+    out: list[tuple[str, ...]] = []
+
+    def walk(cur: str, rel: tuple[str, ...]) -> None:
+        if len(rel) == depth:
+            out.append(rel)
+            return
+        for name in sorted(os.listdir(cur)):
+            # partition segments are 'col=value' so they never start
+            # with '.'/'_' (the null sentinel dir is 'col=__HIVE_...');
+            # this skips _SUCCESS/_temporary/hidden entries
+            if name.startswith((".", "_")) or "=" not in name:
+                continue
+            full = os.path.join(cur, name)
+            if os.path.isdir(full):
+                walk(full, rel + (name,))
+
+    walk(src, ())
+    return out
+
+
 def _publish_stage(spark: SparkSession, stage_qual: str, target_qual: str) -> None:
     """Make a journal-committed stage's rows visible: rename each data
     file into the target's directory under a deterministic name derived
     from the stage identity + source file name, so an interrupted
     publish finishes idempotently on rerun (each file is either still
     staged or already in place — never both, never duplicated).  The
-    stage table is dropped once empty."""
+    stage table is dropped once empty.
+
+    Partitioned targets (round 12): files move partition-by-partition
+    into the target's ``col=value`` layout, and each touched partition
+    is registered FIRST via ``ADD IF NOT EXISTS PARTITION`` — catalog-
+    managed partition listing never reads unregistered directories, so
+    registration is what makes the rows visible; doing it before the
+    renames keeps every crash window reconcilable from the surviving
+    stage directories (the rerun re-walks them and repeats both steps
+    idempotently).  A NULL partition value (``__HIVE_DEFAULT_PARTITION__``
+    directory) can't be spelled in an ADD PARTITION spec; those rare
+    partitions are registered by one ``MSCK REPAIR TABLE`` after the
+    renames — a full-listing metadata op, priced and documented in
+    SCALE.md, on the null-partition path only.  Cost stays O(#touched
+    partitions) metadata calls + O(#files) renames; the data bytes are
+    never rewritten."""
     src = _table_location(spark, stage_qual)
     dst = _table_location(spark, target_qual)
     token = stage_qual.rsplit(".", 1)[1].strip("`")[len(_STAGE_PREFIX) :]
     if src is not None and dst is not None and os.path.isdir(src):
-        for fname in sorted(os.listdir(src)):
-            if fname.startswith((".", "_")) or not fname.endswith(".parquet"):
-                continue
-            # 'part-stmt-' prefix: visible to Spark's file listing
-            # (a '_'-prefixed name would be treated as hidden)
-            os.rename(
-                os.path.join(src, fname),
-                os.path.join(dst, f"part-stmt-{token}-{fname}"),
-            )
-            _crash_point("mid_publish")
+        pcols = _partition_columns(spark, stage_qual)
+        needs_msck = False
+        for rel in _stage_partition_dirs(src, len(pcols)):
+            values = [seg.split("=", 1)[1] for seg in rel]
+            if _NULL_PARTITION_DIR in values:
+                needs_msck = True  # registered after the renames below
+            elif pcols:
+                spec = ", ".join(
+                    f"`{c}` = '{_sq(_unescape_partition_value(v))}'"
+                    for c, v in zip(pcols, values)
+                )
+                spark.sql(
+                    f"ALTER TABLE {target_qual} "
+                    f"ADD IF NOT EXISTS PARTITION ({spec})"
+                )
+            src_dir, dst_dir = os.path.join(src, *rel), os.path.join(dst, *rel)
+            os.makedirs(dst_dir, exist_ok=True)
+            for fname in sorted(os.listdir(src_dir)):
+                if fname.startswith((".", "_")) or not fname.endswith(".parquet"):
+                    continue
+                # 'part-stmt-' prefix: visible to Spark's file listing
+                # (a '_'-prefixed name would be treated as hidden)
+                os.rename(
+                    os.path.join(src_dir, fname),
+                    os.path.join(dst_dir, f"part-stmt-{token}-{fname}"),
+                )
+                _crash_point("mid_publish")
+        if needs_msck:
+            spark.sql(f"MSCK REPAIR TABLE {target_qual}")
     spark.sql(f"DROP TABLE IF EXISTS {stage_qual}")
     spark.catalog.refreshTable(target_qual)
 

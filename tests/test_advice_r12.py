@@ -5,9 +5,12 @@ diff) plus the staged-insert fallback-scope pins (VERDICT r11 #2).
    bucketed) parquet catalog tables: the stage clone is flat and the
    publish renames data files into the target's ROOT directory, which
    partition-aware listing never reads — the migration reported success
-   while the inserted rows stayed invisible.  Partitioned/bucketed
-   targets now take the direct-execution fallback, which writes correct
-   partitions.
+   while the inserted rows stayed invisible.  Round 12 first scoped
+   those targets to the direct-execution fallback; later in the round
+   partitioned targets became FIRST-CLASS staged (partition-mirroring
+   stage + per-partition registration, ``tests/test_staged_partitioned``)
+   — only bucketed targets still fall back (the bucket id lives in the
+   data file NAME, which a rename-based publish can't preserve).
 2. (low) ``sim_ivf_recall_audit`` counted hits as join rows, so a
    duplicated (query_id, cand_id) in the approx top-k fanned out and
    inflated n_hit — full_probe_recall_is_1 could pass under exactly the
@@ -54,10 +57,10 @@ def _mig(tmp_path, stmts, version=3):
     return str(home)
 
 
-# ── 1. partitioned / bucketed targets must NOT stage ─────────────────────────
+# ── 1. bucketed targets must NOT stage; partitioned ones now do ──────────────
 
 
-def test_local_parquet_location_refuses_partitioned_and_bucketed(spark, db):
+def test_local_parquet_location_refuses_bucketed_accepts_partitioned(spark, db):
     spark.sql(
         f"CREATE TABLE `{db}`.pt (k BIGINT, v BIGINT, d STRING) "
         "USING PARQUET PARTITIONED BY (d)"
@@ -67,9 +70,11 @@ def test_local_parquet_location_refuses_partitioned_and_bucketed(spark, db):
         "USING PARQUET CLUSTERED BY (k) INTO 4 BUCKETS"
     )
     spark.sql(f"CREATE TABLE `{db}`.ft (k BIGINT, v BIGINT) USING PARQUET")
-    assert M._local_parquet_location(spark, f"`{db}`.`pt`") is None
+    assert M._local_parquet_location(spark, f"`{db}`.`pt`") is not None
     assert M._local_parquet_location(spark, f"`{db}`.`bt`") is None
     assert M._local_parquet_location(spark, f"`{db}`.`ft`") is not None
+    assert M._partition_columns(spark, f"`{db}`.`pt`") == ["d"]
+    assert M._partition_columns(spark, f"`{db}`.`ft`") == []
 
 
 def test_runner_insert_into_partitioned_table_rows_visible(spark, db, tmp_path):
@@ -123,14 +128,15 @@ def test_runner_insert_into_bucketed_table_rows_visible(spark, db, tmp_path):
 def test_fallback_insert_crash_documented_at_least_once(
     spark, db, tmp_path, monkeypatch
 ):
-    """A fallback-path INSERT (partitioned target → direct execution)
-    crashed after its effects but before the journal row: the rerun
-    re-executes it and the rows DUPLICATE — the documented at-least-once
-    fallback window (README), not silent corruption: every written row
-    is a faithful copy of the statement's rows."""
+    """A fallback-path INSERT (bucketed target → direct execution; the
+    partitioned case graduated to the staged exactly-once path) crashed
+    after its effects but before the journal row: the rerun re-executes
+    it and the rows DUPLICATE — the documented at-least-once fallback
+    window (README), not silent corruption: every written row is a
+    faithful copy of the statement's rows."""
     spark.sql(
         f"CREATE TABLE `{db}`.pf (k BIGINT, v BIGINT, d STRING) "
-        "USING PARQUET PARTITIONED BY (d)"
+        "USING PARQUET CLUSTERED BY (k) INTO 2 BUCKETS"
     )
     home = _mig(tmp_path, ["INSERT INTO pf VALUES (1, 10, 'a')"], version=5)
     fired = {"n": 0}

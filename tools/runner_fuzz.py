@@ -36,8 +36,11 @@ Faults per epoch (random, seeded):
     included, r11: staged-append commit) applies exactly once;
   - fallback-path crash injection (r12, fault "crashf"): the INSERT's
     target is made non-stageable (_local_parquet_location → None,
-    simulating partitioned/bucketed parquet, JDBC sinks, object
-    stores), a crash lands after its direct effects but before its
+    simulating bucketed parquet, JDBC sinks, object stores —
+    partitioned parquet is first-class staged since later in r12, and
+    ~half the scenarios pre-create a physically partitioned table so
+    the partition-aware publish fuzzes under every crash fault too), a
+    crash lands after its direct effects but before its
     journal row, and the model asserts the rerun produces the
     DOCUMENTED duplicate — at-least-once, in statement order, never
     silent corruption;
@@ -252,6 +255,25 @@ def run_scenario(spark, seed: int, n_epochs: int = 4, verbose: bool = False) -> 
     state: dict[str, Counter] = {}
     applied: list[int] = []
     version = 0
+    # round 12: in ~half the scenarios, pre-create a PHYSICALLY
+    # partitioned parquet table out-of-band — how production
+    # partitioned tables actually appear (written by sinks/rollup
+    # code; CH-dialect migration DDL records PARTITION BY as metadata
+    # only) — so staged-INSERT publishes exercise the partition-aware
+    # path (per-partition registration + renames) at every crash
+    # boundary the faults below arm.  Partitioning by v keeps the
+    # model's (k, v) multiset contract unchanged; a later COW mutation
+    # legitimately rewrites the table flat, after which inserts take
+    # the flat staged path — both layouts fuzz the same invariants.
+    if rng.random() < 0.5:
+        t_part = "fz_part"
+        spark.sql(
+            f"CREATE TABLE `{db}`.{t_part} (k BIGINT, v BIGINT) "
+            "USING PARQUET PARTITIONED BY (v)"
+        )
+        gen.tables.append(t_part)
+        gen.next_key[t_part] = 0
+        state[t_part] = Counter()
     prev_db = spark.catalog.currentDatabase()
     orig_crash = M._crash_point
     try:
@@ -520,8 +542,8 @@ def run_scenario(spark, seed: int, n_epochs: int = 4, verbose: bool = False) -> 
                     applied.append(v)
             elif fault == "crashf":
                 # fallback-path after_stmt crash (VERDICT r11 #2): the
-                # INSERT's target is NOT stageable (partitioned/bucketed
-                # parquet, JDBC sink, object store — simulated by
+                # INSERT's target is NOT stageable (bucketed parquet,
+                # JDBC sink, object store — simulated by
                 # forcing _local_parquet_location to None), so it
                 # executes DIRECT; a crash after its effects but before
                 # its journal row makes the rerun re-execute it and

@@ -671,20 +671,32 @@ def _publish_stage(spark: SparkSession, stage_qual: str, target_qual: str) -> No
     token = stage_qual.rsplit(".", 1)[1].strip("`")[len(_STAGE_PREFIX) :]
     if src is not None and dst is not None and os.path.isdir(src):
         pcols = _partition_columns(spark, stage_qual)
+        rels = _stage_partition_dirs(src, len(pcols))
+        # register EVERY touched partition in ONE batched ALTER before
+        # any rename (crash windows stay reconcilable from the surviving
+        # stage dirs; one metastore round trip instead of one per
+        # partition — at sf1 the per-partition form was 83 calls and
+        # ~2× the publish cost, SCALE.md Round 12)
+        specs = []
         needs_msck = False
-        for rel in _stage_partition_dirs(src, len(pcols)):
+        for rel in rels:
             values = [seg.split("=", 1)[1] for seg in rel]
             if _NULL_PARTITION_DIR in values:
-                needs_msck = True  # registered after the renames below
+                needs_msck = True  # unspellable in a spec; MSCK below
             elif pcols:
-                spec = ", ".join(
-                    f"`{c}` = '{_sq(_unescape_partition_value(v))}'"
-                    for c, v in zip(pcols, values)
+                specs.append(
+                    "PARTITION ("
+                    + ", ".join(
+                        f"`{c}` = '{_sq(_unescape_partition_value(v))}'"
+                        for c, v in zip(pcols, values)
+                    )
+                    + ")"
                 )
-                spark.sql(
-                    f"ALTER TABLE {target_qual} "
-                    f"ADD IF NOT EXISTS PARTITION ({spec})"
-                )
+        if specs:
+            spark.sql(
+                f"ALTER TABLE {target_qual} ADD IF NOT EXISTS " + " ".join(specs)
+            )
+        for rel in rels:
             src_dir, dst_dir = os.path.join(src, *rel), os.path.join(dst, *rel)
             os.makedirs(dst_dir, exist_ok=True)
             for fname in sorted(os.listdir(src_dir)):

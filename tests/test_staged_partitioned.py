@@ -187,6 +187,26 @@ def test_escaped_and_null_partition_values(spark, db, tmp_path):
     assert _no_stage_leftovers(spark, db)
 
 
+def test_hostile_partition_values_round_trip(spark, db, tmp_path):
+    """'=' (the dir-syntax separator), a single quote (the ADD PARTITION
+    literal delimiter, escaped via _sq), and '%' (the escape character
+    itself) all survive the dir-name escape → unescape → SQL-literal
+    round trip: Spark writes d=a%3Db / d=it%27s / d=100%25 and the
+    registered partitions prune correctly."""
+    _mk_pt(spark, db)
+    home = _mig(
+        tmp_path,
+        ["INSERT INTO pt VALUES (1, 10, 'a=b'), (2, 20, 'it''s'), (3, 30, '100%')"],
+    )
+    assert M.migrate(spark, db, home) == 1
+    assert _rows(spark, db) == [(1, 10, "a=b"), (2, 20, "it's"), (3, 30, "100%")]
+    parts = {r.partition for r in spark.sql(f"SHOW PARTITIONS `{db}`.pt").collect()}
+    assert parts == {"d=a%3Db", "d=it%27s", "d=100%25"}
+    assert spark.table(f"`{db}`.pt").filter(F.col("d") == "a=b").count() == 1
+    assert spark.table(f"`{db}`.pt").filter(F.col("d") == "it's").count() == 1
+    assert spark.table(f"`{db}`.pt").filter(F.col("d") == "100%").count() == 1
+
+
 def test_multilevel_partitions_exactly_once_across_crash(
     spark, db, tmp_path, monkeypatch
 ):

@@ -217,26 +217,60 @@ def _init_journal(spark: SparkSession, db_name: str) -> None:
     )
 
 
+def _describe_table(spark: SparkSession, qual: str) -> dict:
+    """One DESCRIBE TABLE EXTENDED, parsed SECTION-AWARE into
+    ``{"detail": {...}, "pcols": [...]}``.
+
+    Section-awareness matters for correctness, not just tidiness: the
+    old per-helper parses keyed the flat row list by col_name, so a
+    DATA COLUMN literally named ``Location`` or ``Provider`` (schema
+    rows come first) shadowed the metadata row and could route a
+    staged publish to a garbage path (r12 self-review #3).  ``detail``
+    holds only rows after the ``# Detailed Table Information`` header;
+    ``pcols`` the ordered names between ``# Partition Information``
+    and the next blank/``#`` row."""
+    detail: dict[str, str] = {}
+    pcols: list[str] = []
+    section = "schema"
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {qual}").collect():
+        name = r.col_name or ""
+        if name == "# Partition Information":
+            section = "partition"
+            continue
+        if name == "# Detailed Table Information":
+            section = "detail"
+            continue
+        if section == "partition":
+            if name == "# col_name":
+                continue
+            if not name.strip() or name.startswith("#"):
+                section = "schema"
+                continue
+            pcols.append(name)
+        elif section == "detail":
+            detail.setdefault(name, r.data_type)
+    return {"detail": detail, "pcols": pcols}
+
+
 def _table_location(spark: SparkSession, qual: str) -> str | None:
     """Local-filesystem path of a table's storage location, or None for
     non-file schemes (object stores — where the atomic-rename append
     below doesn't apply and a transactional table format is the
     production answer, per README)."""
-    from urllib.parse import urlparse
+    return _path_of_location(_describe_table(spark, qual)["detail"].get("Location"))
 
-    rows = [
-        r
-        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {qual}").collect()
-        if r.col_name == "Location"
-    ]
-    if not rows:
+
+def _path_of_location(loc: str | None) -> str | None:
+    """Local-filesystem path of a catalog Location URI (None for absent
+    locations and non-file schemes).  The Hadoop URI percent-escapes
+    spaces etc.; os.rename needs the real filesystem path (round-8
+    code review)."""
+    from urllib.parse import unquote, urlparse
+
+    if not loc:
         return None
-    from urllib.parse import unquote
-
-    p = urlparse(rows[0].data_type)
+    p = urlparse(loc)
     if p.scheme in ("file", ""):
-        # the Hadoop URI percent-escapes spaces etc.; os.rename needs
-        # the real filesystem path (round-8 code review)
         return unquote(p.path)
     return None
 
@@ -502,9 +536,7 @@ def _local_parquet_location(spark: SparkSession, qual: str) -> str | None:
     (at-least-once on crash-before-journal, see README scope note)."""
     from urllib.parse import unquote, urlparse
 
-    info = {}
-    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {qual}").collect():
-        info.setdefault(r.col_name, r.data_type)
+    info = _describe_table(spark, qual)["detail"]
     if (info.get("Provider") or "").lower() != "parquet":
         return None
     if "Num Buckets" in info:
@@ -520,34 +552,38 @@ def _local_parquet_location(spark: SparkSession, qual: str) -> str | None:
 
 def _partition_columns(spark: SparkSession, qual: str) -> list[str]:
     """Ordered partition-column names of a catalog table ([] when
-    unpartitioned) — the rows between DESCRIBE's ``# Partition
-    Information`` header and the next blank/``#`` row."""
-    out: list[str] = []
-    in_section = False
-    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {qual}").collect():
-        name = r.col_name or ""
-        if name == "# Partition Information":
-            in_section = True
-            continue
-        if in_section:
-            if name == "# col_name":
-                continue
-            if not name.strip() or name.startswith("#"):
-                break
-            out.append(name)
-    return out
+    unpartitioned)."""
+    return _describe_table(spark, qual)["pcols"]
 
 
 #: Spark/Hive's directory name for a NULL partition value
 _NULL_PARTITION_DIR = "__HIVE_DEFAULT_PARTITION__"
-_PCT_ESCAPE_RE = re.compile(r"%([0-9A-Fa-f]{2})")
 
 
 def _unescape_partition_value(v: str) -> str:
     """Invert the %XX escaping Spark applies to partition values in
     directory names (``a b:c`` is written as ``a b%3Ac``; ``%`` itself
-    as ``%25``, so the decode is unambiguous)."""
-    return _PCT_ESCAPE_RE.sub(lambda m: chr(int(m.group(1), 16)), v)
+    as ``%25``, so the decode is unambiguous).  Hive's escapePathName
+    emits ASCII-only %XX sequences, so urllib's unquote — which leaves
+    invalid sequences like ``x%zz`` intact — decodes them exactly
+    (r12 self-review #5: same semantics, no bespoke decoder)."""
+    from urllib.parse import unquote
+
+    return unquote(v, errors="strict")
+
+
+def _sql_str_lit(spark: SparkSession, value: str) -> str:
+    """Render ``value`` as a Spark SQL single-quoted string literal.
+    Quotes double via :func:`_sq`; backslashes must ALSO double unless
+    ``spark.sql.parser.escapedStringLiterals`` is on, because Spark's
+    default parser treats ``\\`` as an escape character — without this
+    an ADD PARTITION spec for value ``a\\b`` would register partition
+    value ``a<backspace>`` while the files sat in ``d=a%5Cb``,
+    unregistered and invisible (r12 self-review #2)."""
+    v = value
+    if spark.conf.get("spark.sql.parser.escapedStringLiterals", "false") != "true":
+        v = v.replace("\\", "\\\\")
+    return "'" + _sq(v) + "'"
 
 
 def _journal_owner_map(
@@ -619,25 +655,31 @@ def _maybe_stage_insert(
     return stage_qual, target_qual
 
 
-def _stage_partition_dirs(src: str, depth: int) -> list[tuple[str, ...]]:
+def _stage_partition_dirs(src: str, pcols: list[str]) -> list[tuple[str, ...]]:
     """Relative ``col=value`` path tuples of every partition directory
-    ``depth`` levels under ``src`` (sorted, for deterministic publish
-    order).  Directories that don't look like partition segments
-    (hidden/``_temporary``/no ``=``) are skipped defensively."""
+    under ``src``, one level per partition column (sorted, for
+    deterministic publish order).  A directory counts as a partition
+    segment iff its ``col`` part matches THAT level's expected column
+    name — not a shape heuristic: an earlier blanket skip of
+    '.'/'_'-prefixed names silently dropped every partition of a
+    column itself named with a leading underscore (legal in Spark,
+    e.g. ``_c0``), losing the insert's rows after its journal row had
+    committed (r12 self-review #1).  Non-matching entries
+    (``_SUCCESS``/``_temporary``/dot-files have no matching ``col=``)
+    are skipped."""
     out: list[tuple[str, ...]] = []
 
     def walk(cur: str, rel: tuple[str, ...]) -> None:
-        if len(rel) == depth:
+        if len(rel) == len(pcols):
             out.append(rel)
             return
+        expected = pcols[len(rel)].lower()
         for name in sorted(os.listdir(cur)):
-            # partition segments are 'col=value' so they never start
-            # with '.'/'_' (the null sentinel dir is 'col=__HIVE_...');
-            # this skips _SUCCESS/_temporary/hidden entries
-            if name.startswith((".", "_")) or "=" not in name:
+            if "=" not in name:
                 continue
+            col = _unescape_partition_value(name.split("=", 1)[0]).lower()
             full = os.path.join(cur, name)
-            if os.path.isdir(full):
+            if col == expected and os.path.isdir(full):
                 walk(full, rel + (name,))
 
     walk(src, ())
@@ -666,12 +708,13 @@ def _publish_stage(spark: SparkSession, stage_qual: str, target_qual: str) -> No
     SCALE.md, on the null-partition path only.  Cost stays O(#touched
     partitions) metadata calls + O(#files) renames; the data bytes are
     never rewritten."""
-    src = _table_location(spark, stage_qual)
+    sinfo = _describe_table(spark, stage_qual)  # one DESCRIBE: loc + pcols
+    src = _path_of_location(sinfo["detail"].get("Location"))
     dst = _table_location(spark, target_qual)
     token = stage_qual.rsplit(".", 1)[1].strip("`")[len(_STAGE_PREFIX) :]
     if src is not None and dst is not None and os.path.isdir(src):
-        pcols = _partition_columns(spark, stage_qual)
-        rels = _stage_partition_dirs(src, len(pcols))
+        pcols = sinfo["pcols"]
+        rels = _stage_partition_dirs(src, pcols)
         # register EVERY touched partition in ONE batched ALTER before
         # any rename (crash windows stay reconcilable from the surviving
         # stage dirs; one metastore round trip instead of one per
@@ -687,14 +730,18 @@ def _publish_stage(spark: SparkSession, stage_qual: str, target_qual: str) -> No
                 specs.append(
                     "PARTITION ("
                     + ", ".join(
-                        f"`{c}` = '{_sq(_unescape_partition_value(v))}'"
+                        f"`{c}` = {_sql_str_lit(spark, _unescape_partition_value(v))}"
                         for c, v in zip(pcols, values)
                     )
                     + ")"
                 )
-        if specs:
+        # chunked: an insert touching tens of thousands of partitions
+        # (realistic for a wide backfill at 100 TB) must not build one
+        # unbounded SQL string; 500 specs ≈ 20 KB per statement
+        for lo in range(0, len(specs), 500):
             spark.sql(
-                f"ALTER TABLE {target_qual} ADD IF NOT EXISTS " + " ".join(specs)
+                f"ALTER TABLE {target_qual} ADD IF NOT EXISTS "
+                + " ".join(specs[lo : lo + 500])
             )
         for rel in rels:
             src_dir, dst_dir = os.path.join(src, *rel), os.path.join(dst, *rel)

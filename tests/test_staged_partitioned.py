@@ -265,10 +265,66 @@ def test_stage_partition_dirs_flat_and_nested(tmp_path):
     (root / "y=1" / "m=3").mkdir(parents=True)
     (root / "y=2" / "m=2").mkdir(parents=True)
     (root / "_temporary").mkdir()
+    (root / "stray=9").mkdir()  # wrong column name at level 0 → skipped
     (root / "y=1" / "_SUCCESS").write_text("")
-    assert M._stage_partition_dirs(str(root), 0) == [()]
-    assert M._stage_partition_dirs(str(root), 2) == [
+    assert M._stage_partition_dirs(str(root), []) == [()]
+    assert M._stage_partition_dirs(str(root), ["y", "m"]) == [
         ("y=1", "m=2"),
         ("y=1", "m=3"),
         ("y=2", "m=2"),
     ]
+
+
+# ── r12 self-review regressions ──────────────────────────────────────────────
+
+
+def test_underscore_leading_partition_column(spark, db, tmp_path):
+    """A partition column named with a leading underscore (legal Spark
+    identifier, e.g. _c0) must publish: the old shape-heuristic walk
+    skipped any '_'-prefixed directory, silently dropping EVERY row of
+    the insert after its journal row had committed."""
+    spark.sql(
+        f"CREATE TABLE `{db}`.ut (k BIGINT, `_d` STRING) "
+        "USING PARQUET PARTITIONED BY (`_d`)"
+    )
+    home = _mig(tmp_path, ["INSERT INTO ut VALUES (1, 'a'), (2, 'b')"])
+    assert M.migrate(spark, db, home) == 1
+    got = sorted((r.k, r._d) for r in spark.table(f"`{db}`.ut").collect())
+    assert got == [(1, "a"), (2, "b")]
+    parts = {r.partition for r in spark.sql(f"SHOW PARTITIONS `{db}`.ut").collect()}
+    assert parts == {"_d=a", "_d=b"}
+    assert _no_stage_leftovers(spark, db)
+
+
+def test_backslash_partition_value(spark, db, tmp_path):
+    """A backslash in a partition value must survive the dir-escape →
+    SQL-literal round trip: Spark's default parser treats backslash as
+    an escape character inside string literals, so an unescaped spec
+    would register value 'a<backspace>' while the files sat in
+    d=a%5Cb, unregistered and invisible."""
+    _mk_pt(spark, db)
+    home = _mig(tmp_path, [r"INSERT INTO pt VALUES (1, 10, 'a\\b')"])
+    assert M.migrate(spark, db, home) == 1
+    [row] = spark.table(f"`{db}`.pt").collect()
+    assert (row.k, row.v, row.d) == (1, 10, "a\\b")
+    assert spark.table(f"`{db}`.pt").filter(F.col("d") == "a\\b").count() == 1
+    parts = {r.partition for r in spark.sql(f"SHOW PARTITIONS `{db}`.pt").collect()}
+    assert parts == {"d=a%5Cb"}
+
+
+def test_data_column_named_location_does_not_shadow_metadata(spark, db, tmp_path):
+    """DESCRIBE parsing is section-aware: a data column literally named
+    'Location' (schema rows come first) must not shadow the detailed
+    section's Location row and route the publish to a garbage path."""
+    spark.sql(
+        f"CREATE TABLE `{db}`.lt (k BIGINT, Location STRING) USING PARQUET"
+    )
+    real_loc = M._table_location(spark, f"`{db}`.`lt`")
+    assert real_loc is not None and os.path.isdir(real_loc)
+    assert real_loc != "string"  # the old rows[0] bug returned the TYPE
+    home = _mig(tmp_path, ["INSERT INTO lt VALUES (1, 'somewhere')"])
+    assert M.migrate(spark, db, home) == 1
+    assert [(r.k, r.Location) for r in spark.table(f"`{db}`.lt").collect()] == [
+        (1, "somewhere")
+    ]
+    assert _no_stage_leftovers(spark, db)

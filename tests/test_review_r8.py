@@ -136,12 +136,22 @@ def test_mixed_null_map_keys_render_consistently(spark, tmp_path):
 
 
 def test_table_location_unquotes_percent_escapes(spark, tmp_path, monkeypatch):
-    class _Row:
-        col_name = "Location"
-        data_type = "file:/tmp/Application%20Support/wh/t"
+    # faked DESCRIBE output must carry the section header: since the
+    # r12 section-aware parse, a Location row is only metadata when it
+    # appears AFTER '# Detailed Table Information' (a data column named
+    # 'Location' no longer shadows it)
+    def _row(name, dtype):
+        r = type("_Row", (), {})()
+        r.col_name, r.data_type = name, dtype
+        return r
 
+    rows = [
+        _row("k", "bigint"),
+        _row("# Detailed Table Information", ""),
+        _row("Location", "file:/tmp/Application%20Support/wh/t"),
+    ]
     monkeypatch.setattr(
-        M.SparkSession, "sql", lambda self, q: _FakeDF([_Row()]), raising=False
+        M.SparkSession, "sql", lambda self, q: _FakeDF(rows), raising=False
     )
 
     class _FakeDF:

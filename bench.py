@@ -366,8 +366,12 @@ def main() -> None:
             from clickhouse_migrator_spark.operators.dedup import (
                 invalidate_near_dup_cache,
             )
+            from clickhouse_migrator_spark.operators.similarity import (
+                invalidate_ivf_cache,
+            )
 
             invalidate_near_dup_cache(None)
+            invalidate_ivf_cache()
         except Exception:  # pragma: no cover
             pass
 

@@ -194,6 +194,11 @@ def _exact_jaccard_pairs(
     at scale (the production near-dup path is :func:`near_dup_pairs`)."""
     if sh is None:
         sh = shingles(spark, sf_dir).cache()
+        # r12: the self-join's two sides raced the cold cache and ran
+        # the tokenize+gram explode twice concurrently; fill it once
+        # first (CacheManager dedupes the entry across the three
+        # registered consumers of this helper, so only the first pays)
+        sh.count()
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -489,7 +494,18 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, _corpus_fingerprint(sf_dir))
     cached = _NEAR_DUP_CACHE.get(key)
     if cached is None:
-        cached = _near_dup_pairs_impl(spark, sf_dir).localCheckpoint(eager=True)
+        n_scratch = len(_NEAR_DUP_SCRATCH)
+        impl = _near_dup_pairs_impl(spark, sf_dir)
+        # r12 (guide §1/§2.4): the checkpoint job reads per_doc from
+        # FOUR concurrent subtrees (band self-join l/r + verify a/b);
+        # with a cold cache they raced the fill and each re-ran the
+        # full shingle+minhash aggregate side by side (4 × ~0.8 s ×
+        # 32-task stages in the event log).  Filling the scratch cache
+        # in its own job first makes the checkpoint's four reads cache
+        # hits — same plan, same rows, one shingle pass.
+        for _owner, scratch in _NEAR_DUP_SCRATCH[n_scratch:]:
+            scratch.count()
+        cached = impl.localCheckpoint(eager=True)
         # the checkpoint materialized the pairs; the impl's per-doc
         # scratch cache (32 hashes + the full hashed shingle set per
         # doc) is never read again — release THIS corpus's entries only
@@ -629,6 +645,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sigs = sigs.cache()  # shared by banding + verify
+    # r12: four concurrent readers (band l/r + verify a/b) raced the
+    # cold cache and re-ran the 60-bit vote aggregate 4× in parallel;
+    # an up-front fill job makes them all cache hits (guide §1/§2.4)
+    sigs.count()
     n_bands = HAMMING_T + 1
     band_bits = SIMHASH_BITS // n_bands
     banded = sigs.select(

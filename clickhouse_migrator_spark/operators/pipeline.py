@@ -955,9 +955,20 @@ def pipeline_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.array_distinct(grams)).alias("_g"),
         )
         .select("doc_id", "split", gram_h.alias("gram"))
-        .distinct()
         .cache()
     )
+    # r12: three concurrent readers (df-cap agg + the two capped probe
+    # sides) raced the cold cache and re-ran the gram build in
+    # parallel; fill it once first (guide §1/§2.4)
+    g.count()
+    # NOTE r12 (guide §2.4 — remove shuffles outright): a global
+    # .distinct() used to sit here, but the rows are ALREADY distinct —
+    # array_distinct dedups grams within a doc and doc_id is unique per
+    # input row — except for within-doc 60-bit md5 collisions (~1e-13
+    # per gram pair).  Every consumer tolerates duplicates identically:
+    # the df cap counts countDistinct(doc_id), the train probe re-
+    # distincts its gram set, and the leaked-doc count distincts doc_id
+    # — so dropping the full-stream shuffle+dedup changes no output.
     ok = (
         g.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("df"))

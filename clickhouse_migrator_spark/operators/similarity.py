@@ -330,6 +330,94 @@ KMEANS_TRAIN_CAP = 4096  # driver-side training sample bound (FAISS posture)
 NPROBE = 2
 SEED_POOL = 64  # candidate pool for the greedy max-min seeding
 
+#: (applicationId, sf_dir, corpus fingerprint) → trained centroid list
+#: (or None for an empty corpus).  Training is deterministic given the
+#: corpus (hash-fixed sample + seeding + Lloyd), so every consumer —
+#: ``sim_ivf_kmeans_topk`` plus the recall audit's TWO operating-point
+#: runs — reproduces bit-identical centroids; memoizing the (collect +
+#: numpy) step per (session, corpus) removes two full re-trainings
+#: (head job + sample collect job each) from the audit without changing
+#: any result.  Same memo pattern as the dedup pair substrate;
+#: invalidated by bench.py's contention-retry reset hook.
+_IVF_TRAIN_CACHE: dict[tuple, "object"] = {}
+
+
+def invalidate_ivf_cache() -> None:
+    """Drop memoized IVF training state (bench retry honesty hook)."""
+    _IVF_TRAIN_CACHE.clear()
+
+
+def _ivf_train(spark: SparkSession, sf_dir: str, vecs: DataFrame):
+    """Memoized (dim, centroid ndarray) for the corpus, or None when
+    the corpus is empty.  See _IVF_TRAIN_CACHE."""
+    from ..tables import fingerprint_path
+    import os
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        fingerprint_path(os.path.join(sf_dir, "embeddings.parquet")),
+    )
+    if key in _IVF_TRAIN_CACHE:
+        return _IVF_TRAIN_CACHE[key]
+    _IVF_TRAIN_CACHE[key] = got = _ivf_train_impl(spark, vecs)
+    return got
+
+
+def _ivf_train_impl(spark: SparkSession, vecs: DataFrame):
+    """Numpy Lloyd on a bounded deterministic sample — the body that
+    used to live inline in :func:`ivf_kmeans_topk` (unchanged math).
+
+    The FAISS IVF posture: TRAIN on a sample that fits in memory,
+    ASSIGN/SEARCH distributed.  r2 trained in-engine — 3 iterations of
+    (broadcast-join + 64-column avg aggregate + localCheckpoint) whose
+    per-iteration plan compilation dominated the data by ~100×
+    (measured ~48 s of the sf0.001 bench for K=8, d=64, 500 vectors).
+    Training touches at most KMEANS_TRAIN_CAP vectors (portable hash
+    sample, deterministic), so driver memory is bounded at any corpus
+    size; every corpus-sized stage stays in-engine."""
+    import numpy as np
+
+    from .sampling import cap_sample
+
+    if vecs.select("v").head() is None:
+        return None  # empty corpus: nothing to index (ADVICE r4 #4)
+    train = vecs.filter(F.pmod(F.xxhash64("vec_id"), F.lit(KMEANS_TRAIN_MOD)) == 0)
+    rows = (
+        cap_sample(train, "vec_id", KMEANS_TRAIN_CAP)
+        .select("vec_id", "v", F.xxhash64("vec_id").alias("h"))
+        .orderBy("h", "vec_id")
+        .collect()
+    )
+    if not rows:
+        # the 1-in-KMEANS_TRAIN_MOD hash filter can miss every vector
+        # of a tiny corpus — train on the (capped) corpus itself; the
+        # corpus is non-empty here by the head() guard above
+        rows = (
+            cap_sample(vecs, "vec_id", KMEANS_TRAIN_CAP)
+            .select("vec_id", "v", F.xxhash64("vec_id").alias("h"))
+            .orderBy("h", "vec_id")
+            .collect()
+        )
+    X = np.array([r.v for r in rows], dtype="float64")
+    # greedy max-min seeding over the hash-ordered head of the sample
+    pool = X[: min(SEED_POOL, len(X))]
+    chosen = [0]
+    while len(chosen) < min(KMEANS_K, len(pool)):
+        d2 = ((pool[:, None, :] - pool[chosen][None, :, :]) ** 2).sum(-1)
+        nearest = d2.min(axis=1)
+        nearest[chosen] = -1.0
+        chosen.append(int(nearest.argmax()))
+    C = pool[chosen].copy()
+    for _ in range(KMEANS_ITERS):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(axis=1)
+        for k in range(len(C)):
+            members = X[assign == k]
+            if len(members):
+                C[k] = members.mean(axis=0)
+    return C
+
 
 @register("sim_ivf_kmeans_topk")
 # PERMANENT rows-only contract (the repo's single no-oracle entry, by
@@ -380,16 +468,14 @@ def ivf_kmeans_topk(
     force.  Reference pattern: FAISS IVF-Flat multi-probe (public);
     all search math in JVM higher-order functions."""
     vecs = _vecs(spark, sf_dir).cache()
-    head = vecs.select("v").head()
-    if head is None:
+    C = _ivf_train(spark, sf_dir, vecs)
+    if C is None:
         # empty corpus: nothing to index or query — the empty result
         # frame, not an IndexError from an empty training pool
         # (ADVICE r4 #4)
         return spark.createDataFrame(
             [], "query_id BIGINT, vec_id BIGINT, cosine DOUBLE, rank INT"
         )
-    dim = len(head[0])
-    train = vecs.filter(F.pmod(F.xxhash64("vec_id"), F.lit(KMEANS_TRAIN_MOD)) == 0)
 
     def dist2(vcol, cv) -> Column:
         return F.aggregate(
@@ -423,52 +509,6 @@ def ivf_kmeans_topk(
             F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias("cents")
         )
 
-    # --- training: numpy Lloyd on a bounded deterministic sample ---
-    # The FAISS IVF posture: TRAIN on a sample that fits in memory,
-    # ASSIGN/SEARCH distributed.  r2 trained in-engine — 3 iterations of
-    # (broadcast-join + 64-column avg aggregate + localCheckpoint) whose
-    # per-iteration plan compilation dominated the data by ~100×
-    # (measured ~48 s of the sf0.001 bench for K=8, d=64, 500 vectors).
-    # Training touches at most KMEANS_TRAIN_CAP vectors (portable hash
-    # sample, deterministic), so driver memory is bounded at any corpus
-    # size; every corpus-sized stage below stays in-engine.
-    import numpy as np
-
-    from .sampling import cap_sample
-
-    rows = (
-        cap_sample(train, "vec_id", KMEANS_TRAIN_CAP)
-        .select("vec_id", "v", F.xxhash64("vec_id").alias("h"))
-        .orderBy("h", "vec_id")
-        .collect()
-    )
-    if not rows:
-        # the 1-in-KMEANS_TRAIN_MOD hash filter can miss every vector
-        # of a tiny corpus — train on the (capped) corpus itself; the
-        # corpus is non-empty here by the head() guard above
-        rows = (
-            cap_sample(vecs, "vec_id", KMEANS_TRAIN_CAP)
-            .select("vec_id", "v", F.xxhash64("vec_id").alias("h"))
-            .orderBy("h", "vec_id")
-            .collect()
-        )
-    X = np.array([r.v for r in rows], dtype="float64")
-    # greedy max-min seeding over the hash-ordered head of the sample
-    pool = X[: min(SEED_POOL, len(X))]
-    chosen = [0]
-    while len(chosen) < min(KMEANS_K, len(pool)):
-        d2 = ((pool[:, None, :] - pool[chosen][None, :, :]) ** 2).sum(-1)
-        nearest = d2.min(axis=1)
-        nearest[chosen] = -1.0
-        chosen.append(int(nearest.argmax()))
-    C = pool[chosen].copy()
-    for _ in range(KMEANS_ITERS):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-        assign = d2.argmin(axis=1)
-        for k in range(len(C)):
-            members = X[assign == k]
-            if len(members):
-                C[k] = members.mean(axis=0)
     centroids = spark.createDataFrame(
         [(k, C[k].tolist()) for k in range(len(C))],
         "cid BIGINT, cv ARRAY<DOUBLE>",
@@ -556,7 +596,16 @@ def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     run to certify the index, not the production search path.  The
     exact top-k (≤ N_QUERIES × TOP_K rows) is cached so the two
     operating-point comparisons share one brute-force scan."""
-    exact = sim_topk_cosine_full(spark, sf_dir).select("query_id", "cand_id").cache()
+    # eager localCheckpoint, not .cache(): the fused action below reads
+    # this frame from FOUR subtrees at once (two per operating point) —
+    # a cold cache would be raced and the brute-force scan re-run 4×.
+    # The frame is bounded (≤ N_QUERIES × TOP_K rows), so materializing
+    # it is the audit's one deliberate exact pass (guide §1/§5).
+    exact = (
+        sim_topk_cosine_full(spark, sf_dir)
+        .select("query_id", "cand_id")
+        .localCheckpoint(eager=True)
+    )
 
     def mean_recall(nprobe: int) -> float:
         # .distinct() before the join (ADVICE r11): a duplicated
@@ -585,12 +634,20 @@ def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 1-row scalar reduction (vacuous recall 1.0 on an empty corpus)
         return float(per_q.agg(F.coalesce(F.avg("r"), F.lit(1.0))).head()[0])
 
+    # Kept as SEQUENTIAL scalar actions deliberately (r12): fusing the
+    # two operating points + the count into one cross-joined action was
+    # tried and the mega-plan scheduled the window/distinct subtrees
+    # into pathological single-partition stages under AQE — slower than
+    # three small actions.  The real r12 win here is upstream:
+    # _ivf_train memoizes k-means training per (session, corpus), so
+    # the second operating point (and sim_ivf_kmeans_topk) reuse the
+    # centroids instead of re-collecting the training sample.
     n_queries = (
         _vecs(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES).count()
     )
     mr = mean_recall(NPROBE)
     fr = mean_recall(KMEANS_K)
-    exact.unpersist()  # both comparisons reduced to driver floats above
+    exact.unpersist()  # drop the checkpointed blocks; reduced to floats
     return spark.createDataFrame(
         [
             (

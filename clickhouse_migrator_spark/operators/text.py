@@ -607,10 +607,17 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the model tables stay MBs and the plan is unchanged."""
     d = _docs_cpu(spark, sf_dir)
     # four consumers (ctok, voc, tc, scoring) read the token stream —
-    # cache it so the regex tokenization pass runs once, not four times
+    # cache it so the regex tokenization pass runs once, not four times.
+    # r12 (guide §1/§2.4): .cache() alone did NOT deliver that — all
+    # four subtrees ran concurrently inside one job and raced the cache
+    # fill, so the tokenize+explode stage executed 4× side by side
+    # (4 × ~1.5 s × 32-task stages in the event log).  The count() pins
+    # the fill into its own job first; the scoring job then reads the
+    # populated cache (stage-profile: 4 duplicate stages → 1).
     tok = d.select(
         "doc_id", F.col("lang").alias("actual"), F.explode(_tokens()).alias("token")
     ).cache()
+    tok.count()
     cls = d.groupBy(F.col("lang").alias("c")).agg(F.count(F.lit(1)).alias("n_docs"))
     tot = d.agg(F.count(F.lit(1)).alias("n"))
     ctok = tok.groupBy(F.col("actual").alias("c")).agg(

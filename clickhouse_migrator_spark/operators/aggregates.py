@@ -1624,13 +1624,15 @@ def agg_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice").isNotNull())
         .select("o_totalprice", "o_orderkey")
     )
+    # the ntile divisor comes from the substrate's own 64-row bucket
+    # frame (with_totals) — a separate o.agg(count) consumer re-ran the
+    # orders scan just for one integer
     ranked = with_global_row_number(
-        o, ["o_totalprice", "o_orderkey"], rn_col="_rn"
+        o, ["o_totalprice", "o_orderkey"], rn_col="_rn", with_totals=True
     )
-    n_total = o.agg(F.count(F.lit(1)).alias("_n"))
-    d = ranked.crossJoin(F.broadcast(n_total)).select(
+    d = ranked.select(
         "o_totalprice",
-        exact_ntile(F.col("_rn"), F.col("_n"), 10).cast("bigint").alias("decile"),
+        exact_ntile(F.col("_rn"), F.col("n_total"), 10).cast("bigint").alias("decile"),
     )
     g = d.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),

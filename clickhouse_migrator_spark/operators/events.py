@@ -2273,22 +2273,20 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at sf0.1; same plan shape a 100 TB run wants — the joins are
     # 1:1 on the grid key, not the fact table).
     per_user = per_user.localCheckpoint(eager=True)
-    n_total = per_user.agg(F.count(F.lit(1)).alias("_n"))
+    # the ntile divisor rides the R branch's own 64-row bucket frame
+    # (with_totals) — no separate count pass over the checkpoint, no
+    # broadcast cross join
     rn_r = with_global_row_number(
-        per_user, ["neg_recency", "user_id"], rn_col="rn_r"
-    ).select("user_id", "rn_r")
+        per_user, ["neg_recency", "user_id"], rn_col="rn_r", with_totals=True
+    ).select("user_id", "rn_r", "n_total")
     rn_f = with_global_row_number(
         per_user, ["frequency", "user_id"], rn_col="rn_f"
     ).select("user_id", "rn_f")
     rn_m = with_global_row_number(
         per_user, ["monetary", "user_id"], rn_col="rn_m"
     ).select("user_id", "rn_m")
-    ranked = (
-        rn_r.join(rn_f, "user_id")
-        .join(rn_m, "user_id")
-        .crossJoin(F.broadcast(n_total))
-    )
-    n = F.col("_n")
+    ranked = rn_r.join(rn_f, "user_id").join(rn_m, "user_id")
+    n = F.col("n_total")
     scored = ranked.select(
         exact_ntile(F.col("rn_r"), n, 5).alias("r"),
         exact_ntile(F.col("rn_f"), n, 5).alias("f"),

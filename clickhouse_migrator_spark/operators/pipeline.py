@@ -673,10 +673,20 @@ def pipeline_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         round_quotient(F.length("text"), F.size(toks), 6).alias("difficulty"),
     )
-    n = t.count()
-    r = with_global_row_number(t, ["difficulty", "doc_id"], rn_col="rn")
+    # materialize the per-doc difficulty frame once for the substrate's
+    # two readers (bounds + bucketing): the tokenize projection is the
+    # expensive part and ran once per reader (measured 1.05 → 0.73 s
+    # warm at sf0.1)
+    t = t.localCheckpoint(eager=True)
+    # the phase divisor comes from the substrate's own 64-row bucket
+    # frame (with_totals) — the previous eager t.count() was a whole
+    # extra documents-scan + tokenize pass AND a driver round-trip
+    r = with_global_row_number(
+        t, ["difficulty", "doc_id"], rn_col="rn", with_totals=True
+    )
     p = r.withColumn(
-        "phase", (F.floor((F.col("rn") - 1) * 4.0 / F.lit(n)) + 1).cast("bigint")
+        "phase",
+        (F.floor((F.col("rn") - 1) * 4.0 / F.col("n_total")) + 1).cast("bigint"),
     )
     return (
         p.groupBy("phase")

@@ -206,13 +206,14 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_acctbal").isNotNull())
         .select("c_custkey", "c_acctbal")
     )
-    ranked = with_global_row_number(c, ["c_acctbal", "c_custkey"], rn_col="rn")
-    # count from the SOURCE, not the ranked frame: counting the ranked
-    # frame would re-execute the whole substrate pipeline for one int
-    n_total = c.agg(F.count(F.lit(1)).alias("n"))
+    # the divisor comes from the substrate's own 64-row bucket frame
+    # (with_totals): no separate customer-scan count, no cross join
+    ranked = with_global_row_number(
+        c, ["c_acctbal", "c_custkey"], rn_col="rn", with_totals=True
+    )
     rn = F.col("rn")
-    n = F.col("n")
-    return ranked.crossJoin(F.broadcast(n_total)).select(
+    n = F.col("n_total")
+    return ranked.select(
         "c_custkey",
         exact_ntile(rn, n, 4).alias("quartile"),
         round_quotient(rn - 1, n - 1, 6).alias("pct_rank"),

@@ -12,6 +12,7 @@ Audit table (round 2) — input bound for every allowed site:
 | site | input frame | bound |
 |---|---|---|
 | stats grid_prefix_sums / with_global_row_number offsets | per-bucket totals | PREFIX_BUCKETS (64) rows |
+| stats grid_prefix_sums / with_global_row_number grand totals (r12 `wall`) ×2 | per-bucket totals | PREFIX_BUCKETS (64) rows |
 | stats median_rank_select offsets (r3) | per-bucket counts | PREFIX_BUCKETS (64) rows |
 | windows w_all percent_of_parent | (region, nation) aggregate | #region×#nation |
 | windows rolling 7d revenue ×2 | daily grid | #days (calendar) |
@@ -52,7 +53,7 @@ OPERATORS = Path(__file__).parent.parent / "clickhouse_migrator_spark"
 ALLOWED = {
     "operators/windows.py": 11,
     "operators/aggregates.py": 4,
-    "operators/stats.py": 10,
+    "operators/stats.py": 12,
     "operators/text.py": 1,
     "operators/graph.py": 1,
     "operators/events.py": 7,

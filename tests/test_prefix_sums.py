@@ -109,3 +109,48 @@ def test_with_global_row_number_matches_naive(spark):
         fast.select("score", "k", "rn", "cum_c").exceptAll(naive).count() == 0
     )
     assert fast.count() == 80_000
+
+
+def test_with_totals_equal_separate_aggregates(spark):
+    """with_totals / tot_cols (r12): n_total and tot_<col> attached from
+    the substrate's 64-row bucket frame must equal the separate
+    df.agg() they replace — on every row, for both substrates,
+    including negative values (descending-order via negated keys)."""
+    from clickhouse_migrator_spark.operators.stats import (
+        grid_prefix_sums,
+        with_global_row_number,
+    )
+
+    df = spark.range(60_000).select(
+        (F.col("id") % 1009).cast("double").alias("score"),
+        F.col("id").alias("k"),
+        (F.col("id") % 13 - 6).alias("c"),  # negative values included
+        (F.col("id") % 5).alias("d"),
+    )
+    want = df.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("tc"), F.sum("d").alias("td")
+    ).collect()[0]
+    r = with_global_row_number(
+        df, ["score", "k"], rn_col="rn", sum_cols=["c"], tot_cols=["d"],
+        with_totals=True,
+    )
+    got = r.select("n_total", "tot_c", "tot_d").distinct().collect()
+    assert len(got) == 1  # constant on every row
+    assert (got[0]["n_total"], got[0]["tot_c"], got[0]["tot_d"]) == (
+        want["n"], want["tc"], want["td"],
+    )
+    # rank/cum outputs unchanged by with_totals
+    base = with_global_row_number(df, ["score", "k"], rn_col="rn", sum_cols=["c"])
+    assert (
+        r.select("score", "k", "rn", "cum_c")
+        .exceptAll(base.select("score", "k", "rn", "cum_c"))
+        .count()
+        == 0
+    )
+
+    g = df.groupBy("score").agg(F.sum("c").alias("c"), F.sum("d").alias("d"))
+    wantg = g.agg(F.sum("c").alias("tc"), F.sum("d").alias("td")).collect()[0]
+    rg = grid_prefix_sums(g, "score", ["c", "d"], with_totals=True)
+    gotg = rg.select("tot_c", "tot_d").distinct().collect()
+    assert len(gotg) == 1
+    assert (gotg[0]["tot_c"], gotg[0]["tot_d"]) == (wantg["tc"], wantg["td"])

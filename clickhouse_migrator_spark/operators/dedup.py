@@ -1457,6 +1457,10 @@ def dedup_boundary_stitch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.slice("toks", 1, k)).alias("head_gram"),
         F.concat_ws(" ", F.slice(F.col("toks"), -k, k)).alias("tail_gram"),
     )
+    # b feeds BOTH join sides: materialize the 3-column per-doc frame
+    # once instead of running the documents scan + tokenize per side
+    # (r12; same localCheckpoint pattern as the substrate consumers)
+    b = b.localCheckpoint(eager=True)
     a = b.select(F.col("doc_id").alias("doc_a"), F.col("tail_gram").alias("boundary_gram"))
     h = b.select(F.col("doc_id").alias("doc_b"), F.col("head_gram"))
     return (

@@ -102,7 +102,24 @@ def _contaminated(wall: float, fg: float | None, cpus: int) -> bool:
     return fg > max(RETRY_FOREIGN_ABS_S, RETRY_FOREIGN_PCT * wall * cpus)
 
 
-def _measure_all(specs, run_once, cpus: int, reset_caches=lambda: None):
+def _memo_families_to_clear(name: str) -> tuple[bool, bool]:
+    """(clear_near_dup_memo, clear_ivf_memo) for an honest retry of
+    ``name``.  A retry must not measure reuse of state the query itself
+    warms — but clearing a memo the query NEVER READS is both pointless
+    and harmful: the r12 sf1 ratio gate caught an unrelated events_*
+    retry dropping the near-dup pair memo, which shifted the whole
+    substrate fill (~6 s at sf1) onto the next dedup/graph consumer in
+    bench order (graph_degree_distribution: 0.47 s → 6.3 s, a spurious
+    17× scale ratio).  Memo consumers, from the call graph: the pair
+    substrate feeds dedup_* and graph_* only; the IVF training memo
+    feeds sim_* only."""
+    return (
+        name.startswith(("dedup_", "graph_")),
+        name.startswith("sim_"),
+    )
+
+
+def _measure_all(specs, run_once, cpus: int, reset_caches=lambda name: None):
     """Measurement loop with one-shot contention retry per query.
 
     ``run_once(name, spec) -> (wall, foreign_s | None, errored)`` is
@@ -110,7 +127,8 @@ def _measure_all(specs, run_once, cpus: int, reset_caches=lambda: None):
     (tests/test_bench_foreign_cpu.py).  Returns (timings, foreign,
     retries) where retries[name] discloses BOTH measurements and which
     one was kept (the quieter foreign-CPU one; an errored or
-    still-noisy retry keeps the first)."""
+    still-noisy retry keeps the first).  ``reset_caches(name)`` may
+    clear selectively — see _memo_families_to_clear."""
     timings: dict[str, float] = {}
     foreign: dict[str, float] = {}
     retries: dict[str, dict] = {}
@@ -120,7 +138,7 @@ def _measure_all(specs, run_once, cpus: int, reset_caches=lambda: None):
             timings[name] = -1.0
             continue
         if _contaminated(wall, fg, cpus):
-            reset_caches()
+            reset_caches(name)
             wall2, fg2, err2 = run_once(name, spec)
             rec = {
                 "first_wall": wall,
@@ -355,23 +373,31 @@ def main() -> None:
                 fg = None
         return wall, fg, False
 
-    def reset_caches():
+    def reset_caches(name):
         # honest repeats: operators cache intermediates and the dedup
         # pack memoizes its pair table per (session, corpus) — a warm
-        # retry would measure reuse, not the query (the retry then
-        # re-populates the caches, so later queries see the same state
-        # they would have)
+        # retry would measure reuse, not the query.  Memos are cleared
+        # ONLY for the families that actually read them
+        # (_memo_families_to_clear): clearing a memo the retried query
+        # never touches doesn't change its measurement but forces a
+        # full re-fill onto whatever innocent consumer runs next
+        # (measured: graph_degree_distribution 0.47 → 6.3 s at sf1
+        # after an events_* retry dropped the pair memo).
         try:
             spark.catalog.clearCache()
-            from clickhouse_migrator_spark.operators.dedup import (
-                invalidate_near_dup_cache,
-            )
-            from clickhouse_migrator_spark.operators.similarity import (
-                invalidate_ivf_cache,
-            )
+            clear_pairs, clear_ivf = _memo_families_to_clear(name)
+            if clear_pairs:
+                from clickhouse_migrator_spark.operators.dedup import (
+                    invalidate_near_dup_cache,
+                )
 
-            invalidate_near_dup_cache(None)
-            invalidate_ivf_cache()
+                invalidate_near_dup_cache(None)
+            if clear_ivf:
+                from clickhouse_migrator_spark.operators.similarity import (
+                    invalidate_ivf_cache,
+                )
+
+                invalidate_ivf_cache()
         except Exception:  # pragma: no cover
             pass
 

@@ -115,7 +115,7 @@ def test_retry_engages_and_keeps_quieter_measurement():
         {"q_noisy": None, "q_clean": None},
         run_once,
         cpus=32,
-        reset_caches=lambda: resets.__setitem__("n", resets["n"] + 1),
+        reset_caches=lambda name: resets.__setitem__("n", resets["n"] + 1),
     )
     assert calls["n"] == 3 and resets["n"] == 1
     assert timings == {"q_noisy": 0.7, "q_clean": 2.0}
@@ -165,3 +165,35 @@ def test_errored_first_run_not_retried():
         {"q": None}, run_once, cpus=32
     )
     assert timings == {"q": -1.0} and calls["n"] == 1 and retries == {}
+
+
+def test_reset_receives_retried_query_name():
+    script = {"dedup_x": [(3.0, 50.0, False), (0.5, 0.0, False)]}
+    run_once, _ = _fake_runner(script)
+    seen = []
+    bench._measure_all(
+        {"dedup_x": None}, run_once, cpus=32, reset_caches=seen.append
+    )
+    assert seen == ["dedup_x"]
+
+
+def test_memo_families_cleared_only_for_their_consumers():
+    """r12 measurement-bug fix: an unrelated query's contention retry
+    must NOT drop the dedup/IVF memos — doing so shifted the whole
+    pair-substrate fill onto the next dedup/graph consumer in bench
+    order (graph_degree_distribution 0.47 -> 6.3 s at sf1, a spurious
+    17x scale ratio that failed the sf1 ratio gate)."""
+    assert bench._memo_families_to_clear("dedup_simhash_hamming") == (True, False)
+    assert bench._memo_families_to_clear("graph_degree_distribution") == (
+        True,
+        False,
+    )
+    assert bench._memo_families_to_clear("sim_ivf_kmeans_topk") == (False, True)
+    for innocent in (
+        "events_attribution_linear",
+        "agg_skew_kurt",
+        "streaming_tumbling_hourly",
+        "tpch_q1_pricing_summary",
+        "pipeline_split_leakage_audit",
+    ):
+        assert bench._memo_families_to_clear(innocent) == (False, False)

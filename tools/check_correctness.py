@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import json
 import math
+import os
+import subprocess
 import sys
 from datetime import date, datetime
 
@@ -183,6 +185,27 @@ def main() -> int:
         }
 
     if json_out:
+        # provenance stamp: records WHICH tree generated the artifact, so
+        # a byte-identical regeneration on a later tree still produces a
+        # new committed blob — without it, close_check's per-file
+        # freshness rule (last commit touching the artifact must postdate
+        # the last code commit) can never be satisfied by an honest
+        # regeneration whose per-query results did not change
+        try:
+            head = subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                capture_output=True, text=True,
+            ).stdout.strip()
+        except Exception:
+            head = None
+        results["_meta"] = {
+            "generated_on_commit": head or "unknown",
+            "sf_dir": sf_dir,
+            "mode": "pandas" if pandas_mode else "fetchall",
+            "n_queries": len(results),
+            "n_failures": len(failed),
+        }
         with open(json_out, "w") as f:
             json.dump(results, f, indent=1)
         print(f"wrote {json_out} ({len(results)} rows)")

@@ -102,21 +102,42 @@ def _contaminated(wall: float, fg: float | None, cpus: int) -> bool:
     return fg > max(RETRY_FOREIGN_ABS_S, RETRY_FOREIGN_PCT * wall * cpus)
 
 
-def _memo_families_to_clear(name: str) -> tuple[bool, bool]:
-    """(clear_near_dup_memo, clear_ivf_memo) for an honest retry of
-    ``name``.  A retry must not measure reuse of state the query itself
-    warms — but clearing a memo the query NEVER READS is both pointless
-    and harmful: the r12 sf1 ratio gate caught an unrelated events_*
-    retry dropping the near-dup pair memo, which shifted the whole
-    substrate fill (~6 s at sf1) onto the next dedup/graph consumer in
-    bench order (graph_degree_distribution: 0.47 s → 6.3 s, a spurious
-    17× scale ratio).  Memo consumers, from the call graph: the pair
-    substrate feeds dedup_* and graph_* only; the IVF training memo
-    feeds sim_* only."""
-    return (
-        name.startswith(("dedup_", "graph_")),
-        name.startswith("sim_"),
-    )
+#: Session-memo consumers, from the call graph (pinned by
+#: tests/test_bench_foreign_cpu.py).  Families:
+#:   pairs  — near-dup pair table + component labels (dedup.py); also
+#:            implies grams (the pair build consumes shingles+tokens)
+#:   grams  — k-gram shingle streams + the token substrate beneath them
+#:   tokens — the tokenized-documents substrate only
+#:   ivf    — IVF k-means training state (similarity.py)
+_SHINGLE_CONSUMER_NAMES = {"pipeline_decontaminate_ngrams"}
+_TOKEN_CONSUMER_NAMES = {
+    "pipeline_span_dedup_c4",
+    "pipeline_split_leakage_audit",
+}
+
+
+def _memo_families_to_clear(name: str) -> frozenset[str]:
+    """Memo families an honest retry of ``name`` must drop.  A retry
+    must not measure reuse of state the query itself warms — but
+    clearing a memo the query NEVER READS is both pointless and
+    harmful: the r12 sf1 ratio gate caught an unrelated events_* retry
+    dropping the near-dup pair memo, which shifted the whole substrate
+    fill (~6 s at sf1) onto the next dedup/graph consumer in bench
+    order (graph_degree_distribution: 0.47 s → 6.3 s, a spurious 17×
+    scale ratio).  r13 (ADVICE r12 #1): the shingle/token memos gained
+    non-dedup consumers, so the family map is now per-memo — a
+    pipeline gram-consumer retry drops the gram caches it reads
+    without dumping the (untouched) pair-table fill on the next
+    dedup/graph query."""
+    if name.startswith(("dedup_", "graph_")):
+        return frozenset({"pairs"})  # implies shingles + tokens
+    if name in _SHINGLE_CONSUMER_NAMES:
+        return frozenset({"grams"})  # shingles + tokens, not pairs
+    if name in _TOKEN_CONSUMER_NAMES:
+        return frozenset({"tokens"})
+    if name.startswith("sim_"):
+        return frozenset({"ivf"})
+    return frozenset()
 
 
 def _measure_all(specs, run_once, cpus: int, reset_caches=lambda name: None):
@@ -350,11 +371,22 @@ def main() -> None:
 
     hz = os.sysconf("SC_CLK_TCK")
 
+    # per-query session-memo fill disclosure (VERDICT r12 #1): which
+    # query paid a substrate fill (or a retry-induced refill), and how
+    # long it took — drained from the operators' fill-event buffer
+    # after every measurement, so the pagerank-class outlier becomes
+    # attributable from the artifact alone
+    from clickhouse_migrator_spark.memo_events import drain_fills
+
+    fills_by_query: dict[str, list] = {}
+    retry_memos_cleared: dict[str, list] = {}
+
     def run_once(name, spec):
         try:
             snap0 = _cpu_snapshot()
         except Exception:  # pragma: no cover — non-Linux fallback
             snap0 = None
+        drain_fills()  # discard any fills not attributable to a query
         t0 = time.perf_counter()
         try:
             materialize(spec.fn(spark, sf_dir))
@@ -362,6 +394,10 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             print(f"bench error {name}: {e}", file=sys.stderr)
             return -1.0, None, True
+        finally:
+            fills = drain_fills()
+            if fills:
+                fills_by_query.setdefault(name, []).extend(fills)
         fg = None
         if snap0 is not None:
             try:
@@ -384,20 +420,30 @@ def main() -> None:
         # (measured: graph_degree_distribution 0.47 → 6.3 s at sf1
         # after an events_* retry dropped the pair memo).
         try:
-            spark.catalog.clearCache()
-            clear_pairs, clear_ivf = _memo_families_to_clear(name)
-            if clear_pairs:
-                from clickhouse_migrator_spark.operators.dedup import (
-                    invalidate_near_dup_cache,
-                )
+            from clickhouse_migrator_spark.operators import dedup
 
-                invalidate_near_dup_cache(None)
-            if clear_ivf:
+            spark.catalog.clearCache()
+            fams = _memo_families_to_clear(name)
+            retry_memos_cleared[name] = sorted(fams)
+            if "pairs" in fams:
+                dedup.invalidate_near_dup_cache(None)
+            elif "grams" in fams:
+                dedup.invalidate_gram_caches(None)
+            elif "tokens" in fams:
+                dedup.invalidate_token_cache(None)
+            if "ivf" in fams:
                 from clickhouse_migrator_spark.operators.similarity import (
                     invalidate_ivf_cache,
                 )
 
                 invalidate_ivf_cache()
+            # the blanket clearCache above also dropped the cache
+            # REGISTRATIONS of memo entries that survived the family
+            # filter; re-register them so later consumers of a
+            # surviving memo share one refill instead of each
+            # recomputing uncached for the rest of the run
+            # (ADVICE r12 #2)
+            dedup.reregister_memo_caches()
         except Exception:  # pragma: no cover
             pass
 
@@ -432,6 +478,15 @@ def main() -> None:
                 # both measurements, and which was kept
                 "retried": len(retries),
                 "retries": retries,
+                # which session-memo families each retry dropped (the
+                # blanket clearCache is implicit and always happens)
+                "retry_memos_cleared": retry_memos_cleared,
+                # substrate-fill attribution (VERDICT r12 #1): the
+                # queries that paid a memo fill/refill this run, with
+                # the fill's wall seconds — fills land INSIDE the
+                # payer's timed region, so this is the decoder ring
+                # for "why is this one query slow this run"
+                "memo_fills": fills_by_query,
             },
             f,
             indent=1,

@@ -27,9 +27,12 @@ Five families, each the idiomatic Spark shape for its scale regime:
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..hashsafe import oracle_round_quotient, round_quotient, utrim
+from ..memo_events import record_fill
 from ..registry import register
 from ..tables import table
 
@@ -72,6 +75,53 @@ def kgrams(toks: Column, k: int) -> Column:
     )
 
 
+#: (applicationId, sf_dir, fingerprint) → tokenized documents frame
+#: (doc_id, toks) — ONE scan + regex-tokenize pass shared by every
+#: gram/shingle/span/boundary consumer (r13, VERDICT r12 next-round #1:
+#: the k=3 shingle stream, the k=8 passage grams, the 8-token spans and
+#: the boundary grams each re-ran the full tokenize; at 100 TB that is
+#: four full text scans for one corpus).  Same session-memo discipline
+#: as the pair substrate: fingerprint key, pinned fill, fill event
+#: recorded, invalidation hook wired into bench retries.
+_TOKEN_CACHE: dict[tuple, DataFrame] = {}
+
+#: memo key → the .cache()-backed DataFrames behind that memo entry.
+#: bench.py's contention retry calls spark.catalog.clearCache()
+#: unconditionally (the retried query's OWN plan-keyed cache entries
+#: cannot be enumerated), which also drops these shared registrations —
+#: reregister_memo_caches() re-caches the survivors so later consumers
+#: refill ONE shared entry instead of each recomputing uncached
+#: (ADVICE r12 #2).
+_MEMO_BACKING: dict[tuple, list[DataFrame]] = {}
+
+
+def token_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (doc_id, toks) frame: the documents table tokenized
+    once per (session, corpus), cached, fill pinned into its own job
+    (the multi-consumer cold-cache race class, guide §2.4) and reported
+    through :mod:`..memo_events`.
+
+    The repartition widens the single-row-group fixture scan before
+    the regex split so the CPU-heavy tokenize uses every core — at
+    production scale many files/row-groups give the width for free.
+    Deployment note: ``.cache()`` pins blocks to live executors; on a
+    cluster with executor churn persist the token frame to storage (or
+    use a reliable checkpoint) instead."""
+    key = (spark.sparkContext.applicationId, sf_dir, _corpus_fingerprint(sf_dir))
+    got = _TOKEN_CACHE.get(key)
+    if got is None:
+        t0 = time.perf_counter()
+        d = table(spark, sf_dir, "documents").repartition(
+            int(spark.sparkContext.defaultParallelism), "doc_id"
+        )
+        got = d.select("doc_id", _tokens().alias("toks")).cache()
+        got.count()  # pinned fill: consumers must all hit a warm cache
+        record_fill("token_arrays", time.perf_counter() - t0)
+        _TOKEN_CACHE[key] = got
+        _MEMO_BACKING[key] = [got]
+    return got
+
+
 #: (applicationId, sf_dir, k, df_cap, fingerprint) → shingle stream.
 #: Several registered queries each called shingles() and CACHED THEIR
 #: OWN identical copy (distinct DataFrame objects don't share cache
@@ -85,9 +135,9 @@ _SHINGLE_CACHE: dict[tuple, DataFrame] = {}
 def shingles(
     spark: SparkSession, sf_dir: str, k: int = 3, df_cap: int | None = SHINGLE_DF_CAP
 ) -> DataFrame:
-    """Distinct word-k-gram shingles per document (single scan +
-    explode; Catalyst prunes to (doc_id, text)), with shingles whose
-    document frequency exceeds ``df_cap`` removed ("stop-shingles").
+    """Distinct word-k-gram shingles per document (explode over the
+    shared :func:`token_arrays` memo), with shingles whose document
+    frequency exceeds ``df_cap`` removed ("stop-shingles").
 
     The cap is applied CONSISTENTLY — signatures, intersection counts
     and set sizes all see the same capped set — so Jaccard stays a true
@@ -103,28 +153,33 @@ def shingles(
     )
     got = _SHINGLE_CACHE.get(key)
     if got is None:
-        got = _shingles_impl(spark, sf_dir, k, df_cap)
+        t0 = time.perf_counter()
+        got, backing = _shingles_impl(spark, sf_dir, k, df_cap)
+        if backing is not None:
+            # r13: the exploded stream feeds BOTH the hot-shingle
+            # aggregate and the anti-join probe side INSIDE the first
+            # consumer's job — they raced the cold cache and ran the
+            # tokenize+gram explode twice concurrently (the r12 race
+            # class, one layer further in).  Pin the fill first.
+            backing.count()
+            record_fill(f"shingles_k{k}", time.perf_counter() - t0)
+            _MEMO_BACKING[key] = [backing]
         _SHINGLE_CACHE[key] = got
     return got
 
 
 def _shingles_impl(
     spark: SparkSession, sf_dir: str, k: int, df_cap: int | None
-) -> DataFrame:
-    # a tiny parquet file scans as 1 split → the gram explode + hashing
-    # would run single-task; at real scale many files/row-groups give
-    # this parallelism for free, so widening here is the honest shape
-    d = table(spark, sf_dir, "documents").repartition(
-        int(spark.sparkContext.defaultParallelism), "doc_id"
-    )
-    toks = _tokens()
+) -> tuple[DataFrame, DataFrame | None]:
+    d = token_arrays(spark, sf_dir)
+    toks = F.col("toks")
     grams = kgrams(toks, k)
     sh = (
         d.where(F.size(toks) >= k)
         .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
     )
     if df_cap is None:
-        return sh
+        return sh, None
     # the gram transform is an interpreted HOF over every token window
     # and BOTH the hot-shingle aggregate and the anti-join probe side
     # read it — cache the exploded stream so tokenize+gram runs once
@@ -139,7 +194,7 @@ def _shingles_impl(
     # no broadcast hint: the hot list is usually tiny (AQE broadcasts it
     # at runtime), but at 100 TB it can grow past executor memory — the
     # shuffle anti-join is linear either way
-    return sh.join(hot, "shingle", "left_anti")
+    return sh.join(hot, "shingle", "left_anti"), sh
 
 
 _SHINGLE_SQL = f"""
@@ -458,22 +513,55 @@ def _corpus_fingerprint(sf_dir: str) -> tuple:
     return fingerprint_path(os.path.join(sf_dir, "documents.parquet"))
 
 
+def _drop_memo_entries(caches: tuple[dict, ...], sf_dir: str | None) -> None:
+    """Drop entries (all, or one sf_dir's) from the given memo dicts,
+    unpersisting any .cache()-backed frames they own."""
+    for cache in caches:
+        for k in [k for k in cache if sf_dir is None or k[1] == sf_dir]:
+            for frame in _MEMO_BACKING.pop(k, []):
+                frame.unpersist()
+            del cache[k]
+
+
+def invalidate_token_cache(sf_dir: str | None = None) -> None:
+    """Drop the memoized tokenized-documents frames (bench retry
+    honesty hook for token-substrate consumers)."""
+    _drop_memo_entries((_TOKEN_CACHE,), sf_dir)
+
+
+def invalidate_gram_caches(sf_dir: str | None = None) -> None:
+    """Drop the shingle-stream memos AND the token substrate beneath
+    them — everything a shingle consumer
+    (``pipeline_decontaminate_ngrams``) can warm (ADVICE r12 #1)."""
+    _drop_memo_entries((_SHINGLE_CACHE, _TOKEN_CACHE), sf_dir)
+
+
 def invalidate_near_dup_cache(sf_dir: str | None = None) -> None:
-    """Drop memoized pair tables, shingle streams AND component labels
-    (all, or those under one sf_dir) — the explicit hook for callers
-    that rewrite a corpus in place."""
-    if sf_dir is None:
-        _NEAR_DUP_CACHE.clear()
-        _SHINGLE_CACHE.clear()
-        _COMPONENT_CACHE.clear()
-    else:
-        for cache in (_NEAR_DUP_CACHE, _SHINGLE_CACHE, _COMPONENT_CACHE):
-            for k in [k for k in cache if k[1] == sf_dir]:
-                del cache[k]
+    """Drop memoized pair tables, shingle/token streams AND component
+    labels (all, or those under one sf_dir) — the explicit hook for
+    callers that rewrite a corpus in place."""
+    _drop_memo_entries(
+        (_NEAR_DUP_CACHE, _SHINGLE_CACHE, _TOKEN_CACHE, _COMPONENT_CACHE), sf_dir
+    )
     # scratch entries left by a direct _near_dup_pairs_impl call (plan
     # tests) would otherwise wait for the next wrapper build — scoped to
     # the corpus being invalidated
     _release_scratch(sf_dir)
+
+
+def reregister_memo_caches() -> None:
+    """Re-``.cache()`` the backing frames of every SURVIVING memo entry
+    after a blanket ``spark.catalog.clearCache()`` (bench contention
+    retries).  The clear drops their CacheManager registrations along
+    with the retried query's own entries; without re-registration every
+    later consumer of a surviving memo recomputes the stream UNCACHED
+    for the rest of the run (ADVICE r12 #2).  The refill itself happens
+    lazily on the next consumer — same cost as the original fill, and
+    the bench artifact's retry record discloses which families were
+    dropped vs kept."""
+    for frames in _MEMO_BACKING.values():
+        for frame in frames:
+            frame.cache()
 
 
 def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -494,6 +582,7 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, _corpus_fingerprint(sf_dir))
     cached = _NEAR_DUP_CACHE.get(key)
     if cached is None:
+        t0 = time.perf_counter()
         n_scratch = len(_NEAR_DUP_SCRATCH)
         impl = _near_dup_pairs_impl(spark, sf_dir)
         # r12 (guide §1/§2.4): the checkpoint job reads per_doc from
@@ -511,6 +600,7 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # doc) is never read again — release THIS corpus's entries only
         # (an interleaved build for another sf_dir keeps its cache)
         _release_scratch(sf_dir)
+        record_fill("near_dup_pairs", time.perf_counter() - t0)
         _NEAR_DUP_CACHE[key] = cached
     return cached
 
@@ -615,9 +705,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (band, band-bits) finds every qualifying pair with NO all-pairs
     stage and NO recall loss — the oracle's all-pairs formulation
     stays valid verbatim.  Verification re-checks full Hamming on the
-    (distinct) candidates only."""
-    d = table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("token"))
+    (distinct) candidates only.
+
+    r13: tokens come from the shared :func:`token_arrays` memo (one
+    corpus tokenize per session instead of a private scan+split), and
+    the explode inherits its 32-way width."""
+    tok = token_arrays(spark, sf_dir).select(
+        "doc_id", F.explode(F.array_distinct("toks")).alias("token")
+    )
     h = F.conv(F.substring(F.md5("token"), 1, SIMHASH_BITS // 4), 16, 10).cast("bigint")
     tok_hash = tok.select("doc_id", h.alias("h"))
     bits = tok_hash.select(
@@ -1012,7 +1107,9 @@ def component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, _corpus_fingerprint(sf_dir))
     got = _COMPONENT_CACHE.get(key)
     if got is None:
+        t0 = time.perf_counter()
         got = _component_labels_impl(spark, sf_dir)
+        record_fill("component_labels", time.perf_counter() - t0)
         _COMPONENT_CACHE[key] = got
     return got
 
@@ -1330,24 +1427,22 @@ def dedup_shared_passage_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 over the token slice — hashing an ARRAY per gram walks a
     serialized representation and benched 6× slower than the string
     build (3.9 s vs 0.7 s at sf0.1); string grams also group byte-
-    identically to the oracle's."""
-    d = table(spark, sf_dir, "documents")
-    toks = _tokens()
+    identically to the oracle's.
+
+    r13: the tokenize pass comes from the shared :func:`token_arrays`
+    memo (already 32-way repartitioned + cached), so this query no
+    longer re-scans and re-splits the corpus for its k=8 grams."""
+    d = token_arrays(spark, sf_dir)
+    toks = F.col("toks")
     k = 8
     grams = kgrams(toks, k)
     # distinct AFTER the explode, not array_distinct on the per-doc
     # array: array_distinct is O(len²) per row and long documents make
     # it the bottleneck; the exploded dropDuplicates dedups map-side
-    # before one (doc, gram) shuffle
-    # repartition BEFORE the gram stage: a small parquet file scans as
-    # 1-2 splits, and the higher-order gram construction (interpreted,
-    # outside codegen) would run near-serial on them — fan the rows out
-    # first so the CPU-heavy map stage uses every core (measured 6.5 s
-    # → sub-second at sf0.1).  localCheckpoint materializes g once for
-    # its two consumers (frequency + join).
+    # before one (doc, gram) shuffle.  localCheckpoint materializes g
+    # once for its two consumers (frequency + join).
     g = (
-        d.repartition(int(spark.sparkContext.defaultParallelism), "doc_id")
-        .where(F.size(toks) >= k)
+        d.where(F.size(toks) >= k)
         .select("doc_id", F.explode(grams).alias("gram"))
         .dropDuplicates(["doc_id", "gram"])
         .localCheckpoint()
@@ -1447,20 +1542,21 @@ def dedup_boundary_stitch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each doc contributes ONE head key and ONE tail key
     (row-local slices — no shingle explosion), and detection is a plain
     equi-join on the boundary gram — hash-partitioned, linear, no
-    candidate blow-up: the cheapest member of the dedup family."""
-    t = table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.lower(utrim(F.col("text"))), r"\s+").alias("toks")
-    )
+    candidate blow-up: the cheapest member of the dedup family.
+
+    r13: reads the shared :func:`token_arrays` memo.  The r12 eager
+    localCheckpoint of the boundary frame is gone with it — both join
+    sides now read the CACHED token frame and the head/tail slices are
+    row-local map work, so re-deriving them per side costs two cheap
+    cache reads instead of a scan+tokenize each, and the checkpoint's
+    job barrier is saved."""
+    t = token_arrays(spark, sf_dir)
     k = BOUNDARY_K
     b = t.filter(F.size("toks") >= k).select(
         "doc_id",
         F.concat_ws(" ", F.slice("toks", 1, k)).alias("head_gram"),
         F.concat_ws(" ", F.slice(F.col("toks"), -k, k)).alias("tail_gram"),
     )
-    # b feeds BOTH join sides: materialize the 3-column per-doc frame
-    # once instead of running the documents scan + tokenize per side
-    # (r12; same localCheckpoint pattern as the substrate consumers)
-    b = b.localCheckpoint(eager=True)
     a = b.select(F.col("doc_id").alias("doc_a"), F.col("tail_gram").alias("boundary_gram"))
     h = b.select(F.col("doc_id").alias("doc_b"), F.col("head_gram"))
     return (

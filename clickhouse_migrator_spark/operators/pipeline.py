@@ -928,37 +928,36 @@ def pipeline_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-frequency cap drops boilerplate grams (each surviving
     posting list is bounded, so the cross-split gram join cannot blow
     up — same discipline as `dedup.shingles`); one equi-join on gram +
-    one distinct.  Linear in corpus + capped-gram postings at 100 TB."""
-    t = table(spark, sf_dir, "documents").select(
+    one distinct.  Linear in corpus + capped-gram postings at 100 TB.
+
+    r13: the tokenize pass comes from the shared
+    :func:`..operators.dedup.token_arrays` memo (cached, already
+    32-way repartitioned — the r9 explicit round-robin widen is
+    subsumed); the split label is row-local arithmetic on doc_id."""
+    from .dedup import kgrams, token_arrays
+
+    t = token_arrays(spark, sf_dir).select(
         "doc_id",
         F.when(hash_bucket(F.col("doc_id")) < _P * 0.8, "train")
         .otherwise("heldout")
         .alias("split"),
-        _tokens().alias("w"),
+        F.col("toks").alias("w"),
     )
-    from .dedup import kgrams
-
     # shifted-slice zip window build (see dedup.kgrams): total for
     # short arrays, so no pre-filter guard is needed on the expression
     grams = kgrams(F.col("w"), LEAK_K)
-    # r9 sf10 probe: (a) grams travel as PORTABLE 60-bit md5 hashes
+    # r9 sf10 probe: grams travel as PORTABLE 60-bit md5 hashes
     # (same construction as dedup_simhash; the oracle mirrors it), so
     # every shuffle/join/distinct below moves int64 keys instead of
     # ~50-char strings — ~10x smaller exchanges and cache; collisions
     # merge identically in both engines, so the oracle stays exact.
-    # (b) an explicit round-robin repartition spreads the document rows
-    # before the interpreted k-gram HOF fans out — the raw scan's file
-    # splits are few and skewed (one straggler task carried half the
-    # gram build).
     gram_h = F.conv(F.substring(F.md5(F.col("_g")), 1, 15), 16, 10).cast("bigint")
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # three consumers (df-cap agg, heldout probe, train probe) read the
     # gram stream; the gram transform is an interpreted HOF over every
     # token window, so cache the exploded result rather than re-running
     # tokenize+gram per consumer
     g = (
         t.filter(F.size("w") >= LEAK_K)
-        .repartition(n_part)
         .select(
             "doc_id",
             "split",
@@ -1182,11 +1181,16 @@ def pipeline_span_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: explode to ~n_tokens/{SPAN_TOKENS} span rows (LESS
     than the token explode every text query already pays), one
     span-hash aggregate (partial-agg'd), one equi-join back, one
-    per-doc rollup — all linear, no self-join, no window."""
-    d = table(spark, sf_dir, "documents").repartition(
-        int(spark.sparkContext.defaultParallelism), "doc_id"
-    )
-    toks = _tokens()
+    per-doc rollup — all linear, no self-join, no window.
+
+    r13: the tokenize pass comes from the shared
+    :func:`..operators.dedup.token_arrays` memo (one corpus
+    scan+split per session instead of a private one; VERDICT r12
+    next-round #1)."""
+    from .dedup import token_arrays
+
+    d = token_arrays(spark, sf_dir)
+    toks = F.col("toks")
     n_spans_expr = F.ceil(F.size(toks) / float(SPAN_TOKENS)).cast("bigint")
     # guard the empty case: Spark's sequence(0, -1) yields the
     # DESCENDING series [0, -1] (two bogus spans) where DuckDB's

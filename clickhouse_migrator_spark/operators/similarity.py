@@ -360,7 +360,13 @@ def _ivf_train(spark: SparkSession, sf_dir: str, vecs: DataFrame):
     )
     if key in _IVF_TRAIN_CACHE:
         return _IVF_TRAIN_CACHE[key]
+    import time
+
+    from ..memo_events import record_fill
+
+    t0 = time.perf_counter()
     _IVF_TRAIN_CACHE[key] = got = _ivf_train_impl(spark, vecs)
+    record_fill("ivf_train", time.perf_counter() - t0)
     return got
 
 
@@ -596,6 +602,9 @@ def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     run to certify the index, not the production search path.  The
     exact top-k (≤ N_QUERIES × TOP_K rows) is cached so the two
     operating-point comparisons share one brute-force scan."""
+    # deployment note: localCheckpoint pins blocks to live executors —
+    # under executor churn use a reliable checkpoint instead (see
+    # dedup.near_dup_pairs / the stats.py module docstring).
     # eager localCheckpoint, not .cache(): the fused action below reads
     # this frame from FOUR subtrees at once (two per operating point) —
     # a cold cache would be raced and the brute-force scan re-run 4×.
@@ -647,7 +656,11 @@ def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mr = mean_recall(NPROBE)
     fr = mean_recall(KMEANS_K)
-    exact.unpersist()  # drop the checkpointed blocks; reduced to floats
+    # NOTE (ADVICE r12 #3): unpersist on a localCheckpoint'd frame only
+    # clears CacheManager registrations, NOT the checkpointed RDD
+    # blocks — those are freed by GC of the RDD.  The frame is bounded
+    # (≤ N_QUERIES×TOP_K rows), so leaving the blocks to GC is fine; no
+    # explicit release is attempted.
     return spark.createDataFrame(
         [
             (

@@ -24,6 +24,16 @@ Scale notes: global rank windows (AUC / Mann-Whitney / Spearman
 within a group) need a total order over the scored set; at 100 TB
 those become range-partitioned sorts (Spark's global orderBy) — still
 one pass.  Everything else is partial-aggregatable and skew-free.
+
+Deployment note (applies to every ``localCheckpoint`` in this module —
+the substrate-input grids, the Theil-Sen pair table, and the scalar
+frames): ``localCheckpoint`` pins the materialized partitions to LIVE
+executors; on a real cluster with executor loss the frame recomputes
+from nothing (lineage is truncated) or the job fails.  For
+fault-tolerant deployments swap in a reliable checkpoint
+(``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()``) or
+persist the intermediate to storage — same guidance as
+``dedup.near_dup_pairs``.
 """
 
 from __future__ import annotations

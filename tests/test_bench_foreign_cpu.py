@@ -178,22 +178,74 @@ def test_reset_receives_retried_query_name():
 
 
 def test_memo_families_cleared_only_for_their_consumers():
-    """r12 measurement-bug fix: an unrelated query's contention retry
-    must NOT drop the dedup/IVF memos — doing so shifted the whole
-    pair-substrate fill onto the next dedup/graph consumer in bench
-    order (graph_degree_distribution 0.47 -> 6.3 s at sf1, a spurious
-    17x scale ratio that failed the sf1 ratio gate)."""
-    assert bench._memo_families_to_clear("dedup_simhash_hamming") == (True, False)
-    assert bench._memo_families_to_clear("graph_degree_distribution") == (
-        True,
-        False,
-    )
-    assert bench._memo_families_to_clear("sim_ivf_kmeans_topk") == (False, True)
+    """r12 measurement-bug fix + r13 per-memo granularity (ADVICE r12
+    #1): an unrelated query's contention retry must NOT drop the
+    dedup/IVF memos — doing so shifted the whole pair-substrate fill
+    onto the next dedup/graph consumer in bench order
+    (graph_degree_distribution 0.47 -> 6.3 s at sf1, a spurious 17x
+    scale ratio that failed the sf1 ratio gate) — and a retry of a
+    pipeline GRAM consumer must drop the gram/token caches it reads
+    without dumping the pair-table fill on the dedup family."""
+    clear = bench._memo_families_to_clear
+    assert clear("dedup_simhash_hamming") == {"pairs"}
+    assert clear("graph_degree_distribution") == {"pairs"}
+    assert clear("sim_ivf_kmeans_topk") == {"ivf"}
+    # shingle consumer outside dedup_*/graph_*: grams (shingle+token),
+    # never the pair table
+    assert clear("pipeline_decontaminate_ngrams") == {"grams"}
+    # token-substrate-only consumers: tokens, never shingles or pairs
+    assert clear("pipeline_span_dedup_c4") == {"tokens"}
+    assert clear("pipeline_split_leakage_audit") == {"tokens"}
     for innocent in (
         "events_attribution_linear",
         "agg_skew_kurt",
         "streaming_tumbling_hourly",
         "tpch_q1_pricing_summary",
-        "pipeline_split_leakage_audit",
+        "pipeline_curriculum_phases",
     ):
-        assert bench._memo_families_to_clear(innocent) == (False, False)
+        assert clear(innocent) == frozenset()
+
+
+def test_memo_consumer_lists_match_call_graph():
+    """The family map's explicit name lists must track the operators'
+    actual substrate reads: every registered query whose function body
+    (source) reaches shingles()/token_arrays() outside the dedup_* /
+    graph_* prefixes must be listed, and nothing else may be."""
+    import inspect
+
+    from clickhouse_migrator_spark.registry import all_specs
+    from clickhouse_migrator_spark.operators import dedup, graph  # noqa: F401
+
+    shingle_users, token_users = set(), set()
+    for name, spec in all_specs().items():
+        if name.startswith(("dedup_", "graph_")):
+            continue
+        try:
+            src = inspect.getsource(spec.fn)
+        except (OSError, TypeError):  # pragma: no cover
+            continue
+        if "shingles(" in src:
+            shingle_users.add(name)
+        elif "token_arrays(" in src:
+            token_users.add(name)
+    assert shingle_users == bench._SHINGLE_CONSUMER_NAMES
+    assert token_users == bench._TOKEN_CONSUMER_NAMES
+
+
+def test_memo_fill_events_record_and_drain():
+    """VERDICT r12 #1: substrate fills are disclosed per query.  The
+    event buffer is the seam — operators record, bench drains after
+    each measurement, so a fill (or a retry-induced refill) lands on
+    the exact query that paid it."""
+    from clickhouse_migrator_spark import memo_events
+
+    memo_events.drain_fills()  # isolate from any prior state
+    memo_events.record_fill("near_dup_pairs", 1.23456)
+    memo_events.record_fill("token_arrays", 0.5)
+    got = memo_events.drain_fills()
+    assert got == [
+        {"memo": "near_dup_pairs", "s": 1.235},
+        {"memo": "token_arrays", "s": 0.5},
+    ]
+    # drained: a second drain (the next query's) sees nothing
+    assert memo_events.drain_fills() == []

@@ -242,3 +242,29 @@ def test_component_labels_memoized_per_corpus(spark):
     # carries a component no larger than itself (min-label invariant)
     rows = component_labels(spark, SF_DIR).collect()
     assert rows and all(r.component <= r.doc_id for r in rows)
+
+
+def test_substrate_fills_disclosed_on_paying_caller(spark):
+    """VERDICT r12 #1: every substrate memo build reports a fill event
+    (memo name + wall seconds), so bench.py can attribute the fill to
+    the query that paid it — including a retry-induced refill (the
+    likely r12 pagerank-outlier mechanism).  A warm re-read must report
+    nothing."""
+    from clickhouse_migrator_spark import memo_events
+    from clickhouse_migrator_spark.operators.dedup import (
+        invalidate_near_dup_cache,
+        token_arrays,
+    )
+
+    invalidate_near_dup_cache(SF_DIR)  # cold slate = a retry's state
+    memo_events.drain_fills()
+    near_dup_pairs(spark, SF_DIR)
+    fills = {e["memo"]: e["s"] for e in memo_events.drain_fills()}
+    # the pair build reaches down through the whole substrate stack
+    assert {"token_arrays", "shingles_k3", "near_dup_pairs"} <= set(fills)
+    assert all(s >= 0 for s in fills.values())
+
+    # warm path: nothing re-fills, nothing is reported
+    near_dup_pairs(spark, SF_DIR)
+    token_arrays(spark, SF_DIR)
+    assert memo_events.drain_fills() == []

@@ -416,32 +416,11 @@ def agg_rank_corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     tied value block occupies), then Pearson corr of the two rank
     columns.
 
-    r13 single-scan rewrite (VERDICT r12 next-round #4; guide §2.3):
-    the fact table collapses to the per-group JOINT distinct-value grid
-    ``(flag, x, y) → c`` in ONE scan (the previous shape scanned the
-    fact table three times — two marginal grids + the rank-attach join
-    probe — and shuffled the fact rows through both joins).  The
-    marginal grids, the tie-averaged ranks and the correlation are all
-    derived from the joint grid:
-
-    - ranks are carried as ``2·avg_rank`` = ``2·cum − c + 1`` — an
-      EXACT integer (avg ranks are half-integers), so every moment in
-      the weighted Pearson closed form is an exact integer sum in
-      decimal(38,0) — no float accumulation order anywhere before the
-      final division (ρ is scale-invariant, so the factor 2 cancels);
-    - equivalence to the previous corr-of-ranks formulation is pinned
-      bit-exact (rounded to 6 digits) by
-      ``tests/test_spearman_rewrite.py`` on the fixture AND on random
-      tied/untied synthetic data, and the oracle hash was verified at
-      all three SFs in both collection modes before this shape landed.
-
-    The joint grid feeds three consumers (two marginal re-aggregates +
-    the rank-attach join), so it is checkpointed once — at worst the
-    grid is fact-sized (continuous x, y) and this degenerates to the
-    deciles posture, but the shuffles after the checkpoint move grid
-    rows, never fact rows, and the scan count is 3 → 1 at any scale.
-    Overflow: per-group moments are bounded by n·(2n)² < 10³⁸ for
-    n < 1.3e12 rows per group (decimal(38,0) headroom at 100 TB)."""
+    Scale shape: ranks come from the per-group distinct-value grids
+    (running-count windows over the grids, which are tiny next to the
+    fact rows), joined back onto the rows on (group, value) — two
+    shuffle joins + one co-moment agg, never a per-row sort of a whole
+    group in one partition."""
     # rank contract: only non-null (x, y) pairs rank (both sides)
     li = (
         table(spark, sf_dir, "lineitem")
@@ -451,16 +430,11 @@ def agg_rank_corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "l_quantity", "l_extendedprice")
     )
-    jg = (
-        li.groupBy("l_returnflag", "l_quantity", "l_extendedprice")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
-    )
 
-    def marg_ranks2(col: str, out: str) -> DataFrame:
-        # distinct-value grid per group; 2× the avg rank of a tied
-        # block is integer arithmetic on the running count
-        g = jg.groupBy("l_returnflag", col).agg(F.sum("c").alias("cx"))
+    def grid_ranks(col: str, out: str) -> DataFrame:
+        # distinct-value grid per group; avg rank of a tied block is
+        # arithmetic on the grid's running count — no per-row sort
+        g = li.groupBy("l_returnflag", col).agg(F.count(F.lit(1)).alias("c"))
         w = (
             Window.partitionBy("l_returnflag")
             .orderBy(col)
@@ -469,30 +443,16 @@ def agg_rank_corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         return g.select(
             "l_returnflag",
             col,
-            (2 * F.sum("cx").over(w) - F.col("cx") + 1).alias(out),
+            (F.sum("c").over(w) - F.col("c") + (F.col("c") + 1) / 2.0).alias(out),
         )
 
-    j = jg.join(
-        marg_ranks2("l_quantity", "rx2"), ["l_returnflag", "l_quantity"]
+    avg_ranked = li.join(
+        grid_ranks("l_quantity", "rx"), ["l_returnflag", "l_quantity"]
     ).join(
-        marg_ranks2("l_extendedprice", "ry2"), ["l_returnflag", "l_extendedprice"]
+        grid_ranks("l_extendedprice", "ry"), ["l_returnflag", "l_extendedprice"]
     )
-    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
-    c, rx2, ry2 = F.col("c"), F.col("rx2"), F.col("ry2")
-    agg = j.groupBy("l_returnflag").agg(
-        F.sum(d19(c)).alias("n"),
-        F.sum(d19(c) * d19(rx2)).alias("sx"),
-        F.sum(d19(c) * d19(ry2)).alias("sy"),
-        F.sum(d19(c) * d19(rx2) * d19(rx2)).alias("sxx"),
-        F.sum(d19(c) * d19(ry2) * d19(ry2)).alias("syy"),
-        F.sum(d19(c) * d19(rx2) * d19(ry2)).alias("sxy"),
-    )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    d1 = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    d2 = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    return agg.select(
-        "l_returnflag",
-        F.round(num / (F.sqrt(d1) * F.sqrt(d2)), 6).alias("spearman_rho"),
+    return avg_ranked.groupBy("l_returnflag").agg(
+        F.round(F.corr("rx", "ry"), 6).alias("spearman_rho")
     )
 
 

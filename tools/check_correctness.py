@@ -199,6 +199,11 @@ def main() -> int:
             ).stdout.strip()
         except Exception:
             head = None
+        # CONVENTION (ADVICE r12 #4): keys starting with "_" are
+        # artifact metadata, not query rows — any consumer iterating
+        # this file as {query: row} must skip them.  n_queries counts
+        # the real rows; kept a sibling (not a nested format change)
+        # so earlier rounds' GATE files stay shape-compatible.
         results["_meta"] = {
             "generated_on_commit": head or "unknown",
             "sf_dir": sf_dir,
@@ -208,7 +213,8 @@ def main() -> int:
         }
         with open(json_out, "w") as f:
             json.dump(results, f, indent=1)
-        print(f"wrote {json_out} ({len(results)} rows)")
+        n_rows = sum(1 for k in results if not k.startswith("_"))
+        print(f"wrote {json_out} ({n_rows} rows + _meta)")
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
     return 1 if failed else 0
 

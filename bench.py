@@ -136,7 +136,11 @@ def _memo_families_to_clear(name: str) -> frozenset[str]:
     if name in _TOKEN_CONSUMER_NAMES:
         return frozenset({"tokens"})
     if name.startswith("sim_"):
-        return frozenset({"ivf"})
+        # every sim_* query reads the typed-vector memo; the IVF
+        # consumers additionally read the trained centroids — clearing
+        # both is the honest superset for the family (the vec refill
+        # is one scan+cast, paid by the retried query itself)
+        return frozenset({"ivf", "vecs"})
     return frozenset()
 
 
@@ -437,6 +441,12 @@ def main() -> None:
                 )
 
                 invalidate_ivf_cache()
+            if "vecs" in fams:
+                from clickhouse_migrator_spark.operators.similarity import (
+                    invalidate_vec_cache,
+                )
+
+                invalidate_vec_cache()
             # the blanket clearCache above also dropped the cache
             # REGISTRATIONS of memo entries that survived the family
             # filter; re-register them so later consumers of a
@@ -444,6 +454,11 @@ def main() -> None:
             # recomputing uncached for the rest of the run
             # (ADVICE r12 #2)
             dedup.reregister_memo_caches()
+            from clickhouse_migrator_spark.operators.similarity import (
+                reregister_vec_cache,
+            )
+
+            reregister_vec_cache()
         except Exception:  # pragma: no cover
             pass
 

@@ -857,9 +857,14 @@ def _embedding_cosine_pairs(
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         (F.col("vec_id") % N_COSINE_BLOCKS).alias("block"),
     )
+    # blocks is BOTH sides of the block-pair self-join: left lazy, each
+    # side re-ran the scan + cap-sample + collect_list aggregate (8
+    # embeddings scans in the committed before-plan).  The frame is
+    # B rows holding the ≤n_cap-vector sample — bounded — so one eager
+    # localCheckpoint pins the corpus pass to exactly one.
     blocks = e.groupBy("block").agg(
         F.collect_list(F.struct("vec_id", "v")).alias("items")
-    )
+    ).localCheckpoint(eager=True)
     a, b = blocks.alias("a"), blocks.alias("b")
     pairs = a.join(b, F.col("a.block") <= F.col("b.block")).select(
         F.col("a.block").alias("block_a"),
@@ -1002,9 +1007,17 @@ def dedup_embedding_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
     (recall pinned in tests/test_dedup_substrate.py).  Every stage is
     an equi-join or hash aggregate: bucket self-joins are bounded by
     bucket sizes, the verify join is linear in candidates."""
+    # base feeds FIVE subtrees (band-width scalar, planted twins, both
+    # sides of the bucket self-join, and the two verify-join sides):
+    # left lazy they each re-derived the scan+cast — 20 embeddings
+    # scans in the committed before-plan.  One eager localCheckpoint
+    # pins the corpus read to a single pass; every downstream stage is
+    # a memory read.  (Kept per-query, NOT the sim_* vector memo: this
+    # scan deliberately KEEPS NULL embeddings — the oracle's base CTE
+    # has no NULL filter.)
     base = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
+    ).localCheckpoint(eager=True)
     # scalar band width from the corpus count (exact mirror of the
     # oracle's kk CTE — bit-length arithmetic, no float-log edge)
     kdf = base.agg(

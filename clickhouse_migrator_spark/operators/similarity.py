@@ -35,21 +35,76 @@ def _dot(x: Column, y: Column) -> Column:
     return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda a, z: a + z)
 
 
+#: (applicationId, sf_dir, corpus fingerprint) → typed vector frame
+#: (vec_id, v, label), cached.  Every sim_* query consumed its own
+#: parquet scan+cast of the embeddings corpus — and most consume it
+#: SEVERAL times per plan (corpus side + probe side + the cap-sample
+#: count pass each re-derive the scan: 4–12 embeddings scans per query,
+#: counted in plans/r13/).  One session-memoized cached frame makes
+#: every pass after the first a memory read; at 100 TB each avoided
+#: derivation is a full corpus scan + per-row double-cast.  Same
+#: session-memo discipline as the dedup token substrate: fingerprint
+#: key, pinned fill, fill event, bench retry family ("vecs").
+_VEC_CACHE: dict[tuple, DataFrame] = {}
+
+#: backing frames for reregistration after a bench retry's blanket
+#: spark.catalog.clearCache() (ADVICE r12 #2 — same seam as
+#: dedup._MEMO_BACKING)
+_VEC_BACKING: list[DataFrame] = []
+
+
+def invalidate_vec_cache() -> None:
+    """Drop the memoized vector frame (bench retry honesty hook)."""
+    _VEC_CACHE.clear()
+    _VEC_BACKING.clear()
+
+
+def reregister_vec_cache() -> None:
+    """Re-``.cache()`` surviving vector-memo frames after a blanket
+    ``spark.catalog.clearCache()`` — see dedup.reregister_memo_caches."""
+    for frame in _VEC_BACKING:
+        frame.cache()
+
+
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed vector scan.  NULL embeddings are excluded — a missing
-    vector cannot be searched or ranked; the sign-LSH bucket of a NULL
-    vector otherwise rendered as '' and matched every other NULL
-    (round-8 edge fuzz); all sim_* oracles carry the same
-    `WHERE embedding IS NOT NULL` contract."""
-    return (
-        table(spark, sf_dir, "embeddings")
-        .filter(F.col("embedding").isNotNull())
-        .select(
-            "vec_id",
-            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-            "label",
-        )
+    """Typed vector scan, memoized per (session, corpus).  NULL
+    embeddings are excluded — a missing vector cannot be searched or
+    ranked; the sign-LSH bucket of a NULL vector otherwise rendered as
+    '' and matched every other NULL (round-8 edge fuzz); all sim_*
+    oracles carry the same `WHERE embedding IS NOT NULL` contract.
+
+    Deployment note: ``.cache()`` pins blocks to live executors; on a
+    cluster with executor churn persist the typed frame to storage (or
+    use a reliable checkpoint) instead."""
+    import os
+    import time
+
+    from ..memo_events import record_fill
+    from ..tables import fingerprint_path
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        fingerprint_path(os.path.join(sf_dir, "embeddings.parquet")),
     )
+    got = _VEC_CACHE.get(key)
+    if got is None:
+        t0 = time.perf_counter()
+        got = (
+            table(spark, sf_dir, "embeddings")
+            .filter(F.col("embedding").isNotNull())
+            .select(
+                "vec_id",
+                F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+                "label",
+            )
+            .cache()
+        )
+        got.count()  # pinned fill: consumers must all hit a warm cache
+        record_fill("vec_arrays", time.perf_counter() - t0)
+        _VEC_CACHE[key] = got
+        _VEC_BACKING.append(got)
+    return got
 
 
 def cosine_topk(
@@ -473,7 +528,7 @@ def ivf_kmeans_topk(
     shuffle of (list, sum-vector).  Search cost is ~nprobe/K of brute
     force.  Reference pattern: FAISS IVF-Flat multi-probe (public);
     all search math in JVM higher-order functions."""
-    vecs = _vecs(spark, sf_dir).cache()
+    vecs = _vecs(spark, sf_dir)  # memo-cached; a second .cache() is a no-op
     C = _ivf_train(spark, sf_dir, vecs)
     if C is None:
         # empty corpus: nothing to index or query — the empty result
@@ -886,11 +941,17 @@ def sim_cluster_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-size."""
     v = _vecs(spark, sf_dir)  # carries (vec_id, v, label)
     dim = 64
+    # cent is consumed THREE times (radius build + both sides of the
+    # pairwise join) and radius twice — left lazy, each consumption
+    # re-ran the full corpus aggregate (12 embeddings scans in the
+    # committed before-plan).  Both frames are K rows (K = #labels), so
+    # an eager localCheckpoint is a ~free barrier that pins the corpus
+    # passes to exactly two: one for centroids, one for radii.
     cent = v.groupBy("label").agg(
         *[F.avg(F.element_at("v", i + 1)).alias(f"c{i}") for i in range(dim)]
     ).select(
         "label", F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("cv")
-    )
+    ).localCheckpoint(eager=True)
     dist = lambda a, b: F.sqrt(  # noqa: E731
         F.aggregate(
             F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
@@ -903,6 +964,7 @@ def sim_cluster_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", dist(F.col("v"), F.col("cv")).alias("d"))
         .groupBy("label")
         .agg(F.avg("d").alias("r"))
+        .localCheckpoint(eager=True)
     )
     a = cent.select(F.col("label").alias("label_a"), F.col("cv").alias("cva"))
     b = cent.select(F.col("label").alias("label_b"), F.col("cv").alias("cvb"))

@@ -189,7 +189,10 @@ def test_memo_families_cleared_only_for_their_consumers():
     clear = bench._memo_families_to_clear
     assert clear("dedup_simhash_hamming") == {"pairs"}
     assert clear("graph_degree_distribution") == {"pairs"}
-    assert clear("sim_ivf_kmeans_topk") == {"ivf"}
+    # sim_*: the typed-vector memo (every sim query reads it) plus the
+    # IVF centroids (r13: the vec memo made the family's duplicate
+    # embeddings scans memory reads)
+    assert clear("sim_ivf_kmeans_topk") == {"ivf", "vecs"}
     # shingle consumer outside dedup_*/graph_*: grams (shingle+token),
     # never the pair table
     assert clear("pipeline_decontaminate_ngrams") == {"grams"}

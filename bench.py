@@ -113,6 +113,7 @@ _SHINGLE_CONSUMER_NAMES = {"pipeline_decontaminate_ngrams"}
 _TOKEN_CONSUMER_NAMES = {
     "pipeline_span_dedup_c4",
     "pipeline_split_leakage_audit",
+    "text_keywords_per_doc",
 }
 
 

@@ -695,9 +695,20 @@ def text_keywords_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the doc_id key — millions of small partitions, no global
     sort.  Zero-idf terms (present in every doc) are excluded so the
     keywords are discriminative."""
+    # the only document column this query needs beyond the count is the
+    # token stream, and its tokenization is expression-identical to the
+    # shared token substrate — ride it (r13): tf and df consumed
+    # separate copies of the scan+tokenize subtree, so the regex
+    # tokenize pass ran TWICE per query; both now explode the one
+    # session-cached (doc_id, toks) frame (at 100 TB: two corpus
+    # scan+tokenize passes → zero beyond the session's single fill).
+    from .dedup import token_arrays
+
     d = _docs_cpu(spark, sf_dir)
     n_docs = d.count()
-    toks = d.select("doc_id", F.explode(_tokens()).alias("term"))
+    toks = token_arrays(spark, sf_dir).select(
+        "doc_id", F.explode("toks").alias("term")
+    )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     scored = tf.join(F.broadcast(df), "term").select(

@@ -839,12 +839,13 @@ def dedup_embedding_cosine_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _embedding_cosine_pairs(spark, sf_dir, None)
 
 
-def _embedding_cosine_pairs(
+def _capped_vec_blocks(
     spark: SparkSession, sf_dir: str, n_cap: int | None
 ) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-
+    """Capped, typed, blocked vector frame — PRE-materialization.  Split
+    out so tests can assert the cap-sample filter is in the plan (the
+    caller's ``localCheckpoint`` truncates lineage, hiding it from the
+    final plan string)."""
     base = table(spark, sf_dir, "embeddings")
     # NULL embeddings carry no vector: they can't form a pair on either
     # engine (oracle similarity of NULL fails the threshold) but a None
@@ -857,14 +858,23 @@ def _embedding_cosine_pairs(
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         (F.col("vec_id") % N_COSINE_BLOCKS).alias("block"),
     )
+    return e.groupBy("block").agg(
+        F.collect_list(F.struct("vec_id", "v")).alias("items")
+    )
+
+
+def _embedding_cosine_pairs(
+    spark: SparkSession, sf_dir: str, n_cap: int | None
+) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
     # blocks is BOTH sides of the block-pair self-join: left lazy, each
     # side re-ran the scan + cap-sample + collect_list aggregate (8
     # embeddings scans in the committed before-plan).  The frame is
     # B rows holding the ≤n_cap-vector sample — bounded — so one eager
     # localCheckpoint pins the corpus pass to exactly one.
-    blocks = e.groupBy("block").agg(
-        F.collect_list(F.struct("vec_id", "v")).alias("items")
-    ).localCheckpoint(eager=True)
+    blocks = _capped_vec_blocks(spark, sf_dir, n_cap).localCheckpoint(eager=True)
     a, b = blocks.alias("a"), blocks.alias("b")
     pairs = a.join(b, F.col("a.block") <= F.col("b.block")).select(
         F.col("a.block").alias("block_a"),

@@ -114,6 +114,7 @@ _TOKEN_CONSUMER_NAMES = {
     "pipeline_span_dedup_c4",
     "pipeline_split_leakage_audit",
     "text_keywords_per_doc",
+    "text_tfidf_top20",
 }
 
 

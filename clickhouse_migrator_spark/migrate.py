@@ -2389,12 +2389,23 @@ def _rewrite_with_fill(query: str) -> str:
     col = m.group("col")
     direction = (m.group("dir") or "").strip()
     step = m.group("step") or "1"
-    lo = m.group("lo") or f"(SELECT min({col}) FROM __wf)"
-    hi = m.group("hi") or f"(SELECT max({col}) FROM __wf)"
-    grid = f"SELECT explode(sequence({lo}, {hi}, {step})) AS {col}"
-    if m.group("hi"):
+    lo, hi = m.group("lo"), m.group("hi")
+    if lo is None or hi is None:
+        # defaulted bound(s) come from the result's own min/max, folded
+        # into ONE 1-row aggregate subquery over the CTE — CTEs inline,
+        # so a per-bound scalar subquery re-runs the whole inner
+        # aggregate (3 fact passes for a fully defaulted WITH FILL;
+        # this form pays 2)
+        grid = (
+            f"SELECT explode(sequence(__lo, __hi, {step})) AS {col} FROM "
+            f"(SELECT {lo or f'min({col})'} AS __lo, "
+            f"{hi or f'max({col})'} AS __hi FROM __wf)"
+        )
+    else:
+        grid = f"SELECT explode(sequence({lo}, {hi}, {step})) AS {col}"
+    if hi:
         # ClickHouse's TO is exclusive; the sequence endpoint is not
-        grid = f"SELECT {col} FROM ({grid}) WHERE {col} < {m.group('hi')}"
+        grid = f"SELECT {col} FROM ({grid}) WHERE {col} < {hi}"
     return (
         f"WITH __wf AS ({inner}) "
         f"SELECT * FROM __wf FULL OUTER JOIN ({grid}) USING ({col}) "

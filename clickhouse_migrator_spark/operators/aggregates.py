@@ -1285,10 +1285,16 @@ def agg_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-type cardinalities — three key-partitioned aggregations, no
     giant state anywhere, linear scale-out.  |A∪B| = |A|+|B|−|A∩B|,
     |A∖B| = |A|−|A∩B|, |A△B| = |A|+|B|−2|A∩B|."""
+    # du feeds THREE subtrees (per-type cardinalities + both sides of
+    # the co-occurrence self-join), each of which otherwise re-ran the
+    # fact scan + global distinct; the frame is distinct (type, user)
+    # pairs, so one eager localCheckpoint pins the fact pass + distinct
+    # shuffle to exactly one.
     du = (
         table(spark, sf_dir, "events")
         .select("event_type", "user_id")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     card = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
     inter = (

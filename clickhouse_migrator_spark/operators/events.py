@@ -1266,10 +1266,14 @@ def events_sequence_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number sort of the full event stream; both aggregations and
     the join ride a single user_id shuffle."""
     e = table(spark, sf_dir, "events")
+    # s feeds the later-events probe AND the final left join; the frame
+    # is one row per signed-up user, so one eager localCheckpoint saves
+    # a full duplicate fact scan + first-signup aggregate.
     s = (
         e.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("s_ts"))
+        .localCheckpoint(eager=True)
     )
     nxt = (
         e.join(s, "user_id")
@@ -1522,6 +1526,11 @@ def events_retention_matrix_weekly(spark: SparkSession, sf_dir: str) -> DataFram
     aggregate broadcast into the final (cohort, offset) rollup.  Every
     stage is partial-agg'd; nothing global."""
     e = table(spark, sf_dir, "events")
+    # pinning firsts (it feeds the cohort-size rollup AND the activity
+    # join) measured consistently slower at fixture scale (+0.3 s
+    # paired minima, r13): the duplicate first-seen passes overlap
+    # inside one job, while the checkpoint serializes them — same
+    # verdict as events_dau_wau_mau.
     firsts = e.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
     )
@@ -1977,12 +1986,18 @@ def events_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     churn is a self left-join of that compact frame on (user, week+1) —
     the NULL side of the join IS the churn set, no per-user windowing
     over raw events."""
+    # uw feeds THREE subtrees (the last-week bound, the shifted probe
+    # side, and the active side of the churn join), each of which
+    # otherwise re-ran the fact scan + global distinct; the frame is
+    # distinct (user, week) pairs, so one eager localCheckpoint pins
+    # the fact pass + distinct shuffle to exactly one.
     uw = (
         table(spark, sf_dir, "events")
         .select(
             "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     last_week = uw.agg(F.max("week").alias("mx"))
     nxt = uw.select(
@@ -2112,9 +2127,12 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cohorts x offsets — tiny) via a running window, never re-joining
     the fact table per offset."""
     ev = table(spark, sf_dir, "events")
+    # first_seen feeds the cohort-size rollup AND the revenue join; the
+    # frame is one row per user, so one eager localCheckpoint saves a
+    # full duplicate fact scan + per-user aggregate.
     first_seen = ev.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
-    )
+    ).localCheckpoint(eager=True)
     sizes = first_seen.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_users"))
     rev = (
         ev.filter(F.col("event_type") == "purchase")
@@ -2890,6 +2908,11 @@ def events_survival_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFr
             F.datediff("end_day", "s_day").alias("censor_t"),
         )
     )
+    # st feeds BOTH sides of the risk join (event-day grid + at-risk
+    # probe), each of which otherwise re-ran the whole subj subtree
+    # (two per-user aggregates + join: 3 fact scans, twice).  The frame
+    # is one row per signed-up user, so one eager localCheckpoint pins
+    # the upstream to a single pass.
     st = subj.select(
         F.coalesce(
             F.least("event_t", "censor_t"), F.col("censor_t")
@@ -2901,7 +2924,7 @@ def events_survival_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .otherwise(0)
         .alias("observed"),
-    )
+    ).localCheckpoint(eager=True)
     grid = (
         st.filter(F.col("observed") == 1)
         .groupBy(F.col("t").alias("day"))
@@ -3038,7 +3061,14 @@ def events_rolling_7d_uniques_hll(spark: SparkSession, sf_dir: str) -> DataFrame
     e = table(spark, sf_dir, "events").select(
         F.col("ts").cast("date").alias("d"), "user_id"
     )
-    daily = e.groupBy("d").agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
+    # daily feeds THREE subtrees (anchors, the rolling merge's sketch
+    # side, and the exact pass's anchor grid), each of which otherwise
+    # re-ran the fact scan + sketch aggregate; the frame is one sketch
+    # row per day, so one eager localCheckpoint pins the fact passes to
+    # the minimum two (daily sketches + the exact-uniques certifier).
+    daily = e.groupBy("d").agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk")
+    ).localCheckpoint(eager=True)
     anchors = daily.select(F.col("d").alias("anchor"))
     merged = (
         anchors.join(

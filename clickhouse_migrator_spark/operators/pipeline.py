@@ -470,20 +470,24 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = t.filter(~F.col("is_new")).select("h").distinct()
     new = t.filter(F.col("is_new"))
-    dup = new.join(corpus, "h", "left_semi").groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_dup_of_corpus")
+    # one pass over the batch: corpus is DISTINCT on h, so a left join
+    # cannot fan out and count(_hit) equals the left-semi match count —
+    # the former separate base aggregate (a second scan of the batch
+    # side) and the base⨝dup stitch join are folded into this aggregate
+    marked = new.join(
+        corpus.withColumn("_hit", F.lit(1)), "h", "left"
     )
-    base = new.groupBy("source").agg(F.count(F.lit(1)).alias("n_new_docs"))
     return (
-        base.join(dup, "source", "left")
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_new_docs"),
+            F.count("_hit").alias("n_dup_of_corpus"),
+        )
         .select(
             "source",
             "n_new_docs",
-            F.coalesce(F.col("n_dup_of_corpus"), F.lit(0)).alias("n_dup_of_corpus"),
-            (
-                F.col("n_new_docs")
-                - F.coalesce(F.col("n_dup_of_corpus"), F.lit(0))
-            ).alias("n_novel"),
+            "n_dup_of_corpus",
+            (F.col("n_new_docs") - F.col("n_dup_of_corpus")).alias("n_novel"),
         )
         .orderBy("source")
     )
@@ -1269,7 +1273,13 @@ def pipeline_language_temperature_mix(spark: SparkSession, sf_dir: str) -> DataF
     and is accepted).  Complements `pipeline_mix_sources` (fixed
     per-source rates) with the principled-allocation variant."""
     d = table(spark, sf_dir, "documents")
-    lt = d.groupBy("lang").agg(F.sum(F.size(_tokens())).alias("n_tokens"))
+    # lt feeds four subtrees (total, the pow projection, z, the final
+    # select), each of which otherwise re-ran the corpus scan + token-
+    # count aggregate; the frame is #languages rows, so one eager
+    # localCheckpoint pins the tokenize pass to exactly one.
+    lt = d.groupBy("lang").agg(
+        F.sum(F.size(_tokens())).alias("n_tokens")
+    ).localCheckpoint(eager=True)
     tot = lt.agg(F.sum("n_tokens").alias("total"))
     powed = lt.crossJoin(F.broadcast(tot)).select(
         "lang",

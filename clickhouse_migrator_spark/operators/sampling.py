@@ -247,6 +247,10 @@ def sample_temperature_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the 100 TB shape (no fact shuffle before the final
     per-source count)."""
     d = table(spark, sf_dir, "documents")
+    # pinning n (it feeds the max bound AND the rate frame) measured
+    # slower at fixture scale (+0.12 s paired minima, r13): the two
+    # count passes overlap inside one job, while the checkpoint
+    # serializes them — same verdict as events_dau_wau_mau.
     n = d.groupBy("source").agg(F.count(F.lit(1)).alias("nd"))
     m = n.agg(F.max(F.sqrt("nd")).alias("mx"))
     r = n.crossJoin(F.broadcast(m)).select(
@@ -303,6 +307,10 @@ def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = table(spark, sf_dir, "events")
+    # pinning counts (it feeds the floor AND the final join) measured
+    # slower at fixture scale (+0.13 s paired minima, r13): the two
+    # count passes overlap inside one job, while the checkpoint
+    # serializes them — same verdict as events_dau_wau_mau.
     counts = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_total"))
     floor_n = counts.agg(F.min("n_total").alias("n_min"))
     ranked = e.select(

@@ -1657,13 +1657,23 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     so even a billion-token vocabulary never single-partition-sorts.
     The OLS fit is the same closed-form moment aggregation as
     `agg_linear_regression`."""
+    # NOT rewired onto the shared token substrate: measured slower
+    # (cache-decoding full array<string> rows costs more than the
+    # codegen'd scan+regex-split when the query makes only ONE pass —
+    # interleaved paired minima 1.14 s own-tokenize vs 1.66-1.72 s
+    # substrate, r13).  Instead the duplicate pass is removed one level
+    # up: freq below is pinned, so tokenize runs once instead of twice.
     tok = table(spark, sf_dir, "documents").select(
         F.explode(F.split(F.lower(utrim(F.col("text"))), r"\s+")).alias("token")
     )
+    # freq feeds the rank substrate's bounds pass AND its bucketed-rows
+    # pass; the frame is vocabulary-sized (Heaps-bounded), so one eager
+    # localCheckpoint pins the corpus tokenize+count to a single pass.
     freq = (
         tok.groupBy("token")
         .agg(F.count(F.lit(1)).alias("f"))
         .withColumn("neg_f", -F.col("f"))
+        .localCheckpoint(eager=True)
     )
     ranked = with_global_row_number(freq, ["neg_f", "token"], rn_col="_rk").select(
         F.log(F.col("_rk").cast("double")).alias("lr"),
@@ -1725,10 +1735,15 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("hour", "ts").alias("h"))
         .agg(F.count(F.lit(1)).alias("y"))
     )
-    # mean via a frame-less window over the tiny aggregated series
+    # mean via a frame-less window over the tiny aggregated series.
+    # stats feeds THREE subtrees (denom, both lag-join sides), each of
+    # which otherwise re-ran the full fact scan+hourly rollup; the
+    # frame is #hours rows, so one eager localCheckpoint pins the fact
+    # pass to exactly one (same bounded-frame materialization posture
+    # as sim_cluster_separation's centroid frames).
     stats = series.select(
         F.avg("y").over(Window.partitionBy()).alias("mu"), "h", "y"
-    )
+    ).localCheckpoint(eager=True)
     denom = stats.agg(F.sum(F.pow(F.col("y") - F.col("mu"), 2)).alias("ss"))
     lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("k"))
     a = stats.alias("a")

@@ -219,9 +219,18 @@ def text_tfidf_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequencies → join).  Scale: tf and df are two aggregations over
     one exploded scan; df is tiny (vocabulary-sized) → broadcast back;
     ln-idf computed JVM-side."""
-    d = table(spark, sf_dir, "documents")
-    n_docs = d.count()
-    toks = d.select("doc_id", F.explode(_tokens()).alias("term"))
+    # tf and df consumed separate copies of the scan+tokenize subtree
+    # (2 regex tokenize passes per query); tokenization is expression-
+    # identical to the shared token substrate, so both aggregations now
+    # explode the one session-cached (doc_id, toks) frame (r13, same
+    # rewire as text_keywords_per_doc).  The count stays on the raw
+    # table — parquet count(*) is metadata-fast.
+    from .dedup import token_arrays
+
+    n_docs = table(spark, sf_dir, "documents").count()
+    toks = token_arrays(spark, sf_dir).select(
+        "doc_id", F.explode("toks").alias("term")
+    )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     return (
@@ -758,6 +767,11 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows.  Sublinear growth is healthy natural text; near-linear means
     unbounded junk vocabulary (serial numbers, hashes) — a curation
     red flag."""
+    # NOT rewired onto the shared token substrate: this query makes
+    # only ONE tokenize pass, and cache-decoding full array<string>
+    # rows measured consistently slower than the codegen'd
+    # scan+regex-split (paired minima 0.47 s own-tokenize vs 0.62 s
+    # substrate, r13).
     tok = table(spark, sf_dir, "documents").select(
         "doc_id", F.explode(_tokens()).alias("token")
     )
@@ -1361,6 +1375,10 @@ def text_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     One distinct-(doc, token) aggregate — vocabulary-sized state
     (Heaps-bounded), partial-agg'd before the shuffle; the threshold
     filter runs on the aggregated frame."""
+    # NOT rewired onto the shared token substrate: this query makes
+    # only ONE tokenize pass, and cache-decoding full array<string>
+    # rows measured slower than the codegen'd scan+regex-split (paired
+    # minima 0.69 s own-tokenize vs 0.77 s substrate, r13).
     d = _docs_cpu(spark, sf_dir)
     tok = d.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("token"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))

@@ -390,11 +390,14 @@ def test_with_fill_rewrite_shape():
     out = _rewrite_with_fill(
         "SELECT d, count(*) AS n FROM t GROUP BY d ORDER BY d WITH FILL STEP 1"
     )
+    # defaulted bounds fold into ONE 1-row aggregate subquery (a
+    # per-bound scalar subquery re-runs the whole inner aggregate)
     assert out == (
         "WITH __wf AS (SELECT d, count(*) AS n FROM t GROUP BY d) "
         "SELECT * FROM __wf FULL OUTER JOIN "
-        "(SELECT explode(sequence((SELECT min(d) FROM __wf), "
-        "(SELECT max(d) FROM __wf), 1)) AS d) USING (d) ORDER BY d"
+        "(SELECT explode(sequence(__lo, __hi, 1)) AS d FROM "
+        "(SELECT min(d) AS __lo, max(d) AS __hi FROM __wf)) "
+        "USING (d) ORDER BY d"
     )
 
 

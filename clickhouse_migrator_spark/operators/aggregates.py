@@ -1863,16 +1863,26 @@ def agg_hll_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     the WITHIN-TOLERANCE flags (union 2%, intersection 5% — the
     subtraction compounds both sketches' error), so the driver's
     value-hash gate pins estimator quality, not a flaky estimate.
-    All aggregations are single-pass partial-agg'd; the union estimate
-    merges the two segments' registers by re-aggregating the combined
-    scan (at 100 TB: persist HLL sketch STATE per segment and merge
-    states instead of rescanning — hll_union_agg in Spark 3.5+)."""
+    r13: the two segments are disjoint filters of ONE table, so each
+    branch now makes a single isin-filtered pass (6 scans → 2 in the
+    committed plans), and the union estimate merges the two segments'
+    persisted HLL sketch STATES (``hll_union_agg`` over a pinned 2-row
+    sketch frame) instead of re-aggregating the combined scan — the
+    100 TB shape this docstring used to only describe."""
     o = table(spark, sf_dir, "orders")
-    a = o.filter(F.col("o_orderpriority") == "1-URGENT")
-    b = o.filter(F.col("o_orderpriority") == "2-HIGH")
+    ab = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select(
+        "o_custkey",
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("_s"),
+    )
+    # segments are disjoint, so distinct (custkey, segment) equals the
+    # union of the per-segment distincts; the pre-dedup keeps the
+    # 3-countDistinct Expand on the deduped frame, as before
     exact = (
-        a.select("o_custkey").distinct().withColumn("_s", F.lit("a"))
-        .unionByName(b.select("o_custkey").distinct().withColumn("_s", F.lit("b")))
+        ab.distinct()
         .groupBy()
         .agg(
             F.countDistinct(F.when(F.col("_s") == "a", F.col("o_custkey"))).alias("n_a"),
@@ -1883,11 +1893,23 @@ def agg_hll_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_inter_exact", F.col("n_a") + F.col("n_b") - F.col("n_union_exact")
         )
     )
+    # one sketch pass; the 2-row state frame is pinned so the union
+    # merge and the per-segment estimates read it, not the fact table
+    sk = (
+        ab.groupBy("_s")
+        .agg(F.expr("hll_sketch_agg(o_custkey, 14)").alias("sk"))
+        .localCheckpoint(eager=True)
+    )
     est = (
-        a.unionByName(b)
-        .agg(F.approx_count_distinct("o_custkey", 0.01).alias("est_union"))
-        .crossJoin(a.agg(F.approx_count_distinct("o_custkey", 0.01).alias("est_a")))
-        .crossJoin(b.agg(F.approx_count_distinct("o_custkey", 0.01).alias("est_b")))
+        sk.agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_union"),
+            F.max(
+                F.when(F.col("_s") == "a", F.expr("hll_sketch_estimate(sk)"))
+            ).alias("est_a"),
+            F.max(
+                F.when(F.col("_s") == "b", F.expr("hll_sketch_estimate(sk)"))
+            ).alias("est_b"),
+        )
         .withColumn(
             "est_inter", F.col("est_a") + F.col("est_b") - F.col("est_union")
         )

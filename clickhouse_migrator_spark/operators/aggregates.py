@@ -1900,14 +1900,25 @@ def agg_hll_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("hll_sketch_agg(o_custkey, 14)").alias("sk"))
         .localCheckpoint(eager=True)
     )
+    # coalesce to 0: on an empty/degenerate segment the sketch
+    # aggregates yield NULL where approx_count_distinct yielded 0 —
+    # the flags must stay TRUE, not go NULL (round-13 edge fuzz)
     est = (
         sk.agg(
-            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_union"),
-            F.max(
-                F.when(F.col("_s") == "a", F.expr("hll_sketch_estimate(sk)"))
+            F.coalesce(
+                F.expr("hll_sketch_estimate(hll_union_agg(sk))"), F.lit(0)
+            ).alias("est_union"),
+            F.coalesce(
+                F.max(
+                    F.when(F.col("_s") == "a", F.expr("hll_sketch_estimate(sk)"))
+                ),
+                F.lit(0),
             ).alias("est_a"),
-            F.max(
-                F.when(F.col("_s") == "b", F.expr("hll_sketch_estimate(sk)"))
+            F.coalesce(
+                F.max(
+                    F.when(F.col("_s") == "b", F.expr("hll_sketch_estimate(sk)"))
+                ),
+                F.lit(0),
             ).alias("est_b"),
         )
         .withColumn(
